@@ -1,0 +1,302 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Qutil.rnd
+
+/** Text-analysis and deduplication battery over the `documents` table —
+  * the training-data-pipeline operators (dedup, fingerprinting, language
+  * id, quality scoring) that complement the reference's vector surface.
+  *
+  * Hash-function portability: every content hash is derived from md5 hex
+  * (identical in Spark and DuckDB), sliced to ≤60 bits and mixed with
+  * linear congruential permutations mod 1e9+7 — all exact int64 arithmetic,
+  * so signatures hash-match across engines. At 100 TB the same plans hold:
+  * shingle explode → hash-partitioned groupBy (map-side combine), LSH
+  * band-bucket join instead of the quadratic pair join.
+  */
+object TextQueries {
+
+  private val P = 1000000007L
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  /** md5-derived 60-bit integer hash of a string column (portable). */
+  private def md5Long(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Distinct word 3-gram shingles per doc: (doc_id, shingle). */
+  private def shingles(d: DataFrame): DataFrame = {
+    val toks = d.select(col("doc_id"),
+      posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "tok")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    toks.select(col("doc_id"),
+        concat(col("tok"), lit(" "), lead("tok", 1).over(w),
+          lit(" "), lead("tok", 2).over(w)).as("shingle"))
+      .filter(col("shingle").isNotNull)
+      .distinct()
+  }
+
+  /** MinHash signature rows (doc_id, j, mh), 16 permutations. */
+  private def minhashSig(d: DataFrame): DataFrame = {
+    val sh = shingles(d).select(col("doc_id"), (md5Long(col("shingle")) % P).as("x"))
+    sh.select(col("doc_id"), col("x"),
+        explode(sequence(lit(0), lit(15))).as("j"))
+      .select(col("doc_id"), col("j"),
+        (((lit(400009L) * col("j") + 100003L) * col("x")
+          + (lit(700001L) * col("j") + 1L)) % P).as("h"))
+      .groupBy("doc_id", "j").agg(min("h").as("mh"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // token counting: whitespace tokens + BPE-ish regex token count
+    "token_stats" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).as("n_tokens"),
+        length(col("text")).as("len_chars"),
+        regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).as("n_bpe"),
+        rnd(length(regexp_replace(col("text"), "\\s+", ""))
+          / size(split(trim(col("text")), "\\s+")).cast("double"), 4)
+          .as("avg_tok_len"))),
+
+    // quality scoring: length/punct/stopword ratios → composite score
+    "text_quality" -> ((s, dir) => {
+      val nTok = size(split(trim(col("text")), "\\s+")).cast("double")
+      val nCh = length(col("text")).cast("double")
+      val punct = length(regexp_replace(col("text"), "[a-z0-9\\s]", "")).cast("double")
+      val stops = regexp_count(col("text"),
+        lit("\\b(the|a|of|and|in|to|is)\\b")).cast("double")
+      docs(s, dir).select(col("doc_id"),
+          nTok.cast("long").as("n_tokens"),
+          rnd(punct / nCh, 6).as("punct_ratio"),
+          rnd(stops / nTok, 6).as("stop_ratio"))
+        .withColumn("quality_score",
+          rnd(lit(0.4) * least(lit(1.0), col("n_tokens") / 100.0)
+            + lit(0.3) * (lit(1.0) - col("punct_ratio"))
+            + lit(0.3) * least(lit(1.0), lit(5.0) * col("stop_ratio")), 6))
+    }),
+
+    // n-gram-heuristic language id: stopword hit-rates per language,
+    // deterministic priority argmax
+    "lang_id" -> ((s, dir) => {
+      def hits(pat: String) = regexp_count(col("text"), lit(pat)).cast("double")
+      val nTok = size(split(trim(col("text")), "\\s+")).cast("double")
+      docs(s, dir).select(col("doc_id"), col("lang").as("meta_lang"),
+          rnd(hits("\\b(the|a|of|and|in)\\b") / nTok, 6).as("sc_en"),
+          rnd(hits("\\b(der|die|das|und|ist)\\b") / nTok, 6).as("sc_de"),
+          rnd(hits("\\b(el|la|los|y|que)\\b") / nTok, 6).as("sc_es"))
+        .withColumn("pred_lang",
+          when(greatest(col("sc_en"), col("sc_de"), col("sc_es")) === 0.0, "unk")
+            .when(col("sc_en") >= greatest(col("sc_de"), col("sc_es")), "en")
+            .when(col("sc_de") >= col("sc_es"), "de")
+            .otherwise("es"))
+    }),
+
+    // exact dedup: content-hash groups with canonical representative
+    "dedup_exact" -> ((s, dir) => {
+      val w = Window.partitionBy("text_hash")
+      docs(s, dir).select(col("doc_id"), md5(col("text")).as("text_hash"))
+        .select(col("doc_id"), col("text_hash"),
+          count(lit(1)).over(w).as("n_copies"),
+          min("doc_id").over(w).as("canonical_id"))
+        .withColumn("is_dup", col("doc_id") =!= col("canonical_id"))
+    }),
+
+    // n-gram Jaccard near-dup: top-20 most-similar doc pairs by word
+    // 3-gram Jaccard (exact; the LSH variant below is the scale path)
+    "ngram_jaccard_topk" -> ((s, dir) => {
+      val sh = shingles(docs(s, dir))
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val inter = sh.select(col("doc_id").as("id1"), col("shingle"))
+        .join(sh.select(col("doc_id").as("id2"), col("shingle")), Seq("shingle"))
+        .filter(col("id1") < col("id2"))
+        .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.select(col("doc_id").as("id1"), col("sz").as("sz1")), Seq("id1"))
+        .join(sizes.select(col("doc_id").as("id2"), col("sz").as("sz2")), Seq("id2"))
+        .select(col("id1"), col("id2"),
+          rnd(col("inter").cast("double")
+            / (col("sz1") + col("sz2") - col("inter")), 6).as("jaccard"))
+        .orderBy(col("jaccard").desc, col("id1"), col("id2"))
+        .limit(20)
+    }),
+
+    // MinHash signatures (16 permutations mod 1e9+7 over 60-bit md5 hashes)
+    "minhash_sig" -> ((s, dir) => minhashSig(docs(s, dir))),
+
+    // MinHash-LSH candidate pairs: 8 bands × 2 rows
+    "minhash_lsh_pairs" -> ((s, dir) => {
+      val sig = minhashSig(docs(s, dir))
+      val buckets = sig
+        .groupBy(col("doc_id"), (col("j") / 2).cast("int").as("band"))
+        .agg(max(when(col("j") % 2 === 0, col("mh"))).as("mh0"),
+          max(when(col("j") % 2 === 1, col("mh"))).as("mh1"))
+      buckets.select(col("doc_id").as("id1"), col("band"), col("mh0"), col("mh1"))
+        .join(buckets.select(col("doc_id").as("id2"), col("band"), col("mh0"), col("mh1")),
+          Seq("band", "mh0", "mh1"))
+        .filter(col("id1") < col("id2"))
+        .select("id1", "id2").distinct()
+    }),
+
+    // SimHash (32-bit) per document from token md5 hashes with multiplicity
+    "simhash" -> ((s, dir) => {
+      val toks = docs(s, dir).select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("tok"))
+      val hashed = toks.select(col("doc_id"),
+        (md5Long(col("tok")) % 4294967296L).as("xh"))
+      val bits = hashed.select(col("doc_id"), col("xh"),
+        explode(sequence(lit(0), lit(31))).as("b"))
+      bits
+        .select(col("doc_id"), col("b"),
+          (expr("shiftright(xh, b)") % 2 * 2 - 1).as("sign"))
+        .groupBy("doc_id", "b").agg(sum("sign").as("s"))
+        .groupBy("doc_id")
+        .agg(sum(when(col("s") > 0, expr("shiftleft(cast(1 as bigint), b)"))
+          .otherwise(0L)).as("simhash"))
+    }),
+
+    // document fingerprinting: winnowing (k=8 char-grams, window w=4),
+    // summarized per doc (count + checksum of distinct fingerprints)
+    "doc_fingerprint" -> ((s, dir) => {
+      val pos = docs(s, dir).select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), greatest(length(col("text")) - 7, lit(1)))).as("i"))
+      val grams = pos.select(col("doc_id"), col("i"),
+        conv(substring(md5(expr("substr(text, i, 8)")), 1, 8), 16, 10)
+          .cast("long").as("gh"))
+      val w = Window.partitionBy("doc_id").orderBy("i").rowsBetween(-3, 0)
+      grams.select(col("doc_id"), min("gh").over(w).as("fp"))
+        .distinct()
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_fp"), sum("fp").as("fp_sum"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "token_stats" ->
+      """SELECT doc_id,
+        | len(string_split_regex(trim(text),'\s+')) AS n_tokens,
+        | length(text) AS len_chars,
+        | len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe,
+        | floor((length(regexp_replace(text,'\s+','','g'))*1.0
+        |   / len(string_split_regex(trim(text),'\s+')))*1e4 + 0.5)/1e4 AS avg_tok_len
+        |FROM documents""".stripMargin,
+    "text_quality" ->
+      """WITH b AS (SELECT doc_id,
+        |  len(string_split_regex(trim(text),'\s+')) AS n_tokens,
+        |  floor((length(regexp_replace(text,'[a-z0-9\s]','','g'))*1.0/length(text))*1e6 + 0.5)/1e6 AS punct_ratio,
+        |  floor((len(regexp_extract_all(text,'\b(the|a|of|and|in|to|is)\b'))*1.0
+        |    / len(string_split_regex(trim(text),'\s+')))*1e6 + 0.5)/1e6 AS stop_ratio
+        | FROM documents)
+        |SELECT doc_id, n_tokens, punct_ratio, stop_ratio,
+        | floor((0.4*least(1.0, n_tokens/100.0) + 0.3*(1.0-punct_ratio)
+        |   + 0.3*least(1.0, 5.0*stop_ratio))*1e6 + 0.5)/1e6 AS quality_score
+        |FROM b""".stripMargin,
+    "lang_id" ->
+      """WITH b AS (SELECT doc_id, lang AS meta_lang,
+        |  len(string_split_regex(trim(text),'\s+')) AS n_tokens,
+        |  len(regexp_extract_all(text,'\b(the|a|of|and|in)\b')) AS h_en,
+        |  len(regexp_extract_all(text,'\b(der|die|das|und|ist)\b')) AS h_de,
+        |  len(regexp_extract_all(text,'\b(el|la|los|y|que)\b')) AS h_es
+        | FROM documents),
+        | sc AS (SELECT doc_id, meta_lang,
+        |  floor((h_en*1.0/n_tokens)*1e6 + 0.5)/1e6 AS sc_en,
+        |  floor((h_de*1.0/n_tokens)*1e6 + 0.5)/1e6 AS sc_de,
+        |  floor((h_es*1.0/n_tokens)*1e6 + 0.5)/1e6 AS sc_es FROM b)
+        |SELECT doc_id, meta_lang, sc_en, sc_de, sc_es,
+        | CASE WHEN greatest(sc_en, sc_de, sc_es) = 0.0 THEN 'unk'
+        |      WHEN sc_en >= greatest(sc_de, sc_es) THEN 'en'
+        |      WHEN sc_de >= sc_es THEN 'de'
+        |      ELSE 'es' END AS pred_lang
+        |FROM sc""".stripMargin,
+    "dedup_exact" ->
+      """SELECT doc_id, md5(text) AS text_hash,
+        | count(*) OVER (PARTITION BY md5(text)) AS n_copies,
+        | min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+        | doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+        |FROM documents""".stripMargin,
+    "ngram_jaccard_topk" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text),'\s+') AS ts
+        |           FROM documents),
+        | toks AS (SELECT doc_id, unnest(ts) AS tok,
+        |          unnest(range(1, len(ts)+1)) AS pos FROM d),
+        | sh0 AS (SELECT doc_id, tok || ' ' || lead(tok,1) OVER w
+        |          || ' ' || lead(tok,2) OVER w AS shingle
+        |         FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        | sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE shingle IS NOT NULL),
+        | sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        | inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+        |           FROM sh a JOIN sh b ON a.shingle = b.shingle
+        |            AND a.doc_id < b.doc_id
+        |           GROUP BY 1, 2)
+        |SELECT id1, id2,
+        | floor((inter*1.0/(s1.sz + s2.sz - inter))*1e6 + 0.5)/1e6 AS jaccard
+        |FROM inter
+        | JOIN sizes s1 ON s1.doc_id = id1
+        | JOIN sizes s2 ON s2.doc_id = id2
+        |ORDER BY jaccard DESC, id1, id2 LIMIT 20""".stripMargin,
+    "minhash_sig" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text),'\s+') AS ts
+        |           FROM documents),
+        | toks AS (SELECT doc_id, unnest(ts) AS tok,
+        |          unnest(range(1, len(ts)+1)) AS pos FROM d),
+        | sh0 AS (SELECT doc_id, tok || ' ' || lead(tok,1) OVER w
+        |          || ' ' || lead(tok,2) OVER w AS shingle
+        |         FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        | sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE shingle IS NOT NULL),
+        | hx AS (SELECT doc_id,
+        |        ('0x' || substr(md5(shingle),1,15))::BIGINT % 1000000007 AS x
+        |        FROM sh),
+        | pj AS (SELECT unnest(range(0,16)) AS j)
+        |SELECT doc_id, j,
+        | min(((400009*j + 100003)*x + (700001*j + 1)) % 1000000007) AS mh
+        |FROM hx CROSS JOIN pj GROUP BY doc_id, j""".stripMargin,
+    "minhash_lsh_pairs" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text),'\s+') AS ts
+        |           FROM documents),
+        | toks AS (SELECT doc_id, unnest(ts) AS tok,
+        |          unnest(range(1, len(ts)+1)) AS pos FROM d),
+        | sh0 AS (SELECT doc_id, tok || ' ' || lead(tok,1) OVER w
+        |          || ' ' || lead(tok,2) OVER w AS shingle
+        |         FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        | sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE shingle IS NOT NULL),
+        | hx AS (SELECT doc_id,
+        |        ('0x' || substr(md5(shingle),1,15))::BIGINT % 1000000007 AS x
+        |        FROM sh),
+        | pj AS (SELECT unnest(range(0,16)) AS j),
+        | sig AS (SELECT doc_id, j,
+        |   min(((400009*j + 100003)*x + (700001*j + 1)) % 1000000007) AS mh
+        |  FROM hx CROSS JOIN pj GROUP BY doc_id, j),
+        | buckets AS (SELECT doc_id, CAST(j // 2 AS INT) AS band,
+        |   max(CASE WHEN j % 2 = 0 THEN mh END) AS mh0,
+        |   max(CASE WHEN j % 2 = 1 THEN mh END) AS mh1
+        |  FROM sig GROUP BY 1, 2)
+        |SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        |FROM buckets a JOIN buckets b
+        | ON a.band = b.band AND a.mh0 = b.mh0 AND a.mh1 = b.mh1
+        |  AND a.doc_id < b.doc_id""".stripMargin,
+    "simhash" ->
+      """WITH toks AS (SELECT doc_id,
+        |   unnest(string_split_regex(trim(text),'\s+')) AS tok FROM documents),
+        | hx AS (SELECT doc_id,
+        |   ('0x' || substr(md5(tok),1,15))::BIGINT % 4294967296 AS xh FROM toks),
+        | bits AS (SELECT doc_id, b.b AS b,
+        |   ((xh >> b.b) % 2) * 2 - 1 AS sign
+        |  FROM hx CROSS JOIN (SELECT unnest(range(0,32)) AS b) b),
+        | agg AS (SELECT doc_id, b, sum(sign) AS s FROM bits GROUP BY 1, 2)
+        |SELECT doc_id,
+        | CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+        |FROM agg GROUP BY doc_id""".stripMargin,
+    "doc_fingerprint" ->
+      """WITH pos AS (SELECT doc_id, text,
+        |   unnest(range(1, greatest(length(text)-7,1)+1)) AS i FROM documents),
+        | g AS (SELECT doc_id, i,
+        |   ('0x' || substr(md5(substr(text,i,8)),1,8))::BIGINT AS gh FROM pos),
+        | fp0 AS (SELECT doc_id, min(gh) OVER (PARTITION BY doc_id ORDER BY i
+        |   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp FROM g),
+        | fp AS (SELECT DISTINCT doc_id, fp FROM fp0)
+        |SELECT doc_id, count(*) AS n_fp, CAST(sum(fp) AS BIGINT) AS fp_sum
+        |FROM fp GROUP BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Qutil.rnd
+import graft.functions.similarity._
+import graft.operators.KnnJoin
+
+/** Vector-search operator battery over the `embeddings` table.
+  *
+  * Covers O1/O2 (similarity kernels), B5 (brute-force exact k-NN — the
+  * recall oracle, reference src/bench/metrics.ts:9-24), the embedding-cosine
+  * near-duplicate self-join, and (once the HNSW model is wired in) the
+  * approximate path O12 plus recall@k B6/B7.
+  */
+object VectorQueries {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  private def probes(s: SparkSession, dir: String, n: Int = 100): DataFrame =
+    emb(s, dir).filter(col("vec_id") < n)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // B5 exact k-NN, cosine — queries are the first 100 base vectors
+    // (reference semantics, src/bench/run.ts:121-122: queries ⊆ base)
+    "knn_exact_cosine" -> ((s, dir) =>
+      KnnJoin.exactKnnJoin(emb(s, dir), probes(s, dir), k = 10,
+        metric = "cosine", scoreDigits = 6)),
+
+    // B5 exact k-NN, euclidean similarity 1/(1+L2) (src/similarity.ts:22-24)
+    "knn_exact_euclid" -> ((s, dir) =>
+      KnnJoin.exactKnnJoin(emb(s, dir), probes(s, dir), k = 10,
+        metric = "euclidean", scoreDigits = 6)),
+
+    // O1 kernel sanity: self dot product + L2 norm per vector
+    "vec_norms" -> ((s, dir) =>
+      emb(s, dir).select(col("vec_id"), col("label"),
+        rnd(dot_product(col("embedding"), col("embedding")), 6).as("self_dot"),
+        rnd(sqrt(dot_product(col("embedding"), col("embedding"))), 6).as("l2_norm"))),
+
+    // embedding-cosine near-duplicate pairs (brute-force baseline; the
+    // LSH-bucketed variant in TextQueries is the 100 TB scale path)
+    "near_dup_embeddings" -> ((s, dir) => {
+      val a = emb(s, dir).select(col("vec_id").as("id1"), col("embedding").as("e1"))
+      val b = emb(s, dir).select(col("vec_id").as("id2"), col("embedding").as("e2"))
+      a.join(b, col("id1") < col("id2"))
+        .select(col("id1"), col("id2"),
+          rnd(cosine_sim(col("e1"), col("e2")), 6).as("cos_sim"))
+        .filter(col("cos_sim") >= 0.8)
+    }),
+
+    // label centroid stats: per-label mean norm (grouped vector agg)
+    "label_centroid_norm" -> ((s, dir) =>
+      emb(s, dir).groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          rnd(avg(sqrt(dot_product(col("embedding"), col("embedding")))), 6)
+            .as("avg_norm")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "knn_exact_cosine" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+        |           FROM embeddings WHERE vec_id < 100),
+        | scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |   floor((list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])))*1e6 + 0.5)/1e6 AS score
+        |  FROM embeddings e, q)
+        |SELECT query_id, neighbor_id, score, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, neighbor_id) AS rank FROM scored)
+        |WHERE rank <= 10""".stripMargin,
+    "knn_exact_euclid" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+        |           FROM embeddings WHERE vec_id < 100),
+        | scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |   floor((1.0/(1.0 + list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[]))))*1e6 + 0.5)/1e6 AS score
+        |  FROM embeddings e, q)
+        |SELECT query_id, neighbor_id, score, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, neighbor_id) AS rank FROM scored)
+        |WHERE rank <= 10""".stripMargin,
+    "vec_norms" ->
+      """SELECT vec_id, label,
+        | floor((list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))*1e6 + 0.5)/1e6 AS self_dot,
+        | floor((sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))))*1e6 + 0.5)/1e6 AS l2_norm
+        |FROM embeddings""".stripMargin,
+    "near_dup_embeddings" ->
+      """SELECT a.vec_id AS id1, b.vec_id AS id2,
+        | floor((list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))*1e6 + 0.5)/1e6 AS cos_sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE floor((list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))*1e6 + 0.5)/1e6 >= 0.8""".stripMargin,
+    "label_centroid_norm" ->
+      """SELECT label, count(*) AS n,
+        | floor((avg(sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))))*1e6 + 0.5)/1e6 AS avg_norm
+        |FROM embeddings GROUP BY label""".stripMargin
+  )
+}
