@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Qutil.rnd
 import graft.functions.similarity._
-import graft.operators.KnnJoin
+import graft.hnsw.{HnswIndexer, HnswParams}
+import graft.operators.{KnnJoin, Recall}
 
 /** Vector-search operator battery over the `embeddings` table.
   *
@@ -49,6 +50,24 @@ object VectorQueries {
         .select(col("id1"), col("id2"),
           rnd(cosine_sim(col("e1"), col("e2")), 6).as("cos_sim"))
         .filter(col("cos_sim") >= 0.8)
+    }),
+
+    // O3-O12: distributed HNSW approximate k-NN (4 partition-local
+    // sub-indexes, shard-and-search). Non-SQL-expressible → rows-only gate;
+    // quality is asserted by recall_hnsw below and the ScalaTest suite.
+    "knn_hnsw_cosine" -> ((s, dir) => {
+      val model = HnswIndexer.fit(emb(s, dir),
+        HnswParams(m = 16, efConstruction = 200, numPartitions = 4))
+      model.knnJoin(probes(s, dir), k = 10, Some(100))
+    }),
+
+    // B6/B7 micro-averaged recall@10 of the HNSW path vs the exact oracle
+    "recall_hnsw" -> ((s, dir) => {
+      val model = HnswIndexer.fit(emb(s, dir),
+        HnswParams(m = 16, efConstruction = 200, numPartitions = 4))
+      val approx = model.knnJoin(probes(s, dir), k = 10, Some(100))
+      val exact = KnnJoin.exactKnnJoin(emb(s, dir), probes(s, dir), k = 10)
+      Recall.microAvgRecall(approx, exact)
     }),
 
     // label centroid stats: per-label mean norm (grouped vector agg)

@@ -1,0 +1,176 @@
+package graft.hnsw
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** One persisted graph node of one partition-local sub-index. */
+case class PartGraphRow(part: Int, id: Long, level: Int, vector: Array[Float],
+    neighbors: Array[Array[Long]])
+
+/** Index hyperparameters (mirrors the reference ctor surface,
+  * src/main.ts:8-35, plus the two distributed knobs). */
+case class HnswParams(
+    m: Int = 16,
+    efConstruction: Int = 200,
+    efSearch: Int = -1, // -1 → efConstruction (back-compat default, src/main.ts:29)
+    metric: String = "cosine",
+    seed: Long = 42L,
+    numPartitions: Int = 4) {
+  def effectiveEfSearch: Int = if (efSearch < 0) efConstruction else efSearch
+  require(m > 1, "M must be > 1")
+}
+
+/** Distributed HNSW: the reference's single in-memory graph
+  * (src/main.ts:288-317) becomes P partition-local sub-indexes built
+  * independently inside `mapPartitions` (shard-and-search). Queries fan
+  * out to every shard and merge through a global per-query top-k — at
+  * equal ef each shard searches a subset with full ef, so shard-merge
+  * recall ≥ single-index recall.
+  *
+  * Scale design: the build never moves a vector twice (one hash-partition
+  * shuffle, then executor-local inserts); queries broadcast (small probe
+  * sets) so the graph side never shuffles; the only exchange after search
+  * is |queries|·P·k candidate rows. Partition count P is the
+  * memory/recall knob: size P so rows/P·(d·4B + M·levels·8B) fits an
+  * executor (SURVEY §7.4).
+  */
+object HnswIndexer {
+
+  /** Build P sub-indexes from (id, vector) columns. Deterministic: level
+    * draws are keyed on (seed, id), partition assignment is hash(id), and
+    * inserts happen in ascending-id order within each partition. */
+  def fit(df: DataFrame, params: HnswParams = HnswParams(),
+      idCol: String = "vec_id", vecCol: String = "embedding"): HnswModel = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val p = params
+    val graph = df
+      .select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<float>").as("vec"))
+      .as[(Long, Array[Float])]
+      .repartition(p.numPartitions, col("id"))
+      .sortWithinPartitions("id")
+      .mapPartitions { it =>
+        val part = TaskContext.getPartitionId()
+        val idx = new HnswIndex(p.m, p.efConstruction, -1, Metric(p.metric),
+          Some(p.effectiveEfSearch), None, p.seed)
+        idx.buildIndex(it)
+        idx.toRows.map(r => PartGraphRow(part, r.id, r.level, r.vector, r.neighbors))
+      }
+    val persisted = graph.persist()
+    new HnswModel(spark, p, persisted)
+  }
+}
+
+/** Executor-side cache of rebuilt sub-indexes so repeated knnJoins don't
+  * re-materialize the graph rows (per-JVM, keyed by modelId×part). */
+private[hnsw] object SubIndexCache {
+  val cache = new ConcurrentHashMap[String, HnswIndex]()
+}
+
+class HnswModel(
+    @transient val spark: SparkSession,
+    val params: HnswParams,
+    val graph: Dataset[PartGraphRow],
+    val modelId: String = java.util.UUID.randomUUID().toString) extends Serializable {
+
+  /** Per-part meta derived from the rows: levelMax = max level;
+    * entryPointId = first inserted node holding the max level, which under
+    * ascending-id insertion is the min id at that level (promotion is
+    * strict-increase only, src/main.ts:225-228). */
+  private def rebuild(rows: Iterator[PartGraphRow], p: HnswParams): Iterator[(Int, HnswIndex)] = {
+    val byPart = rows.toArray.groupBy(_.part)
+    byPart.iterator.map { case (part, rs) =>
+      val key = s"$modelId/$part"
+      val cached = SubIndexCache.cache.get(key)
+      val idx = if (cached != null) cached else {
+        val levelMax = rs.map(_.level).max
+        val entry = rs.filter(_.level == levelMax).map(_.id).min
+        val built = HnswSerde.fromRows(
+          rs.iterator.map(r => HnswGraphRow(r.id, r.level, r.vector, r.neighbors)),
+          p.m, p.efConstruction, Metric(p.metric), Some(p.effectiveEfSearch),
+          p.seed, levelMax, entry)
+        SubIndexCache.cache.putIfAbsent(key, built)
+        built
+      }
+      (part, idx)
+    }
+  }
+
+  /** O12 distributed: approximate k-NN of each probe row.
+    * Result: (query_id, neighbor_id, score, rank), rank ∈ [1,k] by
+    * descending score with an id tie-break. Per-query efSearch override
+    * preserved (reference src/main.ts:267, tests/HNSW.test.ts:69-79). */
+  def knnJoin(queries: DataFrame, k: Int, efSearchOverride: Option[Int] = None,
+      queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame = {
+    val session = graph.sparkSession
+    import session.implicits._
+    val p = params
+    val probes: Array[(Long, Array[Float])] = queries
+      .select(col(queryId).cast("long"), col(queryVec).cast("array<float>"))
+      .as[(Long, Array[Float])].collect()
+    val bc = session.sparkContext.broadcast(probes)
+    val ef = efSearchOverride
+    val local = graph.mapPartitions { rows =>
+      rebuild(rows, p).flatMap { case (_, idx) =>
+        bc.value.iterator.flatMap { case (qid, qv) =>
+          idx.searchKNN(qv, k, ef).iterator.map { case (id, score) => (qid, id, score) }
+        }
+      }
+    }.toDF("query_id", "neighbor_id", "score")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    local.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** O13/O15 save: graph parquet + params as a small JSON file. */
+  def save(path: String): Unit = {
+    graph.write.mode("overwrite").parquet(s"$path/graph")
+    val p = params
+    val json =
+      s"""{"m":${p.m},"efConstruction":${p.efConstruction},"efSearch":${p.efSearch},
+         |"metric":"${p.metric}","seed":${p.seed},"numPartitions":${p.numPartitions},
+         |"modelId":"$modelId"}""".stripMargin.replaceAll("\n", "")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$path/params.json"), true)
+    out.write(json.getBytes("UTF-8")); out.close()
+  }
+
+  def unpersist(): Unit = { graph.unpersist(); () }
+}
+
+object HnswModel {
+  /** O14/O15 load. Missing path → None (load-if-missing no-op semantics,
+    * reference src/db.ts:72-74). */
+  def load(spark: SparkSession, path: String): Option[HnswModel] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/params.json"))) return None
+    val in = fs.open(new org.apache.hadoop.fs.Path(s"$path/params.json"))
+    val json = scala.io.Source.fromInputStream(in).mkString
+    in.close()
+    def num(k: String): Long =
+      s""""$k":(-?\\d+)""".r.findFirstMatchIn(json).map(_.group(1).toLong).getOrElse(-1L)
+    def str(k: String): String =
+      s""""$k":"([^"]*)"""".r.findFirstMatchIn(json).map(_.group(1)).getOrElse("")
+    val params = HnswParams(num("m").toInt, num("efConstruction").toInt,
+      num("efSearch").toInt, str("metric"), num("seed"), num("numPartitions").toInt)
+    import spark.implicits._
+    val graph = spark.read.parquet(s"$path/graph").as[PartGraphRow]
+      .repartition(params.numPartitions, col("part"))
+      .persist()
+    Some(new HnswModel(spark, params, graph, str("modelId")))
+  }
+
+  /** O15 delete: drop the stored index (reference src/db.ts:92-100). */
+  def delete(spark: SparkSession, path: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    ()
+  }
+}

@@ -1,0 +1,77 @@
+package graft.hnsw
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.KnnJoin
+
+class HnswSparkSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  val dir = "/root/testdata/sf0.001"
+
+  def emb = spark.read.parquet(s"$dir/embeddings.parquet")
+  def probes = emb.filter(col("vec_id") < 20)
+    .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+
+  test("distributed build + knnJoin achieves recall@10 >= 0.8 vs exact oracle (B6/B7)") {
+    val model = HnswIndexer.fit(emb, HnswParams(m = 16, efConstruction = 200,
+      numPartitions = 4))
+    val approx = model.knnJoin(probes, k = 10, Some(100))
+    val exact = KnnJoin.exactKnnJoin(emb, probes, k = 10, metric = "cosine")
+    val hits = approx.select("query_id", "neighbor_id")
+      .intersect(exact.select("query_id", "neighbor_id")).count()
+    val total = exact.count()
+    val recall = hits.toDouble / total
+    assert(total == 200)
+    assert(recall >= 0.8, s"shard-merge recall@10 = $recall")
+    model.unpersist()
+  }
+
+  test("knnJoin output shape: k rows per query, ranked, scores descending") {
+    val model = HnswIndexer.fit(emb, HnswParams(numPartitions = 2))
+    val res = model.knnJoin(probes.limit(3), k = 5).collect()
+    val byQ = res.groupBy(_.getLong(0))
+    assert(byQ.size == 3)
+    byQ.values.foreach { rows =>
+      assert(rows.length == 5)
+      val sorted = rows.sortBy(_.getInt(3))
+      assert(sorted.map(_.getDouble(2)).toSeq == sorted.map(_.getDouble(2)).sortBy(-(_: Double)).toSeq)
+    }
+    model.unpersist()
+  }
+
+  test("save/load round-trip preserves knnJoin results; delete then load is None (O13-O15)") {
+    val path = java.nio.file.Files.createTempDirectory("hnsw-model").toString
+    val model = HnswIndexer.fit(emb, HnswParams(numPartitions = 2))
+    val before = model.knnJoin(probes.limit(5), k = 5)
+      .select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
+    model.save(path)
+    val loaded = HnswModel.load(spark, path)
+    assert(loaded.isDefined)
+    assert(loaded.get.params.m == model.params.m)
+    val after = loaded.get.knnJoin(probes.limit(5), k = 5)
+      .select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
+    assert(before == after)
+    HnswModel.delete(spark, path)
+    assert(HnswModel.load(spark, path).isEmpty)
+    model.unpersist()
+  }
+
+  test("deterministic across rebuilds: same data, same params → same results") {
+    val m1 = HnswIndexer.fit(emb, HnswParams(numPartitions = 3))
+    val m2 = HnswIndexer.fit(emb, HnswParams(numPartitions = 3))
+    val r1 = m1.knnJoin(probes, k = 10).select("query_id", "neighbor_id", "rank")
+      .collect().map(_.toSeq).toSet
+    val r2 = m2.knnJoin(probes, k = 10).select("query_id", "neighbor_id", "rank")
+      .collect().map(_.toSeq).toSet
+    assert(r1 == r2)
+    m1.unpersist(); m2.unpersist()
+  }
+}
