@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.Qutil.rnd
 import graft.functions.similarity._
 import graft.hnsw.{HnswIndexer, HnswParams}
-import graft.operators.{KnnJoin, Recall}
+import graft.operators.{AnnLsh, KnnJoin, Recall}
 
 /** Vector-search operator battery over the `embeddings` table.
   *
@@ -66,6 +66,19 @@ object VectorQueries {
       val model = HnswIndexer.fit(emb(s, dir),
         HnswParams(m = 16, efConstruction = 200, numPartitions = 4))
       val approx = model.knnJoin(probes(s, dir), k = 10, Some(100))
+      val exact = KnnJoin.exactKnnJoin(emb(s, dir), probes(s, dir), k = 10)
+      Recall.microAvgRecall(approx, exact)
+    }),
+
+    // LSH-bucketed ANN (the non-graph scale path): signature equi-join +
+    // rerank. Non-SQL-expressible → rows-only gate; recall_lsh asserts quality.
+    "knn_lsh_cosine" -> ((s, dir) =>
+      AnnLsh.lshKnnJoin(emb(s, dir), probes(s, dir), k = 10,
+        numPlanes = 6, d = 64, numTables = 4)),
+
+    "recall_lsh" -> ((s, dir) => {
+      val approx = AnnLsh.lshKnnJoin(emb(s, dir), probes(s, dir), k = 10,
+        numPlanes = 6, d = 64, numTables = 4)
       val exact = KnnJoin.exactKnnJoin(emb(s, dir), probes(s, dir), k = 10)
       Recall.microAvgRecall(approx, exact)
     }),

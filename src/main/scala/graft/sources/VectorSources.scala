@@ -1,0 +1,120 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Vector dataset sources (B1-B3, reference src/bench/dataset.ts).
+  *
+  * - fvecs/ivecs: the classic binary ANN formats — per record an int32
+  *   little-endian dimension then dim × (float32 | int32)
+  *   (src/bench/dataset.ts:65-151). Decoded in executors over Spark's
+  *   `binaryFile` source; ids are record positions; a truncated tail is
+  *   tolerated (src/bench/dataset.ts:83-85); limit/offset applied at
+  *   decode time (actual pushdown, src/bench/dataset.ts:87-93).
+  * - synthetic: seeded deterministic generator. The reference uses a
+  *   sequential mulberry32 stream (src/bench/dataset.ts:196-205); we key
+  *   every component on (seed, id, dim) instead so ANY partitioning of
+  *   `spark.range` yields identical data — the distribution (uniform
+  *   [-1,1) or Box-Muller gaussian, src/bench/dataset.ts:207-213) is
+  *   preserved, the sequential dependence is not (required for
+  *   distributed determinism, SURVEY B1).
+  */
+object VectorSources {
+
+  private def decode(bytes: Array[Byte], intComponents: Boolean,
+      limit: Int, offset: Int): Iterator[(Long, Array[Float])] = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    new Iterator[(Long, Array[Float])] {
+      private var recordIdx = 0L
+      private var emitted = 0
+      private var nextRec: (Long, Array[Float]) = null
+      private def advance(): Unit = {
+        nextRec = null
+        while (nextRec == null && buf.remaining() >= 4 &&
+            (limit < 0 || emitted < limit)) {
+          val d = buf.getInt()
+          val need = d.toLong * 4
+          if (d <= 0 || buf.remaining() < need) {
+            buf.position(buf.limit()) // truncated tail: stop cleanly
+          } else if (recordIdx < offset) {
+            buf.position(buf.position() + need.toInt)
+            recordIdx += 1
+          } else {
+            val arr = new Array[Float](d)
+            var i = 0
+            while (i < d) {
+              arr(i) = if (intComponents) buf.getInt().toFloat else buf.getFloat()
+              i += 1
+            }
+            nextRec = (recordIdx, arr)
+            recordIdx += 1
+            emitted += 1
+          }
+        }
+      }
+      advance()
+      def hasNext: Boolean = nextRec != null
+      def next(): (Long, Array[Float]) = {
+        val r = nextRec; advance(); r
+      }
+    }
+  }
+
+  /** B2: fvecs scan → (vec_id, embedding). */
+  def readFvecs(spark: SparkSession, path: String, limit: Int = -1,
+      offset: Int = 0): DataFrame =
+    readVecs(spark, path, intComponents = false, limit, offset)
+
+  /** B3: ivecs scan (int32 components cast to float). */
+  def readIvecs(spark: SparkSession, path: String, limit: Int = -1,
+      offset: Int = 0): DataFrame =
+    readVecs(spark, path, intComponents = true, limit, offset)
+
+  private def readVecs(spark: SparkSession, path: String, intComponents: Boolean,
+      limit: Int, offset: Int): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(path)
+      .select(col("content"))
+      .as[Array[Byte]]
+      .flatMap(bytes => decode(bytes, intComponents, limit, offset))
+      .toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+  }
+
+  /** B1: seeded synthetic vectors, partition-independent.
+    * @param distribution "uniform" ([-1,1)) | "gaussian" (Box-Muller) */
+  def synthetic(spark: SparkSession, count: Long, dimension: Int,
+      seed: Long = 42L, distribution: String = "uniform"): DataFrame = {
+    import spark.implicits._
+    require(distribution == "uniform" || distribution == "gaussian",
+      s"unknown distribution: $distribution")
+    val gaussian = distribution == "gaussian"
+    spark.range(0, count).as[Long].map { id =>
+      val arr = new Array[Float](dimension)
+      var j = 0
+      while (j < dimension) {
+        val u1 = unitRandom(seed, id, 2 * j)
+        if (gaussian) {
+          val u2 = unitRandom(seed, id, 2 * j + 1)
+          arr(j) = (math.sqrt(-2.0 * math.log(math.max(u1, 1e-12))) *
+            math.cos(2.0 * math.Pi * u2)).toFloat
+        } else {
+          arr(j) = (u1 * 2.0 - 1.0).toFloat
+        }
+        j += 1
+      }
+      (id, arr)
+    }.toDF("vec_id", "embedding")
+  }
+
+  /** splitmix64-mixed uniform in [0,1), pure in (seed, id, k). */
+  private def unitRandom(seed: Long, id: Long, k: Int): Double = {
+    var z = seed ^ (id * 0x9E3779B97F4A7C15L) ^ (k.toLong * 0xC2B2AE3D27D4EB4FL)
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    (z >>> 11).toDouble / (1L << 53).toDouble
+  }
+}

@@ -1,0 +1,185 @@
+package graft
+
+import java.io.{DataOutputStream, FileOutputStream}
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.bench.GridBench
+import graft.operators.{AnnLsh, KnnJoin, Multimodal, Recall}
+import graft.sources.VectorSources
+import graft.streaming.EventPipeline
+
+class OperatorsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  val dir = "/root/testdata/sf0.001"
+  def emb: DataFrame = spark.read.parquet(s"$dir/embeddings.parquet")
+  def probes: DataFrame = emb.filter(col("vec_id") < 20)
+    .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+
+  test("fvecs round-trip: write binary, read back identical (B2)") {
+    val tmp = java.nio.file.Files.createTempDirectory("fvecs").toString
+    val path = s"$tmp/test.fvecs"
+    val vecs = (0 until 50).map(i => Array.tabulate(8)(j => i * 10f + j))
+    val out = new DataOutputStream(new FileOutputStream(path))
+    vecs.foreach { v =>
+      val bb = ByteBuffer.allocate(4 + v.length * 4).order(ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(v.length); v.foreach(bb.putFloat)
+      out.write(bb.array())
+    }
+    // truncated tail: extra garbage record header
+    out.writeInt(99); out.close()
+    val df = VectorSources.readFvecs(spark, path)
+    assert(df.count() == 50)
+    val r7 = df.filter(col("vec_id") === 7).select("embedding")
+      .first().getSeq[Float](0)
+    assert(r7 == vecs(7).toSeq)
+    // limit/offset pushdown at decode
+    val lim = VectorSources.readFvecs(spark, path, limit = 10, offset = 5)
+    assert(lim.count() == 10)
+    assert(lim.agg(min("vec_id")).first().getLong(0) == 5)
+  }
+
+  test("ivecs: int components cast to float (B3)") {
+    val tmp = java.nio.file.Files.createTempDirectory("ivecs").toString
+    val path = s"$tmp/test.ivecs"
+    val out = new DataOutputStream(new FileOutputStream(path))
+    val bb = ByteBuffer.allocate(4 + 12).order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(3); bb.putInt(7); bb.putInt(-2); bb.putInt(100)
+    out.write(bb.array()); out.close()
+    val df = VectorSources.readIvecs(spark, path)
+    assert(df.first().getSeq[Float](1) == Seq(7f, -2f, 100f))
+  }
+
+  test("synthetic source is partition-independent and seeded (B1)") {
+    val a = VectorSources.synthetic(spark, 100, 8, seed = 42)
+      .repartition(7).collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toMap
+    val b = VectorSources.synthetic(spark, 100, 8, seed = 42)
+      .repartition(2).collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toMap
+    assert(a == b)
+    val c = VectorSources.synthetic(spark, 100, 8, seed = 43)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toMap
+    assert(a != c)
+    // uniform in [-1, 1)
+    assert(a.values.flatten.forall(v => v >= -1f && v < 1f))
+    // gaussian roughly centered
+    val g = VectorSources.synthetic(spark, 2000, 4, 42, "gaussian")
+      .select(explode(col("embedding"))).agg(avg("col")).first().getDouble(0)
+    assert(math.abs(g) < 0.1)
+  }
+
+  test("LSH ANN recall@10 >= 0.4 vs exact with 1-bit multiprobe (scale path)") {
+    // isotropic random embeddings are LSH's worst case; 6 planes × 4
+    // tables + 1-bit multiprobe prunes most of the corpus per query — the
+    // point is the plan shape, recall tuning is numPlanes/numTables
+    val approx = AnnLsh.lshKnnJoin(emb, probes, k = 10, numPlanes = 6, d = 64,
+      numTables = 4)
+    val exact = KnnJoin.exactKnnJoin(emb, probes, k = 10)
+    val recall = Recall.microAvgRecall(approx, exact)
+      .select("recall").first().getDouble(0)
+    assert(recall >= 0.4, s"lsh recall = $recall")
+  }
+
+  test("streaming windowed counts over MemoryStream match batch twin (B4 analog)") {
+    import spark.implicits._
+    implicit val sctx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    val sdf = mem.toDF().toDF("event_id", "ts", "event_type", "value")
+    val q = EventPipeline.windowedCounts(sdf).writeStream
+      .format("memory").queryName("wc").outputMode("append").start()
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:15:00")
+    def at(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    mem.addData((1L, at(0), "click", 1.0), (2L, at(5), "click", 2.0),
+      (3L, at(70), "view", 3.0))
+    q.processAllAvailable()
+    // advance watermark far enough to close the first window
+    mem.addData((4L, at(300), "click", 4.0))
+    q.processAllAvailable()
+    val got = spark.table("wc").collect()
+    q.stop()
+    val w1015 = got.filter(r => r.getAs[java.sql.Timestamp]("window_start")
+      .toString.startsWith("2024-01-01 10"))
+    assert(w1015.exists(r => r.getAs[String]("event_type") == "click" &&
+      r.getAs[Long]("n") == 2))
+  }
+
+  test("stateful sessionization closes sessions on timeout (flatMapGroupsWithState)") {
+    import spark.implicits._
+    implicit val sctx = spark.sqlContext
+    val mem = MemoryStream[graft.streaming.Event]
+    val q = EventPipeline.sessionize(mem.toDS(), gapMs = 60000L).writeStream
+      .format("memory").queryName("sessions").outputMode("append").start()
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def at(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    mem.addData(
+      graft.streaming.Event(1, t0, 7L, "click", 1.0),
+      graft.streaming.Event(2, t0, 7L, "view", 2.0))
+    q.processAllAvailable()
+    // watermark jumps far past user 7's (last event + gap) → session closes
+    mem.addData(graft.streaming.Event(3, at(120), 8L, "click", 5.0))
+    q.processAllAvailable()
+    mem.addData(graft.streaming.Event(4, at(121), 8L, "view", 1.0))
+    q.processAllAvailable()
+    val out = spark.table("sessions").as[graft.streaming.SessionSummary].collect()
+    q.stop()
+    assert(out.exists(s => s.user_id == 7L && s.n_events == 2 && s.total_value == 3.0))
+  }
+
+  test("multimodal stub plumbing: decode features + frame sampling") {
+    import spark.implicits._
+    val media = (0L until 10L).map { i =>
+      (i, "image", Array.fill[Byte](1000 + i.toInt)((i % 7).toByte), 640, 480)
+    }.toDF("media_id", "media_type", "content", "width", "height")
+    val feats = Multimodal.decodeFeaturesStub(media, featureDim = 16)
+    assert(feats.count() == 10)
+    assert(feats.select("feature").first().getSeq[Float](0).length == 16)
+    // deterministic
+    val f1 = Multimodal.decodeFeaturesStub(media).collect().map(_.toSeq).toSet
+    val f2 = Multimodal.decodeFeaturesStub(media).collect().map(_.toSeq).toSet
+    assert(f1 == f2)
+    val frames = Multimodal.sampleFramesStub(media, frameBytes = 100, stride = 2)
+    assert(frames.count() > 10) // explosion happened
+    val rs = Multimodal.resizeMeta(media, 320).select("out_width", "out_height").first()
+    assert(rs.getInt(0) == 320 && rs.getInt(1) == 240)
+  }
+
+  test("grid bench: sweep, json sink, dir source, compare, csv (B9-B16)") {
+    val tmp = java.nio.file.Files.createTempDirectory("bench").toString
+    val results = GridBench.runGrid(emb, probes.limit(5), "sf0.001-emb",
+      ms = Seq(8), efCs = Seq(100), efSearches = Seq(10, 50), k = 5,
+      numPartitions = 2)
+    assert(results.length == 2)
+    assert(results.forall(r => r.recallAtK > 0.0 && r.buildMs > 0))
+    val p = GridBench.writeResults(spark, results, tmp, "sf0.001-emb")
+    assert(p.contains("bench-sf0.001-emb-"))
+    val back = GridBench.readResultsDir(spark, tmp)
+    assert(back.count() == 2)
+    val (both, mb, mc) = GridBench.compare(back, back)
+    assert(both.count() == 2 && mb.count() == 0 && mc.count() == 0)
+    assert(both.select(abs(col("delta_recallAtK"))).agg(max("abs(delta_recallAtK)"))
+      .first().getDouble(0) == 0.0)
+    GridBench.writeCsv(both, s"$tmp/report-csv")
+    assert(spark.read.option("header", true).csv(s"$tmp/report-csv").count() == 2)
+    val summary = GridBench.deltaSummary(both)
+    assert(summary.columns.length == 12)
+  }
+
+  test("recall operators: micro-average differs from mean-of-means when k > size (B7)") {
+    import spark.implicits._
+    // q1: 2 exact rows 1 hit; q2: 1 exact row 1 hit
+    val approx = Seq((1L, 10L), (1L, 11L), (2L, 20L)).toDF("query_id", "neighbor_id")
+    val exact = Seq((1L, 10L), (1L, 12L), (2L, 20L)).toDF("query_id", "neighbor_id")
+    val micro = Recall.microAvgRecall(approx, exact).select("recall").first().getDouble(0)
+    assert(math.abs(micro - 2.0 / 3.0) < 1e-12) // pooled, not (0.5+1)/2
+  }
+}
