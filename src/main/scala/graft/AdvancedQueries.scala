@@ -1,0 +1,186 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Qutil.rnd
+
+/** Advanced relational operators: as-of join, range join, statistical
+  * aggregates, ranking-function family, array aggregation, correlated
+  * scalar subquery, CUBE, argmin/argmax.
+  *
+  * The as-of join is the scale-interesting one: instead of a per-row
+  * subquery or a range join, tag both sides, union, and carry the latest
+  * right-side row forward with a window — ONE shuffle on (key), linear
+  * work, no quadratic blow-up; this is the standard distributed as-of
+  * shape (same plan Flink/kdb-style engines use). DuckDB's native
+  * ASOF JOIN is the oracle.
+  */
+object AdvancedQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+  private def events(s: SparkSession, dir: String): DataFrame =
+    RelationalQueries.events(s, dir)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // as-of join: for each purchase, the most recent prior-or-equal click
+    // of the same user (union + carry-forward window, one shuffle)
+    "q_asof_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      // dedupe clicks on (user, ts): keep max event_id — makes the as-of
+      // pick deterministic in both engines when click times tie
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts").as("c_ts"))
+        .agg(max("event_id").as("click_id"))
+        .select(col("user_id"), col("c_ts").as("ts"), col("click_id"),
+          lit(0).as("tag"), lit(null).cast("long").as("purchase_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(null).cast("long").as("click_id"),
+          lit(1).as("tag"), col("event_id").as("purchase_id"))
+      val w = Window.partitionBy("user_id").orderBy("ts", "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      clicks.unionByName(purchases)
+        .withColumn("prev_click_id", last("click_id", ignoreNulls = true).over(w))
+        .filter(col("tag") === 1)
+        .select(col("purchase_id"), col("user_id"), col("ts"),
+          col("prev_click_id"))
+    }),
+
+    // range join: lineitems shipped within 30 days of their order date
+    "q_range_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      l.join(o, col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") >= col("o_orderdate") &&
+          col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_fast_items"),
+          rnd(sum("l_quantity"), 2).as("fast_qty"))
+    }),
+
+    // statistical aggregates incl. cross-column correlation with the
+    // regex-extracted numeric from the JSON-ish props column
+    "q_stats_agg" -> ((s, dir) => {
+      events(s, dir)
+        .withColumn("k", regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("double"))
+        .groupBy("event_type")
+        .agg(rnd(stddev_samp(col("value")), 6).as("sd_value"),
+          rnd(var_samp(col("value")), 6).as("var_value"),
+          rnd(covar_samp(col("value"), col("k")), 6).as("cov_vk"),
+          rnd(corr(col("value"), col("k")), 6).as("corr_vk"),
+          rnd(min("value"), 6).as("min_v"), rnd(max("value"), 6).as("max_v"))
+    }),
+
+    // ranking-function family over a tie-free ordering
+    "q_rank_funcs" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"),
+        dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("quartile"),
+        rnd(percent_rank().over(w), 6).as("prnk"),
+        rnd(cume_dist().over(w), 6).as("cdist"))
+    }),
+
+    // array aggregation: sorted distinct set folded to a string
+    "q_array_agg" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(array_join(array_sort(collect_set(col("o_orderstatus"))), ",")
+          .as("statuses"),
+          count(lit(1)).as("n_orders"))),
+
+    // correlated scalar subquery shape: parts priced above their brand mean
+    "q_scalar_subquery" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      val brandAvg = p.groupBy(col("p_brand").as("b"))
+        .agg(avg("p_retailprice").as("brand_avg"))
+      p.join(broadcast(brandAvg), col("p_brand") === col("b"))
+        .filter(col("p_retailprice") > col("brand_avg"))
+        .select(col("p_partkey"), col("p_brand"),
+          rnd(col("p_retailprice") - col("brand_avg"), 4).as("above_by"))
+    }),
+
+    // grouping sets via CUBE
+    "q_cube" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), rnd(sum("o_totalprice"), 2).as("total"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("pr"),
+          col("n"), col("total"))),
+
+    // argmin/argmax aggregates (min_by/max_by) over a unique ordering key
+    "q_minmax_by" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy("user_id")
+        .agg(min_by(col("event_type"), col("event_id")).as("first_type"),
+          max_by(col("event_type"), col("event_id")).as("last_type"),
+          rnd(max_by(col("value"), col("event_id")), 6).as("last_value")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts, max(event_id) AS click_id
+        |  FROM events WHERE event_type='click' GROUP BY user_id, ts),
+        | purchases AS (
+        |  SELECT event_id AS purchase_id, user_id, ts
+        |  FROM events WHERE event_type='purchase')
+        |SELECT p.purchase_id, p.user_id, p.ts, c.click_id AS prev_click_id
+        |FROM purchases p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND c.ts <= p.ts""".stripMargin,
+    "q_range_join" ->
+      """SELECT o_orderkey, count(*) AS n_fast_items,
+        | floor((sum(l_quantity))*1e2 + 0.5)/1e2 AS fast_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | AND l_shipdate >= o_orderdate
+        | AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
+        |GROUP BY o_orderkey""".stripMargin,
+    "q_stats_agg" ->
+      """WITH e AS (SELECT event_type, value,
+        |  CAST(regexp_extract(props, '"k": (\d+)', 1) AS DOUBLE) AS k
+        | FROM events)
+        |SELECT event_type,
+        | floor((stddev_samp(value))*1e6 + 0.5)/1e6 AS sd_value,
+        | floor((var_samp(value))*1e6 + 0.5)/1e6 AS var_value,
+        | floor((covar_samp(value, k))*1e6 + 0.5)/1e6 AS cov_vk,
+        | floor((corr(value, k))*1e6 + 0.5)/1e6 AS corr_vk,
+        | floor((min(value))*1e6 + 0.5)/1e6 AS min_v,
+        | floor((max(value))*1e6 + 0.5)/1e6 AS max_v
+        |FROM e GROUP BY event_type""".stripMargin,
+    "q_rank_funcs" ->
+      """SELECT o_custkey, o_orderkey,
+        | dense_rank() OVER w AS drnk,
+        | ntile(4) OVER w AS quartile,
+        | floor((percent_rank() OVER w)*1e6 + 0.5)/1e6 AS prnk,
+        | floor((cume_dist() OVER w)*1e6 + 0.5)/1e6 AS cdist
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin,
+    "q_array_agg" ->
+      """SELECT o_custkey,
+        | array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
+        | count(*) AS n_orders
+        |FROM orders GROUP BY o_custkey""".stripMargin,
+    "q_scalar_subquery" ->
+      """SELECT p_partkey, p_brand,
+        | floor((p_retailprice - (SELECT avg(p2.p_retailprice) FROM part p2
+        |   WHERE p2.p_brand = part.p_brand))*1e4 + 0.5)/1e4 AS above_by
+        |FROM part
+        |WHERE p_retailprice > (SELECT avg(p3.p_retailprice) FROM part p3
+        |  WHERE p3.p_brand = part.p_brand)""".stripMargin,
+    "q_cube" ->
+      """SELECT coalesce(o_orderstatus,'ALL') AS st,
+        | coalesce(o_orderpriority,'ALL') AS pr,
+        | count(*) AS n, floor((sum(o_totalprice))*1e2 + 0.5)/1e2 AS total
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
+    "q_minmax_by" ->
+      """SELECT user_id,
+        | min_by(event_type, event_id) AS first_type,
+        | max_by(event_type, event_id) AS last_type,
+        | floor((max_by(value, event_id))*1e6 + 0.5)/1e6 AS last_value
+        |FROM events GROUP BY user_id""".stripMargin
+  )
+}

@@ -26,8 +26,10 @@ object SparkEntry {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ VectorQueries.queries ++ TextQueries.queries
+    RelationalQueries.queries ++ VectorQueries.queries ++ TextQueries.queries ++
+      AdvancedQueries.queries
 
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracle ++ VectorQueries.oracle ++ TextQueries.oracle
+    RelationalQueries.oracle ++ VectorQueries.oracle ++ TextQueries.oracle ++
+      AdvancedQueries.oracle
 }
