@@ -83,6 +83,25 @@ object VectorQueries {
       Recall.microAvgRecall(approx, exact)
     }),
 
+    // IVF-Flat ANN (coarse-quantized scale path). Rows-only gate;
+    // OperatorsSpec asserts recall incl. the nprobe=C exhaustive case.
+    "knn_ivf_cosine" -> ((s, dir) => {
+      val model = graft.operators.IvfFlat.fit(emb(s, dir), numCells = 16)
+      graft.operators.IvfFlat.knnJoin(model, probes(s, dir), k = 10, nprobe = 4)
+    }),
+
+    // multimodal plumbing smoke: media rows (utf-8 bytes of documents as
+    // stand-in payloads) → stub feature extraction → per-media summary
+    "multimodal_features" -> ((s, dir) => {
+      val media = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").as("media_id"), lit("text").as("media_type"),
+          encode(col("text"), "utf-8").as("content"),
+          lit(640).as("width"), lit(480).as("height"))
+      graft.operators.Multimodal.decodeFeaturesStub(media, featureDim = 8)
+        .select(col("media_id"), col("n_bytes"),
+          graft.Qutil.rnd(element_at(col("feature"), 1).cast("double"), 4).as("f0"))
+    }),
+
     // label centroid stats: per-label mean norm (grouped vector agg)
     "label_centroid_norm" -> ((s, dir) =>
       emb(s, dir).groupBy("label")

@@ -47,19 +47,19 @@ object GridBench {
       model.graph.count() // force build
       val buildMs = (System.nanoTime() - t0) / 1e6
       val cells = efSearches.map { ef =>
-        val s0 = System.nanoTime()
-        val approx = model.knnJoin(queries, k, Some(ef)).cache()
-        val n = approx.count()
-        val wallMs = (System.nanoTime() - s0) / 1e6
+        val (approx, latencies) = model.knnJoinTimed(queries, k, Some(ef))
         val recall = Recall.microAvgRecall(approx, exact)
           .select("recall").first().getDouble(0)
-        approx.unpersist()
-        // per-query latency proxy: wall time spread evenly across queries
-        // (single latency value ⇒ all percentiles equal it; honest for a
-        // batch engine where per-query latency is not individually paid)
-        val perQ = wallMs / math.max(nQueries, 1)
+        // honest per-query latency: max-over-shards in-executor search ms,
+        // summarized with the exact floor-index percentile
+        // (sorted[⌊p/100·(n−1)⌋], reference src/bench/metrics.ts:51-57)
+        val lat = latencies.select("search_ms").collect().map(_.getDouble(0)).sorted
+        def pct(p: Double): Double =
+          if (lat.isEmpty) 0.0 else lat(math.floor(p * (lat.length - 1)).toInt)
+        val avgLat = if (lat.isEmpty) 0.0 else lat.sum / lat.length
         RunResult(datasetName, metric, dim, count, nQueries,
-          m, efC, ef, k, buildMs, nQueries, perQ, perQ, perQ, perQ, perQ, recall)
+          m, efC, ef, k, buildMs, lat.length, avgLat,
+          pct(0.50), pct(0.90), pct(0.95), pct(0.99), recall)
       }
       model.unpersist()
       cells

@@ -126,6 +126,40 @@ class HnswModel(
     local.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** knnJoin variant that also reports honest per-query search latency:
+    * each shard times its searchKNN call; a query's latency is its
+    * critical-path (max-over-shards) in-executor search time. Returns
+    * (results, latencies(query_id, search_ms)). */
+  def knnJoinTimed(queries: DataFrame, k: Int, efSearchOverride: Option[Int] = None,
+      queryId: String = "query_id", queryVec: String = "query_vec")
+      : (DataFrame, DataFrame) = {
+    val session = graph.sparkSession
+    import session.implicits._
+    val p = params
+    val probes: Array[(Long, Array[Float])] = queries
+      .select(col(queryId).cast("long"), col(queryVec).cast("array<float>"))
+      .as[(Long, Array[Float])].collect()
+    val bc = session.sparkContext.broadcast(probes)
+    val ef = efSearchOverride
+    val local = graph.mapPartitions { rows =>
+      rebuild(rows, p).flatMap { case (_, idx) =>
+        bc.value.iterator.flatMap { case (qid, qv) =>
+          val t0 = System.nanoTime()
+          val res = idx.searchKNN(qv, k, ef)
+          val ms = (System.nanoTime() - t0) / 1e6
+          res.iterator.map { case (id, score) => (qid, id, score, ms) }
+        }
+      }
+    }.toDF("query_id", "neighbor_id", "score", "shard_ms").cache()
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    val results = local
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .drop("shard_ms")
+    val latencies = local.groupBy("query_id").agg(max("shard_ms").as("search_ms"))
+    (results, latencies)
+  }
+
   /** O13/O15 save: graph parquet + params as a small JSON file. */
   def save(path: String): Unit = {
     graph.write.mode("overwrite").parquet(s"$path/graph")

@@ -153,6 +153,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rs.getInt(0) == 320 && rs.getInt(1) == 240)
   }
 
+  test("IVF-Flat: deterministic train, recall@10 >= 0.5 at nprobe=4/16") {
+    import graft.operators.IvfFlat
+    val m1 = IvfFlat.fit(emb, numCells = 16)
+    val m2 = IvfFlat.fit(emb, numCells = 16)
+    assert(m1.centroids.map(_._2.toSeq).toSeq == m2.centroids.map(_._2.toSeq).toSeq)
+    val approx = IvfFlat.knnJoin(m1, probes, k = 10, nprobe = 4)
+    val exact = KnnJoin.exactKnnJoin(emb, probes, k = 10)
+    val recall = Recall.microAvgRecall(approx, exact)
+      .select("recall").first().getDouble(0)
+    assert(recall >= 0.5, s"ivf recall = $recall")
+    // nprobe = numCells ⇒ exhaustive ⇒ recall 1.0
+    val full = IvfFlat.knnJoin(m1, probes, k = 10, nprobe = 16)
+    val r2 = Recall.microAvgRecall(full, exact).select("recall").first().getDouble(0)
+    assert(r2 == 1.0, s"exhaustive ivf recall = $r2")
+  }
+
+  test("knnJoinTimed returns same results as knnJoin plus positive latencies") {
+    import graft.hnsw.{HnswIndexer, HnswParams}
+    val model = HnswIndexer.fit(emb, HnswParams(numPartitions = 2))
+    val plain = model.knnJoin(probes, k = 5).select("query_id", "neighbor_id", "rank")
+      .collect().map(_.toSeq).toSet
+    val (timed, lat) = model.knnJoinTimed(probes, k = 5)
+    val timedSet = timed.select("query_id", "neighbor_id", "rank")
+      .collect().map(_.toSeq).toSet
+    assert(plain == timedSet)
+    val lats = lat.collect().map(_.getDouble(1))
+    assert(lats.length == 20 && lats.forall(_ > 0))
+    model.unpersist()
+  }
+
   test("grid bench: sweep, json sink, dir source, compare, csv (B9-B16)") {
     val tmp = java.nio.file.Files.createTempDirectory("bench").toString
     val results = GridBench.runGrid(emb, probes.limit(5), "sf0.001-emb",
