@@ -173,10 +173,10 @@ object similarity {
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
-      "cosine_sim", es => CosineSimilarityExpr(es(0), es(1)), "builtin")
+      "cosine_sim", es => CosineSimilarityExpr(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction(
-      "euclidean_sim", es => EuclideanSimilarityExpr(es(0), es(1)), "builtin")
+      "euclidean_sim", es => EuclideanSimilarityExpr(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction(
-      "dot_product", es => DotProductExpr(es(0), es(1)), "builtin")
+      "dot_product", es => DotProductExpr(es(0), es(1)), "built-in")
   }
 }
