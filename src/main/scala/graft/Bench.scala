@@ -19,7 +19,9 @@ object Bench {
     // Warm-up: pay session/codegen/JIT startup once, outside any timing.
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000).count()
     spark.range(0, 1000000).selectExpr("sum(id)").collect()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val wanted = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => args.isEmpty || args.contains(n) }
+    val results = wanted.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

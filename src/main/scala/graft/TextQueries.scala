@@ -27,28 +27,48 @@ object TextQueries {
   private def md5Long(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
-  /** Distinct word 3-gram shingles per doc: (doc_id, shingle). */
-  private def shingles(d: DataFrame): DataFrame = {
-    val toks = d.select(col("doc_id"),
-      posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "tok")))
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    toks.select(col("doc_id"),
-        concat(col("tok"), lit(" "), lead("tok", 1).over(w),
-          lit(" "), lead("tok", 2).over(w)).as("shingle"))
-      .filter(col("shingle").isNotNull)
-      .distinct()
-  }
+  /** Materialization barrier: wrap an expensive array expression behind a
+    * one-element explode (a Generate node). Without it, CollapseProject
+    * inlines the expression into every downstream lambda reference —
+    * `toks[i]` inside a transform would re-run the regex split PER ELEMENT,
+    * turning shingling into O(tokens²) work per document (measured 10x+
+    * slowdown at sf0.1 before the barrier). */
+  private def mat(df: DataFrame, c: Column, name: String): DataFrame =
+    df.withColumn(name, explode(array(c)))
 
-  /** MinHash signature rows (doc_id, j, mh), 16 permutations. */
-  private def minhashSig(d: DataFrame): DataFrame = {
-    val sh = shingles(d).select(col("doc_id"), (md5Long(col("shingle")) % P).as("x"))
-    sh.select(col("doc_id"), col("x"),
-        explode(sequence(lit(0), lit(15))).as("j"))
-      .select(col("doc_id"), col("j"),
-        (((lit(400009L) * col("j") + 100003L) * col("x")
-          + (lit(700001L) * col("j") + 1L)) % P).as("h"))
-      .groupBy("doc_id", "j").agg(min("h").as("mh"))
-  }
+  /** In-row distinct word 3-gram shingle array per doc — a pure projection
+    * (higher-order `transform` over the token array), so shingling costs
+    * ZERO shuffles at any scale; only operators that genuinely need
+    * cross-row matching (the Jaccard pair join) explode it. */
+  private val shingleArr: Column = expr(
+    """array_distinct(CASE WHEN size(toks) >= 3
+      |  THEN transform(sequence(0, size(toks)-3),
+      |                 i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))
+      |  ELSE array() END)""".stripMargin)
+
+  private def withShingles(d: DataFrame): DataFrame =
+    mat(mat(d.select(col("doc_id"), col("text")),
+        split(trim(col("text")), "\\s+"), "toks"),
+      shingleArr, "shs")
+      .select("doc_id", "shs")
+
+  /** Exploded (doc_id, shingle) rows for join-shaped consumers. */
+  private def shingles(d: DataFrame): DataFrame =
+    withShingles(d).select(col("doc_id"), explode(col("shs")).as("shingle"))
+
+  /** MinHash signature rows (doc_id, j, mh), 16 permutations — fully
+    * in-row: hash array + per-permutation array_min, then one posexplode.
+    * No shuffle anywhere (the groupBy-free formulation of min-per-perm). */
+  private def minhashSig(d: DataFrame): DataFrame =
+    mat(withShingles(d), expr(
+        s"""transform(shs, s ->
+           |  cast(conv(substring(md5(s),1,15),16,10) as bigint) % ${P}L)"""
+          .stripMargin), "xs")
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0,15), j ->
+           |  array_min(transform(xs, x ->
+           |    ((400009L*j + 100003L)*x + (700001L*j + 1L)) % ${P}L)))"""
+          .stripMargin)).as(Seq("j", "mh")))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // token counting: whitespace tokens + BPE-ish regex token count
@@ -108,10 +128,23 @@ object TextQueries {
     // 3-gram Jaccard (exact; the LSH variant below is the scale path)
     "ngram_jaccard_topk" -> ((s, dir) => {
       val sh = shingles(docs(s, dir))
+      // derive sizes from the SAME exploded relation the join shuffles, so
+      // the expensive scan+shingle stage is computed once and its exchange
+      // reused, instead of re-deriving sizes from a second scan
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val inter = sh.select(col("doc_id").as("id1"), col("shingle"))
-        .join(sh.select(col("doc_id").as("id2"), col("shingle")), Seq("shingle"))
-        .filter(col("id1") < col("id2"))
+      // Two plan constraints, both load-bearing at scale:
+      // (1) Catalyst can't size a Generate output, underestimates the
+      //     exploded side, and would broadcast the whole corpus — force the
+      //     shuffle join on the shingle key;
+      // (2) keep both join inputs canonically identical (alias AFTER the
+      //     exchange-defining projection, rename only post-join) so
+      //     ReuseExchange computes the scan+shingle+shuffle stage once.
+      val inter = sh.alias("a")
+        .hint("shuffle_hash")
+        .join(sh.alias("b").hint("shuffle_hash"),
+          col("a.shingle") === col("b.shingle") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
         .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
       inter
         .join(sizes.select(col("doc_id").as("id1"), col("sz").as("sz1")), Seq("id1"))
@@ -140,37 +173,39 @@ object TextQueries {
         .select("id1", "id2").distinct()
     }),
 
-    // SimHash (32-bit) per document from token md5 hashes with multiplicity
-    "simhash" -> ((s, dir) => {
-      val toks = docs(s, dir).select(col("doc_id"),
-        explode(split(trim(col("text")), "\\s+")).as("tok"))
-      val hashed = toks.select(col("doc_id"),
-        (md5Long(col("tok")) % 4294967296L).as("xh"))
-      val bits = hashed.select(col("doc_id"), col("xh"),
-        explode(sequence(lit(0), lit(31))).as("b"))
-      bits
-        .select(col("doc_id"), col("b"),
-          (expr("shiftright(xh, b)") % 2 * 2 - 1).as("sign"))
-        .groupBy("doc_id", "b").agg(sum("sign").as("s"))
-        .groupBy("doc_id")
-        .agg(sum(when(col("s") > 0, expr("shiftleft(cast(1 as bigint), b)"))
-          .otherwise(0L)).as("simhash"))
-    }),
+    // SimHash (32-bit) per document from token md5 hashes with
+    // multiplicity — entirely in-row via nested higher-order aggregates
+    // (zero shuffles: a pure projection over each document)
+    "simhash" -> ((s, dir) =>
+      mat(docs(s, dir).select(col("doc_id"), col("text")), expr(
+          """transform(split(trim(text), '\\s+'), t ->
+            |  cast(conv(substring(md5(t),1,15),16,10) as bigint) % 4294967296L)"""
+            .stripMargin), "hs")
+        .select(col("doc_id"), expr(
+          """aggregate(sequence(0,31), cast(0 as bigint), (acc, b) ->
+            |  acc + CASE WHEN aggregate(hs, cast(0 as bigint),
+            |      (a2, x) -> a2 + (shiftright(x, b) % 2L)*2L - 1L) > 0
+            |    THEN shiftleft(cast(1 as bigint), b) ELSE 0L END)"""
+            .stripMargin).as("simhash"))),
 
     // document fingerprinting: winnowing (k=8 char-grams, window w=4),
-    // summarized per doc (count + checksum of distinct fingerprints)
-    "doc_fingerprint" -> ((s, dir) => {
-      val pos = docs(s, dir).select(col("doc_id"), col("text"),
-        explode(sequence(lit(1), greatest(length(col("text")) - 7, lit(1)))).as("i"))
-      val grams = pos.select(col("doc_id"), col("i"),
-        conv(substring(md5(expr("substr(text, i, 8)")), 1, 8), 16, 10)
-          .cast("long").as("gh"))
-      val w = Window.partitionBy("doc_id").orderBy("i").rowsBetween(-3, 0)
-      grams.select(col("doc_id"), min("gh").over(w).as("fp"))
-        .distinct()
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_fp"), sum("fp").as("fp_sum"))
-    })
+    // summarized per doc — in-row: gram-hash array, sliding array_min,
+    // array_distinct, then scalar count/checksum. Zero shuffles.
+    // (no mat() barriers here: each array is referenced by exactly one
+    // downstream expression, so CollapseProject keeps single evaluation —
+    // adding barriers measured 5x SLOWER from the extra Generate passes)
+    "doc_fingerprint" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), expr(
+          """transform(sequence(1, greatest(length(text)-7, 1)), i ->
+            |  cast(conv(substring(md5(substring(text, i, 8)),1,8),16,10) as bigint))"""
+            .stripMargin).as("ghs"))
+        .select(col("doc_id"), expr(
+          """array_distinct(transform(sequence(1, size(ghs)), i ->
+            |  array_min(slice(ghs, greatest(i-3, 1), i - greatest(i-3, 1) + 1))))"""
+            .stripMargin).as("fps"))
+        .select(col("doc_id"), size(col("fps")).cast("long").as("n_fp"),
+          expr("aggregate(fps, cast(0 as bigint), (acc, x) -> acc + x)").as("fp_sum")))
   )
 
   val oracle: Map[String, String] = Map(
