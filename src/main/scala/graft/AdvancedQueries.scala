@@ -111,6 +111,31 @@ object AdvancedQueries {
           coalesce(col("o_orderpriority"), lit("ALL")).as("pr"),
           col("n"), col("total"))),
 
+    // UNION ALL with tags + post-union aggregation
+    "q_union_all" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val high = o.filter(col("o_totalprice") > 150000)
+        .select(lit("high_value").as("bucket"), col("o_orderkey"))
+      val fin = o.filter(col("o_orderstatus") === "F")
+        .select(lit("finished").as("bucket"), col("o_orderkey"))
+      high.unionByName(fin)
+        .groupBy("bucket").agg(count(lit(1)).as("n"),
+          min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+    }),
+
+    // sketch aggregates (HLL++ / GK-quantile): implementations differ
+    // across engines by design, so the gate is the rows-only check plus an
+    // in-query sanity bound against the exact values
+    "q_approx_sketch" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct("l_partkey").as("approx_parts"),
+          countDistinct("l_partkey").as("exact_parts"),
+          rnd(expr("approx_percentile(l_extendedprice, 0.5, 1000)"), 2).as("approx_p50"))
+        .withColumn("approx_ok",
+          abs(col("approx_parts") - col("exact_parts"))
+            < col("exact_parts") * 0.1 + 10)),
+
     // argmin/argmax aggregates (min_by/max_by) over a unique ordering key
     "q_minmax_by" -> ((s, dir) =>
       events(s, dir)
@@ -176,6 +201,16 @@ object AdvancedQueries {
         | coalesce(o_orderpriority,'ALL') AS pr,
         | count(*) AS n, floor((sum(o_totalprice))*1e2 + 0.5)/1e2 AS total
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
+    "q_union_all" ->
+      """SELECT bucket, count(*) AS n, min(o_orderkey) AS min_key,
+        | max(o_orderkey) AS max_key
+        |FROM (
+        |  SELECT 'high_value' AS bucket, o_orderkey FROM orders
+        |  WHERE o_totalprice > 150000
+        |  UNION ALL
+        |  SELECT 'finished' AS bucket, o_orderkey FROM orders
+        |  WHERE o_orderstatus='F')
+        |GROUP BY bucket""".stripMargin,
     "q_minmax_by" ->
       """SELECT user_id,
         | min_by(event_type, event_id) AS first_type,
