@@ -126,6 +126,23 @@ class HnswModel(
     local.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Large-probe-set variant: shard-and-search requires every shard to see
+    * every query, so the probe set crosses the driver — this caps driver
+    * memory by hash-batching the queries and unioning per-batch results.
+    * (At truly huge probe cardinalities prefer the LSH/IVF pruned paths or
+    * an index-per-query-partition replication strategy.) */
+  def knnJoinBatched(queries: DataFrame, k: Int, efSearchOverride: Option[Int] = None,
+      batchRows: Int = 100000,
+      queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame = {
+    val n = queries.count()
+    val numBatches = math.max(1, math.ceil(n.toDouble / batchRows).toInt)
+    if (numBatches == 1) return knnJoin(queries, k, efSearchOverride, queryId, queryVec)
+    (0 until numBatches).map { b =>
+      val batch = queries.filter(pmod(xxhash64(col(queryId)), lit(numBatches)) === b)
+      knnJoin(batch, k, efSearchOverride, queryId, queryVec)
+    }.reduce(_ unionByName _)
+  }
+
   /** knnJoin variant that also reports honest per-query search latency:
     * each shard times its searchKNN call; a query's latency is its
     * critical-path (max-over-shards) in-executor search time. Returns

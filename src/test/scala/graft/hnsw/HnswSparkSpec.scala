@@ -64,6 +64,16 @@ class HnswSparkSpec extends AnyFunSuite {
     model.unpersist()
   }
 
+  test("knnJoinBatched matches knnJoin across hash batches") {
+    val model = HnswIndexer.fit(emb, HnswParams(numPartitions = 2))
+    val whole = model.knnJoin(probes, k = 5)
+      .select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
+    val batched = model.knnJoinBatched(probes, k = 5, batchRows = 7)
+      .select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
+    assert(whole == batched)
+    model.unpersist()
+  }
+
   test("deterministic across rebuilds: same data, same params → same results") {
     val m1 = HnswIndexer.fit(emb, HnswParams(numPartitions = 3))
     val m2 = HnswIndexer.fit(emb, HnswParams(numPartitions = 3))
