@@ -102,6 +102,17 @@ object VectorQueries {
           graft.Qutil.rnd(element_at(col("feature"), 1).cast("double"), 4).as("f0"))
     }),
 
+    // MLlib-estimator LSH paths (seeded ⇒ deterministic; rows-only gate
+    // since MLlib's hash families aren't reproducible in SQL)
+    "mllib_minhash_neardups" -> ((s, dir) =>
+      graft.operators.MlLsh.minHashNearDups(
+        s.read.parquet(s"$dir/documents.parquet"), maxJaccardDistance = 0.95,
+        numHashTables = 4)),
+
+    "mllib_brp_ann" -> ((s, dir) =>
+      graft.operators.MlLsh.brpAnnJoin(emb(s, dir), probes(s, dir), k = 10,
+        maxDistance = 20.0)),
+
     // label centroid stats: per-label mean norm (grouped vector agg)
     "label_centroid_norm" -> ((s, dir) =>
       emb(s, dir).groupBy("label")

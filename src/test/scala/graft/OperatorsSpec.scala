@@ -183,6 +183,23 @@ class OperatorsSpec extends AnyFunSuite {
     model.unpersist()
   }
 
+  test("MLlib LSH paths: MinHash near-dups + BRP ANN join produce ranked output") {
+    import graft.operators.MlLsh
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val dups = MlLsh.minHashNearDups(docs, maxJaccardDistance = 0.95,
+      numHashTables = 4)
+    assert(dups.columns.toSeq == Seq("id1", "id2", "jaccard_dist"))
+    dups.count() // executes the approxSimilarityJoin
+    val ann = MlLsh.brpAnnJoin(emb, probes.limit(5), k = 5, maxDistance = 20.0)
+    val rows = ann.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getInt(3) <= 5))
+    // deterministic across runs (seeded)
+    val again = MlLsh.brpAnnJoin(emb, probes.limit(5), k = 5, maxDistance = 20.0)
+      .collect().map(_.toSeq).toSet
+    assert(rows.map(_.toSeq).toSet == again)
+  }
+
   test("grid bench: sweep, json sink, dir source, compare, csv (B9-B16)") {
     val tmp = java.nio.file.Files.createTempDirectory("bench").toString
     val results = GridBench.runGrid(emb, probes.limit(5), "sf0.001-emb",
