@@ -103,15 +103,19 @@ object VectorQueries {
     }),
 
     // MLlib-estimator LSH paths (seeded ⇒ deterministic; rows-only gate
-    // since MLlib's hash families aren't reproducible in SQL)
+    // since MLlib's hash families aren't reproducible in SQL).
+    // MinHashLSH OR-joins on 1-row bands, which explodes into hot buckets
+    // on this vocab-dense corpus — run the integration demo on a
+    // deterministic 1k-doc slice; the banded 2-row minhash_lsh_pairs
+    // operator above is the tuned scale path.
     "mllib_minhash_neardups" -> ((s, dir) =>
       graft.operators.MlLsh.minHashNearDups(
-        s.read.parquet(s"$dir/documents.parquet"), maxJaccardDistance = 0.95,
-        numHashTables = 4)),
+        s.read.parquet(s"$dir/documents.parquet").filter(col("doc_id") < 1000),
+        maxJaccardDistance = 0.6, numHashTables = 2)),
 
     "mllib_brp_ann" -> ((s, dir) =>
       graft.operators.MlLsh.brpAnnJoin(emb(s, dir), probes(s, dir), k = 10,
-        maxDistance = 20.0)),
+        maxDistance = 10.0, bucketLength = 1.0)),
 
     // label centroid stats: per-label mean norm (grouped vector agg)
     "label_centroid_norm" -> ((s, dir) =>
