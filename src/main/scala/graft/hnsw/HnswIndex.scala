@@ -202,8 +202,12 @@ final class HnswIndex(
         }
       }
     }
+    // descending score with ascending-id tie-break: the reference leaves
+    // tie order to heap internals (src/main.ts:125-128), which is not
+    // stable across serialize/deserialize — the id tie-break makes search
+    // results fully deterministic without changing which nodes qualify
     best.toArray(Array.empty[(Double, HnswNode)])
-      .sortBy(-_._1)
+      .sortBy(t => (-t._1, t._2.id))
       .map(_._2)
   }
 
