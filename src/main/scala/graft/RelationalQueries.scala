@@ -164,21 +164,20 @@ object RelationalQueries {
     }),
 
     // exact floor-index nearest-rank percentiles (B8 semantics:
-    // sorted[floor(p/100*(n-1))] — reference src/bench/metrics.ts:51-57).
-    // Spark's percentile() interpolates, so compute the floor-index method
-    // explicitly; at scale swap collect_list for approx + exact hybrid.
+    // sorted[floor(p/100*(n-1))] — reference src/bench/metrics.ts:51-57),
+    // via the custom FloorPercentiles Aggregator (Spark's percentile()
+    // interpolates and can never hash-match the reference summary)
     "q_percentile_floor" -> ((s, dir) => {
-      def pidx(p: Double) =
-        (floor(lit(p) * (col("n") - 1)) + 1).cast("int")
+      import graft.functions.FloorPercentiles.floor_percentiles
       events(s, dir)
         .groupBy("event_type")
-        .agg(sort_array(collect_list(col("value"))).as("vs"),
-          count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n"),
+          floor_percentiles(col("value"), Seq(0.50, 0.90, 0.95, 0.99)).as("pcts"))
         .select(col("event_type"), col("n"),
-          rnd(element_at(col("vs"), pidx(0.50)), 6).as("p50"),
-          rnd(element_at(col("vs"), pidx(0.90)), 6).as("p90"),
-          rnd(element_at(col("vs"), pidx(0.95)), 6).as("p95"),
-          rnd(element_at(col("vs"), pidx(0.99)), 6).as("p99"))
+          rnd(element_at(col("pcts"), 1), 6).as("p50"),
+          rnd(element_at(col("pcts"), 2), 6).as("p90"),
+          rnd(element_at(col("pcts"), 3), 6).as("p95"),
+          rnd(element_at(col("pcts"), 4), 6).as("p99"))
     }),
 
     // temporal bucketing: monthly order rollup

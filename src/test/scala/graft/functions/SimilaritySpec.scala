@@ -77,6 +77,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(r - 1.0 / 6.0) < 1e-12)
   }
 
+  test("FloorPercentiles aggregator matches the reference floor-index method") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.FloorPercentiles.floor_percentiles
+    // 10 values 1..10: p50 → idx floor(0.5*9)=4 → 5.0; p90 → floor(8.1)=8 → 9.0
+    val df = (1 to 10).map(_.toDouble).toDF("v")
+    val r = df.agg(floor_percentiles(org.apache.spark.sql.functions.col("v"),
+      Seq(0.5, 0.9, 0.99))).first().getSeq[Double](0)
+    assert(r == Seq(5.0, 9.0, 9.0))
+    // single value: every percentile is that value
+    val one = Seq(7.5).toDF("v")
+      .agg(floor_percentiles(org.apache.spark.sql.functions.col("v"), Seq(0.5, 0.99)))
+      .first().getSeq[Double](0)
+    assert(one == Seq(7.5, 7.5))
+  }
+
   test("codegen and interpreted paths agree") {
     val big = spark.range(1, 1000).selectExpr( // skip id=0: zero vector ⇒ NaN cosine
       "transform(sequence(1, 16), i -> cast(id * i as float)) as a",
