@@ -21,15 +21,23 @@ object Bench {
     spark.range(0, 1000000).selectExpr("sum(id)").collect()
     val wanted = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => args.isEmpty || args.contains(n) }
+    // A failed query must be visible, not recorded as a fast success:
+    // its time is negated in the per-query map, it is excluded from the
+    // total, and the error message lands in an "errors" object.
     val results = wanted.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err = try { fn(spark, sfDir).count(); None }
+        catch { case e: Throwable => Some(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def esc(s: String) = s.replaceAll("[\"\\\\\n\r\t]", " ").take(200)
+    val qs = results.map { case (k, v, err) =>
+      "\"" + k + "\":" + (if (err.isEmpty) v else -v)
+    }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(m)) => "\"" + k + "\":\"" + esc(m) + "\"" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v, None) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -113,9 +113,15 @@ object VectorQueries {
         s.read.parquet(s"$dir/documents.parquet").filter(col("doc_id") < 1000),
         maxJaccardDistance = 0.6, numHashTables = 2)),
 
+    // radius 1.5 ≈ 1.27x the worst exact rank-10 distance at this sf
+    // (measured max d10 = 1.184; radius 10 degenerated to an all-pairs UDF
+    // join). The inter-point distance distribution is dense just above the
+    // NN band, so the pair join still touches ~1.3k candidates per probe —
+    // the integration demo runs 25 probes; AnnLsh/HNSW/IVF are the tuned
+    // scale paths.
     "mllib_brp_ann" -> ((s, dir) =>
-      graft.operators.MlLsh.brpAnnJoin(emb(s, dir), probes(s, dir), k = 10,
-        maxDistance = 10.0, bucketLength = 1.0)),
+      graft.operators.MlLsh.brpAnnJoin(emb(s, dir), probes(s, dir, 25), k = 10,
+        maxDistance = 1.5, bucketLength = 1.0)),
 
     // label centroid stats: per-label mean norm (grouped vector agg)
     "label_centroid_norm" -> ((s, dir) =>

@@ -1,7 +1,5 @@
 package graft.hnsw
 
-import java.util.concurrent.ConcurrentHashMap
-
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -66,9 +64,27 @@ object HnswIndexer {
 }
 
 /** Executor-side cache of rebuilt sub-indexes so repeated knnJoins don't
-  * re-materialize the graph rows (per-JVM, keyed by modelId×part). */
+  * re-materialize the graph rows (per-JVM, keyed by modelId×part).
+  *
+  * Bounded: an access-ordered LRU capped at [[maxEntries]] sub-indexes, so
+  * grid sweeps / streaming refreshes that fit many models cannot
+  * accumulate graph copies in executor heap. [[HnswModel.unpersist]]
+  * additionally evicts its own modelId's entries eagerly (best-effort on a
+  * cluster via a foreachPartition job; the LRU bound is the safety net for
+  * executors that job doesn't reach). */
 private[hnsw] object SubIndexCache {
-  val cache = new ConcurrentHashMap[String, HnswIndex]()
+  private val maxEntries = 32
+  private val lru = new java.util.LinkedHashMap[String, HnswIndex](64, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[String, HnswIndex]): Boolean =
+      size() > maxEntries
+  }
+  def get(key: String): HnswIndex = lru.synchronized(lru.get(key))
+  def put(key: String, idx: HnswIndex): Unit = lru.synchronized { lru.put(key, idx); () }
+  def evictModel(modelId: String): Unit = lru.synchronized {
+    val it = lru.keySet().iterator()
+    while (it.hasNext) if (it.next().startsWith(modelId + "/")) it.remove()
+  }
+  def size: Int = lru.synchronized(lru.size())
 }
 
 class HnswModel(
@@ -85,7 +101,7 @@ class HnswModel(
     val byPart = rows.toArray.groupBy(_.part)
     byPart.iterator.map { case (part, rs) =>
       val key = s"$modelId/$part"
-      val cached = SubIndexCache.cache.get(key)
+      val cached = SubIndexCache.get(key)
       val idx = if (cached != null) cached else {
         val levelMax = rs.map(_.level).max
         val entry = rs.filter(_.level == levelMax).map(_.id).min
@@ -93,7 +109,7 @@ class HnswModel(
           rs.iterator.map(r => HnswGraphRow(r.id, r.level, r.vector, r.neighbors)),
           p.m, p.efConstruction, Metric(p.metric), Some(p.effectiveEfSearch),
           p.seed, levelMax, entry)
-        SubIndexCache.cache.putIfAbsent(key, built)
+        SubIndexCache.put(key, built)
         built
       }
       (part, idx)
@@ -191,7 +207,18 @@ class HnswModel(
     out.write(json.getBytes("UTF-8")); out.close()
   }
 
-  def unpersist(): Unit = { graph.unpersist(); () }
+  /** Release the cached graph AND evict this model's executor-side
+    * sub-indexes. The eviction job runs while the graph is still
+    * persisted (cheap, no rebuild) and reaches every executor holding a
+    * graph partition; the driver-local evict covers local mode. */
+  def unpersist(): Unit = {
+    val id = modelId
+    try graph.foreachPartition { (_: Iterator[PartGraphRow]) => SubIndexCache.evictModel(id) }
+    catch { case _: Exception => () } // best-effort; LRU bound is the backstop
+    SubIndexCache.evictModel(id)
+    graph.unpersist()
+    ()
+  }
 }
 
 object HnswModel {

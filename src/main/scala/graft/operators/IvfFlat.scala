@@ -47,10 +47,14 @@ object IvfFlat {
       .repartition(col("cell")))
   }
 
-  /** argmax-similarity cell assignment against broadcast literal centroids. */
+  /** argmax-similarity cell assignment against broadcast literal centroids.
+    * Zero-norm vectors score NaN under cosine, and Spark orders NaN above
+    * every double — without the nanvl guard greatest() would hand such
+    * rows an arbitrary (last-NaN) cell. They pin to -1.0 (worst) instead,
+    * landing deterministically in the first cell. */
   private def assign(df: DataFrame, centroids: Array[(Int, Array[Float])]): DataFrame = {
     val scores = centroids.map { case (c, v) =>
-      struct(similarity.cosine_sim(col("vec"), typedlit(v)).as("s"),
+      struct(nanvl(similarity.cosine_sim(col("vec"), typedlit(v)), lit(-1.0)).as("s"),
         lit(c).as("c"))
     }
     df.withColumn("best", greatest(scores.toSeq: _*))
@@ -61,8 +65,10 @@ object IvfFlat {
   def knnJoin(model: Model, queries: DataFrame, k: Int, nprobe: Int = 4,
       queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame = {
     require(k > 0 && nprobe > 0)
+    // same NaN guard as assign(): a zero-norm query probes the first
+    // nprobe cells deterministically instead of NaN-ranked arbitrary ones
     val cellScores = model.centroids.map { case (c, v) =>
-      struct(similarity.cosine_sim(col("qvec"), typedlit(v)).as("s"),
+      struct(nanvl(similarity.cosine_sim(col("qvec"), typedlit(v)), lit(-1.0)).as("s"),
         lit(c).as("c"))
     }
     val probes = queries
@@ -72,7 +78,7 @@ object IvfFlat {
       .select(col(queryId), col("qvec"), explode(col("cells.c")).as("cell"))
     val cands = model.assigned.join(probes, Seq("cell"))
       .select(col(queryId), col("id").as("neighbor_id"),
-        similarity.cosine_sim(col("vec"), col("qvec")).as("score"))
+        nanvl(similarity.cosine_sim(col("vec"), col("qvec")), lit(-1.0)).as("score"))
     val w = Window.partitionBy(col(queryId))
       .orderBy(col("score").desc, col("neighbor_id").asc)
     cands.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

@@ -26,14 +26,17 @@ object MlLsh {
       numHashTables: Int = 8, dim: Int = 1 << 18, seed: Long = 42L): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // materialization barrier (a one-element explode) so the regex split
+    // runs once per doc — inlined into the transform lambda it would
+    // re-split per shingle reference (see graft.TextQueries.mat)
     val vecs = docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks0"))
+      .withColumn("toks", explode(array(col("toks0")))).drop("toks0")
       .select(col("doc_id"),
         expr(
-          """array_distinct(CASE WHEN size(split(trim(text), '\\s+')) >= 3
-            |  THEN transform(sequence(0, size(split(trim(text), '\\s+'))-3),
-            |    i -> concat(split(trim(text), '\\s+')[i], ' ',
-            |                split(trim(text), '\\s+')[i+1], ' ',
-            |                split(trim(text), '\\s+')[i+2]))
+          """array_distinct(CASE WHEN size(toks) >= 3
+            |  THEN transform(sequence(0, size(toks)-3),
+            |    i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))
             |  ELSE array() END)""".stripMargin).as("shs"))
       .filter(size(col("shs")) > 0) // MinHashLSH requires ≥1 nonzero entry
       .as[(Long, Seq[String])]

@@ -72,13 +72,50 @@ object VectorSources {
       offset: Int = 0): DataFrame =
     readVecs(spark, path, intComponents = true, limit, offset)
 
+  /** Count whole records in one file's bytes (header-skip scan only). */
+  private def countRecords(bytes: Array[Byte]): Long = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    var n = 0L
+    var ok = true
+    while (ok && buf.remaining() >= 4) {
+      val d = buf.getInt()
+      val need = d.toLong * 4
+      if (d <= 0 || buf.remaining() < need) ok = false
+      else { buf.position(buf.position() + need.toInt); n += 1 }
+    }
+    n
+  }
+
   private def readVecs(spark: SparkSession, path: String, intComponents: Boolean,
       limit: Int, offset: Int): DataFrame = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(path)
-      .select(col("content"))
-      .as[Array[Byte]]
-      .flatMap(bytes => decode(bytes, intComponents, limit, offset))
+    val files = spark.read.format("binaryFile").load(path)
+      .select(col("path"), col("content"))
+    // Multi-file globs: record ids must be globally unique and limit/offset
+    // global, so compute a per-file base offset from the record counts of
+    // all path-ordered predecessor files (one cheap header-skip pass; file
+    // count is small — the per-record payload is never decoded twice).
+    val nFiles = files.select("path").distinct().count()
+    val bases: Map[String, Long] =
+      if (nFiles <= 1) Map.empty.withDefaultValue(0L)
+      else {
+        val counts = files.as[(String, Array[Byte])]
+          .map { case (p, bytes) => (p, countRecords(bytes)) }
+          .collect().sortBy(_._1)
+        val cum = counts.scanLeft(0L)(_ + _._2)
+        counts.map(_._1).zip(cum).toMap
+      }
+    files.as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) =>
+        val base = bases.getOrElse(p, 0L)
+        // global limit/offset → per-file window [offset-base, offset+limit-base)
+        val localOffset = math.max(0L, offset.toLong - base).toInt
+        val localLimit =
+          if (limit < 0) -1
+          else math.max(0L, offset.toLong + limit - base - localOffset).toInt
+        decode(bytes, intComponents, localLimit, localOffset)
+          .map { case (i, v) => (base + i, v) }
+      }
       .toDF("vec_id", "embedding")
       .withColumn("embedding", col("embedding").cast("array<float>"))
   }

@@ -36,9 +36,12 @@ object EventPipeline {
 
   /** Stateful sessionization via flatMapGroupsWithState: a session closes
     * once the event-time watermark passes its last event + `gapMs` of
-    * inactivity. Event-time (not processing-time) timeouts keep the
-    * operator deterministic and replayable — the stream only does work
-    * when the watermark advances. */
+    * inactivity, OR as soon as a later event arrives more than `gapMs`
+    * after it (gap-split inside the data branch — without this, events
+    * arriving before the timeout fires would merge into the prior session
+    * on backfill/replay even when their event time is past the gap).
+    * Event-time (not processing-time) timeouts keep the operator
+    * deterministic and replayable. */
   def sessionize(events: Dataset[Event], gapMs: Long = 30L * 60000): Dataset[SessionSummary] = {
     import events.sparkSession.implicits._
     events
@@ -52,22 +55,32 @@ object EventPipeline {
             state.remove()
             out
           } else {
-            val evs = it.toSeq
+            val evs = it.toSeq.sortBy(_.ts.getTime)
             if (evs.isEmpty) Iterator.empty
             else {
-              val prev = state.getOption
-              val start = prev.map(_.session_start)
-                .getOrElse(evs.map(_.ts).min(Ordering.by((t: Timestamp) => t.getTime)))
-              val end0 = evs.map(_.ts).max(Ordering.by((t: Timestamp) => t.getTime))
-              val end = prev.filter(_.session_end.after(end0)).map(_.session_end)
-                .getOrElse(end0)
-              val merged = SessionSummary(userId,
-                prev.map(_.n_events).getOrElse(0L) + evs.size,
-                prev.map(_.total_value).getOrElse(0.0) + evs.map(_.value).sum,
-                start, end)
-              state.update(merged)
-              state.setTimeoutTimestamp(end.getTime + gapMs)
-              Iterator.empty
+              // Fold the time-sorted events into gap-separated sessions,
+              // seeding with the open session from state (if any). A new
+              // session starts whenever an event exceeds session_end+gap —
+              // whether the open session came from state or this batch.
+              var open = state.getOption
+              val closed = Seq.newBuilder[SessionSummary]
+              evs.foreach { e =>
+                open match {
+                  case Some(s) if e.ts.getTime <= s.session_end.getTime + gapMs =>
+                    val end = if (e.ts.after(s.session_end)) e.ts else s.session_end
+                    open = Some(s.copy(n_events = s.n_events + 1,
+                      total_value = s.total_value + e.value, session_end = end))
+                  case Some(s) =>
+                    closed += s
+                    open = Some(SessionSummary(userId, 1L, e.value, e.ts, e.ts))
+                  case None =>
+                    open = Some(SessionSummary(userId, 1L, e.value, e.ts, e.ts))
+                }
+              }
+              val last = open.get
+              state.update(last)
+              state.setTimeoutTimestamp(last.session_end.getTime + gapMs)
+              closed.result().iterator
             }
           }
       }

@@ -50,6 +50,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(lim.agg(min("vec_id")).first().getLong(0) == 5)
   }
 
+  test("fvecs multi-file glob: globally unique ids, global limit/offset") {
+    val tmp = java.nio.file.Files.createTempDirectory("fvecs_multi").toString
+    def write(name: String, vecs: Seq[Array[Float]]): Unit = {
+      val out = new DataOutputStream(new FileOutputStream(s"$tmp/$name"))
+      vecs.foreach { v =>
+        val bb = ByteBuffer.allocate(4 + v.length * 4).order(ByteOrder.LITTLE_ENDIAN)
+        bb.putInt(v.length); v.foreach(bb.putFloat)
+        out.write(bb.array())
+      }
+      out.close()
+    }
+    // path order = a (20 records), b (30 records) → ids 0..19, 20..49
+    write("a.fvecs", (0 until 20).map(i => Array(i.toFloat)))
+    write("b.fvecs", (0 until 30).map(i => Array(100f + i)))
+    val all = VectorSources.readFvecs(spark, s"$tmp/*.fvecs").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).head)).toMap
+    assert(all.size == 50)                 // no id collisions across files
+    assert(all(5) == 5f && all(25) == 105f && all(49) == 129f)
+    // global limit/offset spanning the file boundary: exactly N rows total
+    val win = VectorSources.readFvecs(spark, s"$tmp/*.fvecs", limit = 10, offset = 15)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).head)).sortBy(_._1)
+    assert(win.map(_._1).toSeq == (15L until 25L).toSeq)
+    assert(win.map(_._2).toSeq == (15 until 20).map(_.toFloat) ++ (0 until 5).map(100f + _))
+  }
+
   test("ivecs: int components cast to float (B3)") {
     val tmp = java.nio.file.Files.createTempDirectory("ivecs").toString
     val path = s"$tmp/test.ivecs"
@@ -133,6 +158,44 @@ class OperatorsSpec extends AnyFunSuite {
     val out = spark.table("sessions").as[graft.streaming.SessionSummary].collect()
     q.stop()
     assert(out.exists(s => s.user_id == 7L && s.n_events == 2 && s.total_value == 3.0))
+  }
+
+  test("sessionization splits by gap even when events arrive before timeout") {
+    import spark.implicits._
+    implicit val sctx = spark.sqlContext
+    val mem = MemoryStream[graft.streaming.Event]
+    val q = EventPipeline.sessionize(mem.toDS(), gapMs = 60000L).writeStream
+      .format("memory").queryName("sessions_split").outputMode("append").start()
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def at(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    // replay/backfill shape: one batch holds three gap-separated sessions
+    // for user 7 (0-1 min, 10 min, 30-31 min) — no timeout has fired yet,
+    // so without in-data gap-splitting they'd merge into one session
+    mem.addData(
+      graft.streaming.Event(1, at(0), 7L, "click", 1.0),
+      graft.streaming.Event(2, at(1), 7L, "view", 2.0),
+      graft.streaming.Event(3, at(10), 7L, "click", 4.0),
+      graft.streaming.Event(4, at(30), 7L, "click", 8.0),
+      graft.streaming.Event(5, at(31), 7L, "view", 16.0))
+    q.processAllAvailable()
+    val closedEarly = spark.table("sessions_split")
+      .as[graft.streaming.SessionSummary].collect()
+    // the two older sessions close immediately (split in the data branch);
+    // the 30-31 min session stays open pending the watermark
+    assert(closedEarly.length == 2)
+    assert(closedEarly.exists(s => s.n_events == 2 && s.total_value == 3.0 &&
+      s.session_start == at(0) && s.session_end == at(1)))
+    assert(closedEarly.exists(s => s.n_events == 1 && s.total_value == 4.0))
+    // advance the watermark far past 31 min + gap → last session times out
+    mem.addData(graft.streaming.Event(6, at(240), 8L, "click", 0.5))
+    q.processAllAvailable()
+    mem.addData(graft.streaming.Event(7, at(241), 8L, "view", 0.5))
+    q.processAllAvailable()
+    val all = spark.table("sessions_split")
+      .as[graft.streaming.SessionSummary].collect()
+    q.stop()
+    assert(all.exists(s => s.user_id == 7L && s.n_events == 2 &&
+      s.total_value == 24.0 && s.session_start == at(30) && s.session_end == at(31)))
   }
 
   test("multimodal stub plumbing: decode features + frame sampling") {

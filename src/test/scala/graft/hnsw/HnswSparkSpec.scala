@@ -34,6 +34,22 @@ class HnswSparkSpec extends AnyFunSuite {
     model.unpersist()
   }
 
+  test("unpersist evicts executor sub-index cache; LRU bounds total entries") {
+    val before = SubIndexCache.size
+    val model = HnswIndexer.fit(emb, HnswParams(numPartitions = 2))
+    model.knnJoin(probes.limit(2), k = 3).count() // populates the cache
+    assert(SubIndexCache.size >= before)
+    model.unpersist()
+    // this model's entries are gone (local mode: driver JVM == executor JVM)
+    assert(SubIndexCache.get(s"${model.modelId}/0") == null)
+    assert(SubIndexCache.get(s"${model.modelId}/1") == null)
+    // LRU bound: a sweep of many models cannot accumulate unboundedly
+    (0 until 40).foreach(i => SubIndexCache.put(s"sweep-$i/0",
+      new HnswIndex(4, 10, -1, Metric("cosine"), None, None, 1L)))
+    assert(SubIndexCache.size <= 32)
+    (0 until 40).foreach(i => SubIndexCache.evictModel(s"sweep-$i"))
+  }
+
   test("knnJoin output shape: k rows per query, ranked, scores descending") {
     val model = HnswIndexer.fit(emb, HnswParams(numPartitions = 2))
     val res = model.knnJoin(probes.limit(3), k = 5).collect()
