@@ -47,6 +47,53 @@ object AdvancedQueries {
           col("prev_click_id"))
     }),
 
+    // batch gap-sessionization (the batch twin of the streaming
+    // EventPipeline.sessionize): lag → new-session flag → running sum as
+    // session ordinal → one groupBy. Two window passes + one agg, all on
+    // the same (user_id) partitioning — a single shuffle at any scale.
+    "q_sessions_batch" -> ((s, dir) => {
+      val gapMin = 30
+      val wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val wrun = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, dir)
+        .withColumn("prev_ts", lag("ts", 1).over(wo))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapMin * 60000000L, 1L)
+            .otherwise(0L))
+        .withColumn("sess_seq", sum("new_sess").over(wrun))
+        .groupBy("user_id", "sess_seq")
+        .agg(count(lit(1)).as("n_events"),
+          rnd(sum("value"), 4).as("total_value"),
+          min("ts").as("session_start"), max("ts").as("session_end"))
+    }),
+
+    // explicit GROUPING SETS (finer than cube/rollup): order totals by
+    // (status, priority), by status alone, and grand total, one pass
+    "q_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_gs")
+      s.sql(
+        """SELECT coalesce(o_orderstatus, 'ALL') AS st,
+          |  coalesce(o_orderpriority, 'ALL') AS pr,
+          |  count(*) AS n,
+          |  floor(sum(o_totalprice)*1e2 + 0.5)/1e2 AS total
+          |FROM orders_gs
+          |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+          |                        (o_orderstatus), ())""".stripMargin)
+    }),
+
+    // RANGE frame windows: per customer, rolling 30-day order count and
+    // spend ending at each order date (event-time frame, not row frame)
+    "q_window_range_frame" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(unix_micros(col("o_orderdate").cast("timestamp")))
+        .rangeBetween(-30L * 86400 * 1000000L, 0)
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          count(lit(1)).over(w).as("n_30d"),
+          rnd(sum("o_totalprice").over(w), 2).as("spend_30d"))
+    }),
+
     // range join: lineitems shipped within 30 days of their order date
     "q_range_join" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -146,6 +193,38 @@ object AdvancedQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_sessions_batch" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts, value,
+        |   CASE WHEN lag(ts) OVER w IS NULL
+        |     OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30*60*1000000
+        |    THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        | seq AS (
+        |  SELECT user_id, ts, value,
+        |   CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_seq
+        |  FROM flagged)
+        |SELECT user_id, sess_seq, count(*) AS n_events,
+        | floor((sum(value))*1e4 + 0.5)/1e4 AS total_value,
+        | min(ts) AS session_start, max(ts) AS session_end
+        |FROM seq GROUP BY user_id, sess_seq""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS st,
+        | coalesce(o_orderpriority, 'ALL') AS pr,
+        | count(*) AS n,
+        | floor(sum(o_totalprice)*1e2 + 0.5)/1e2 AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |                        (o_orderstatus), ())""".stripMargin,
+    "q_window_range_frame" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate,
+        | count(*) OVER w AS n_30d,
+        | floor((sum(o_totalprice) OVER w)*1e2 + 0.5)/1e2 AS spend_30d
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
+        |  RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW)""".stripMargin,
     "q_asof_join" ->
       """WITH clicks AS (
         |  SELECT user_id, ts, max(event_id) AS click_id

@@ -188,6 +188,84 @@ object TextQueries {
             |    THEN shiftleft(cast(1 as bigint), b) ELSE 0L END)"""
             .stripMargin).as("simhash"))),
 
+    // TF-IDF top terms: classic relevance ranking per document. Shape at
+    // scale: one explode → two hash aggs (both partial-agg friendly) → a
+    // broadcastable term-df side → window top-k. ln((N+1)/(df+1)) + 1
+    // smoothing keeps idf positive so the top-k is well-defined.
+    "tfidf_top_terms" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val n = d.count()
+      val toks = d.select(col("doc_id"),
+          explode(split(trim(col("text")), "\\s+")).as("term"))
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("tfidf").desc, col("term").asc)
+      tf.join(broadcast(df), Seq("term"))
+        .withColumn("tfidf",
+          rnd(col("tf") * (log((lit(n) + 1.0) / (col("df") + 1.0)) + 1.0), 6))
+        .withColumn("trank", row_number().over(w)).filter(col("trank") <= 3)
+        .select("doc_id", "trank", "term", "tf", "df", "tfidf")
+    }),
+
+    // SimHash near-dup pairs: 4×8-bit band bucket join (hamming ≤ 3 ⇒ at
+    // least one band identical, pigeonhole), exact bit_count(xor) rerank.
+    // The banding bounds the pair join to same-bucket candidates — the
+    // standard 100 TB shape (at that scale use 64-bit simhash + 8 bands).
+    "simhash_near_dup" -> ((s, dir) => {
+      val sh = mat(docs(s, dir).select(col("doc_id"), col("text")), expr(
+          """transform(split(trim(text), '\\s+'), t ->
+            |  cast(conv(substring(md5(t),1,15),16,10) as bigint) % 4294967296L)"""
+            .stripMargin), "hs")
+        .select(col("doc_id"), expr(
+          """aggregate(sequence(0,31), cast(0 as bigint), (acc, b) ->
+            |  acc + CASE WHEN aggregate(hs, cast(0 as bigint),
+            |      (a2, x) -> a2 + (shiftright(x, b) % 2L)*2L - 1L) > 0
+            |    THEN shiftleft(cast(1 as bigint), b) ELSE 0L END)"""
+            .stripMargin).as("simhash"))
+      // alias AFTER the exchange-defining projection (not per-side renamed
+      // selects) so ReuseExchange computes the simhash+band stage once for
+      // both join inputs; force the shuffle join — Catalyst can't size a
+      // Generate output and would broadcast the full corpus
+      val banded = sh.select(col("doc_id"), col("simhash"),
+        posexplode(expr(
+          "transform(sequence(0,3), b -> shiftright(simhash, b*8) % 256L)"))
+          .as(Seq("band", "bv")))
+        .hint("shuffle_hash")
+      banded.alias("x")
+        .join(banded.alias("y"),
+          col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"),
+          col("x.simhash").as("sh1"), col("y.simhash").as("sh2"))
+        .distinct()
+        .withColumn("hamming", bit_count(expr("sh1 ^ sh2")).cast("long"))
+        .filter(col("hamming") <= 3)
+        .select("id1", "id2", "hamming")
+    }),
+
+    // near-dup canonicalization: connected components over the MinHash-LSH
+    // candidate pairs (adaptive: driver union-find on small edge lists,
+    // distributed pointer-jumping label propagation at scale — see
+    // graft.operators.Dedup). Every doc gets a cluster_id = min doc_id of
+    // its component; singletons are their own cluster. This is the "keep
+    // one copy per near-dup cluster" step of a training-data dedup
+    // pipeline.
+    "dedup_clusters" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val sig = minhashSig(d)
+      val buckets = sig
+        .groupBy(col("doc_id"), (col("j") / 2).cast("int").as("band"))
+        .agg(max(when(col("j") % 2 === 0, col("mh"))).as("mh0"),
+          max(when(col("j") % 2 === 1, col("mh"))).as("mh1"))
+      val pairs = buckets.select(col("doc_id").as("id1"), col("band"), col("mh0"), col("mh1"))
+        .join(buckets.select(col("doc_id").as("id2"), col("band"), col("mh0"), col("mh1")),
+          Seq("band", "mh0", "mh1"))
+        .filter(col("id1") < col("id2"))
+        .select("id1", "id2").distinct()
+      graft.operators.Dedup.connectedComponents(d.select("doc_id"), pairs)
+    }),
+
     // document fingerprinting: winnowing (k=8 char-grams, window w=4),
     // summarized per doc — in-row: gram-hash array, sliding array_min,
     // array_distinct, then scalar count/checksum. Zero shuffles.
@@ -323,6 +401,74 @@ object TextQueries {
         |SELECT doc_id,
         | CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
         |FROM agg GROUP BY doc_id""".stripMargin,
+    "tfidf_top_terms" ->
+      """WITH toks AS (SELECT doc_id,
+        |   unnest(string_split_regex(trim(text),'\s+')) AS term FROM documents),
+        | tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        | dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        | n AS (SELECT count(*) AS n FROM documents),
+        | sc AS (SELECT tf.doc_id, tf.term, tf.tf, dft.df,
+        |   floor((tf.tf * (ln((n.n+1.0)/(dft.df+1.0)) + 1.0))*1e6 + 0.5)/1e6 AS tfidf
+        |  FROM tf JOIN dft USING (term) CROSS JOIN n)
+        |SELECT doc_id, trank, term, tf, df, tfidf FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf DESC, term) AS trank FROM sc)
+        |WHERE trank <= 3""".stripMargin,
+    "simhash_near_dup" ->
+      """WITH toks AS (SELECT doc_id,
+        |   unnest(string_split_regex(trim(text),'\s+')) AS tok FROM documents),
+        | hx AS (SELECT doc_id,
+        |   ('0x' || substr(md5(tok),1,15))::BIGINT % 4294967296 AS xh FROM toks),
+        | bits AS (SELECT doc_id, b.b AS b,
+        |   ((xh >> b.b) % 2) * 2 - 1 AS sign
+        |  FROM hx CROSS JOIN (SELECT unnest(range(0,32)) AS b) b),
+        | agg AS (SELECT doc_id, b, sum(sign) AS s FROM bits GROUP BY 1, 2),
+        | sh AS (SELECT doc_id,
+        |   CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM agg GROUP BY doc_id),
+        | banded AS (SELECT doc_id, simhash, bd.band AS band,
+        |   (simhash >> (bd.band*8)) % 256 AS bv
+        |  FROM sh CROSS JOIN (SELECT unnest(range(0,4)) AS band) bd),
+        | cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+        |   a.simhash AS sh1, b.simhash AS sh2
+        |  FROM banded a JOIN banded b
+        |   ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+        |SELECT id1, id2, CAST(bit_count(xor(sh1, sh2)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(sh1, sh2)) <= 3""".stripMargin,
+    "dedup_clusters" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, string_split_regex(trim(text),'\s+') AS ts
+        |           FROM documents),
+        | toks AS (SELECT doc_id, unnest(ts) AS tok,
+        |          unnest(range(1, len(ts)+1)) AS pos FROM d),
+        | sh0 AS (SELECT doc_id, tok || ' ' || lead(tok,1) OVER w
+        |          || ' ' || lead(tok,2) OVER w AS shingle
+        |         FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        | sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE shingle IS NOT NULL),
+        | hx AS (SELECT doc_id,
+        |        ('0x' || substr(md5(shingle),1,15))::BIGINT % 1000000007 AS x
+        |        FROM sh),
+        | pj AS (SELECT unnest(range(0,16)) AS j),
+        | sig AS (SELECT doc_id, j,
+        |   min(((400009*j + 100003)*x + (700001*j + 1)) % 1000000007) AS mh
+        |  FROM hx CROSS JOIN pj GROUP BY doc_id, j),
+        | buckets AS (SELECT doc_id, CAST(j // 2 AS INT) AS band,
+        |   max(CASE WHEN j % 2 = 0 THEN mh END) AS mh0,
+        |   max(CASE WHEN j % 2 = 1 THEN mh END) AS mh1
+        |  FROM sig GROUP BY 1, 2),
+        | pairs AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM buckets a JOIN buckets b
+        |   ON a.band = b.band AND a.mh0 = b.mh0 AND a.mh1 = b.mh1
+        |    AND a.doc_id < b.doc_id),
+        | edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+        |           UNION SELECT id2, id1 FROM pairs),
+        | reach AS (SELECT a AS src, b AS dst FROM edges
+        |           UNION
+        |           SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+        |SELECT doc.doc_id,
+        | least(doc.doc_id, coalesce(min(r.dst), doc.doc_id)) AS cluster_id,
+        | doc.doc_id = least(doc.doc_id, coalesce(min(r.dst), doc.doc_id)) AS is_canonical
+        |FROM documents doc LEFT JOIN reach r ON r.src = doc.doc_id
+        |GROUP BY doc.doc_id""".stripMargin,
     "doc_fingerprint" ->
       """WITH pos AS (SELECT doc_id, text,
         |   unnest(range(1, greatest(length(text)-7,1)+1)) AS i FROM documents),

@@ -90,6 +90,14 @@ object VectorQueries {
       graft.operators.IvfFlat.knnJoin(model, probes(s, dir), k = 10, nprobe = 4)
     }),
 
+    // B6/B7 micro-averaged recall@10 of the IVF path vs the exact oracle
+    "recall_ivf" -> ((s, dir) => {
+      val model = graft.operators.IvfFlat.fit(emb(s, dir), numCells = 16)
+      val approx = graft.operators.IvfFlat.knnJoin(model, probes(s, dir), k = 10, nprobe = 4)
+      val exact = KnnJoin.exactKnnJoin(emb(s, dir), probes(s, dir), k = 10)
+      Recall.microAvgRecall(approx, exact)
+    }),
+
     // multimodal plumbing smoke: media rows (utf-8 bytes of documents as
     // stand-in payloads) → stub feature extraction → per-media summary
     "multimodal_features" -> ((s, dir) => {

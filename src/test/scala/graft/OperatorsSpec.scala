@@ -198,6 +198,24 @@ class OperatorsSpec extends AnyFunSuite {
       s.total_value == 24.0 && s.session_start == at(30) && s.session_end == at(31)))
   }
 
+  test("dedup connected components: driver and distributed paths agree") {
+    import spark.implicits._
+    // components: {1,2,3,4} (chain), {10,11}, singletons 20, 21
+    val docs = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L, 21L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id1", "id2")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 21L)
+    for (limit <- Seq(5000000L, 0L)) { // union-find path, then iterative path
+      val got = graft.operators.Dedup.connectedComponents(docs, pairs, driverEdgeLimit = limit)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"driverEdgeLimit=$limit")
+    }
+    // canonical flag marks exactly the cluster minima
+    val canon = graft.operators.Dedup.connectedComponents(docs, pairs)
+      .filter(col("is_canonical")).collect().map(_.getLong(0)).toSet
+    assert(canon == Set(1L, 10L, 20L, 21L))
+  }
+
   test("multimodal stub plumbing: decode features + frame sampling") {
     import spark.implicits._
     val media = (0L until 10L).map { i =>
