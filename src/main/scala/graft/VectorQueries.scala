@@ -35,6 +35,12 @@ object VectorQueries {
       KnnJoin.exactKnnJoin(emb(s, dir), probes(s, dir), k = 10,
         metric = "euclidean", scoreDigits = 6)),
 
+    // B5 exact k-NN, inner product (MIPS — additive beyond the reference's
+    // metric pair; unnormalized embedding models rank by dot product)
+    "knn_exact_dot" -> ((s, dir) =>
+      KnnJoin.exactKnnJoin(emb(s, dir), probes(s, dir), k = 10,
+        metric = "dot", scoreDigits = 6)),
+
     // O1 kernel sanity: self dot product + L2 norm per vector
     "vec_norms" -> ((s, dir) =>
       emb(s, dir).select(col("vec_id"), col("label"),
@@ -157,6 +163,17 @@ object VectorQueries {
         | scored AS (
         |  SELECT q.query_id, e.vec_id AS neighbor_id,
         |   floor((1.0/(1.0 + list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[]))))*1e6 + 0.5)/1e6 AS score
+        |  FROM embeddings e, q)
+        |SELECT query_id, neighbor_id, score, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, neighbor_id) AS rank FROM scored)
+        |WHERE rank <= 10""".stripMargin,
+    "knn_exact_dot" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+        |           FROM embeddings WHERE vec_id < 100),
+        | scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |   floor((list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])))*1e6 + 0.5)/1e6 AS score
         |  FROM embeddings e, q)
         |SELECT query_id, neighbor_id, score, rank FROM (
         |  SELECT *, row_number() OVER (PARTITION BY query_id

@@ -162,10 +162,14 @@ object similarity {
     GraftColumnBridge.column(EuclideanSimilarityExpr(expr(a), expr(b)))
 
   /** Similarity column for a [[graft.hnsw.Metric]]-style name.
-    * Invalid metric throws, mirroring reference src/main.ts:42-44. */
+    * Invalid metric throws, mirroring reference src/main.ts:42-44.
+    * "dot" (maximum inner product, MIPS) is additive beyond the
+    * reference's cosine/euclidean pair — unnormalized embedding models
+    * rank by inner product. */
   def sim(metric: String)(a: Column, b: Column): Column = metric match {
     case "cosine"    => cosine_sim(a, b)
     case "euclidean" => euclidean_sim(a, b)
+    case "dot"       => dot_product(a, b)
     case other => throw new IllegalArgumentException(s"Invalid metric: $other")
   }
 

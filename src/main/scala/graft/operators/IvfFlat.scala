@@ -61,6 +61,39 @@ object IvfFlat {
       .withColumn("cell", col("best.c")).drop("best")
   }
 
+  /** O13/O15-style persistence for the IVF path: inverted index as
+    * cell-partitioned parquet (so a probe reads only its cells' files at
+    * load-scale), centroids as a tiny parquet. Load of a missing path is
+    * None (reference src/db.ts:72-74 no-op semantics); delete drops the
+    * directory. */
+  def save(model: Model, path: String): Unit = {
+    val spark = model.assigned.sparkSession
+    import spark.implicits._
+    model.assigned.write.mode("overwrite")
+      .partitionBy("cell").parquet(s"$path/ivf")
+    model.centroids.toSeq.toDF("cell", "cvec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  def load(spark: SparkSession, path: String): Option[Model] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/centroids"))) return None
+    import spark.implicits._
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .as[(Int, Array[Float])].collect().sortBy(_._1)
+    val assigned = spark.read.parquet(s"$path/ivf")
+      .select(col("id"), col("vec"), col("cell").cast("int").as("cell"))
+    Some(Model(centroids, assigned))
+  }
+
+  def delete(spark: SparkSession, path: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    ()
+  }
+
   /** Query: probe the nprobe nearest cells, exact rerank inside them. */
   def knnJoin(model: Model, queries: DataFrame, k: Int, nprobe: Int = 4,
       queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame = {

@@ -86,6 +86,18 @@ object EventPipeline {
       }
   }
 
+  /** Streaming exact deduplication: drop rows whose key was already seen
+    * within the watermark horizon. State is bounded by the watermark (old
+    * keys age out), so this runs indefinitely at ingest scale — the
+    * streaming twin of the batch `dedup_exact` operator. Works on batch
+    * DataFrames too (degenerates to dropDuplicates). */
+  def streamingDedup(events: DataFrame, keyCols: Seq[String],
+      lateness: String = "10 minutes"): DataFrame = {
+    val withWm = events.withWatermark("ts", lateness)
+    if (events.isStreaming) withWm.dropDuplicatesWithinWatermark(keyCols)
+    else events.dropDuplicates(keyCols)
+  }
+
   /** Streaming index maintenance (B4/O10 analog): each micro-batch of new
     * vectors lands in a staging dir; the index is re-fit over base ∪
     * staged on demand. At 100 TB the per-batch work is one append plus a

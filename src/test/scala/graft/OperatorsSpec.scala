@@ -198,6 +198,27 @@ class OperatorsSpec extends AnyFunSuite {
       s.total_value == 24.0 && s.session_start == at(30) && s.session_end == at(31)))
   }
 
+  test("streaming dedup drops repeated keys within the watermark horizon") {
+    import spark.implicits._
+    implicit val sctx = spark.sqlContext
+    val mem = MemoryStream[graft.streaming.Event]
+    val q = EventPipeline.streamingDedup(mem.toDS().toDF(), Seq("event_id"),
+        lateness = "1 minute").writeStream
+      .format("memory").queryName("dedup_stream").outputMode("append").start()
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def at(sec: Int) = new java.sql.Timestamp(t0.getTime + sec * 1000L)
+    mem.addData(
+      graft.streaming.Event(1, at(0), 7L, "click", 1.0),
+      graft.streaming.Event(1, at(1), 7L, "click", 1.0), // dup within batch
+      graft.streaming.Event(2, at(2), 8L, "view", 2.0))
+    q.processAllAvailable()
+    mem.addData(graft.streaming.Event(1, at(5), 7L, "click", 1.0)) // dup across batches
+    q.processAllAvailable()
+    val n = spark.table("dedup_stream").count()
+    q.stop()
+    assert(n == 2, s"expected 2 unique events, got $n")
+  }
+
   test("dedup connected components: driver and distributed paths agree") {
     import spark.implicits._
     // components: {1,2,3,4} (chain), {10,11}, singletons 20, 21
@@ -248,6 +269,22 @@ class OperatorsSpec extends AnyFunSuite {
     val full = IvfFlat.knnJoin(m1, probes, k = 10, nprobe = 16)
     val r2 = Recall.microAvgRecall(full, exact).select("recall").first().getDouble(0)
     assert(r2 == 1.0, s"exhaustive ivf recall = $r2")
+  }
+
+  test("IVF-Flat save/load round-trip; load missing path is None") {
+    import graft.operators.IvfFlat
+    val tmp = java.nio.file.Files.createTempDirectory("ivf").toString + "/idx"
+    val m = IvfFlat.fit(emb, numCells = 8)
+    val before = IvfFlat.knnJoin(m, probes, k = 5, nprobe = 3)
+      .select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
+    IvfFlat.save(m, tmp)
+    val loaded = IvfFlat.load(spark, tmp).get
+    assert(loaded.centroids.map(_._2.toSeq).toSeq == m.centroids.map(_._2.toSeq).toSeq)
+    val after = IvfFlat.knnJoin(loaded, probes, k = 5, nprobe = 3)
+      .select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
+    assert(after == before)
+    IvfFlat.delete(spark, tmp)
+    assert(IvfFlat.load(spark, tmp).isEmpty)
   }
 
   test("knnJoinTimed returns same results as knnJoin plus positive latencies") {

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape guards: the properties that make these operators
+  * scale (pushdown, broadcast choice, partial aggregation, exchange reuse)
+  * must survive refactors — a correct-but-shuffle-heavy plan is a
+  * regression even when results still match.
+  *
+  * AQE is disabled here so the compile-time plan is deterministic and the
+  * assertions stable (prod/bench runs keep AQE on; it only improves on
+  * these shapes at runtime).
+  */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.adaptive.enabled", "false")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q1_agg: shipdate filter pushed to the parquet scan, two-phase agg") {
+    val p = plan("q1_agg")
+    assert(p.contains("PushedFilters:") && p.contains("LessThanOrEqual(l_shipdate"),
+      s"filter not pushed to scan:\n$p")
+    assert("HashAggregate".r.findAllMatchIn(p).size >= 2,
+      "expected partial + final HashAggregate (map-side combine)")
+  }
+
+  test("q1_agg: scan reads only referenced columns (column pruning)") {
+    val p = plan("q1_agg")
+    assert(!p.contains("l_comment"), "scan should prune unreferenced columns")
+  }
+
+  test("q3_topk_join: dimension join broadcast, global top-k as TakeOrdered") {
+    val p = plan("q3_topk_join")
+    assert(p.contains("BroadcastHashJoin"), "customer side should broadcast")
+    assert(p.contains("TakeOrderedAndProject"),
+      "orderBy+limit should compile to TakeOrderedAndProject, not a full sort")
+  }
+
+  test("knn_exact_cosine: base never shuffles — probe side broadcast") {
+    val p = plan("knn_exact_cosine")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "exact kNN must broadcast the probe side against a streaming base scan")
+  }
+
+  test("simhash_near_dup: band self-join computes the simhash stage once") {
+    val p = plan("simhash_near_dup")
+    assert(p.contains("ReusedExchange"),
+      "both join inputs must reuse one simhash+band exchange")
+    assert(p.contains("ShuffledHashJoin"),
+      "band join must not broadcast the (mis-estimated) Generate output")
+  }
+
+  test("ngram_jaccard_topk: shingle self-join reuses one exchange") {
+    val p = plan("ngram_jaccard_topk")
+    assert(p.contains("ReusedExchange"),
+      "scan+shingle+shuffle stage must be computed once for both sides")
+  }
+
+  test("tfidf_top_terms: document-frequency side is broadcast") {
+    val p = plan("tfidf_top_terms")
+    assert(p.contains("BroadcastHashJoin"), "df-side join should broadcast")
+  }
+
+  test("q_sessions_batch: both windows and the agg share one shuffle") {
+    val p = plan("q_sessions_batch")
+    val exchanges = "Exchange hashpartitioning".r.findAllMatchIn(p).size
+    assert(exchanges == 1,
+      s"lag window, running sum and groupBy must share the user_id exchange, got $exchanges:\n$p")
+  }
+}
