@@ -17,6 +17,7 @@ object ScaleBenchMain {
     val n = if (args.length > 0) args(0).toLong else 100000L
     val dim = if (args.length > 1) args(1).toInt else 64
     val parts = if (args.length > 2) args(2).toInt else 32
+    val efSearch = if (args.length > 3) args(3).toInt else 100
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -39,7 +40,7 @@ object ScaleBenchMain {
     val buildS = (System.nanoTime() - t0) / 1e9
 
     val t1 = System.nanoTime()
-    val approx = model.knnJoin(queries, k = 10, Some(100)).cache()
+    val approx = model.knnJoin(queries, k = 10, Some(efSearch)).cache()
     approx.count()
     val searchS = (System.nanoTime() - t1) / 1e9
 
@@ -50,7 +51,7 @@ object ScaleBenchMain {
 
     val recall = Recall.microAvgRecall(approx, exact)
       .select("recall").first().getDouble(0)
-    println(f"SCALE n=$n d=$dim P=$parts build=${buildS}%.1fs " +
+    println(f"SCALE n=$n d=$dim P=$parts ef=$efSearch build=${buildS}%.1fs " +
       f"(${n / buildS}%.0f vec/s) search100=${searchS}%.2fs " +
       f"exact100=${exactS}%.2fs recall@10=$recall%.4f")
     spark.stop()

@@ -72,6 +72,46 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "df-side join should broadcast")
   }
 
+  test("bucketed tables join and aggregate with zero exchanges") {
+    // clean any leftover table/location from an aborted previous run
+    for (t <- Seq("lineitem_b", "orders_b")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+    }
+    val l = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+    graft.operators.Bucketing.writeBucketed(l, "lineitem_b", "l_orderkey", 8)
+    graft.operators.Bucketing.writeBucketed(o, "orders_b", "l_orderkey", 8)
+    // at sf0.001 both sides fit the broadcast threshold, which would hide
+    // the bucketed path; at real scale neither side broadcasts — simulate
+    // that planner state
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = graft.operators.Bucketing.cogroupJoin(spark, "lineitem_b", "orders_b", "l_orderkey")
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"))
+      assert(!p.contains("Exchange"),
+        s"same-bucket join must be shuffle-free:\n$p")
+      // aggregation on the bucket key also skips its exchange
+      val agg = spark.table("lineitem_b").groupBy("l_orderkey").count()
+      val ap = agg.queryExecution.executedPlan.toString
+      assert(!ap.contains("Exchange"),
+        s"groupBy on bucket key must be shuffle-free:\n$ap")
+      // results match the unbucketed join
+      assert(joined.count() ==
+        l.join(o, "l_orderkey").count())
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+  }
+
   test("q_sessions_batch: both windows and the agg share one shuffle") {
     val p = plan("q_sessions_batch")
     val exchanges = "Exchange hashpartitioning".r.findAllMatchIn(p).size
