@@ -11,15 +11,19 @@ import graft.functions.{CosineSimilarityExpr, DotProductExpr, EuclideanSimilarit
   * `--conf spark.sql.extensions=graft.GraftExtensions` or
   * `SparkSession.builder().withExtensions(new GraftExtensions)`.
   *
-  * Note on custom planner pieces: the engine deliberately injects only
-  * scalar expressions. The one physical pattern we'd otherwise need —
-  * bounded per-group top-k for `row_number() <= k` — is already planned
-  * natively by Spark 4's WindowGroupLimit (partial+final bounded rank),
-  * verified in PlanCheck; re-implementing it as a SparkStrategy would be
-  * strictly worse (SURVEY §7.3 preference order (a) before (c)).
+  * Custom planner pieces: one optimizer rule — [[graft.plans.AnnProbeRule]]
+  * rewrites `ORDER BY sim(vec, literal) DESC LIMIT k` over a registered
+  * indexed table into an HNSW index probe (opt-in via
+  * `AnnSqlProbe.register`). Otherwise the engine deliberately injects only
+  * scalar expressions: the bounded per-group top-k for `row_number() <= k`
+  * is already planned natively by Spark 4's WindowGroupLimit
+  * (partial+final bounded rank), verified in PlanCheck; re-implementing it
+  * as a SparkStrategy would be strictly worse (SURVEY §7.3 preference
+  * order (a) before (c)).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(session => new graft.plans.AnnProbeRule(session))
     e.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarityExpr].getName, "cosine_sim"),

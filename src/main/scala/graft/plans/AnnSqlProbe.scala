@@ -1,0 +1,145 @@
+package graft.plans
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Descending, EmptyRow, Expression, IntegerLiteral, NamedExpression, SortOrder}
+import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit, LogicalPlan, Project, Sort}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+
+import graft.functions.{CosineSimilarityExpr, EuclideanSimilarityExpr}
+import graft.hnsw.HnswModel
+
+/** SQL-path ANN index probe (SURVEY §4 optional piece, README roadmap).
+  *
+  * A user registers a fitted [[HnswModel]] against the parquet path of the
+  * table it indexes; afterwards the canonical vector-search SQL shape
+  *
+  * {{{
+  * SELECT vec_id, cosine_sim(embedding, <literal vector>) AS score
+  * FROM parquet.`/path/embeddings.parquet`
+  * ORDER BY score DESC LIMIT k
+  * }}}
+  *
+  * is rewritten by [[AnnProbeRule]] from an O(n) scan + top-k into an
+  * index probe (graph descent per shard + global top-k — the same
+  * distributed plan as `HnswModel.knnJoin`). The rewrite fires only when
+  * EVERY guard holds: the scanned path has a registered index, the
+  * similarity metric matches the index metric, the query vector is a
+  * literal, the projection is exactly (id column, similarity alias), and
+  * the sort is a single descending order on that alias. Anything else
+  * falls through untouched to the exact plan.
+  *
+  * Opt-in semantics: like any vector-DB ANN index, the probe returns
+  * *approximate* top-k — registering the index is the explicit consent to
+  * trade exactness for a ~20x scan reduction (recall/ef tradeoffs in
+  * BASELINE.md).
+  *
+  * Install via `SparkSession.builder().withExtensions(new GraftExtensions)`
+  * or at runtime with [[AnnSqlProbe.install]] (experimental optimizer
+  * batch — no session rebuild needed).
+  */
+object AnnSqlProbe {
+
+  case class Entry(model: HnswModel, idCol: String, vecCol: String)
+
+  private val catalog = TrieMap.empty[String, Entry]
+
+  private def normalize(path: String): String =
+    new org.apache.hadoop.fs.Path(path).toUri.getPath
+
+  /** Register `model` as the index of the table stored at `path`. */
+  def register(path: String, model: HnswModel, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    catalog.put(normalize(path), Entry(model, idCol, vecCol)); ()
+  }
+
+  def unregister(path: String): Unit = { catalog.remove(normalize(path)); () }
+
+  def lookup(paths: Seq[String]): Option[Entry] =
+    paths.iterator.map(p => catalog.get(normalize(p))).collectFirst { case Some(e) => e }
+
+  /** Runtime installation into the session's experimental optimizer batch. */
+  def install(spark: SparkSession): Unit = {
+    val rule = new AnnProbeRule(spark)
+    if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[AnnProbeRule]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ rule
+  }
+}
+
+class AnnProbeRule(spark: SparkSession) extends Rule[LogicalPlan] {
+  import AnnSqlProbe._
+
+  /** Foldable array expression → float vector. */
+  private def literalVector(e: Expression): Option[Array[Float]] =
+    if (!e.foldable) None
+    else e.dataType match {
+      case ArrayType(FloatType, _) =>
+        Option(e.eval(EmptyRow)).map(_.asInstanceOf[ArrayData].toFloatArray())
+      case ArrayType(DoubleType, _) =>
+        Option(e.eval(EmptyRow)).map(_.asInstanceOf[ArrayData].toDoubleArray().map(_.toFloat))
+      case _ => None
+    }
+
+  /** Match sim(vecCol, literal) in either argument order. */
+  private def matchSim(e: Expression): Option[(AttributeReference, Array[Float], String)] = {
+    def side(a: Expression, b: Expression, m: String) = (a, literalVector(b)) match {
+      case (ar: AttributeReference, Some(v)) => Some((ar, v, m))
+      case _ => None
+    }
+    e match {
+      case CosineSimilarityExpr(a, b) =>
+        side(a, b, "cosine").orElse(side(b, a, "cosine"))
+      case EuclideanSimilarityExpr(a, b) =>
+        side(a, b, "euclidean").orElse(side(b, a, "euclidean"))
+      case _ => None
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case gl @ GlobalLimit(IntegerLiteral(k),
+        ll @ LocalLimit(_,
+          s @ Sort(Seq(SortOrder(sref: AttributeReference, Descending, _, _)), true,
+            Project(projList, rel: LogicalRelation), _))) if k > 0 && k <= 10000 =>
+      val rewritten = for {
+        entry <- rel.relation match {
+          case fs: HadoopFsRelation => lookup(fs.location.rootPaths.map(_.toString))
+          case _ => None
+        }
+        // exactly one similarity alias, sorted on, metric-matched
+        simAlias <- projList.collectFirst {
+          case a @ Alias(child, _) if matchSim(child).isDefined => a
+        }
+        (vecAttr, qvec, metric) <- matchSim(simAlias.child)
+        if sref.exprId == simAlias.exprId &&
+          metric == entry.model.params.metric &&
+          vecAttr.name == entry.vecCol &&
+          projList.forall {
+            case a: Alias => a.exprId == simAlias.exprId
+            case ar: AttributeReference => ar.name == entry.idCol
+            case _ => false
+          }
+      } yield {
+        import spark.implicits._
+        val probe = Seq((0L, qvec)).toDF("query_id", "query_vec")
+        val knn = entry.model.knnJoin(probe, k)
+        val knnPlan = knn.queryExecution.analyzed
+        val nbr = knnPlan.output.find(_.name == "neighbor_id").get
+        val score = knnPlan.output.find(_.name == "score").get
+        val newProj: Seq[NamedExpression] = projList.map {
+          case a: Alias => Alias(score, a.name)(exprId = a.exprId)
+          case ar: AttributeReference =>
+            val c = if (nbr.dataType == ar.dataType) nbr else Cast(nbr, ar.dataType)
+            Alias(c, ar.name)(exprId = ar.exprId)
+        }
+        // keep the original sort+limit nodes (attribute ids preserved) so
+        // parent operators resolve unchanged
+        gl.copy(child = ll.copy(child = s.copy(child = Project(newProj, knnPlan))))
+      }
+      rewritten.getOrElse(gl)
+  }
+}

@@ -1,0 +1,103 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.hnsw.{HnswIndexer, HnswParams}
+
+class AnnSqlProbeSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    graft.functions.similarity.register(s)
+    AnnSqlProbe.install(s)
+    s
+  }
+
+  val path = "/root/testdata/sf0.001/embeddings.parquet"
+
+  private def annSql(k: Int): String = {
+    val qvec = spark.read.parquet(path).filter(col("vec_id") === 3)
+      .select("embedding").first().getSeq[Float](0)
+    val arr = qvec.map(v => s"cast($v as float)").mkString("array(", ", ", ")")
+    s"""SELECT vec_id, cosine_sim(embedding, $arr) AS score
+       |FROM parquet.`$path`
+       |ORDER BY score DESC LIMIT $k""".stripMargin
+  }
+
+  test("registered index rewrites ORDER BY sim DESC LIMIT k into a probe") {
+    val model = HnswIndexer.fit(spark.read.parquet(path),
+      HnswParams(m = 16, efConstruction = 200, numPartitions = 2))
+    try {
+      val sql = annSql(10)
+      // before registration: exact plan = scan + top-k, no rank filter
+      val exactPlan = spark.sql(sql).queryExecution.executedPlan.toString
+      assert(!exactPlan.contains("Filter (rank"))
+      val exactRows = spark.sql(sql).collect()
+
+      AnnSqlProbe.register(path, model)
+      val probed = spark.sql(sql)
+      val probedPlan = probed.queryExecution.executedPlan.toString
+      assert(probedPlan.contains("Filter (rank"),
+        s"probe (window rank over shard candidates) should replace the scan:\n$probedPlan")
+      val probedRows = probed.collect()
+      assert(probedRows.length == 10)
+      // schema preserved, sorted descending, self-match first with score ~ 1
+      assert(probed.schema.fieldNames.toSeq == Seq("vec_id", "score"))
+      val scores = probedRows.map(_.getDouble(1)).toSeq
+      assert(scores == scores.sorted.reverse)
+      assert(probedRows.head.getLong(0) == 3L && scores.head > 0.999)
+      // at this scale the probe should agree with the exact top-10 set
+      val recall = probedRows.map(_.getLong(0)).toSet
+        .intersect(exactRows.map(_.getLong(0)).toSet).size
+      assert(recall >= 8, s"probe recall@10 = $recall/10")
+    } finally {
+      AnnSqlProbe.unregister(path)
+      model.unpersist()
+    }
+  }
+
+  test("guards: mismatched metric or extra columns fall through to exact plan") {
+    val model = HnswIndexer.fit(spark.read.parquet(path),
+      HnswParams(m = 8, efConstruction = 100, numPartitions = 2, metric = "euclidean"))
+    try {
+      AnnSqlProbe.register(path, model)
+      // cosine SQL over a euclidean index: no rewrite
+      val p1 = spark.sql(annSql(5)).queryExecution.executedPlan.toString
+      assert(!p1.contains("Filter (rank"))
+      // extra projected column: no rewrite
+      val qvec = "array(" + Seq.fill(64)("cast(0.1 as float)").mkString(", ") + ")"
+      val p2 = spark.sql(
+        s"""SELECT vec_id, label, euclidean_sim(embedding, $qvec) AS score
+           |FROM parquet.`$path` ORDER BY score DESC LIMIT 5""".stripMargin)
+        .queryExecution.executedPlan.toString
+      assert(!p2.contains("Filter (rank"))
+      // matching metric + supported shape: rewrite
+      val p3 = spark.sql(
+        s"""SELECT vec_id, euclidean_sim(embedding, $qvec) AS score
+           |FROM parquet.`$path` ORDER BY score DESC LIMIT 5""".stripMargin)
+        .queryExecution.executedPlan.toString
+      assert(p3.contains("Filter (rank"), s"expected rewrite:\n$p3")
+    } finally {
+      AnnSqlProbe.unregister(path)
+      model.unpersist()
+    }
+  }
+
+  test("unregistering restores the exact plan") {
+    val model = HnswIndexer.fit(spark.read.parquet(path), HnswParams(numPartitions = 2))
+    AnnSqlProbe.register(path, model)
+    assert(spark.sql(annSql(5)).queryExecution.executedPlan.toString
+      .contains("Filter (rank"))
+    AnnSqlProbe.unregister(path)
+    assert(!spark.sql(annSql(5)).queryExecution.executedPlan.toString
+      .contains("Filter (rank"))
+    model.unpersist()
+  }
+}
