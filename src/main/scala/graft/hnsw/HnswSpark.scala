@@ -87,6 +87,19 @@ private[hnsw] object SubIndexCache {
   def size: Int = lru.synchronized(lru.size())
 }
 
+/** Executor-side PINNED sub-index store for streaming maintainers
+  * ([[graft.streaming.IncrementalIndex]]): unlike [[SubIndexCache]] these
+  * entries are mutable live state and must never be LRU-evicted — the
+  * owning maintainer removes them explicitly via close(). */
+private[graft] object SubIndexPin {
+  private val pins = new java.util.concurrent.ConcurrentHashMap[String, HnswIndex]()
+  def get(key: String): HnswIndex = pins.get(key)
+  def put(key: String, idx: HnswIndex): Unit = { pins.put(key, idx); () }
+  def evictModel(modelId: String): Unit = {
+    pins.keySet().removeIf(_.startsWith(modelId + "/")); ()
+  }
+}
+
 class HnswModel(
     @transient val spark: SparkSession,
     val params: HnswParams,

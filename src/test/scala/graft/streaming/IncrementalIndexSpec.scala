@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.hnsw.HnswParams
+import graft.operators.KnnJoin
+
+class IncrementalIndexSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  val dir = "/root/testdata/sf0.001"
+  def emb: DataFrame = spark.read.parquet(s"$dir/embeddings.parquet")
+
+  test("foreachBatch ingest: incremental inserts, no refit, exactness probes") {
+    import spark.implicits._
+    implicit val sctx = spark.sqlContext
+    val maintainer = new IncrementalIndex(spark,
+      HnswParams(m = 16, efConstruction = 200, numPartitions = 2))
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = mem.toDS().toDF("vec_id", "embedding").writeStream
+      .foreachBatch(maintainer.processBatch _).start()
+    val all = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+    val (batch1, batch2) = all.splitAt(all.length / 2)
+    mem.addData(batch1.toIndexedSeq)
+    q.processAllAvailable()
+    assert(maintainer.indexedCount() == batch1.length)
+    mem.addData(batch2.toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+    assert(maintainer.indexedCount() == all.length)
+
+    // recall vs the exact oracle over everything ingested so far
+    val probes = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val approx = maintainer.knnJoin(probes, k = 10, Some(100))
+    val exact = KnnJoin.exactKnnJoin(emb, probes, k = 10)
+    val hits = approx.select("query_id", "neighbor_id")
+      .intersect(exact.select("query_id", "neighbor_id")).count()
+    val recall = hits.toDouble / exact.count()
+    assert(recall >= 0.8, s"incremental shard recall@10 = $recall")
+
+    // snapshot persists the live shards in HnswModel graph layout
+    val tmp = java.nio.file.Files.createTempDirectory("incidx").toString
+    maintainer.snapshot(tmp)
+    val rows = spark.read.parquet(s"$tmp/graph")
+    assert(rows.count() == all.length)
+    assert(rows.select("part").distinct().count() == 2)
+
+    maintainer.close()
+    assert(maintainer.indexedCount() == 0)
+  }
+}
