@@ -104,6 +104,23 @@ object VectorQueries {
       Recall.microAvgRecall(approx, exact)
     }),
 
+    // PQ ANN (memory-bound scale path: 8-byte codes + ADC scan + exact
+    // rerank). Rows-only gate; OperatorsSpec asserts recall floors incl.
+    // the exhaustive-rerank exactness case.
+    "knn_pq_euclid" -> ((s, dir) => {
+      val model = graft.operators.Pq.fit(emb(s, dir), numSub = 8, codesPerSub = 16)
+      graft.operators.Pq.knnJoin(model, emb(s, dir), probes(s, dir), k = 10, rerank = 100)
+    }),
+
+    "recall_pq" -> ((s, dir) => {
+      val model = graft.operators.Pq.fit(emb(s, dir), numSub = 8, codesPerSub = 16)
+      val approx = graft.operators.Pq.knnJoin(model, emb(s, dir), probes(s, dir),
+        k = 10, rerank = 100)
+      val exact = KnnJoin.exactKnnJoin(emb(s, dir), probes(s, dir), k = 10,
+        metric = "euclidean")
+      Recall.microAvgRecall(approx, exact)
+    }),
+
     // multimodal plumbing smoke: media rows (utf-8 bytes of documents as
     // stand-in payloads) → stub feature extraction → per-media summary
     "multimodal_features" -> ((s, dir) => {

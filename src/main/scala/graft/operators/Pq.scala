@@ -1,0 +1,178 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.similarity
+
+/** Product quantization (PQ) — the memory-bound ANN scale path: vectors
+  * compress to `numSub` byte codes (for d=64, numSub=8 → 8 bytes/vector vs
+  * 256 bytes raw, 32x), queries scan codes via asymmetric distance
+  * computation (ADC, one table lookup + add per subspace), and a small
+  * exact rerank restores precision.
+  *
+  * Spark shape: codebooks train on a seeded driver-side SAMPLE (standard
+  * PQ practice — training cost is O(sample), never O(corpus)); encoding
+  * is one mapPartitions over the corpus with broadcast codebooks; the
+  * query scan emits only the per-partition top-`rerank` candidates per
+  * query (bounded heaps inside the partition — the corpus-sized candidate
+  * set never materializes); the exact rerank joins the original vectors
+  * of |queries|·rerank rows.
+  *
+  * Deterministic: sampling, codebook init, and Lloyd refinement are all
+  * pure functions of (seed, id), so fits reproduce under any partitioning.
+  */
+object Pq {
+
+  /** codebooks(sub)(code) = centroid of that subspace cell. */
+  case class Model(numSub: Int, subDim: Int, codesPerSub: Int,
+      codebooks: Array[Array[Array[Float]]], encoded: DataFrame)
+
+  private def sq(x: Float): Double = x.toDouble * x
+
+  /** Train codebooks on a seeded sample, then encode the corpus. */
+  def fit(base: DataFrame, numSub: Int = 8, codesPerSub: Int = 16,
+      sampleN: Int = 4000, iters: Int = 5, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Model = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val src = base.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<float>").as("vec"))
+    val sample = src.withColumn("h", xxhash64(col("id"), lit(seed)))
+      .orderBy("h").limit(sampleN)
+      .select("id", "vec").as[(Long, Array[Float])].collect()
+    require(sample.nonEmpty, "PQ training sample is empty")
+    val d = sample.head._2.length
+    require(d % numSub == 0, s"dimension $d not divisible by numSub=$numSub")
+    val subDim = d / numSub
+
+    // per-subspace k-means: seeded init (first k sample rows by id-hash
+    // order), then Lloyd iterations with empty-cell carry-over
+    val codebooks = Array.tabulate(numSub) { s =>
+      val pts = sample.map { case (_, v) => v.slice(s * subDim, (s + 1) * subDim) }
+      var cents = pts.take(codesPerSub).map(_.clone())
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(codesPerSub)(new Array[Double](subDim))
+        val counts = new Array[Int](codesPerSub)
+        pts.foreach { p =>
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < cents.length) {
+            var dist = 0.0; var j = 0
+            while (j < subDim) { dist += sq(p(j) - cents(c)(j)); j += 1 }
+            if (dist < bestD) { bestD = dist; best = c }
+            c += 1
+          }
+          var j = 0
+          while (j < subDim) { sums(best)(j) += p(j); j += 1 }
+          counts(best) += 1
+        }
+        cents = Array.tabulate(codesPerSub) { c =>
+          if (counts(c) == 0) cents(c)
+          else Array.tabulate(subDim)(j => (sums(c)(j) / counts(c)).toFloat)
+        }
+        it += 1
+      }
+      cents
+    }
+
+    val bc = spark.sparkContext.broadcast(codebooks)
+    val encoded = src.as[(Long, Array[Float])].mapPartitions { rows =>
+      val cbs = bc.value
+      rows.map { case (id, v) =>
+        val codes = new Array[Short](numSub)
+        var s = 0
+        while (s < numSub) {
+          val cents = cbs(s)
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < cents.length) {
+            var dist = 0.0; var j = 0
+            while (j < subDim) { dist += sq(v(s * subDim + j) - cents(c)(j)); j += 1 }
+            if (dist < bestD) { bestD = dist; best = c }
+            c += 1
+          }
+          codes(s) = best.toShort
+          s += 1
+        }
+        (id, codes)
+      }
+    }.toDF("id", "codes").persist()
+    encoded.count()
+    Model(numSub, subDim, codesPerSub, codebooks, encoded)
+  }
+
+  /** ADC scan + exact rerank: approximate euclidean top-`rerank` per query
+    * from the code table, then exact `1/(1+L2)` rerank on the original
+    * vectors → top-k. */
+  def knnJoin(model: Model, base: DataFrame, queries: DataFrame, k: Int,
+      rerank: Int = 100, queryId: String = "query_id",
+      queryVec: String = "query_vec",
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k > 0 && rerank >= k)
+    val spark = model.encoded.sparkSession
+    import spark.implicits._
+    val probes = queries
+      .select(col(queryId).cast("long"), col(queryVec).cast("array<float>"))
+      .as[(Long, Array[Float])].collect()
+    val bcQ = spark.sparkContext.broadcast(probes)
+    val bcCb = spark.sparkContext.broadcast(model.codebooks)
+    val numSub = model.numSub
+    val subDim = model.subDim
+    val r = rerank
+    val cands = model.encoded.as[(Long, Array[Short])].mapPartitions { rows =>
+      val cbs = bcCb.value
+      val qs = bcQ.value
+      // per-query ADC lookup tables: lut(q)(s)(c) = ||q_sub - cent||^2
+      val luts = qs.map { case (_, qv) =>
+        Array.tabulate(numSub) { s =>
+          Array.tabulate(cbs(s).length) { c =>
+            var dist = 0.0; var j = 0
+            while (j < subDim) { dist += sq(qv(s * subDim + j) - cbs(s)(c)(j)); j += 1 }
+            dist
+          }
+        }
+      }
+      // bounded max-heap of the r best (smallest distance) per query
+      val heaps = Array.fill(qs.length)(
+        mutable.PriorityQueue.empty[(Double, Long)](Ordering.by(_._1)))
+      rows.foreach { case (id, codes) =>
+        var q = 0
+        while (q < qs.length) {
+          val lut = luts(q)
+          var dist = 0.0; var s = 0
+          while (s < numSub) { dist += lut(s)(codes(s)); s += 1 }
+          val h = heaps(q)
+          if (h.size < r) h.enqueue((dist, id))
+          else if (dist < h.head._1) { h.dequeue(); h.enqueue((dist, id)) }
+          q += 1
+        }
+      }
+      heaps.iterator.zipWithIndex.flatMap { case (h, q) =>
+        val qid = qs(q)._1
+        h.iterator.map { case (dist, id) => (qid, id, dist) }
+      }
+    }.toDF("query_id", "cand_id", "adc_dist")
+    // global top-rerank per query over the per-partition candidates
+    val wr = Window.partitionBy("query_id")
+      .orderBy(col("adc_dist").asc, col("cand_id").asc)
+    val topCands = cands.withColumn("crank", row_number().over(wr))
+      .filter(col("crank") <= r)
+      .select("query_id", "cand_id")
+    // exact rerank on the original vectors
+    val scored = topCands
+      .join(base.select(col(idCol).cast("long").as("cand_id"),
+        col(vecCol).cast("array<float>").as("bvec")), Seq("cand_id"))
+      .join(broadcast(queries.select(col(queryId).cast("long").as("query_id"),
+        col(queryVec).cast("array<float>").as("qvec"))), Seq("query_id"))
+      .select(col("query_id"), col("cand_id").as("neighbor_id"),
+        similarity.euclidean_sim(col("bvec"), col("qvec")).as("score"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

@@ -271,6 +271,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r2 == 1.0, s"exhaustive ivf recall = $r2")
   }
 
+  test("PQ: deterministic fit, ADC+rerank recall, exhaustive-rerank exactness") {
+    import graft.operators.Pq
+    val m1 = Pq.fit(emb, numSub = 8, codesPerSub = 16)
+    val m2 = Pq.fit(emb, numSub = 8, codesPerSub = 16)
+    assert(m1.codebooks.flatten.map(_.toSeq).toSeq ==
+      m2.codebooks.flatten.map(_.toSeq).toSeq)
+    // codes are 8 shorts per vector (32x smaller than 64 floats)
+    assert(m1.encoded.first().getSeq[Short](1).length == 8)
+    val exact = KnnJoin.exactKnnJoin(emb, probes, k = 10, metric = "euclidean")
+    val approx = Pq.knnJoin(m1, emb, probes, k = 10, rerank = 100)
+    val recall = Recall.microAvgRecall(approx, exact)
+      .select("recall").first().getDouble(0)
+    assert(recall >= 0.6, s"pq recall@10 = $recall")
+    // rerank = corpus size ⇒ exact results regardless of code quality
+    val n = emb.count().toInt
+    val full = Pq.knnJoin(m1, emb, probes, k = 10, rerank = n)
+    val r2 = Recall.microAvgRecall(full, exact).select("recall").first().getDouble(0)
+    assert(r2 == 1.0, s"exhaustive-rerank pq recall = $r2")
+    m1.encoded.unpersist(); m2.encoded.unpersist()
+  }
+
   test("IVF-Flat save/load round-trip; load missing path is None") {
     import graft.operators.IvfFlat
     val tmp = java.nio.file.Files.createTempDirectory("ivf").toString + "/idx"
