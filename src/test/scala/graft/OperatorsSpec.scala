@@ -271,6 +271,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r2 == 1.0, s"exhaustive ivf recall = $r2")
   }
 
+  test("salted join and two-phase agg match unsalted results on skewed keys") {
+    import spark.implicits._
+    import graft.operators.Skew
+    // 90% of rows share one hot key
+    val big = (0 until 10000).map(i => (if (i % 10 == 0) i.toLong else 7L, i.toDouble))
+      .toDF("k", "v")
+    val small = Seq((7L, "hot"), (10L, "a"), (20L, "b"), (30L, "c"))
+      .toDF("k", "name")
+    val expected = big.join(small, "k").groupBy("k")
+      .agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val salted = Skew.saltedJoin(big, small, "k", buckets = 8).groupBy("k")
+      .agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(salted == expected)
+    // two-phase aggregation merges partials correctly
+    val direct = big.groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val twoPhase = Skew.twoPhaseAgg(big, "k", 8)(
+        Seq(count(lit(1)).as("pn"), sum("v").as("ps")),
+        Seq(sum("pn").as("n"), sum("ps").as("s")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(twoPhase == direct)
+  }
+
   test("PQ: deterministic fit, ADC+rerank recall, exhaustive-rerank exactness") {
     import graft.operators.Pq
     val m1 = Pq.fit(emb, numSub = 8, codesPerSub = 16)
