@@ -121,6 +121,26 @@ object VectorQueries {
       Recall.microAvgRecall(approx, exact)
     }),
 
+    // IVF-PQ (the composed largest-corpus path: nprobe cell pruning ×
+    // residual PQ codes × exact rerank). Rows-only gate; spec asserts
+    // recall floors incl. the all-cells/full-rerank exactness case.
+    "knn_ivfpq_euclid" -> ((s, dir) => {
+      val model = graft.operators.IvfPq.fit(emb(s, dir), numCells = 16,
+        numSub = 8, codesPerSub = 16)
+      graft.operators.IvfPq.knnJoin(model, emb(s, dir), probes(s, dir),
+        k = 10, nprobe = 6, rerank = 150)
+    }),
+
+    "recall_ivfpq" -> ((s, dir) => {
+      val model = graft.operators.IvfPq.fit(emb(s, dir), numCells = 16,
+        numSub = 8, codesPerSub = 16)
+      val approx = graft.operators.IvfPq.knnJoin(model, emb(s, dir), probes(s, dir),
+        k = 10, nprobe = 6, rerank = 150)
+      val exact = KnnJoin.exactKnnJoin(emb(s, dir), probes(s, dir), k = 10,
+        metric = "euclidean")
+      Recall.microAvgRecall(approx, exact)
+    }),
+
     // multimodal plumbing smoke: media rows (utf-8 bytes of documents as
     // stand-in payloads) → stub feature extraction → per-media summary
     "multimodal_features" -> ((s, dir) => {

@@ -317,6 +317,25 @@ class OperatorsSpec extends AnyFunSuite {
     m1.encoded.unpersist(); m2.encoded.unpersist()
   }
 
+  test("IVF-PQ: deterministic fit, nprobe recall floor, all-cells+full-rerank exactness") {
+    import graft.operators.IvfPq
+    val m1 = IvfPq.fit(emb, numCells = 8, numSub = 8, codesPerSub = 16)
+    val m2 = IvfPq.fit(emb, numCells = 8, numSub = 8, codesPerSub = 16)
+    assert(m1.codebooks.flatten.map(_.toSeq).toSeq ==
+      m2.codebooks.flatten.map(_.toSeq).toSeq)
+    val exact = KnnJoin.exactKnnJoin(emb, probes, k = 10, metric = "euclidean")
+    val approx = IvfPq.knnJoin(m1, emb, probes, k = 10, nprobe = 4, rerank = 100)
+    val recall = Recall.microAvgRecall(approx, exact)
+      .select("recall").first().getDouble(0)
+    assert(recall >= 0.5, s"ivfpq recall@10 = $recall")
+    // probing every cell with corpus-sized rerank degenerates to exact
+    val n = emb.count().toInt
+    val full = IvfPq.knnJoin(m1, emb, probes, k = 10, nprobe = 8, rerank = n)
+    val r2 = Recall.microAvgRecall(full, exact).select("recall").first().getDouble(0)
+    assert(r2 == 1.0, s"exhaustive ivfpq recall = $r2")
+    m1.encoded.unpersist(); m2.encoded.unpersist()
+  }
+
   test("IVF-Flat save/load round-trip; load missing path is None") {
     import graft.operators.IvfFlat
     val tmp = java.nio.file.Files.createTempDirectory("ivf").toString + "/idx"
