@@ -145,4 +145,62 @@ class PropertiesSpec extends AnyFunSuite {
       back.zip(vecs).foreach { case ((_, got), exp) => assert(got == exp.toSeq) }
     }
   }
+
+  test("property: connected components match brute-force closure on random graphs") {
+    lazy val spark = SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    import spark.implicits._
+    val graphGen = for {
+      n <- Gen.chooseNum(1, 24)
+      m <- Gen.chooseNum(0, 30)
+      edges <- Gen.listOfN(m,
+        Gen.zip(Gen.chooseNum(0, n - 1), Gen.chooseNum(0, n - 1)))
+    } yield (n, edges.filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b).toLong, math.max(a, b).toLong) }.distinct)
+    forAll(graphGen, n = 12) { case (n, edges) =>
+      // brute-force: repeated relaxation over an adjacency map
+      val lbl = Array.tabulate(n)(_.toLong)
+      var changed = true
+      while (changed) {
+        changed = false
+        edges.foreach { case (a, b) =>
+          val m = math.min(lbl(a.toInt), lbl(b.toInt))
+          if (lbl(a.toInt) != m) { lbl(a.toInt) = m; changed = true }
+          if (lbl(b.toInt) != m) { lbl(b.toInt) = m; changed = true }
+        }
+      }
+      val docs = (0 until n).map(_.toLong).toDF("doc_id")
+      val pairs = edges.toDF("id1", "id2")
+      for (limit <- Seq(Long.MaxValue, 0L)) { // union-find path, then iterative
+        val got = graft.operators.Dedup.connectedComponents(docs, pairs,
+            driverEdgeLimit = limit)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        (0 until n).foreach(i => assert(got(i.toLong) == lbl(i),
+          s"n=$n edges=$edges limit=$limit node=$i"))
+      }
+    }
+  }
+
+  test("property: salted join equals plain join on random key distributions") {
+    lazy val spark = SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    import spark.implicits._
+    val gen = for {
+      bigKeys <- Gen.listOfN(200, Gen.chooseNum(0L, 5L))
+      smallKeys <- Gen.someOf(0L to 5L)
+      buckets <- Gen.chooseNum(2, 6)
+    } yield (bigKeys, smallKeys.toList, buckets)
+    forAll(gen, n = 8) { case (bigKeys, smallKeys, buckets) =>
+      val big = bigKeys.zipWithIndex.map { case (k, i) => (k, i) }.toDF("k", "v")
+      val small = smallKeys.map(k => (k, s"n$k")).toDF("k", "name")
+      val expected = big.join(small, "k")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted.toSeq
+      val got = graft.operators.Skew.saltedJoin(big, small, "k", buckets)
+        .select("k", "v", "name")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted.toSeq
+      assert(got == expected)
+    }
+  }
 }
