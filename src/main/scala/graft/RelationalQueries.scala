@@ -245,7 +245,35 @@ object RelationalQueries {
       events(s, dir)
         .select(col("event_id"),
           regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long").as("k"))
-    })
+    }),
+
+    // calendar/date scalar family (engines agree on these fields; weekday
+    // numbering deliberately avoided — Spark and DuckDB disagree on it)
+    "q_date_funcs" -> ((s, dir) =>
+      t(s, dir, "orders").select(col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        quarter(col("o_orderdate")).as("q"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        datediff(col("o_orderdate").cast("date"),
+          lit("1995-01-01").cast("date")).cast("long").as("days_since"),
+        date_add(col("o_orderdate").cast("date"), 90).as("due_date"),
+        date_trunc("week", col("o_orderdate")).cast("date").as("week_start"))),
+
+    // higher-order array functions over grouped order keys: transform,
+    // filter, aggregate (lambda forms) — all inside whole-stage codegen
+    "q_array_funcs" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(sort_array(collect_list(col("o_orderkey"))).as("keys"))
+        .select(col("o_custkey"),
+          size(col("keys")).as("n"),
+          element_at(col("keys"), 1).as("first_key"),
+          expr("size(filter(keys, x -> x % 2 = 0))").as("n_even"),
+          expr("aggregate(transform(keys, x -> x * 2L), 0L, (a, x) -> a + x)")
+            .as("double_sum"),
+          expr("size(array_distinct(transform(keys, x -> x % 10)))")
+            .as("n_mod_groups")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -362,6 +390,29 @@ object RelationalQueries {
     "q_json_extract" ->
       """SELECT event_id,
         | CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
-        |FROM events""".stripMargin
+        |FROM events""".stripMargin,
+    "q_date_funcs" ->
+      """SELECT o_orderkey,
+        | CAST(year(o_orderdate) AS INT) AS y,
+        | CAST(quarter(o_orderdate) AS INT) AS q,
+        | CAST(month(o_orderdate) AS INT) AS m,
+        | CAST(day(o_orderdate) AS INT) AS d,
+        | datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,
+        | CAST(o_orderdate AS DATE) + INTERVAL 90 DAY AS due_date,
+        | CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start
+        |FROM orders""".stripMargin,
+    "q_array_funcs" ->
+      """WITH g AS (SELECT o_custkey,
+        |   list_sort(list(o_orderkey)) AS keys
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT o_custkey,
+        | CAST(len(keys) AS INT) AS n,
+        | keys[1] AS first_key,
+        | CAST(len(list_filter(keys, x -> x % 2 = 0)) AS INT) AS n_even,
+        | CAST(list_aggregate(list_transform(keys, x -> x * 2), 'sum') AS BIGINT)
+        |   AS double_sum,
+        | CAST(len(list_distinct(list_transform(keys, x -> x % 10))) AS INT)
+        |   AS n_mod_groups
+        |FROM g""".stripMargin
   )
 }

@@ -75,6 +75,46 @@ class OperatorsSpec extends AnyFunSuite {
     assert(win.map(_._2).toSeq == (15 until 20).map(_.toFloat) ++ (0 until 5).map(100f + _))
   }
 
+  test("splittable fvecs FileFormat: byte splits decode to identical rows") {
+    import graft.sources.FvecsSource
+    val tmp = java.nio.file.Files.createTempDirectory("fvecs_fmt").toString
+    def write(name: String, vecs: Seq[Array[Float]]): Unit = {
+      val out = new DataOutputStream(new FileOutputStream(s"$tmp/$name"))
+      vecs.foreach { v =>
+        val bb = ByteBuffer.allocate(4 + v.length * 4).order(ByteOrder.LITTLE_ENDIAN)
+        bb.putInt(v.length); v.foreach(bb.putFloat)
+        out.write(bb.array())
+      }
+      out.close()
+    }
+    val d = 16
+    write("a.fvecs", (0 until 300).map(i => Array.tabulate(d)(j => i * 100f + j)))
+    write("b.fvecs", (0 until 200).map(i => Array.tabulate(d)(j => 90000f + i * 100f + j)))
+    // force many byte splits: record = 68 bytes, ~1 KB partitions
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1024")
+    spark.conf.set("spark.sql.files.openCostInBytes", "0")
+    try {
+      val df = FvecsSource.read(spark, s"$tmp/*.fvecs")
+      assert(df.rdd.getNumPartitions > 4, "expected multiple byte splits")
+      val got = df.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+      assert(got.length == 500)
+      // global ids: a.fvecs → 0..299, b.fvecs → 300..499, payloads intact
+      assert(got(7)._2.head == 700f && got(305)._2.head == 90500f)
+      assert(got.map(_._1).toSeq == (0L until 500L))
+      // agrees with the whole-file decoder
+      val whole = graft.sources.VectorSources.readFvecs(spark, s"$tmp/*.fvecs")
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+      assert(got.map(t => (t._1, t._2.toSeq)).toSeq ==
+        whole.map(t => (t._1, t._2.toSeq)).toSeq)
+      // column pruning path: id-only projection
+      assert(df.select("vec_id").count() == 500)
+    } finally {
+      spark.conf.unset("spark.sql.files.maxPartitionBytes")
+      spark.conf.unset("spark.sql.files.openCostInBytes")
+    }
+  }
+
   test("ivecs: int components cast to float (B3)") {
     val tmp = java.nio.file.Files.createTempDirectory("ivecs").toString
     val path = s"$tmp/test.ivecs"
