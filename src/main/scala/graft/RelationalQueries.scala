@@ -95,8 +95,13 @@ object RelationalQueries {
 
     // running aggregate (frame-spec window)
     "q_running_sum" -> ((s, dir) => {
+      // l_quantity tie-break: the synthetic data has rows that collide on
+      // (suppkey, shipdate, orderkey, linenumber) — without it the cumsum
+      // at the tie is engine-order-dependent (bit us at sf0.1); with it,
+      // any remaining ties are full-row duplicates whose cumsum is
+      // order-invariant
       val w = Window.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, dir, "lineitem")
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
@@ -316,7 +321,7 @@ object RelationalQueries {
     "q_running_sum" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         | floor((sum(l_quantity) OVER (PARTITION BY l_suppkey
-        |   ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |   ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))*1e2 + 0.5)/1e2 AS running_qty
         |FROM lineitem""".stripMargin,
     "q_lag_delta" ->
