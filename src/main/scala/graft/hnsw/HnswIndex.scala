@@ -235,31 +235,27 @@ final class HnswIndex(
   private def sim(a: Array[Float], b: Array[Float]): Double = metric.sim(a, b)
 
   /** Cosine fast path: per-node L2 norms are cached so every similarity is
-    * a dot-only loop — bit-identical to the inline formula (the norm term
-    * accumulates in the same order; double multiply is commutative).
-    * Guarded on equal dimensions; euclidean falls through unchanged. */
+    * a dot-only loop. Internal index scores may differ from the inline
+    * formula by final-ulp rounding (the unrolled dot sums in a different
+    * order) — the oracle-gated exact path uses the Catalyst expressions,
+    * not this kernel. Guarded on equal dimensions. Euclidean deliberately
+    * stays on difference-accumulation: the ‖a‖²+‖b‖²−2·dot identity
+    * catastrophically cancels on near-duplicate vectors — precisely the
+    * corpora the dedup operators target. */
   private val cosineFast = metric eq Metric.Cosine
   @inline private def nodeNorm(n: HnswNode): Double = {
     if (n.norm < 0) n.norm = Metric.l2norm(n.vector)
     n.norm
   }
-  @inline private def qNormOf(query: Array[Float]): Double = Metric.l2norm(query)
-  private val euclideanFast = metric eq Metric.Euclidean
-  @inline private def euclidFromDot(dot: Double, na: Double, nb: Double): Double =
-    1.0 / (1.0 + math.sqrt(math.max(0.0, na * na + nb * nb - 2.0 * dot)))
+  @inline private def qNormOf(query: Array[Float]): Double =
+    if (cosineFast) Metric.l2norm(query) else 0.0
   @inline private def simQN(query: Array[Float], qNorm: Double, n: HnswNode): Double =
-    if (query.length != n.vector.length) metric.sim(query, n.vector)
-    else if (cosineFast)
+    if (cosineFast && query.length == n.vector.length)
       Metric.dot(query, n.vector) / (qNorm * nodeNorm(n))
-    else if (euclideanFast)
-      euclidFromDot(Metric.dot(query, n.vector), qNorm, nodeNorm(n))
     else metric.sim(query, n.vector)
   @inline private def simNN(a: HnswNode, b: HnswNode): Double =
-    if (a.vector.length != b.vector.length) metric.sim(a.vector, b.vector)
-    else if (cosineFast)
+    if (cosineFast && a.vector.length == b.vector.length)
       Metric.dot(a.vector, b.vector) / (nodeNorm(a) * nodeNorm(b))
-    else if (euclideanFast)
-      euclidFromDot(Metric.dot(a.vector, b.vector), nodeNorm(a), nodeNorm(b))
     else metric.sim(a.vector, b.vector)
 
   /** O4 greedy 1-NN hill-climb at one layer (src/main.ts:71-91). */
@@ -421,7 +417,7 @@ final class HnswIndex(
     }
     val currentMaxLevel = levelMax
     var entry = nodes(entryPointId)
-    val qNorm = nodeNorm(node)
+    val qNorm = if (cosineFast) nodeNorm(node) else 0.0
     var level = currentMaxLevel
     while (level > node.level) {
       entry = greedySearch(node.vector, qNorm, entry, level)

@@ -73,7 +73,10 @@ object HnswIndexer {
   * cluster via a foreachPartition job; the LRU bound is the safety net for
   * executors that job doesn't reach). */
 private[hnsw] object SubIndexCache {
-  private val maxEntries = 32
+  // must exceed one model's partitions-per-executor or every knnJoin
+  // rebuilds all shards (cache thrash); overridable for bigger local runs
+  private val maxEntries =
+    sys.props.get("graft.subindex.cache.max").map(_.toInt).getOrElse(128)
   private val lru = new java.util.LinkedHashMap[String, HnswIndex](64, 0.75f, true) {
     override def removeEldestEntry(e: java.util.Map.Entry[String, HnswIndex]): Boolean =
       size() > maxEntries

@@ -21,9 +21,15 @@ object IvfFlat {
   case class Model(centroids: Array[(Int, Array[Float])], assigned: DataFrame)
 
   /** Deterministic training: initial centroids = the C vectors with the
-    * smallest mixed hash of their id, refined by one Lloyd iteration. */
+    * smallest mixed hash of their id, refined by one Lloyd iteration.
+    * @param metric cell-assignment geometry ("cosine" | "euclidean") —
+    *               MUST match the query-time probe metric, or true
+    *               neighbors land in never-probed cells (IvfPq assigns
+    *               and probes euclidean; the cosine path is the default
+    *               knn_ivf surface) */
   def fit(base: DataFrame, numCells: Int = 16, seed: Long = 42L,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Model = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      metric: String = "cosine"): Model = {
     val spark = base.sparkSession
     import spark.implicits._
     val hashed = base.select(col(idCol).cast("long").as("id"),
@@ -32,7 +38,7 @@ object IvfFlat {
     val init = hashed.orderBy("h").limit(numCells)
       .select("id", "vec").as[(Long, Array[Float])].collect()
       .zipWithIndex.map { case ((_, v), i) => (i, v) }
-    val afterAssign = assign(hashed.select("id", "vec"), init)
+    val afterAssign = assign(hashed.select("id", "vec"), init, metric)
     // one Lloyd step: element-wise mean per cell via posexplode
     val refined = afterAssign
       .select(col("cell"), posexplode(col("vec")).as(Seq("pos", "x")))
@@ -43,7 +49,7 @@ object IvfFlat {
       .as[(Int, Array[Float])].collect()
       .sortBy(_._1)
     val finalCentroids = if (refined.length == numCells) refined else init
-    Model(finalCentroids, assign(hashed.select("id", "vec"), finalCentroids)
+    Model(finalCentroids, assign(hashed.select("id", "vec"), finalCentroids, metric)
       .repartition(col("cell")))
   }
 
@@ -52,9 +58,10 @@ object IvfFlat {
     * every double — without the nanvl guard greatest() would hand such
     * rows an arbitrary (last-NaN) cell. They pin to -1.0 (worst) instead,
     * landing deterministically in the first cell. */
-  private def assign(df: DataFrame, centroids: Array[(Int, Array[Float])]): DataFrame = {
+  private def assign(df: DataFrame, centroids: Array[(Int, Array[Float])],
+      metric: String = "cosine"): DataFrame = {
     val scores = centroids.map { case (c, v) =>
-      struct(nanvl(similarity.cosine_sim(col("vec"), typedlit(v)), lit(-1.0)).as("s"),
+      struct(nanvl(similarity.sim(metric)(col("vec"), typedlit(v)), lit(-1.0)).as("s"),
         lit(c).as("c"))
     }
     df.withColumn("best", greatest(scores.toSeq: _*))

@@ -39,8 +39,11 @@ object IvfPq {
       vecCol: String = "embedding"): Model = {
     val spark = base.sparkSession
     import spark.implicits._
-    // coarse quantizer = IvfFlat's deterministic trainer
-    val ivf = IvfFlat.fit(base, numCells, seed, idCol, vecCol)
+    // coarse quantizer = IvfFlat's deterministic trainer, assigned with
+    // EUCLIDEAN geometry — query-time probing ranks cells by L2 distance,
+    // and a cosine assignment would put unnormalized euclidean neighbors
+    // in never-probed cells (silent recall collapse at any nprobe < C)
+    val ivf = IvfFlat.fit(base, numCells, seed, idCol, vecCol, metric = "euclidean")
     val centroids = ivf.centroids
     val bcCents = spark.sparkContext.broadcast(centroids.map(_._2))
 

@@ -54,10 +54,17 @@ class FvecsFileFormat extends FileFormat with DataSourceRegister with Serializab
 
   override def toString: String = "Fvecs"
 
-  /** dim from the first 4 bytes of the first file. */
+  /** dim from the first 4 bytes of the first file. Multi-file scans
+    * REQUIRE the `graft.fvecs.path` option (set by [[FvecsSource.read]]) —
+    * without it every file would restart vec_id at 0, silently merging
+    * distinct vectors downstream; fail loudly instead. */
   override def inferSchema(sparkSession: SparkSession,
       options: Map[String, String], files: Seq[FileStatus]): Option[StructType] = {
     if (files.isEmpty) return None
+    require(files.length <= 1 || options.contains("graft.fvecs.path"),
+      s"${files.length} fvecs files matched but the graft.fvecs.path option " +
+        "is missing — multi-file global vec_ids need it; load via " +
+        "graft.sources.FvecsSource.read(spark, path)")
     val fs = files.head.getPath.getFileSystem(
       sparkSession.sessionState.newHadoopConf())
     val in = fs.open(files.head.getPath)
@@ -142,35 +149,37 @@ object FvecsSource {
     spark.read.format(classOf[FvecsFileFormat].getName)
       .option("graft.fvecs.path", path).load(path)
 
-  /** Path-ordered per-file base record indexes from file sizes (constant
-    * record size ⇒ count = size / rec). Empty map when listing fails or a
-    * single file is matched (base 0). */
+  /** Path-ordered per-file base record indexes from file sizes and EACH
+    * file's own header dimension (constant record size per file ⇒
+    * count = size / rec; files in one glob may have different dims).
+    * Directory paths expand via listStatus. Single file ⇒ base 0. */
   private[sources] def baseOffsets(spark: SparkSession,
       options: Map[String, String]): Map[String, Long] = {
     options.get("graft.fvecs.path") match {
       case None => Map.empty
       case Some(glob) =>
-        try {
-          val hconf = spark.sessionState.newHadoopConf()
-          val p = new Path(glob)
-          val fs = p.getFileSystem(hconf)
-          val statuses = Option(fs.globStatus(p)).getOrElse(Array.empty)
-            .filter(_.isFile).sortBy(_.getPath.toUri.getPath)
-          if (statuses.length <= 1) Map.empty
-          else {
-            val first = statuses.head
-            val in = fs.open(first.getPath)
+        val hconf = spark.sessionState.newHadoopConf()
+        val p = new Path(glob)
+        val fs = p.getFileSystem(hconf)
+        val matched = Option(fs.globStatus(p)).getOrElse(Array.empty)
+        val statuses = matched
+          .flatMap(s => if (s.isDirectory) fs.listStatus(s.getPath) else Array(s))
+          .filter(_.isFile).sortBy(_.getPath.toUri.getPath)
+        if (statuses.length <= 1) Map.empty
+        else {
+          val counts = statuses.map { s =>
+            val in = fs.open(s.getPath)
             val dim = try {
               val b = new Array[Byte](4)
               in.readFully(0L, b)
               ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN).getInt
             } finally in.close()
-            val rec = 4L + 4L * dim
-            val counts = statuses.map(s => s.getLen / rec)
-            val cum = counts.scanLeft(0L)(_ + _)
-            statuses.map(_.getPath.toUri.getPath).zip(cum).toMap
+            require(dim > 0, s"invalid fvecs header dim=$dim in ${s.getPath}")
+            s.getLen / (4L + 4L * dim)
           }
-        } catch { case _: Exception => Map.empty }
+          val cum = counts.scanLeft(0L)(_ + _)
+          statuses.map(_.getPath.toUri.getPath).zip(cum).toMap
+        }
     }
   }
 }

@@ -93,8 +93,10 @@ object VectorSources {
       .select(col("path"), col("content"))
     // Multi-file globs: record ids must be globally unique and limit/offset
     // global, so compute a per-file base offset from the record counts of
-    // all path-ordered predecessor files (one cheap header-skip pass; file
-    // count is small — the per-record payload is never decoded twice).
+    // all path-ordered predecessor files. The counting pass re-reads the
+    // raw bytes (header-skip only, no float decode) — for large
+    // constant-dim corpora prefer FvecsSource.read, which derives counts
+    // from file sizes without a second read.
     val nFiles = files.select("path").distinct().count()
     val bases: Map[String, Long] =
       if (nFiles <= 1) Map.empty.withDefaultValue(0L)

@@ -52,7 +52,17 @@ class IncrementalIndex(spark: SparkSession, params: HnswParams,
           SubIndexPin.put(key, built)
           built
         }
-        it.foreach { case (id, v) => idx.addPoint(id, v) }
+        // already-present ids are skipped, NOT errors: task retries and
+        // foreachBatch re-delivery after restart replay rows into shards
+        // that already absorbed them — idempotence is what makes the
+        // "replaying identical batches rebuilds identical shards" claim
+        // true. The shard lock serializes ingest against concurrent
+        // knnJoin/indexedCount tasks on the same pinned index.
+        idx.synchronized {
+          it.foreach { case (id, v) =>
+            if (!idx.nodes.contains(id)) idx.addPoint(id, v)
+          }
+        }
       }
   }
 
@@ -71,9 +81,11 @@ class IncrementalIndex(spark: SparkSession, params: HnswParams,
       .mapPartitions { partIds =>
         partIds.flatMap { part =>
           Option(SubIndexPin.get(s"$mid/$part")).iterator.flatMap { idx =>
-            bc.value.iterator.flatMap { case (qid, qv) =>
-              idx.searchKNN(qv, k, ef).iterator.map { case (id, s) => (qid, id, s) }
-            }
+            idx.synchronized {
+              bc.value.iterator.flatMap { case (qid, qv) =>
+                idx.searchKNN(qv, k, ef).iterator.map { case (id, s) => (qid, id, s) }
+              }.toVector
+            }.iterator
           }
         }
       }.toDF("query_id", "neighbor_id", "score")
@@ -88,7 +100,8 @@ class IncrementalIndex(spark: SparkSession, params: HnswParams,
     val mid = maintainerId
     spark.sparkContext.makeRDD(0 until p.numPartitions, p.numPartitions)
       .mapPartitions { partIds =>
-        partIds.map(part => Option(SubIndexPin.get(s"$mid/$part")).map(_.size.toLong).getOrElse(0L))
+        partIds.map(part => Option(SubIndexPin.get(s"$mid/$part"))
+          .map(idx => idx.synchronized(idx.size.toLong)).getOrElse(0L))
       }.sum().toLong
   }
 
@@ -101,7 +114,10 @@ class IncrementalIndex(spark: SparkSession, params: HnswParams,
       .mapPartitions { partIds =>
         partIds.flatMap { part =>
           Option(SubIndexPin.get(s"$mid/$part")).iterator.flatMap { idx =>
-            idx.toRows.map(r => graft.hnsw.PartGraphRow(part, r.id, r.level, r.vector, r.neighbors))
+            idx.synchronized {
+              idx.toRows.map(r =>
+                graft.hnsw.PartGraphRow(part, r.id, r.level, r.vector, r.neighbors)).toVector
+            }.iterator
           }
         }
       }.toDF().write.mode("overwrite").parquet(s"$path/graph")

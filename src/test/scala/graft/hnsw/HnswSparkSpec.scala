@@ -44,10 +44,10 @@ class HnswSparkSpec extends AnyFunSuite {
     assert(SubIndexCache.get(s"${model.modelId}/0") == null)
     assert(SubIndexCache.get(s"${model.modelId}/1") == null)
     // LRU bound: a sweep of many models cannot accumulate unboundedly
-    (0 until 40).foreach(i => SubIndexCache.put(s"sweep-$i/0",
+    (0 until 150).foreach(i => SubIndexCache.put(s"sweep-$i/0",
       new HnswIndex(4, 10, -1, Metric("cosine"), None, None, 1L)))
-    assert(SubIndexCache.size <= 32)
-    (0 until 40).foreach(i => SubIndexCache.evictModel(s"sweep-$i"))
+    assert(SubIndexCache.size <= 128)
+    (0 until 150).foreach(i => SubIndexCache.evictModel(s"sweep-$i"))
   }
 
   test("knnJoin output shape: k rows per query, ranked, scores descending") {
