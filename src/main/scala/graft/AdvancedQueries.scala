@@ -94,6 +94,44 @@ object AdvancedQueries {
           rnd(sum("o_totalprice").over(w), 2).as("spend_30d"))
     }),
 
+    // correlated EXISTS subquery (decorrelates to a left-semi join):
+    // customers having at least one urgent open order
+    "q_exists_subquery" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer_ex")
+      t(s, dir, "orders").createOrReplaceTempView("orders_ex")
+      s.sql(
+        """SELECT c_custkey, c_name, c_mktsegment
+          |FROM customer_ex c
+          |WHERE EXISTS (SELECT 1 FROM orders_ex o
+          |  WHERE o.o_custkey = c.c_custkey
+          |    AND o.o_orderpriority = '1-URGENT' AND o.o_orderstatus = 'O')""".stripMargin)
+    }),
+
+    // NOT IN subquery with guaranteed non-null keys (anti-join plan)
+    "q_not_in_subquery" -> ((s, dir) => {
+      t(s, dir, "part").createOrReplaceTempView("part_ni")
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_ni")
+      s.sql(
+        """SELECT p_partkey, p_brand
+          |FROM part_ni
+          |WHERE p_partkey NOT IN
+          |  (SELECT l_partkey FROM lineitem_ni WHERE l_quantity >= 45)""".stripMargin)
+    }),
+
+    // window navigation family: first/last/nth value over a running frame
+    "q_window_nav" -> ((s, dir) => {
+      val wRun = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"),
+        first("o_orderkey").over(wRun).as("first_key"),
+        last("o_orderkey").over(wAll).as("last_key"),
+        nth_value(col("o_orderkey"), 2).over(wAll).as("second_key"))
+    }),
+
     // range join: lineitems shipped within 30 days of their order date
     "q_range_join" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -225,6 +263,27 @@ object AdvancedQueries {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
         |  RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q_exists_subquery" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |    AND o.o_orderpriority = '1-URGENT' AND o.o_orderstatus = 'O')""".stripMargin,
+    "q_not_in_subquery" ->
+      """SELECT p_partkey, p_brand
+        |FROM part
+        |WHERE p_partkey NOT IN
+        |  (SELECT l_partkey FROM lineitem WHERE l_quantity >= 45)""".stripMargin,
+    "q_window_nav" ->
+      """SELECT o_custkey, o_orderkey,
+        | first_value(o_orderkey) OVER wr AS first_key,
+        | last_value(o_orderkey) OVER wa AS last_key,
+        | nth_value(o_orderkey, 2) OVER wa AS second_key
+        |FROM orders
+        |WINDOW wr AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        | wa AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
     "q_asof_join" ->
       """WITH clicks AS (
         |  SELECT user_id, ts, max(event_id) AS click_id
