@@ -131,3 +131,34 @@ class IncrementalIndex(spark: SparkSession, params: HnswParams,
     SubIndexPin.evictModel(mid)
   }
 }
+
+object IncrementalIndex {
+  /** Rebuild pinned shards from a [[IncrementalIndex.snapshot]] dump — the
+    * recovery path after restart. Shards pin under their ORIGINAL part ids
+    * (hash(vec_id) routing), so subsequent processBatch calls keep landing
+    * rows in the right shard. The restored entry point is the min-id node
+    * of each shard's top layer; any top-layer entry is a valid descent
+    * start, so search semantics are unchanged (deep-tie traversal order
+    * may differ from the pre-restart instance). */
+  def restore(spark: SparkSession, path: String,
+      params: graft.hnsw.HnswParams): IncrementalIndex = {
+    val m = new IncrementalIndex(spark, params)
+    val mid = m.maintainerId
+    val pr = params
+    import spark.implicits._
+    spark.read.parquet(s"$path/graph").as[graft.hnsw.PartGraphRow]
+      .repartition(params.numPartitions, col("part"))
+      .foreachPartition { (rows: Iterator[graft.hnsw.PartGraphRow]) =>
+        rows.toArray.groupBy(_.part).foreach { case (part, rs) =>
+          val levelMax = rs.map(_.level).max
+          val entry = rs.filter(_.level == levelMax).map(_.id).min
+          val idx = graft.hnsw.HnswSerde.fromRows(
+            rs.iterator.map(r => graft.hnsw.HnswGraphRow(r.id, r.level, r.vector, r.neighbors)),
+            pr.m, pr.efConstruction, Metric(pr.metric),
+            Some(pr.effectiveEfSearch), pr.seed, levelMax, entry)
+          SubIndexPin.put(s"$mid/$part", idx)
+        }
+      }
+    m
+  }
+}

@@ -58,5 +58,18 @@ class IncrementalIndexSpec extends AnyFunSuite {
 
     maintainer.close()
     assert(maintainer.indexedCount() == 0)
+
+    // restore from the snapshot: counts and search quality recover
+    val restored = IncrementalIndex.restore(spark, tmp,
+      HnswParams(m = 16, efConstruction = 200, numPartitions = 2))
+    assert(restored.indexedCount() == all.length)
+    val approx2 = restored.knnJoin(probes, k = 10, Some(100))
+    val hits2 = approx2.select("query_id", "neighbor_id")
+      .intersect(exact.select("query_id", "neighbor_id")).count()
+    assert(hits2.toDouble / exact.count() >= 0.8)
+    // and the restored maintainer keeps ingesting (idempotent on replays)
+    restored.processBatch(emb.select("vec_id", "embedding"), 99L)
+    assert(restored.indexedCount() == all.length)
+    restored.close()
   }
 }
