@@ -53,6 +53,15 @@ class PlanSpec extends AnyFunSuite {
       "exact kNN must broadcast the probe side against a streaming base scan")
   }
 
+  test("per-query top-k plans as WindowGroupLimit (bounded heaps, no full sort)") {
+    // rank-window + filter(rank <= k) must trigger Spark's partial+final
+    // WindowGroupLimit so only k rows per query survive each side of the
+    // exchange — a full per-partition sort would be the scale regression
+    val p = plan("knn_exact_cosine")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank filter should plan bounded group limits:\n$p")
+  }
+
   test("simhash_near_dup: band self-join computes the simhash stage once") {
     val p = plan("simhash_near_dup")
     assert(p.contains("ReusedExchange"),
