@@ -94,6 +94,18 @@ object AdvancedQueries {
           rnd(sum("o_totalprice").over(w), 2).as("spend_30d"))
     }),
 
+    // per-group z-score outlier flagging (anomaly detection shape: one
+    // agg + one broadcast join back, both partial-agg friendly)
+    "q_zscore_outliers" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val stats = ev.groupBy(col("event_type").as("et"))
+        .agg(avg("value").as("mu"), stddev_samp("value").as("sd"))
+      ev.join(broadcast(stats), col("event_type") === col("et"))
+        .select(col("event_id"), col("event_type"),
+          rnd((col("value") - col("mu")) / col("sd"), 6).as("z"))
+        .filter(abs(col("z")) > 2.5)
+    }),
+
     // correlated EXISTS subquery (decorrelates to a left-semi join):
     // customers having at least one urgent open order
     "q_exists_subquery" -> ((s, dir) => {
@@ -263,6 +275,13 @@ object AdvancedQueries {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
         |  RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q_zscore_outliers" ->
+      """WITH st AS (SELECT event_type AS et, avg(value) AS mu,
+        |   stddev_samp(value) AS sd FROM events GROUP BY 1)
+        |SELECT event_id, event_type,
+        | floor(((value - mu)/sd)*1e6 + 0.5)/1e6 AS z
+        |FROM events JOIN st ON event_type = et
+        |WHERE abs(floor(((value - mu)/sd)*1e6 + 0.5)/1e6) > 2.5""".stripMargin,
     "q_exists_subquery" ->
       """SELECT c_custkey, c_name, c_mktsegment
         |FROM customer c

@@ -208,6 +208,21 @@ object TextQueries {
         .select("doc_id", "trank", "term", "tf", "df", "tfidf")
     }),
 
+    // corpus unigram language-model scoring: per-doc mean surprisal
+    // -avg(ln p(token)) under the corpus unigram distribution — the
+    // classic "how typical is this document" quality signal (high = rare
+    // vocabulary). Shape: one explode, two hash aggs, one broadcast join.
+    "unigram_surprisal" -> ((s, dir) => {
+      val toks = docs(s, dir).select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("term"))
+      val cnt = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+      val total = cnt.agg(sum("cnt")).first().getLong(0)
+      toks.join(broadcast(cnt), Seq("term"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          rnd(avg(-log(col("cnt") / total.toDouble)), 4).as("surprisal"))
+    }),
+
     // SimHash near-dup pairs: 4×8-bit band bucket join (hamming ≤ 3 ⇒ at
     // least one band identical, pigeonhole), exact bit_count(xor) rerank.
     // The banding bounds the pair join to same-bucket candidates — the
@@ -414,6 +429,15 @@ object TextQueries {
         |  SELECT *, row_number() OVER (PARTITION BY doc_id
         |    ORDER BY tfidf DESC, term) AS trank FROM sc)
         |WHERE trank <= 3""".stripMargin,
+    "unigram_surprisal" ->
+      """WITH toks AS (SELECT doc_id,
+        |   unnest(string_split_regex(trim(text),'\s+')) AS term FROM documents),
+        | cnt AS (SELECT term, count(*) AS cnt FROM toks GROUP BY 1),
+        | tot AS (SELECT sum(cnt) AS total FROM cnt)
+        |SELECT doc_id, count(*) AS n_tokens,
+        | floor((avg(-ln(cnt/(SELECT total FROM tot))))*1e4 + 0.5)/1e4 AS surprisal
+        |FROM toks JOIN cnt USING (term)
+        |GROUP BY doc_id""".stripMargin,
     "simhash_near_dup" ->
       """WITH toks AS (SELECT doc_id,
         |   unnest(string_split_regex(trim(text),'\s+')) AS tok FROM documents),

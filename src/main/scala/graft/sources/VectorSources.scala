@@ -23,8 +23,15 @@ import org.apache.spark.sql.functions._
   */
 object VectorSources {
 
-  private def decode(bytes: Array[Byte], intComponents: Boolean,
+  /** element encodings: fvecs float32, ivecs int32, bvecs uint8 */
+  private val ElemFloat = 0
+  private val ElemInt = 1
+  private val ElemByte = 2
+  private def elemBytes(kind: Int): Int = if (kind == ElemByte) 1 else 4
+
+  private def decode(bytes: Array[Byte], elemKind: Int,
       limit: Int, offset: Int): Iterator[(Long, Array[Float])] = {
+    val eb = elemBytes(elemKind)
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     new Iterator[(Long, Array[Float])] {
       private var recordIdx = 0L
@@ -35,7 +42,7 @@ object VectorSources {
         while (nextRec == null && buf.remaining() >= 4 &&
             (limit < 0 || emitted < limit)) {
           val d = buf.getInt()
-          val need = d.toLong * 4
+          val need = d.toLong * eb
           if (d <= 0 || buf.remaining() < need) {
             buf.position(buf.limit()) // truncated tail: stop cleanly
           } else if (recordIdx < offset) {
@@ -45,7 +52,11 @@ object VectorSources {
             val arr = new Array[Float](d)
             var i = 0
             while (i < d) {
-              arr(i) = if (intComponents) buf.getInt().toFloat else buf.getFloat()
+              arr(i) = elemKind match {
+                case ElemFloat => buf.getFloat()
+                case ElemInt   => buf.getInt().toFloat
+                case _         => (buf.get() & 0xFF).toFloat // unsigned byte
+              }
               i += 1
             }
             nextRec = (recordIdx, arr)
@@ -65,28 +76,35 @@ object VectorSources {
   /** B2: fvecs scan → (vec_id, embedding). */
   def readFvecs(spark: SparkSession, path: String, limit: Int = -1,
       offset: Int = 0): DataFrame =
-    readVecs(spark, path, intComponents = false, limit, offset)
+    readVecs(spark, path, ElemFloat, limit, offset)
 
   /** B3: ivecs scan (int32 components cast to float). */
   def readIvecs(spark: SparkSession, path: String, limit: Int = -1,
       offset: Int = 0): DataFrame =
-    readVecs(spark, path, intComponents = true, limit, offset)
+    readVecs(spark, path, ElemInt, limit, offset)
+
+  /** bvecs scan (uint8 components cast to float) — the SIFT1B billion-
+    * scale layout; additive beyond the reference's fvecs/ivecs pair. */
+  def readBvecs(spark: SparkSession, path: String, limit: Int = -1,
+      offset: Int = 0): DataFrame =
+    readVecs(spark, path, ElemByte, limit, offset)
 
   /** Count whole records in one file's bytes (header-skip scan only). */
-  private def countRecords(bytes: Array[Byte]): Long = {
+  private def countRecords(bytes: Array[Byte], elemKind: Int): Long = {
+    val eb = elemBytes(elemKind)
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     var n = 0L
     var ok = true
     while (ok && buf.remaining() >= 4) {
       val d = buf.getInt()
-      val need = d.toLong * 4
+      val need = d.toLong * eb
       if (d <= 0 || buf.remaining() < need) ok = false
       else { buf.position(buf.position() + need.toInt); n += 1 }
     }
     n
   }
 
-  private def readVecs(spark: SparkSession, path: String, intComponents: Boolean,
+  private def readVecs(spark: SparkSession, path: String, elemKind: Int,
       limit: Int, offset: Int): DataFrame = {
     import spark.implicits._
     val files = spark.read.format("binaryFile").load(path)
@@ -102,7 +120,7 @@ object VectorSources {
       if (nFiles <= 1) Map.empty.withDefaultValue(0L)
       else {
         val counts = files.as[(String, Array[Byte])]
-          .map { case (p, bytes) => (p, countRecords(bytes)) }
+          .map { case (p, bytes) => (p, countRecords(bytes, elemKind)) }
           .collect().sortBy(_._1)
         val cum = counts.scanLeft(0L)(_ + _._2)
         counts.map(_._1).zip(cum).toMap
@@ -115,7 +133,7 @@ object VectorSources {
         val localLimit =
           if (limit < 0) -1
           else math.max(0L, offset.toLong + limit - base - localOffset).toInt
-        decode(bytes, intComponents, localLimit, localOffset)
+        decode(bytes, elemKind, localLimit, localOffset)
           .map { case (i, v) => (base + i, v) }
       }
       .toDF("vec_id", "embedding")

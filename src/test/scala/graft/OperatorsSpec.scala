@@ -126,6 +126,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(df.first().getSeq[Float](1) == Seq(7f, -2f, 100f))
   }
 
+  test("bvecs: unsigned byte components cast to float (SIFT1B layout)") {
+    val tmp = java.nio.file.Files.createTempDirectory("bvecs").toString
+    val path = s"$tmp/test.bvecs"
+    val out = new DataOutputStream(new FileOutputStream(path))
+    // two 4-d records; 0xFF must decode as 255 (unsigned), not -1
+    val bb = ByteBuffer.allocate(2 * (4 + 4)).order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(4); bb.put(0.toByte); bb.put(127.toByte); bb.put(128.toByte); bb.put(255.toByte)
+    bb.putInt(4); bb.put(1.toByte); bb.put(2.toByte); bb.put(3.toByte); bb.put(4.toByte)
+    out.write(bb.array()); out.close()
+    val rows = VectorSources.readBvecs(spark, path).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+    assert(rows.length == 2)
+    assert(rows(0)._2 == Seq(0f, 127f, 128f, 255f))
+    assert(rows(1)._2 == Seq(1f, 2f, 3f, 4f))
+    // limit/offset applies at decode like the other formats
+    assert(VectorSources.readBvecs(spark, path, limit = 1, offset = 1)
+      .first().getSeq[Float](1) == Seq(1f, 2f, 3f, 4f))
+  }
+
   test("synthetic source is partition-independent and seeded (B1)") {
     val a = VectorSources.synthetic(spark, 100, 8, seed = 42)
       .repartition(7).collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toMap
