@@ -141,6 +141,36 @@ object VectorQueries {
       Recall.microAvgRecall(approx, exact)
     }),
 
+    // B8 reference-shaped latency summary for the HNSW path: per-query
+    // critical-path shard search times → count/avg + exact nearest-rank-
+    // floor percentiles (the reference's searchLatencyMs record,
+    // src/bench/run.ts:43-53 + src/bench/metrics.ts:46-68). Rows-only:
+    // timings are machine-dependent by nature.
+    "hnsw_latency_summary" -> ((s, dir) => {
+      import graft.functions.FloorPercentiles.floor_percentiles
+      val model = HnswIndexer.fit(emb(s, dir),
+        HnswParams(m = 16, efConstruction = 200, numPartitions = 4))
+      val (_, latencies) = model.knnJoinTimed(probes(s, dir), k = 10, Some(100))
+      latencies.agg(
+        count(lit(1)).as("n_queries"),
+        rnd(avg("search_ms"), 3).as("avg_ms"),
+        floor_percentiles(col("search_ms"), Seq(0.50, 0.90, 0.95, 0.99)).as("pcts"))
+    }),
+
+    // multimodal features feed straight into the similarity operators —
+    // the media→embedding→retrieval composition (stub codec, real plan)
+    "multimodal_knn" -> ((s, dir) => {
+      val media = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").as("media_id"), lit("text").as("media_type"),
+          encode(col("text"), "utf-8").as("content"),
+          lit(640).as("width"), lit(480).as("height"))
+      val feats = graft.operators.Multimodal.decodeFeaturesStub(media, featureDim = 8)
+        .select(col("media_id").as("vec_id"), col("feature").as("embedding"))
+      val mprobes = feats.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      KnnJoin.exactKnnJoin(feats, mprobes, k = 5, metric = "cosine", scoreDigits = 6)
+    }),
+
     // multimodal plumbing smoke: media rows (utf-8 bytes of documents as
     // stand-in payloads) → stub feature extraction → per-media summary
     "multimodal_features" -> ((s, dir) => {
