@@ -30,13 +30,15 @@ object Dedup {
       driverEdgeLimit: Long = 5000000L, maxRounds: Int = 25): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // the pair list is usually the output of an expensive LSH pipeline —
-    // persist it so the size probe and the consumption pass scan it once
     val edges2 = pairs.select(col("id1").cast("long").as("a"), col("id2").cast("long").as("b"))
-      .persist()
-    val nEdges = edges2.count()
+    // size probe and driver fetch in ONE pipeline pass: collect at most
+    // limit+1 edges (LocalLimit early-exits partitions) — the expensive
+    // LSH pair pipeline runs once on the common small-graph path, and the
+    // driver never holds more than limit+1 rows
+    val probeLimit = math.min(driverEdgeLimit, Int.MaxValue - 1L).toInt
+    val probe = edges2.limit(probeLimit + 1).as[(Long, Long)].collect()
     val labels: DataFrame =
-      if (nEdges <= driverEdgeLimit) {
+      if (probe.length <= probeLimit) {
         // driver union-find over the (small) candidate graph
         val parent = scala.collection.mutable.LongMap.empty[Long]
         def find(x: Long): Long = {
@@ -46,7 +48,7 @@ object Dedup {
           while (parent.getOrElse(c, c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
           r
         }
-        edges2.as[(Long, Long)].collect().foreach { case (a, b) =>
+        probe.foreach { case (a, b) =>
           val ra = find(a); val rb = find(b)
           if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
         }
@@ -81,7 +83,6 @@ object Dedup {
         edges.unpersist()
         lbls
       }
-    edges2.unpersist()
     docs.select(col("doc_id")).join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
       .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
