@@ -8,7 +8,10 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.similarity
 
-/** IVF-PQ: the composition both parents exist for — IVF's coarse cells
+/** IVF-PQ (additive beyond the reference's ANN surface, like its
+  * parents; exact rerank mirrors the reference oracle kernel,
+  * src/bench/metrics.ts:9-24): the composition both parents exist for —
+  * IVF's coarse cells
   * bound WHICH rows a query touches (nprobe/C of the corpus), PQ's codes
   * bound HOW MUCH each touched row costs (one table lookup + add per
   * subspace on an 8-short code instead of a d-float kernel). Together a

@@ -8,7 +8,11 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.similarity
 
-/** Product quantization (PQ) — the memory-bound ANN scale path: vectors
+/** Product quantization (PQ) — the memory-bound ANN scale path, additive
+  * beyond the reference's HNSW/brute-force pair (its ANN surface is the
+  * graph index, reference src/main.ts:253; the exact-rerank step here is
+  * the same brute-force kernel as its oracle, src/bench/metrics.ts:9-24):
+  * vectors
   * compress to `numSub` byte codes (for d=64, numSub=8 → 8 bytes/vector vs
   * 256 bytes raw, 32x), queries scan codes via asymmetric distance
   * computation (ADC, one table lookup + add per subspace), and a small

@@ -13,7 +13,10 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
 import graft.functions.{CosineSimilarityExpr, EuclideanSimilarityExpr}
 import graft.hnsw.HnswModel
 
-/** SQL-path ANN index probe (SURVEY §4 optional piece, README roadmap).
+/** SQL-path ANN index probe (SURVEY §4 optional piece; the reference's
+  * query surface is the programmatic `searchKNN` call, reference
+  * src/main.ts:253-283 — this rule gives the same operation a declarative
+  * SQL form).
   *
   * A user registers a fitted [[HnswModel]] against the parquet path of the
   * table it indexes; afterwards the canonical vector-search SQL shape

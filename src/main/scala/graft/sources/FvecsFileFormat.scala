@@ -28,8 +28,9 @@ private[sources] class SerConf(@transient var conf: Configuration)
   }
 }
 
-/** Splittable fvecs source (B2 as a real `FileFormat`, vs the whole-file
-  * `binaryFile` decode in [[VectorSources.readFvecs]]).
+/** Splittable fvecs source (B2, reference src/bench/dataset.ts:65-101,
+  * as a real `FileFormat` — vs the whole-file `binaryFile` decode in
+  * [[VectorSources.readFvecs]]).
   *
   * fvecs records are `int32 dim` + `dim × float32 LE`. This format
   * requires a CONSTANT dimension per file (the overwhelmingly common
