@@ -16,6 +16,30 @@ import graft.operators.{AnnLsh, KnnJoin, Recall}
   */
 object VectorQueries {
 
+  /** Session-scoped memo for fitted ANN models: the knn/recall battery
+    * pairs (and hnsw_latency_summary) fit byte-identical models — training
+    * is eager (sampling/Lloyd/graph build), so without a memo each pair
+    * pays the fit twice. Keyed on (SparkContext identity, data dir, model
+    * signature); bounded LRU so stale sessions can't accumulate. */
+  private object ModelMemo {
+    private val maxEntries = 16
+    private val lru = new java.util.LinkedHashMap[String, AnyRef](16, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[String, AnyRef]): Boolean =
+        size() > maxEntries
+    }
+    def get[T <: AnyRef](s: SparkSession, key: String)(mk: => T): T = lru.synchronized {
+      val k = s"${System.identityHashCode(s.sparkContext)}/$key"
+      val hit = lru.get(k)
+      if (hit != null) hit.asInstanceOf[T]
+      else { val v = mk; lru.put(k, v); v }
+    }
+  }
+
+  private def hnswModel(s: SparkSession, dir: String): graft.hnsw.HnswModel =
+    ModelMemo.get(s, s"hnsw/m16efc200p4/$dir")(
+      HnswIndexer.fit(emb(s, dir),
+        HnswParams(m = 16, efConstruction = 200, numPartitions = 4)))
+
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
@@ -47,58 +71,69 @@ object VectorQueries {
         rnd(dot_product(col("embedding"), col("embedding")), 6).as("self_dot"),
         rnd(sqrt(dot_product(col("embedding"), col("embedding"))), 6).as("l2_norm"))),
 
-    // embedding-cosine near-duplicate pairs (brute-force baseline; the
-    // LSH-bucketed variant in TextQueries is the 100 TB scale path)
+    // embedding-cosine near-duplicate pairs — the BRUTE-FORCE small-sf
+    // oracle twin of near_dup_embeddings_lsh below (all-pairs; never the
+    // scale path). Threshold 0.4 ≈ the 99.9th percentile of this corpus's
+    // pairwise cosine, so the gate exercises real pairs.
     "near_dup_embeddings" -> ((s, dir) => {
       val a = emb(s, dir).select(col("vec_id").as("id1"), col("embedding").as("e1"))
       val b = emb(s, dir).select(col("vec_id").as("id2"), col("embedding").as("e2"))
       a.join(b, col("id1") < col("id2"))
         .select(col("id1"), col("id2"),
           rnd(cosine_sim(col("e1"), col("e2")), 6).as("cos_sim"))
-        .filter(col("cos_sim") >= 0.8)
+        .filter(col("cos_sim") >= 0.4)
     }),
 
     // O3-O12: distributed HNSW approximate k-NN (4 partition-local
     // sub-indexes, shard-and-search). Non-SQL-expressible → rows-only gate;
     // quality is asserted by recall_hnsw below and the ScalaTest suite.
-    "knn_hnsw_cosine" -> ((s, dir) => {
-      val model = HnswIndexer.fit(emb(s, dir),
-        HnswParams(m = 16, efConstruction = 200, numPartitions = 4))
-      model.knnJoin(probes(s, dir), k = 10, Some(100))
-    }),
+    "knn_hnsw_cosine" -> ((s, dir) =>
+      hnswModel(s, dir).knnJoin(probes(s, dir), k = 10, Some(100))),
 
     // B6/B7 micro-averaged recall@10 of the HNSW path vs the exact oracle
     "recall_hnsw" -> ((s, dir) => {
-      val model = HnswIndexer.fit(emb(s, dir),
-        HnswParams(m = 16, efConstruction = 200, numPartitions = 4))
-      val approx = model.knnJoin(probes(s, dir), k = 10, Some(100))
+      val approx = hnswModel(s, dir).knnJoin(probes(s, dir), k = 10, Some(100))
       val exact = KnnJoin.exactKnnJoin(emb(s, dir), probes(s, dir), k = 10)
       Recall.microAvgRecall(approx, exact)
     }),
 
     // LSH-bucketed ANN (the non-graph scale path): signature equi-join +
-    // rerank. Non-SQL-expressible → rows-only gate; recall_lsh asserts quality.
+    // rerank. The hyperplanes are pure (seed, plane, dim) functions, so the
+    // WHOLE approximate path is cross-engine oracle-checked: the DuckDB
+    // oracle recomputes the same signatures from double literals of the
+    // same planes (scores fixed-point-rounded before ranking on both sides).
     "knn_lsh_cosine" -> ((s, dir) =>
       AnnLsh.lshKnnJoin(emb(s, dir), probes(s, dir), k = 10,
-        numPlanes = 6, d = 64, numTables = 4)),
+        numPlanes = 6, d = 64, numTables = 4, scoreDigits = 6)),
 
     "recall_lsh" -> ((s, dir) => {
       val approx = AnnLsh.lshKnnJoin(emb(s, dir), probes(s, dir), k = 10,
-        numPlanes = 6, d = 64, numTables = 4)
-      val exact = KnnJoin.exactKnnJoin(emb(s, dir), probes(s, dir), k = 10)
+        numPlanes = 6, d = 64, numTables = 4, scoreDigits = 6)
+      val exact = KnnJoin.exactKnnJoin(emb(s, dir), probes(s, dir), k = 10,
+        scoreDigits = 6)
       Recall.microAvgRecall(approx, exact)
     }),
+
+    // the scale-safe near-dup path: LSH bucket prefilter + exact cosine
+    // rerank — same output contract as near_dup_embeddings (which stays
+    // only as the small-sf brute-force oracle twin). No cartesian anywhere
+    // (PlanSpec-guarded); oracle SQL mirrors the banding exactly.
+    "near_dup_embeddings_lsh" -> ((s, dir) =>
+      AnnLsh.lshNearDupPairs(emb(s, dir), threshold = 0.4,
+        numPlanes = 6, d = 64, numTables = 4)),
 
     // IVF-Flat ANN (coarse-quantized scale path). Rows-only gate;
     // OperatorsSpec asserts recall incl. the nprobe=C exhaustive case.
     "knn_ivf_cosine" -> ((s, dir) => {
-      val model = graft.operators.IvfFlat.fit(emb(s, dir), numCells = 16)
+      val model = ModelMemo.get(s, s"ivf/c16/$dir")(
+        graft.operators.IvfFlat.fit(emb(s, dir), numCells = 16))
       graft.operators.IvfFlat.knnJoin(model, probes(s, dir), k = 10, nprobe = 4)
     }),
 
     // B6/B7 micro-averaged recall@10 of the IVF path vs the exact oracle
     "recall_ivf" -> ((s, dir) => {
-      val model = graft.operators.IvfFlat.fit(emb(s, dir), numCells = 16)
+      val model = ModelMemo.get(s, s"ivf/c16/$dir")(
+        graft.operators.IvfFlat.fit(emb(s, dir), numCells = 16))
       val approx = graft.operators.IvfFlat.knnJoin(model, probes(s, dir), k = 10, nprobe = 4)
       val exact = KnnJoin.exactKnnJoin(emb(s, dir), probes(s, dir), k = 10)
       Recall.microAvgRecall(approx, exact)
@@ -108,12 +143,14 @@ object VectorQueries {
     // rerank). Rows-only gate; OperatorsSpec asserts recall floors incl.
     // the exhaustive-rerank exactness case.
     "knn_pq_euclid" -> ((s, dir) => {
-      val model = graft.operators.Pq.fit(emb(s, dir), numSub = 8, codesPerSub = 16)
+      val model = ModelMemo.get(s, s"pq/s8c16/$dir")(
+        graft.operators.Pq.fit(emb(s, dir), numSub = 8, codesPerSub = 16))
       graft.operators.Pq.knnJoin(model, emb(s, dir), probes(s, dir), k = 10, rerank = 100)
     }),
 
     "recall_pq" -> ((s, dir) => {
-      val model = graft.operators.Pq.fit(emb(s, dir), numSub = 8, codesPerSub = 16)
+      val model = ModelMemo.get(s, s"pq/s8c16/$dir")(
+        graft.operators.Pq.fit(emb(s, dir), numSub = 8, codesPerSub = 16))
       val approx = graft.operators.Pq.knnJoin(model, emb(s, dir), probes(s, dir),
         k = 10, rerank = 100)
       val exact = KnnJoin.exactKnnJoin(emb(s, dir), probes(s, dir), k = 10,
@@ -125,15 +162,17 @@ object VectorQueries {
     // residual PQ codes × exact rerank). Rows-only gate; spec asserts
     // recall floors incl. the all-cells/full-rerank exactness case.
     "knn_ivfpq_euclid" -> ((s, dir) => {
-      val model = graft.operators.IvfPq.fit(emb(s, dir), numCells = 16,
-        numSub = 8, codesPerSub = 16)
+      val model = ModelMemo.get(s, s"ivfpq/c16s8c16/$dir")(
+        graft.operators.IvfPq.fit(emb(s, dir), numCells = 16,
+          numSub = 8, codesPerSub = 16))
       graft.operators.IvfPq.knnJoin(model, emb(s, dir), probes(s, dir),
         k = 10, nprobe = 6, rerank = 150)
     }),
 
     "recall_ivfpq" -> ((s, dir) => {
-      val model = graft.operators.IvfPq.fit(emb(s, dir), numCells = 16,
-        numSub = 8, codesPerSub = 16)
+      val model = ModelMemo.get(s, s"ivfpq/c16s8c16/$dir")(
+        graft.operators.IvfPq.fit(emb(s, dir), numCells = 16,
+          numSub = 8, codesPerSub = 16))
       val approx = graft.operators.IvfPq.knnJoin(model, emb(s, dir), probes(s, dir),
         k = 10, nprobe = 6, rerank = 150)
       val exact = KnnJoin.exactKnnJoin(emb(s, dir), probes(s, dir), k = 10,
@@ -143,18 +182,23 @@ object VectorQueries {
 
     // B8 reference-shaped latency summary for the HNSW path: per-query
     // critical-path shard search times → count/avg + exact nearest-rank-
-    // floor percentiles (the reference's searchLatencyMs record,
+    // floor percentiles flattened to one scalar column per rank (the
+    // reference's searchLatencyMs record: count/avg/p50/p90/p95/p99,
     // src/bench/run.ts:43-53 + src/bench/metrics.ts:46-68). Rows-only:
     // timings are machine-dependent by nature.
     "hnsw_latency_summary" -> ((s, dir) => {
       import graft.functions.FloorPercentiles.floor_percentiles
-      val model = HnswIndexer.fit(emb(s, dir),
-        HnswParams(m = 16, efConstruction = 200, numPartitions = 4))
-      val (_, latencies) = model.knnJoinTimed(probes(s, dir), k = 10, Some(100))
+      val (_, latencies) =
+        hnswModel(s, dir).knnJoinTimed(probes(s, dir), k = 10, Some(100))
       latencies.agg(
         count(lit(1)).as("n_queries"),
         rnd(avg("search_ms"), 3).as("avg_ms"),
         floor_percentiles(col("search_ms"), Seq(0.50, 0.90, 0.95, 0.99)).as("pcts"))
+        .select(col("n_queries"), col("avg_ms"),
+          rnd(element_at(col("pcts"), 1), 3).as("p50_ms"),
+          rnd(element_at(col("pcts"), 2), 3).as("p90_ms"),
+          rnd(element_at(col("pcts"), 3), 3).as("p95_ms"),
+          rnd(element_at(col("pcts"), 4), 3).as("p99_ms"))
     }),
 
     // multimodal features feed straight into the similarity operators —
@@ -212,7 +256,76 @@ object VectorQueries {
             .as("avg_norm")))
   )
 
+  /** Shared DuckDB CTE prefix reproducing the LSH signature pipeline of
+    * [[AnnLsh.lshKnnJoin]] / [[AnnLsh.lshNearDupPairs]] (numPlanes=6, d=64,
+    * seed=42, numTables=4, multiProbe=1) from plane literals. */
+  private def lshSigsCte: String = {
+    val sigs = AnnLsh.duckdbAllSigsSql("embeddings", "vec_id", "embedding",
+      numPlanes = 6, d = 64, seed = 42L, numTables = 4)
+    s"""WITH sigs AS (
+       | $sigs
+       |)""".stripMargin
+  }
+
+  private def lshKnnCte: String =
+    s"""$lshSigsCte,
+       | qs AS (SELECT vec_id AS query_id, embedding AS qv, sig AS qsig
+       |        FROM sigs WHERE vec_id < 100),
+       | lsh_probes AS (
+       |  SELECT query_id, qv, qsig AS sig FROM qs
+       |  UNION ALL
+       |  SELECT query_id, qv, xor(qsig, CAST(1 AS BIGINT) << i) AS sig
+       |  FROM qs, range(0, 6) t(i)),
+       | cands AS (
+       |  SELECT DISTINCT p.query_id, s.vec_id AS neighbor_id,
+       |   floor((list_cosine_similarity(CAST(s.embedding AS DOUBLE[]), CAST(p.qv AS DOUBLE[])))*1e6 + 0.5)/1e6 AS score
+       |  FROM lsh_probes p JOIN sigs s ON p.sig = s.sig),
+       | lsh_topk AS (
+       |  SELECT query_id, neighbor_id, score, rank FROM (
+       |   SELECT *, row_number() OVER (PARTITION BY query_id
+       |     ORDER BY score DESC, neighbor_id) AS rank FROM cands)
+       |  WHERE rank <= 10)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "knn_lsh_cosine" ->
+      s"""$lshKnnCte
+         |SELECT query_id, neighbor_id, score, rank FROM lsh_topk""".stripMargin,
+    "recall_lsh" ->
+      s"""$lshKnnCte,
+         | exact_scored AS (
+         |  SELECT q.query_id, e.vec_id AS neighbor_id,
+         |   floor((list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])))*1e6 + 0.5)/1e6 AS score
+         |  FROM embeddings e, (SELECT vec_id AS query_id, embedding AS qv
+         |                      FROM embeddings WHERE vec_id < 100) q),
+         | exact_topk AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |   SELECT *, row_number() OVER (PARTITION BY query_id
+         |     ORDER BY score DESC, neighbor_id) AS rank FROM exact_scored)
+         |  WHERE rank <= 10),
+         | per AS (
+         |  SELECT ex.query_id,
+         |   CAST(sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+         |   CAST(count(*) AS BIGINT) AS total
+         |  FROM exact_topk ex LEFT JOIN lsh_topk l
+         |    ON ex.query_id = l.query_id AND ex.neighbor_id = l.neighbor_id
+         |  GROUP BY ex.query_id)
+         |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         |  CAST(sum(hits) AS BIGINT) AS hits,
+         |  CAST(sum(total) AS BIGINT) AS total,
+         |  CAST(sum(hits) AS DOUBLE)/CAST(sum(total) AS DOUBLE) AS recall
+         |FROM per""".stripMargin,
+    "near_dup_embeddings_lsh" ->
+      s"""$lshSigsCte,
+         | pair_probes AS (
+         |  SELECT vec_id, embedding, sig FROM sigs
+         |  UNION ALL
+         |  SELECT vec_id, embedding, xor(sig, CAST(1 AS BIGINT) << i) AS sig
+         |  FROM sigs, range(0, 6) t(i)),
+         | pairs AS (
+         |  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2,
+         |   floor((list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))*1e6 + 0.5)/1e6 AS cos_sim
+         |  FROM sigs a JOIN pair_probes b ON a.sig = b.sig AND a.vec_id < b.vec_id)
+         |SELECT id1, id2, cos_sim FROM pairs WHERE cos_sim >= 0.4""".stripMargin,
     "knn_exact_cosine" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
         |           FROM embeddings WHERE vec_id < 100),
@@ -255,7 +368,7 @@ object VectorQueries {
       """SELECT a.vec_id AS id1, b.vec_id AS id2,
         | floor((list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))*1e6 + 0.5)/1e6 AS cos_sim
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE floor((list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))*1e6 + 0.5)/1e6 >= 0.8""".stripMargin,
+        |WHERE floor((list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))*1e6 + 0.5)/1e6 >= 0.4""".stripMargin,
     "label_centroid_norm" ->
       """SELECT label, count(*) AS n,
         | floor((avg(sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))))*1e6 + 0.5)/1e6 AS avg_norm

@@ -174,6 +174,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"lsh recall = $recall")
   }
 
+  test("LSH near-dup pairs are a subset of brute force with decent pair recall") {
+    val threshold = 0.3
+    val brute = emb.select(col("vec_id").as("id1"), col("embedding").as("e1"))
+      .join(emb.select(col("vec_id").as("id2"), col("embedding").as("e2")),
+        col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        graft.Qutil.rnd(graft.functions.similarity.cosine_sim(col("e1"), col("e2")), 6)
+          .as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = AnnLsh.lshNearDupPairs(emb, threshold, numPlanes = 6, d = 64,
+      numTables = 4)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "fixture threshold should produce pairs")
+    assert(lsh.subsetOf(brute), "rerank must make every LSH pair a true pair")
+    val recall = lsh.size.toDouble / brute.size
+    assert(recall >= 0.5, s"pair recall = $recall (${lsh.size}/${brute.size})")
+  }
+
   test("streaming windowed counts over MemoryStream match batch twin (B4 analog)") {
     import spark.implicits._
     implicit val sctx = spark.sqlContext

@@ -121,6 +121,21 @@ class PlanSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS orders_b")
   }
 
+  test("near_dup_embeddings_lsh: bucket-join prefilter, no cartesian anywhere") {
+    val p = plan("near_dup_embeddings_lsh")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"near-dup scale path must stay a bucket equi-join:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"expected an equi-join on the signature key:\n$p")
+  }
+
+  test("knn_lsh_cosine: signature probe is an equi-join, no cartesian") {
+    val p = plan("knn_lsh_cosine")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"LSH kNN must never cross-join base with probes:\n$p")
+  }
+
   test("q_sessions_batch: both windows and the agg share one shuffle") {
     val p = plan("q_sessions_batch")
     val exchanges = "Exchange hashpartitioning".r.findAllMatchIn(p).size
