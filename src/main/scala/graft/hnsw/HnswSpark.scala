@@ -36,16 +36,45 @@ case class HnswParams(
   * memory/recall knob: size P so rows/P·(d·4B + M·levels·8B) fits an
   * executor (SURVEY §7.4).
   */
+/** O11 cluster-level build progress (SURVEY §2.1: the reference's
+  * onProgress callback, src/main.ts:308-316 + tests/HNSW.test.ts:140-146,
+  * surfaced at the Spark level): executors tick NAMED accumulators as each
+  * partition-local build advances, so the driver (and the Spark UI, and
+  * any SparkListener reading `taskInfo.accumulables`) sees live
+  * rows-inserted counts during a long distributed build.
+  *
+  * `rows` carries the cumulative inserted-row count (delta-reported at
+  * every callback, exact at completion); `ticks` counts callback firings —
+  * one per `interval` inserts per partition plus one final partial, the
+  * reference cadence. Standard accumulator-in-transformation caveat:
+  * task retries / persisted-partition recomputes over-report — treat as
+  * progress telemetry, not an exact meter. */
+case class BuildProgress(
+    rows: org.apache.spark.util.LongAccumulator,
+    ticks: org.apache.spark.util.LongAccumulator,
+    interval: Long)
+
+object BuildProgress {
+  def register(spark: SparkSession, interval: Long = 10000L): BuildProgress =
+    BuildProgress(
+      spark.sparkContext.longAccumulator("graft.hnsw.build.rows"),
+      spark.sparkContext.longAccumulator("graft.hnsw.build.ticks"),
+      interval)
+}
+
 object HnswIndexer {
 
   /** Build P sub-indexes from (id, vector) columns. Deterministic: level
     * draws are keyed on (seed, id), partition assignment is hash(id), and
-    * inserts happen in ascending-id order within each partition. */
+    * inserts happen in ascending-id order within each partition.
+    * Pass a [[BuildProgress]] to observe the build live from the driver. */
   def fit(df: DataFrame, params: HnswParams = HnswParams(),
-      idCol: String = "vec_id", vecCol: String = "embedding"): HnswModel = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      progress: Option[BuildProgress] = None): HnswModel = {
     val spark = df.sparkSession
     import spark.implicits._
     val p = params
+    val prog = progress
     val graph = df
       .select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<float>").as("vec"))
       .as[(Long, Array[Float])]
@@ -55,7 +84,16 @@ object HnswIndexer {
         val part = TaskContext.getPartitionId()
         val idx = new HnswIndex(p.m, p.efConstruction, -1, Metric(p.metric),
           Some(p.effectiveEfSearch), None, p.seed)
-        idx.buildIndex(it)
+        prog match {
+          case None => idx.buildIndex(it)
+          case Some(bp) =>
+            var last = 0L
+            idx.buildIndex(it,
+              onProgress = (i, _) => {
+                bp.rows.add(i - last); last = i; bp.ticks.add(1)
+              },
+              progressInterval = bp.interval)
+        }
         idx.toRows.map(r => PartGraphRow(part, r.id, r.level, r.vector, r.neighbors))
       }
     val persisted = graph.persist()

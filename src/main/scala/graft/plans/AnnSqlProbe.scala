@@ -4,7 +4,7 @@ import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Descending, EmptyRow, Expression, IntegerLiteral, NamedExpression, SortOrder}
-import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit, LogicalPlan, Project, Sort}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, GlobalLimit, LocalLimit, LogicalPlan, Project, Sort}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -62,6 +62,24 @@ object AnnSqlProbe {
 
   def unregister(path: String): Unit = { catalog.remove(normalize(path)); () }
 
+  /** Register `model` as the index of a CATALOG table (`db.tbl` or `tbl`):
+    * resolves the table's storage location and registers that path, so
+    * `SELECT ... FROM tbl ORDER BY sim DESC LIMIT k` rewrites exactly like
+    * the `parquet.`path`` form (by optimizer time a datasource table is
+    * the same LogicalRelation over its location). */
+  def registerTable(spark: SparkSession, table: String, model: HnswModel,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val loc = spark.sessionState.catalog.getTableMetadata(ident).location
+    register(loc.getPath, model, idCol, vecCol)
+  }
+
+  def unregisterTable(spark: SparkSession, table: String): Unit = {
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val loc = spark.sessionState.catalog.getTableMetadata(ident).location
+    unregister(loc.getPath)
+  }
+
   def lookup(paths: Seq[String]): Option[Entry] =
     paths.iterator.map(p => catalog.get(normalize(p))).collectFirst { case Some(e) => e }
 
@@ -103,12 +121,31 @@ class AnnProbeRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
+  /** Project child → (relation, optional id-filter condition). Accepts a
+    * pruning Project between the Filter and the relation (ColumnPruning may
+    * insert one). */
+  private def unwrap(child: LogicalPlan): Option[(LogicalRelation, Option[Expression])] =
+    child match {
+      case rel: LogicalRelation => Some((rel, None))
+      case Filter(cond, rel: LogicalRelation) => Some((rel, Some(cond)))
+      case Filter(cond, Project(cols, rel: LogicalRelation))
+          if cols.forall(_.isInstanceOf[AttributeReference]) =>
+        Some((rel, Some(cond)))
+      case _ => None
+    }
+
+  /** Probe-then-filter over-fetch: a WHERE on the id column is applied
+    * AFTER the index probe (standard ANN post-filtering), so the probe
+    * fetches extra candidates to keep up to k survivors likely. */
+  private val overfetch = 4
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     case gl @ GlobalLimit(IntegerLiteral(k),
         ll @ LocalLimit(_,
           s @ Sort(Seq(SortOrder(sref: AttributeReference, Descending, _, _)), true,
-            Project(projList, rel: LogicalRelation), _))) if k > 0 && k <= 10000 =>
+            Project(projList, projChild), _))) if k > 0 && k <= 10000 =>
       val rewritten = for {
+        (rel, idFilter) <- unwrap(projChild)
         entry <- rel.relation match {
           case fs: HadoopFsRelation => lookup(fs.location.rootPaths.map(_.toString))
           case _ => None
@@ -125,11 +162,17 @@ class AnnProbeRule(spark: SparkSession) extends Rule[LogicalPlan] {
             case a: Alias => a.exprId == simAlias.exprId
             case ar: AttributeReference => ar.name == entry.idCol
             case _ => false
-          }
+          } &&
+          // an optional WHERE may touch ONLY the id column (probe-then-
+          // filter semantics; a vector/other-column predicate falls through
+          // to the exact plan)
+          idFilter.forall(c => c.deterministic &&
+            c.references.forall(_.name == entry.idCol))
       } yield {
         import spark.implicits._
         val probe = Seq((0L, qvec)).toDF("query_id", "query_vec")
-        val knn = entry.model.knnJoin(probe, k)
+        val kProbe = if (idFilter.isDefined) math.min(k.toLong * overfetch, 10000L).toInt else k
+        val knn = entry.model.knnJoin(probe, kProbe)
         val knnPlan = knn.queryExecution.analyzed
         val nbr = knnPlan.output.find(_.name == "neighbor_id").get
         val score = knnPlan.output.find(_.name == "score").get
@@ -139,9 +182,13 @@ class AnnProbeRule(spark: SparkSession) extends Rule[LogicalPlan] {
             val c = if (nbr.dataType == ar.dataType) nbr else Cast(nbr, ar.dataType)
             Alias(c, ar.name)(exprId = ar.exprId)
         }
+        val projected = Project(newProj, knnPlan)
+        // the id filter re-applies ABOVE the probe projection (its attr ids
+        // are preserved by the aliases), giving post-filter semantics
+        val filtered = idFilter.map(Filter(_, projected)).getOrElse(projected)
         // keep the original sort+limit nodes (attribute ids preserved) so
         // parent operators resolve unchanged
-        gl.copy(child = ll.copy(child = s.copy(child = Project(newProj, knnPlan))))
+        gl.copy(child = ll.copy(child = s.copy(child = filtered)))
       }
       rewritten.getOrElse(gl)
   }

@@ -145,6 +145,36 @@ class OperatorsSpec extends AnyFunSuite {
       .first().getSeq[Float](1) == Seq(1f, 2f, 3f, 4f))
   }
 
+  test("streaming fvecs source: dir feed, global ids, early close at limit (B4)") {
+    val tmp = java.nio.file.Files.createTempDirectory("fvecs_stream").toString
+    def write(name: String, first: Int): Unit = {
+      val out = new DataOutputStream(new FileOutputStream(s"$tmp/$name"))
+      (first until first + 10).foreach { i =>
+        val bb = ByteBuffer.allocate(4 + 4 * 4).order(ByteOrder.LITTLE_ENDIAN)
+        bb.putInt(4); (0 until 4).foreach(j => bb.putFloat(i * 10f + j))
+        out.write(bb.array())
+      }
+      out.close()
+    }
+    write("aa.fvecs", 0); write("bb.fvecs", 10); write("cc.fvecs", 20)
+    // early close: 3 files pending but only 15 rows may cross
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val n = graft.sources.FvecsStream.ingestWithLimit(spark, tmp, limit = 15) { b =>
+      got ++= b.select("vec_id").collect().map(_.getLong(0))
+    }
+    assert(n == 15 && got.size == 15)
+    assert(got.toSet.subsetOf((0L until 30L).toSet) && got.toSet.size == 15)
+    // full drain: every record exactly once, globally-consistent ids
+    val all = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Float])]
+    val total = graft.sources.FvecsStream.ingestWithLimit(spark, tmp, limit = 1000) { b =>
+      all ++= b.collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    }
+    assert(total == 30)
+    assert(all.map(_._1).sorted == (0L until 30L))
+    // ids line up with content: record id i carries vector (i*10+j)
+    all.foreach { case (id, v) => assert(v == Seq.tabulate(4)(j => id * 10f + j)) }
+  }
+
   test("synthetic source is partition-independent and seeded (B1)") {
     val a = VectorSources.synthetic(spark, 100, 8, seed = 42)
       .repartition(7).collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toMap

@@ -50,6 +50,31 @@ class HnswSparkSpec extends AnyFunSuite {
     (0 until 150).foreach(i => SubIndexCache.evictModel(s"sweep-$i"))
   }
 
+  test("distributed build progress: accumulators tick at the reference cadence (O11)") {
+    // 500 rows, 1 partition, interval 100 → callbacks at 100..500 (5 ticks,
+    // no final partial since 500 % 100 == 0); rows accumulator exact
+    val bp = BuildProgress.register(spark, interval = 100L)
+    val m1 = HnswIndexer.fit(emb, HnswParams(m = 8, efConstruction = 50,
+      numPartitions = 1), progress = Some(bp))
+    m1.graph.count() // force the (lazy, persisted) build
+    assert(bp.rows.value == 500, s"rows = ${bp.rows.value}")
+    assert(bp.ticks.value == 5, s"ticks = ${bp.ticks.value}")
+    m1.unpersist()
+    // multi-partition: per-partition cadence sums — rows still exact,
+    // ticks = Σ_p (n_p / 100 + (1 if n_p % 100 != 0)); verify against the
+    // actual hash-partition sizes
+    val bp2 = BuildProgress.register(spark, interval = 100L)
+    val m2 = HnswIndexer.fit(emb, HnswParams(m = 8, efConstruction = 50,
+      numPartitions = 4), progress = Some(bp2))
+    m2.graph.count()
+    val sizes = m2.graph.groupBy("part").count().collect().map(_.getLong(1))
+    val expectTicks = sizes.map(n => n / 100 + (if (n % 100 != 0) 1L else 0L)).sum
+    assert(bp2.rows.value == 500, s"rows = ${bp2.rows.value}")
+    assert(bp2.ticks.value == expectTicks,
+      s"ticks = ${bp2.ticks.value}, expected $expectTicks (sizes ${sizes.mkString(",")})")
+    m2.unpersist()
+  }
+
   test("knnJoin output shape: k rows per query, ranked, scores descending") {
     val model = HnswIndexer.fit(emb, HnswParams(numPartitions = 2))
     val res = model.knnJoin(probes.limit(3), k = 5).collect()

@@ -90,6 +90,69 @@ class AnnSqlProbeSpec extends AnyFunSuite {
     }
   }
 
+  test("catalog table registration: FROM tbl rewrites like the path form") {
+    spark.sql("DROP TABLE IF EXISTS emb_cat")
+    spark.sql(s"CREATE TABLE emb_cat USING parquet LOCATION '$path'")
+    val model = HnswIndexer.fit(spark.read.parquet(path), HnswParams(numPartitions = 2))
+    try {
+      AnnSqlProbe.registerTable(spark, "emb_cat", model)
+      val qvec = spark.read.parquet(path).filter(col("vec_id") === 3)
+        .select("embedding").first().getSeq[Float](0)
+      val arr = qvec.map(v => s"cast($v as float)").mkString("array(", ", ", ")")
+      val sql =
+        s"""SELECT vec_id, cosine_sim(embedding, $arr) AS score
+           |FROM emb_cat ORDER BY score DESC LIMIT 10""".stripMargin
+      val probed = spark.sql(sql)
+      assert(probed.queryExecution.executedPlan.toString.contains("Filter (rank"),
+        "catalog-table scan should rewrite into the probe")
+      val rows = probed.collect()
+      assert(rows.length == 10 && rows.head.getLong(0) == 3L)
+      AnnSqlProbe.unregisterTable(spark, "emb_cat")
+      assert(!spark.sql(sql).queryExecution.executedPlan.toString
+        .contains("Filter (rank"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS emb_cat")
+      model.unpersist()
+    }
+  }
+
+  test("WHERE on the id column: probe-then-filter rewrite; other columns fall through") {
+    val model = HnswIndexer.fit(spark.read.parquet(path),
+      HnswParams(m = 16, efConstruction = 200, numPartitions = 2))
+    try {
+      AnnSqlProbe.register(path, model)
+      val qvec = spark.read.parquet(path).filter(col("vec_id") === 3)
+        .select("embedding").first().getSeq[Float](0)
+      val arr = qvec.map(v => s"cast($v as float)").mkString("array(", ", ", ")")
+      val sql =
+        s"""SELECT vec_id, cosine_sim(embedding, $arr) AS score
+           |FROM parquet.`$path` WHERE vec_id < 250
+           |ORDER BY score DESC LIMIT 5""".stripMargin
+      val probed = spark.sql(sql)
+      val plan = probed.queryExecution.executedPlan.toString
+      assert(plan.contains("Filter (rank"), s"expected probe rewrite:\n$plan")
+      val rows = probed.collect()
+      // post-filter semantics: every survivor satisfies the predicate,
+      // sorted by score, at most k rows; the self-match (id 3) survives
+      assert(rows.nonEmpty && rows.length <= 5)
+      assert(rows.forall(_.getLong(0) < 250))
+      assert(rows.head.getLong(0) == 3L && rows.head.getDouble(1) > 0.999)
+      val scores = rows.map(_.getDouble(1)).toSeq
+      assert(scores == scores.sorted.reverse)
+      // a predicate on a non-id column must fall through to the exact plan
+      val p2 = spark.sql(
+        s"""SELECT vec_id, cosine_sim(embedding, $arr) AS score
+           |FROM parquet.`$path` WHERE label = 1
+           |ORDER BY score DESC LIMIT 5""".stripMargin)
+        .queryExecution.executedPlan.toString
+      assert(!p2.contains("Filter (rank"),
+        s"non-id predicate must not rewrite:\n$p2")
+    } finally {
+      AnnSqlProbe.unregister(path)
+      model.unpersist()
+    }
+  }
+
   test("unregistering restores the exact plan") {
     val model = HnswIndexer.fit(spark.read.parquet(path), HnswParams(numPartitions = 2))
     AnnSqlProbe.register(path, model)
