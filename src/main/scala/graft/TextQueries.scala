@@ -298,7 +298,58 @@ object TextQueries {
             |  array_min(slice(ghs, greatest(i-3, 1), i - greatest(i-3, 1) + 1))))"""
             .stripMargin).as("fps"))
         .select(col("doc_id"), size(col("fps")).cast("long").as("n_fp"),
-          expr("aggregate(fps, cast(0 as bigint), (acc, x) -> acc + x)").as("fp_sum")))
+          expr("aggregate(fps, cast(0 as bigint), (acc, x) -> acc + x)").as("fp_sum"))),
+
+    // deterministic train/val/test split assignment: md5-bucket on a
+    // salted doc id (8/1/1) — the standard leakage-safe split for training
+    // corpora; pure projection, zero shuffles, reproducible on any engine
+    "doc_split_assign" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+          (md5Long(concat(lit("split:"), col("doc_id"))) % 10).as("bucket"))
+        .withColumn("split",
+          when(col("bucket") < 8, "train")
+            .when(col("bucket") === 8, "val")
+            .otherwise("test"))),
+
+    // context-length histogram: token-count buckets (width 64) per
+    // language — the sizing input for context packing / batch shaping
+    "q_length_buckets" -> ((s, dir) => {
+      val nTok = size(split(trim(col("text")), "\\s+"))
+      docs(s, dir).select(col("lang"), floor(nTok / 64.0).as("bucket"),
+          nTok.cast("long").as("n_tokens"))
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          min("n_tokens").as("min_tok"), max("n_tokens").as("max_tok"))
+    }),
+
+    // PII-pattern scan: per-doc counts of email / URL / long-digit-run
+    // matches (the cleaning pass every training corpus runs); regexes kept
+    // in the RE2-compatible subset so engines agree exactly
+    "pii_scan" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+          size(regexp_extract_all(col("text"),
+            lit("[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+"), lit(0))).as("n_email"),
+          size(regexp_extract_all(col("text"),
+            lit("https?://[^\\s]+"), lit(0))).as("n_url"),
+          size(regexp_extract_all(col("text"),
+            lit("[0-9]{6,}"), lit(0))).as("n_digit_runs"))
+        .withColumn("has_pii",
+          col("n_email") + col("n_url") + col("n_digit_runs") > 0)),
+
+    // fixed-width chunking: 256-char windows per doc (the embedding /
+    // context-window preprocessing step) — in-row sequence + explode, so
+    // chunking is a pure projection that scales with the scan
+    "doc_chunks" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+          explode(expr(
+            """transform(sequence(0,
+              |  greatest(cast(ceil(length(text)/256.0) as int), 1) - 1),
+              |  i -> struct(i AS chunk_ix,
+              |              substring(text, i*256 + 1, 256) AS chunk))"""
+              .stripMargin)).as("c"))
+        .select(col("doc_id"), col("c.chunk_ix").cast("long").as("chunk_ix"),
+          length(col("c.chunk")).as("chunk_len"),
+          md5(col("c.chunk")).as("chunk_hash")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -344,6 +395,39 @@ object TextQueries {
         | min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
         | doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
         |FROM documents""".stripMargin,
+    "doc_split_assign" ->
+      """WITH b AS (SELECT doc_id,
+        |  ('0x' || substr(md5('split:' || doc_id), 1, 15))::BIGINT % 10 AS bucket
+        | FROM documents)
+        |SELECT doc_id, bucket,
+        | CASE WHEN bucket < 8 THEN 'train'
+        |      WHEN bucket = 8 THEN 'val'
+        |      ELSE 'test' END AS split
+        |FROM b""".stripMargin,
+    "q_length_buckets" ->
+      """WITH b AS (SELECT lang,
+        |  len(string_split_regex(trim(text),'\s+')) AS n_tokens FROM documents)
+        |SELECT lang, CAST(floor(n_tokens/64.0) AS BIGINT) AS bucket,
+        | count(*) AS n_docs, min(n_tokens) AS min_tok, max(n_tokens) AS max_tok
+        |FROM b GROUP BY 1, 2""".stripMargin,
+    "pii_scan" ->
+      """SELECT doc_id,
+        | len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+')) AS n_email,
+        | len(regexp_extract_all(text, 'https?://[^\s]+')) AS n_url,
+        | len(regexp_extract_all(text, '[0-9]{6,}')) AS n_digit_runs,
+        | len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+'))
+        |  + len(regexp_extract_all(text, 'https?://[^\s]+'))
+        |  + len(regexp_extract_all(text, '[0-9]{6,}')) > 0 AS has_pii
+        |FROM documents""".stripMargin,
+    "doc_chunks" ->
+      """WITH c0 AS (
+        | SELECT doc_id, text,
+        |  unnest(range(0, greatest(CAST(ceil(length(text)/256.0) AS BIGINT), 1))) AS chunk_ix
+        | FROM documents),
+        | c AS (SELECT doc_id, chunk_ix,
+        |  substring(text, CAST(chunk_ix*256 + 1 AS INT), 256) AS chunk FROM c0)
+        |SELECT doc_id, chunk_ix, length(chunk) AS chunk_len, md5(chunk) AS chunk_hash
+        |FROM c""".stripMargin,
     "ngram_jaccard_topk" ->
       """WITH d AS (SELECT doc_id, string_split_regex(trim(text),'\s+') AS ts
         |           FROM documents),
