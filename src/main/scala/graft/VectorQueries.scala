@@ -169,6 +169,25 @@ object VectorQueries {
         k = 10, nprobe = 6, rerank = 150)
     }),
 
+    // OPQ (learned-rotation PQ): same ADC+rerank scan as PQ, better code
+    // quality under correlated dims. Rows-only gate; spec asserts the
+    // objective + recall floor.
+    "knn_opq_euclid" -> ((s, dir) => {
+      val model = ModelMemo.get(s, s"opq/s8c16/$dir")(
+        graft.operators.Opq.fit(emb(s, dir), numSub = 8, codesPerSub = 16))
+      graft.operators.Opq.knnJoin(model, emb(s, dir), probes(s, dir), k = 10, rerank = 100)
+    }),
+
+    "recall_opq" -> ((s, dir) => {
+      val model = ModelMemo.get(s, s"opq/s8c16/$dir")(
+        graft.operators.Opq.fit(emb(s, dir), numSub = 8, codesPerSub = 16))
+      val approx = graft.operators.Opq.knnJoin(model, emb(s, dir), probes(s, dir),
+        k = 10, rerank = 100)
+      val exact = KnnJoin.exactKnnJoin(emb(s, dir), probes(s, dir), k = 10,
+        metric = "euclidean")
+      Recall.microAvgRecall(approx, exact)
+    }),
+
     "recall_ivfpq" -> ((s, dir) => {
       val model = ModelMemo.get(s, s"ivfpq/c16s8c16/$dir")(
         graft.operators.IvfPq.fit(emb(s, dir), numCells = 16,

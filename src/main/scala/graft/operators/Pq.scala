@@ -35,34 +35,21 @@ object Pq {
   case class Model(numSub: Int, subDim: Int, codesPerSub: Int,
       codebooks: Array[Array[Array[Float]]], encoded: DataFrame)
 
-  private def sq(x: Float): Double = x.toDouble * x
+  private[operators] def sq(x: Float): Double = x.toDouble * x
 
-  /** Train codebooks on a seeded sample, then encode the corpus. */
-  def fit(base: DataFrame, numSub: Int = 8, codesPerSub: Int = 16,
-      sampleN: Int = 4000, iters: Int = 5, seed: Long = 42L,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Model = {
-    val spark = base.sparkSession
-    import spark.implicits._
-    val src = base.select(col(idCol).cast("long").as("id"),
-      col(vecCol).cast("array<float>").as("vec"))
-    val sample = src.withColumn("h", xxhash64(col("id"), lit(seed)))
-      .orderBy("h").limit(sampleN)
-      .select("id", "vec").as[(Long, Array[Float])].collect()
-    require(sample.nonEmpty, "PQ training sample is empty")
-    val d = sample.head._2.length
-    require(d % numSub == 0, s"dimension $d not divisible by numSub=$numSub")
-    val subDim = d / numSub
-
-    // per-subspace k-means: seeded init (first k sample rows by id-hash
-    // order), then Lloyd iterations with empty-cell carry-over
-    val codebooks = Array.tabulate(numSub) { s =>
-      val pts = sample.map { case (_, v) => v.slice(s * subDim, (s + 1) * subDim) }
-      var cents = pts.take(codesPerSub).map(_.clone())
+  /** Per-subspace k-means over in-memory sample points (deterministic:
+    * init = first k points in the caller's order, Lloyd with empty-cell
+    * carry-over). Shared by PQ and OPQ training. */
+  private[operators] def trainCodebooks(pts: Array[Array[Float]], numSub: Int,
+      subDim: Int, codesPerSub: Int, iters: Int): Array[Array[Array[Float]]] =
+    Array.tabulate(numSub) { s =>
+      val sub = pts.map(v => v.slice(s * subDim, (s + 1) * subDim))
+      var cents = sub.take(codesPerSub).map(_.clone())
       var it = 0
       while (it < iters) {
         val sums = Array.fill(codesPerSub)(new Array[Double](subDim))
         val counts = new Array[Int](codesPerSub)
-        pts.foreach { p =>
+        sub.foreach { p =>
           var best = 0; var bestD = Double.MaxValue
           var c = 0
           while (c < cents.length) {
@@ -84,45 +71,77 @@ object Pq {
       cents
     }
 
+  /** Nearest-centroid code per subspace. */
+  private[operators] def encodeVec(cbs: Array[Array[Array[Float]]], v: Array[Float],
+      numSub: Int, subDim: Int): Array[Short] = {
+    val codes = new Array[Short](numSub)
+    var s = 0
+    while (s < numSub) {
+      val cents = cbs(s)
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cents.length) {
+        var dist = 0.0; var j = 0
+        while (j < subDim) { dist += sq(v(s * subDim + j) - cents(c)(j)); j += 1 }
+        if (dist < bestD) { bestD = dist; best = c }
+        c += 1
+      }
+      codes(s) = best.toShort
+      s += 1
+    }
+    codes
+  }
+
+  /** Centroid reconstruction of a code word. */
+  private[operators] def decodeVec(cbs: Array[Array[Array[Float]]], codes: Array[Short],
+      numSub: Int, subDim: Int): Array[Float] = {
+    val out = new Array[Float](numSub * subDim)
+    var s = 0
+    while (s < numSub) {
+      val cent = cbs(s)(codes(s))
+      var j = 0
+      while (j < subDim) { out(s * subDim + j) = cent(j); j += 1 }
+      s += 1
+    }
+    out
+  }
+
+  /** Train codebooks on a seeded sample, then encode the corpus. */
+  def fit(base: DataFrame, numSub: Int = 8, codesPerSub: Int = 16,
+      sampleN: Int = 4000, iters: Int = 5, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Model = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val src = base.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<float>").as("vec"))
+    val sample = src.withColumn("h", xxhash64(col("id"), lit(seed)))
+      .orderBy("h").limit(sampleN)
+      .select("id", "vec").as[(Long, Array[Float])].collect()
+    require(sample.nonEmpty, "PQ training sample is empty")
+    val d = sample.head._2.length
+    require(d % numSub == 0, s"dimension $d not divisible by numSub=$numSub")
+    val subDim = d / numSub
+
+    // per-subspace k-means: seeded init (first k sample rows by id-hash
+    // order), then Lloyd iterations with empty-cell carry-over
+    val codebooks = trainCodebooks(sample.map(_._2), numSub, subDim, codesPerSub, iters)
+
     val bc = spark.sparkContext.broadcast(codebooks)
     val encoded = src.as[(Long, Array[Float])].mapPartitions { rows =>
       val cbs = bc.value
-      rows.map { case (id, v) =>
-        val codes = new Array[Short](numSub)
-        var s = 0
-        while (s < numSub) {
-          val cents = cbs(s)
-          var best = 0; var bestD = Double.MaxValue
-          var c = 0
-          while (c < cents.length) {
-            var dist = 0.0; var j = 0
-            while (j < subDim) { dist += sq(v(s * subDim + j) - cents(c)(j)); j += 1 }
-            if (dist < bestD) { bestD = dist; best = c }
-            c += 1
-          }
-          codes(s) = best.toShort
-          s += 1
-        }
-        (id, codes)
-      }
+      rows.map { case (id, v) => (id, encodeVec(cbs, v, numSub, subDim)) }
     }.toDF("id", "codes").persist()
     encoded.count()
     Model(numSub, subDim, codesPerSub, codebooks, encoded)
   }
 
-  /** ADC scan + exact rerank: approximate euclidean top-`rerank` per query
-    * from the code table, then exact `1/(1+L2)` rerank on the original
-    * vectors → top-k. */
-  def knnJoin(model: Model, base: DataFrame, queries: DataFrame, k: Int,
-      rerank: Int = 100, queryId: String = "query_id",
-      queryVec: String = "query_vec",
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    require(k > 0 && rerank >= k)
+  /** ADC candidate stage: top-`rerank` (query_id, cand_id) pairs per query
+    * by asymmetric distance over the code table. `probes` must already be
+    * in the model's code space (OPQ hands in rotated queries). */
+  private[operators] def adcCandidates(model: Model, probes: Array[(Long, Array[Float])],
+      rerank: Int): DataFrame = {
     val spark = model.encoded.sparkSession
     import spark.implicits._
-    val probes = queries
-      .select(col(queryId).cast("long"), col(queryVec).cast("array<float>"))
-      .as[(Long, Array[Float])].collect()
     val bcQ = spark.sparkContext.broadcast(probes)
     val bcCb = spark.sparkContext.broadcast(model.codebooks)
     val numSub = model.numSub
@@ -164,11 +183,17 @@ object Pq {
     // global top-rerank per query over the per-partition candidates
     val wr = Window.partitionBy("query_id")
       .orderBy(col("adc_dist").asc, col("cand_id").asc)
-    val topCands = cands.withColumn("crank", row_number().over(wr))
+    cands.withColumn("crank", row_number().over(wr))
       .filter(col("crank") <= r)
       .select("query_id", "cand_id")
-    // exact rerank on the original vectors
-    val scored = topCands
+  }
+
+  /** Exact `1/(1+L2)` top-k rerank of (query_id, cand_id) candidates on
+    * the original vectors (shared by PQ and OPQ). */
+  private[operators] def exactRerank(cands: DataFrame, base: DataFrame,
+      queries: DataFrame, k: Int, queryId: String, queryVec: String,
+      idCol: String, vecCol: String): DataFrame = {
+    val scored = cands
       .join(base.select(col(idCol).cast("long").as("cand_id"),
         col(vecCol).cast("array<float>").as("bvec")), Seq("cand_id"))
       .join(broadcast(queries.select(col(queryId).cast("long").as("query_id"),
@@ -178,5 +203,22 @@ object Pq {
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** ADC scan + exact rerank: approximate euclidean top-`rerank` per query
+    * from the code table, then exact `1/(1+L2)` rerank on the original
+    * vectors → top-k. */
+  def knnJoin(model: Model, base: DataFrame, queries: DataFrame, k: Int,
+      rerank: Int = 100, queryId: String = "query_id",
+      queryVec: String = "query_vec",
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k > 0 && rerank >= k)
+    val spark = model.encoded.sparkSession
+    import spark.implicits._
+    val probes = queries
+      .select(col(queryId).cast("long"), col(queryVec).cast("array<float>"))
+      .as[(Long, Array[Float])].collect()
+    val topCands = adcCandidates(model, probes, rerank)
+    exactRerank(topCands, base, queries, k, queryId, queryVec, idCol, vecCol)
   }
 }

@@ -444,6 +444,38 @@ class OperatorsSpec extends AnyFunSuite {
     m1.encoded.unpersist(); m2.encoded.unpersist()
   }
 
+  test("OPQ: orthogonal rotation, MSE no worse than PQ, recall floor (scale path)") {
+    import graft.operators.{Opq, Pq}
+    val opq = Opq.fit(emb, numSub = 8, codesPerSub = 16, sampleN = 500, opqIters = 6)
+    val d = opq.rotation.length
+    // learned rotation must stay orthonormal (Procrustes guarantees it;
+    // float round-trip should not destroy it)
+    var maxDev = 0.0
+    for (i <- 0 until d; j <- i until d) {
+      var dot = 0.0
+      (0 until d).foreach(t => dot += opq.rotation(t)(i).toDouble * opq.rotation(t)(j))
+      maxDev = math.max(maxDev, math.abs(dot - (if (i == j) 1.0 else 0.0)))
+    }
+    assert(maxDev < 1e-3, s"rotation not orthogonal, dev=$maxDev")
+    // the OPQ objective: reconstruction MSE in the learned space is no
+    // worse than plain PQ (equality expected on isotropic data; strict
+    // gains appear under correlated dims)
+    val pts = emb.select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    val pq = Pq.fit(emb, numSub = 8, codesPerSub = 16, sampleN = 500)
+    val mseP = Opq.mse(pts, pq.codebooks, 8, 8)
+    val mseO = Opq.mse(pts.map(Opq.rotate(opq.rotation, _)), opq.pq.codebooks, 8, 8)
+    assert(mseO <= mseP * 1.05, s"OPQ mse $mseO vs PQ $mseP")
+    // end-to-end: rotated ADC + exact rerank hits a recall floor
+    val approx = Opq.knnJoin(opq, emb, probes, k = 10, rerank = 100)
+    val exact = KnnJoin.exactKnnJoin(emb, probes, k = 10, metric = "euclidean")
+    val rec = graft.operators.Recall.microAvgRecall(approx, exact)
+      .select("recall").first().getDouble(0)
+    assert(rec >= 0.8, s"opq recall@10 = $rec")
+    opq.pq.encoded.unpersist()
+    pq.encoded.unpersist()
+  }
+
   test("IVF-Flat save/load round-trip; load missing path is None") {
     import graft.operators.IvfFlat
     val tmp = java.nio.file.Files.createTempDirectory("ivf").toString + "/idx"
