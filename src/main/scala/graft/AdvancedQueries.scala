@@ -239,7 +239,39 @@ object AdvancedQueries {
         .groupBy("user_id")
         .agg(min_by(col("event_type"), col("event_id")).as("first_type"),
           max_by(col("event_type"), col("event_id")).as("last_type"),
-          rnd(max_by(col("value"), col("event_id")), 6).as("last_value")))
+          rnd(max_by(col("value"), col("event_id")), 6).as("last_value"))),
+
+    // QUALIFY semantics (window-function filter after agg+join): top-3
+    // suppliers by lineitem revenue per nation. Partial agg on l_suppkey,
+    // broadcast the supplier dim, WindowGroupLimit prunes per-partition —
+    // one shuffle for the agg, one for the window, at any scale.
+    "q_qualify_topk_suppliers" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(rnd(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+      val sup = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      rev.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_nationkey"), col("l_suppkey").as("supp_key"), col("revenue"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("s_nationkey")
+            .orderBy(col("revenue").desc, col("supp_key"))))
+        .filter(col("rnk") <= 3)
+    }),
+
+    // DISTINCT ON semantics: each customer's latest order (ties broken by
+    // highest orderkey — a total order, required for cross-engine parity).
+    // row_number + filter = the distributed DISTINCT ON; WindowGroupLimit
+    // keeps only one row per key before the final sort.
+    "q_distinct_on_latest" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice"))
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -373,6 +405,21 @@ object AdvancedQueries {
         | min_by(event_type, event_id) AS first_type,
         | max_by(event_type, event_id) AS last_type,
         | floor((max_by(value, event_id))*1e6 + 0.5)/1e6 AS last_value
-        |FROM events GROUP BY user_id""".stripMargin
+        |FROM events GROUP BY user_id""".stripMargin,
+    "q_qualify_topk_suppliers" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |   floor((sum(l_extendedprice*(1-l_discount)))*1e2 + 0.5)/1e2 AS revenue
+        |  FROM lineitem GROUP BY l_suppkey)
+        |SELECT s_nationkey, l_suppkey AS supp_key, revenue,
+        | row_number() OVER (PARTITION BY s_nationkey
+        |   ORDER BY revenue DESC, l_suppkey) AS rnk
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |QUALIFY rnk <= 3""".stripMargin,
+    "q_distinct_on_latest" ->
+      """SELECT DISTINCT ON (o_custkey)
+        | o_custkey, o_orderkey, o_orderdate, o_totalprice
+        |FROM orders
+        |ORDER BY o_custkey, o_orderdate DESC, o_orderkey DESC""".stripMargin
   )
 }

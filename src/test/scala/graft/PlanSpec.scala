@@ -142,4 +142,19 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 1,
       s"lag window, running sum and groupBy must share the user_id exchange, got $exchanges:\n$p")
   }
+
+  test("q_qualify_topk_suppliers: partial agg, broadcast dim, bounded rank") {
+    val p = plan("q_qualify_topk_suppliers")
+    assert("HashAggregate".r.findAllMatchIn(p).size >= 2,
+      "revenue agg must map-side combine before the suppkey shuffle")
+    assert(p.contains("BroadcastHashJoin"), "supplier dim should broadcast")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank<=3 filter should plan bounded group limits:\n$p")
+  }
+
+  test("q_distinct_on_latest: row_number<=1 prunes before the window sort") {
+    val p = plan("q_distinct_on_latest")
+    assert(p.contains("WindowGroupLimit"),
+      s"DISTINCT ON should keep one row per key pre-exchange:\n$p")
+  }
 }
