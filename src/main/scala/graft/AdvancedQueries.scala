@@ -259,6 +259,13 @@ object AdvancedQueries {
         .filter(col("rnk") <= 3)
     }),
 
+    // batch twin of the streaming stream-stream interval join (click
+    // attribution): purchases x same-user clicks in the prior 30 minutes.
+    // The SAME clickAttribution plan serves readStream in production;
+    // here the oracle gate hash-checks it on the batch events table.
+    "q_click_attrib" -> ((s, dir) =>
+      graft.streaming.EventPipeline.clickAttribution(events(s, dir))),
+
     // DISTINCT ON semantics: each customer's latest order (ties broken by
     // highest orderkey — a total order, required for cross-engine parity).
     // row_number + filter = the distributed DISTINCT ON; WindowGroupLimit
@@ -416,6 +423,14 @@ object AdvancedQueries {
         |   ORDER BY revenue DESC, l_suppkey) AS rnk
         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
         |QUALIFY rnk <= 3""".stripMargin,
+    "q_click_attrib" ->
+      """SELECT p.event_id AS purchase_id, p.user_id, p.ts AS p_ts,
+        | c.event_id AS click_id, c.ts AS c_ts, p.value
+        |FROM events p JOIN events c
+        | ON p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND c.user_id = p.user_id
+        | AND epoch_us(c.ts) <= epoch_us(p.ts)
+        | AND epoch_us(c.ts) >= epoch_us(p.ts) - 30*60*1000000""".stripMargin,
     "q_distinct_on_latest" ->
       """SELECT DISTINCT ON (o_custkey)
         | o_custkey, o_orderkey, o_orderdate, o_totalprice

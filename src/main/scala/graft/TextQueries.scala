@@ -349,10 +349,98 @@ object TextQueries {
               .stripMargin)).as("c"))
         .select(col("doc_id"), col("c.chunk_ix").cast("long").as("chunk_ix"),
           length(col("c.chunk")).as("chunk_len"),
-          md5(col("c.chunk")).as("chunk_hash")))
+          md5(col("c.chunk")).as("chunk_hash"))),
+
+    // eval-set decontamination: word 3-gram overlap of each train-split
+    // doc against the held-out eval slice (doc_id % 97). The eval side is
+    // benchmarks-sized at any corpus scale, so its distinct shingle set
+    // broadcasts and the corpus side needs only its own doc_id partial
+    // agg — no shuffle of the big side against eval.
+    "decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val evalSh = shingles(d.filter(col("doc_id") % 97 === 0))
+        .select("shingle").distinct()
+      val trainSh = shingles(d.filter(col("doc_id") % 97 =!= 0))
+      trainSh
+        .join(broadcast(evalSh.withColumn("hit", lit(1))), Seq("shingle"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(coalesce(col("hit"), lit(0))).cast("long").as("n_matched"))
+        .withColumn("contamination",
+          rnd(col("n_matched") / col("n_shingles").cast("double"), 6))
+        .withColumn("flag_contaminated", col("contamination") >= 0.5)
+    }),
+
+    // intra-document repetition (Gopher-style quality signals): distinct
+    // word ratio stays in-row; the most-frequent-bigram fraction is one
+    // (doc_id, bigram) count + one doc_id rollup — both map-side-combine
+    // shapes that scale with the scan
+    "repetition_stats" -> ((s, dir) => {
+      val base = mat(docs(s, dir).select(col("doc_id"), col("text")),
+        split(trim(col("text")), "\\s+"), "toks")
+      val inRow = base.select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"))
+      val bi = base.select(col("doc_id"), explode(expr(
+        """CASE WHEN size(toks) >= 2
+          |  THEN transform(sequence(0, size(toks)-2),
+          |                 i -> concat(toks[i], ' ', toks[i+1]))
+          |  ELSE array() END""".stripMargin)).as("bigram"))
+      val top = bi.groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(max("c").as("top_bigram_n"), sum("c").as("n_bigrams"))
+      inRow.join(top, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          rnd(col("n_distinct") / col("n_tokens").cast("double"), 6)
+            .as("uniq_word_ratio"),
+          coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"),
+          rnd(coalesce(col("top_bigram_n") / col("n_bigrams").cast("double"),
+            lit(0.0)), 6).as("top_bigram_frac"))
+    })
   )
 
   val oracle: Map[String, String] = Map(
+    "decontaminate" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text),'\s+') AS ts
+        |           FROM documents),
+        | toks AS (SELECT doc_id, unnest(ts) AS tok,
+        |          unnest(range(1, len(ts)+1)) AS pos FROM d),
+        | sh0 AS (SELECT doc_id, tok || ' ' || lead(tok,1) OVER w
+        |          || ' ' || lead(tok,2) OVER w AS shingle
+        |         FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        | sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE shingle IS NOT NULL),
+        | ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+        | tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 97 <> 0),
+        | c AS (SELECT tr.doc_id, count(*) AS n_shingles,
+        |        CAST(sum(CASE WHEN ev.shingle IS NOT NULL THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS n_matched
+        |       FROM tr LEFT JOIN ev ON tr.shingle = ev.shingle
+        |       GROUP BY tr.doc_id),
+        | r AS (SELECT doc_id, n_shingles, n_matched,
+        |        floor((n_matched*1.0/n_shingles)*1e6 + 0.5)/1e6 AS contamination
+        |       FROM c)
+        |SELECT doc_id, n_shingles, n_matched, contamination,
+        | contamination >= 0.5 AS flag_contaminated
+        |FROM r""".stripMargin,
+    "repetition_stats" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text),'\s+') AS ts
+        |           FROM documents),
+        | inrow AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+        |           CAST(len(list_distinct(ts)) AS BIGINT) AS n_distinct FROM d),
+        | toks AS (SELECT doc_id, unnest(ts) AS tok,
+        |          unnest(range(1, len(ts)+1)) AS pos FROM d),
+        | bi0 AS (SELECT doc_id, tok || ' ' || lead(tok,1) OVER w AS bigram
+        |         FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        | bc AS (SELECT doc_id, bigram, count(*) AS c FROM bi0
+        |        WHERE bigram IS NOT NULL GROUP BY 1, 2),
+        | top AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram_n,
+        |         CAST(sum(c) AS BIGINT) AS n_bigrams FROM bc GROUP BY 1)
+        |SELECT i.doc_id, n_tokens,
+        | floor((n_distinct*1.0/n_tokens)*1e6 + 0.5)/1e6 AS uniq_word_ratio,
+        | coalesce(top_bigram_n, 0) AS top_bigram_n,
+        | coalesce(floor((top_bigram_n*1.0/n_bigrams)*1e6 + 0.5)/1e6, 0.0)
+        |   AS top_bigram_frac
+        |FROM inrow i LEFT JOIN top USING (doc_id)""".stripMargin,
     "token_stats" ->
       """SELECT doc_id,
         | len(string_split_regex(trim(text),'\s+')) AS n_tokens,

@@ -178,6 +178,25 @@ object VectorQueries {
       graft.operators.Opq.knnJoin(model, emb(s, dir), probes(s, dir), k = 10, rerank = 100)
     }),
 
+    // SQ8 (scalar quantization): 4x-compressed int8 codes, ADC scan +
+    // exact rerank. Rows-only gate; recall_sq + spec assert quality.
+    "knn_sq_euclid" -> ((s, dir) => {
+      val model = ModelMemo.get(s, s"sq/8bit/$dir")(
+        graft.operators.Sq.fit(emb(s, dir)))
+      graft.operators.Sq.knnJoin(model, emb(s, dir), probes(s, dir),
+        k = 10, rerank = 100)
+    }),
+
+    "recall_sq" -> ((s, dir) => {
+      val model = ModelMemo.get(s, s"sq/8bit/$dir")(
+        graft.operators.Sq.fit(emb(s, dir)))
+      val approx = graft.operators.Sq.knnJoin(model, emb(s, dir),
+        probes(s, dir), k = 10, rerank = 100)
+      val exact = KnnJoin.exactKnnJoin(emb(s, dir), probes(s, dir), k = 10,
+        metric = "euclidean")
+      Recall.microAvgRecall(approx, exact)
+    }),
+
     "recall_opq" -> ((s, dir) => {
       val model = ModelMemo.get(s, s"opq/s8c16/$dir")(
         graft.operators.Opq.fit(emb(s, dir), numSub = 8, codesPerSub = 16))

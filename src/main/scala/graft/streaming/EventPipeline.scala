@@ -98,6 +98,29 @@ object EventPipeline {
     else events.dropDuplicates(keyCols)
   }
 
+  /** Stream-stream interval join (click attribution): each purchase joins
+    * the same user's clicks from the preceding `windowMin` minutes. BOTH
+    * sides carry watermarks and the join predicate bounds event time from
+    * both directions, so Spark can expire join state — without the lower
+    * bound the click buffer would grow forever. The same plan runs on
+    * batch frames (q_click_attrib is the oracle-gated batch twin). */
+  def clickAttribution(events: DataFrame, windowMin: Int = 30): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"), col("value"))
+      .withWatermark("p_ts", "10 minutes")
+    purchases.join(clicks,
+      col("c_user") === col("user_id") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowMin MINUTES"))
+      .select(col("purchase_id"), col("user_id"), col("p_ts"),
+        col("click_id"), col("c_ts"), col("value"))
+  }
+
   /** Streaming index maintenance (B4/O10 analog): each micro-batch of new
     * vectors lands in a staging dir; the index is re-fit over base ∪
     * staged on demand. At 100 TB the per-batch work is one append plus a
