@@ -112,6 +112,30 @@ object Opq {
     Model(r, Pq.Model(numSub, subDim, codesPerSub, cbs, encoded))
   }
 
+  /** Persist rotation + the underlying PQ model (store CRUD contract as
+    * [[Pq.save]]; load-missing → None). */
+  def save(model: Model, path: String): Unit = {
+    val spark = model.pq.encoded.sparkSession
+    import spark.implicits._
+    Pq.save(model.pq, s"$path/pq")
+    model.rotation.zipWithIndex.map { case (row, i) => (i, row) }.toSeq
+      .toDF("i", "row").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/rotation")
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Option[Model] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/rotation"))) return None
+    import spark.implicits._
+    val rot = spark.read.parquet(s"$path/rotation")
+      .as[(Int, Array[Float])].collect().sortBy(_._1).map(_._2)
+    Pq.load(spark, s"$path/pq").map(Model(rot, _))
+  }
+
+  def delete(spark: org.apache.spark.sql.SparkSession, path: String): Unit =
+    Pq.delete(spark, path)
+
   /** ADC scan in the rotated space + exact rerank on the ORIGINAL vectors
     * (rotation is an isometry, so rotated ADC distances estimate the same
     * euclidean geometry; the rerank never touches the rotation). */

@@ -135,6 +135,44 @@ object Pq {
     Model(numSub, subDim, codesPerSub, codebooks, encoded)
   }
 
+  /** Persist code table + codebooks (O13 analog for the PQ family;
+    * load-missing → None and recursive delete follow the reference's
+    * store CRUD contract, reference src/db.ts:54-100). */
+  def save(model: Model, path: String): Unit = {
+    val spark = model.encoded.sparkSession
+    import spark.implicits._
+    model.encoded.write.mode("overwrite").parquet(s"$path/codes")
+    val rows = for {
+      s <- model.codebooks.indices
+      c <- model.codebooks(s).indices
+    } yield (s, c, model.codebooks(s)(c))
+    rows.toDF("sub", "code", "cent").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+  }
+
+  def load(spark: SparkSession, path: String): Option[Model] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/codebooks"))) return None
+    import spark.implicits._
+    val rows = spark.read.parquet(s"$path/codebooks")
+      .as[(Int, Int, Array[Float])].collect()
+    val numSub = rows.map(_._1).max + 1
+    val codesPerSub = rows.map(_._2).max + 1
+    val codebooks = Array.ofDim[Array[Float]](numSub, codesPerSub)
+    rows.foreach { case (s, c, cent) => codebooks(s)(c) = cent }
+    val subDim = codebooks(0)(0).length
+    val encoded = spark.read.parquet(s"$path/codes")
+    Some(Model(numSub, subDim, codesPerSub, codebooks, encoded))
+  }
+
+  def delete(spark: SparkSession, path: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    ()
+  }
+
   /** ADC candidate stage: top-`rerank` (query_id, cand_id) pairs per query
     * by asymmetric distance over the code table. `probes` must already be
     * in the model's code space (OPQ hands in rotated queries). */

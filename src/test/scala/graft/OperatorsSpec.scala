@@ -306,6 +306,34 @@ class OperatorsSpec extends AnyFunSuite {
       s.total_value == 24.0 && s.session_start == at(30) && s.session_end == at(31)))
   }
 
+  test("stream-stream interval join matches its batch twin (click attribution)") {
+    import spark.implicits._
+    implicit val sctx = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def at(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    val evs = Seq(
+      graft.streaming.Event(1, at(0), 7L, "click", 0.0),
+      graft.streaming.Event(2, at(10), 7L, "click", 0.0),
+      graft.streaming.Event(3, at(19), 8L, "click", 0.0), // other user
+      graft.streaming.Event(4, at(20), 7L, "purchase", 9.5),
+      graft.streaming.Event(5, at(35), 7L, "purchase", 3.0))
+    val mem = MemoryStream[graft.streaming.Event]
+    val q = EventPipeline.clickAttribution(mem.toDS().toDF(), windowMin = 30)
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    mem.addData(evs: _*)
+    q.processAllAvailable()
+    val got = spark.table("attrib")
+      .select("purchase_id", "click_id").as[(Long, Long)].collect().toSet
+    q.stop()
+    // purchase@20 sees clicks @0,@10; purchase@35 only @10 (45-35>30 window);
+    // user 8's click never attaches
+    assert(got == Set((4L, 1L), (4L, 2L), (5L, 2L)), s"got $got")
+    val batch = EventPipeline.clickAttribution(evs.toDF(), windowMin = 30)
+      .select("purchase_id", "click_id").as[(Long, Long)].collect().toSet
+    assert(batch == got, "streaming and batch twins must agree")
+  }
+
   test("streaming dedup drops repeated keys within the watermark horizon") {
     import spark.implicits._
     implicit val sctx = spark.sqlContext
@@ -444,6 +472,36 @@ class OperatorsSpec extends AnyFunSuite {
     m1.encoded.unpersist(); m2.encoded.unpersist()
   }
 
+  test("SQ8: code range, 4x compression, high recall with exact rerank") {
+    import graft.operators.Sq
+    val m = Sq.fit(emb)
+    // every code byte decodes inside the observed per-dim range, and the
+    // quantization error per component is bounded by scale/2 + rounding
+    val d = m.mins.length
+    assert(d == 64)
+    val enc = m.encoded.collect()
+    assert(enc.forall(_.getAs[Array[Byte]]("codes").length == d),
+      "codes must be 1 byte per dimension (4x smaller than float32)")
+    // reconstruction error bound: |v_i - decode(code_i)| <= scale_i/2 + eps
+    val orig = emb.select(col("vec_id").cast("long"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    enc.take(50).foreach { r =>
+      val id = r.getLong(0); val codes = r.getAs[Array[Byte]]("codes")
+      val v = orig(id)
+      (0 until d).foreach { i =>
+        val dec = m.mins(i) + (codes(i) & 0xff) * m.scales(i)
+        assert(math.abs(v(i) - dec) <= m.scales(i) / 2 + 1e-4,
+          s"dim $i of vec $id quantization error out of bound")
+      }
+    }
+    val approx = Sq.knnJoin(m, emb, probes, k = 10, rerank = 100)
+    val exact = KnnJoin.exactKnnJoin(emb, probes, k = 10, metric = "euclidean")
+    val rec = graft.operators.Recall.microAvgRecall(approx, exact)
+      .select("recall").first().getDouble(0)
+    assert(rec >= 0.9, s"sq recall@10 = $rec")
+    m.encoded.unpersist()
+  }
+
   test("OPQ: orthogonal rotation, MSE no worse than PQ, recall floor (scale path)") {
     import graft.operators.{Opq, Pq}
     val opq = Opq.fit(emb, numSub = 8, codesPerSub = 16, sampleN = 500, opqIters = 6)
@@ -490,6 +548,45 @@ class OperatorsSpec extends AnyFunSuite {
     assert(after == before)
     IvfFlat.delete(spark, tmp)
     assert(IvfFlat.load(spark, tmp).isEmpty)
+  }
+
+  test("PQ/OPQ/SQ save/load round-trips; load missing path is None") {
+    import graft.operators.{Opq, Pq, Sq}
+    def results(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
+
+    val tmpP = java.nio.file.Files.createTempDirectory("pq").toString + "/idx"
+    val pq = Pq.fit(emb, numSub = 8, codesPerSub = 16, sampleN = 500)
+    val beforeP = results(Pq.knnJoin(pq, emb, probes, k = 5, rerank = 50))
+    Pq.save(pq, tmpP)
+    val pqL = Pq.load(spark, tmpP).get
+    assert(pqL.numSub == pq.numSub && pqL.subDim == pq.subDim &&
+      pqL.codesPerSub == pq.codesPerSub)
+    assert(results(Pq.knnJoin(pqL, emb, probes, k = 5, rerank = 50)) == beforeP)
+    Pq.delete(spark, tmpP)
+    assert(Pq.load(spark, tmpP).isEmpty)
+
+    val tmpO = java.nio.file.Files.createTempDirectory("opq").toString + "/idx"
+    val opq = Opq.fit(emb, numSub = 8, codesPerSub = 16, sampleN = 500, opqIters = 2)
+    val beforeO = results(Opq.knnJoin(opq, emb, probes, k = 5, rerank = 50))
+    Opq.save(opq, tmpO)
+    val opqL = Opq.load(spark, tmpO).get
+    assert(opqL.rotation.map(_.toSeq).toSeq == opq.rotation.map(_.toSeq).toSeq)
+    assert(results(Opq.knnJoin(opqL, emb, probes, k = 5, rerank = 50)) == beforeO)
+    Opq.delete(spark, tmpO)
+    assert(Opq.load(spark, tmpO).isEmpty)
+
+    val tmpS = java.nio.file.Files.createTempDirectory("sq").toString + "/idx"
+    val sq = Sq.fit(emb)
+    val beforeS = results(Sq.knnJoin(sq, emb, probes, k = 5, rerank = 50))
+    Sq.save(sq, tmpS)
+    val sqL = Sq.load(spark, tmpS).get
+    assert(sqL.mins.toSeq == sq.mins.toSeq && sqL.scales.toSeq == sq.scales.toSeq)
+    assert(results(Sq.knnJoin(sqL, emb, probes, k = 5, rerank = 50)) == beforeS)
+    Sq.delete(spark, tmpS)
+    assert(Sq.load(spark, tmpS).isEmpty)
+
+    pq.encoded.unpersist(); opq.pq.encoded.unpersist(); sq.encoded.unpersist()
   }
 
   test("knnJoinTimed returns same results as knnJoin plus positive latencies") {
