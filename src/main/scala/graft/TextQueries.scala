@@ -371,6 +371,61 @@ object TextQueries {
         .withColumn("flag_contaminated", col("contamination") >= 0.5)
     }),
 
+    // weighted dataset mixing: per-source sampling rates via deterministic
+    // md5-bucket acceptance (the corpus-mixing step of every training
+    // run). Pure projection + filter — scales with the scan, and the same
+    // (salt, id) hash reproduces the mix on any engine or cluster layout.
+    "dataset_mix" -> ((s, dir) => {
+      val rate = when(col("source").isin("src0", "src1"), 1.0)
+        .when(col("source").isin("src2", "src3"), 0.8)
+        .when(col("source").isin("src4", "src5"), 0.5)
+        .otherwise(0.25)
+      val bucket = md5Long(concat(lit("mix:"), col("doc_id"))) % 1000000L
+      docs(s, dir).select(col("doc_id"), col("source"),
+          bucket.as("bucket"), rate.as("rate"))
+        .filter(col("bucket") < col("rate") * 1000000L)
+    }),
+
+    // per-language quality gate: keep docs whose mean unigram surprisal
+    // sits below the language's 90th-percentile (cume_dist window over the
+    // lang partition — one shuffle on lang; the corpus-level unigram LM is
+    // a broadcast-sized table at any scale)
+    "quality_filter" -> ((s, dir) => {
+      val toks = docs(s, dir).select(col("doc_id"), col("lang"),
+        explode(split(trim(col("text")), "\\s+")).as("term"))
+      val cnt = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+      val total = cnt.agg(sum("cnt")).first().getLong(0)
+      val scored = toks.join(broadcast(cnt), Seq("term"))
+        .groupBy("doc_id", "lang")
+        .agg(rnd(avg(-log(col("cnt") / total.toDouble)), 4).as("surprisal"))
+      // rank on the ROUNDED score + doc_id (a total order both engines
+      // reproduce); raw doubles could flip near-equal ranks cross-engine
+      val w = Window.partitionBy("lang")
+        .orderBy(col("surprisal"), col("doc_id"))
+      scored
+        .withColumn("cd", rnd(cume_dist().over(w), 6))
+        .filter(col("cd") <= 0.9)
+        .select("doc_id", "lang", "surprisal", "cd")
+    }),
+
+    // token-budget sequence packing: docs packed into 512-token context
+    // windows in deterministic doc_id order per split — pack boundary =
+    // floor(running-token-prefix / 512). One window over the split key;
+    // at scale packing runs per (split, shard) exactly like this.
+    "seq_packing" -> ((s, dir) => {
+      val split_ = md5Long(concat(lit("split:"), col("doc_id"))) % 10
+      val base = docs(s, dir).select(col("doc_id"),
+        (split_ < 8).cast("string").as("is_train"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      val w = Window.partitionBy("is_train").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      base
+        .withColumn("cum_tokens", sum("n_tokens").over(w))
+        .withColumn("pack_id",
+          floor((col("cum_tokens") - col("n_tokens")) / 512).cast("long"))
+        .select("doc_id", "is_train", "n_tokens", "cum_tokens", "pack_id")
+    }),
+
     // intra-document repetition (Gopher-style quality signals): distinct
     // word ratio stays in-row; the most-frequent-bigram fraction is one
     // (doc_id, bigram) count + one doc_id rollup — both map-side-combine
@@ -400,6 +455,40 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "dataset_mix" ->
+      """WITH b AS (SELECT doc_id, source,
+        |  ('0x' || substr(md5('mix:' || doc_id), 1, 15))::BIGINT % 1000000 AS bucket,
+        |  CASE WHEN source IN ('src0','src1') THEN 1.0
+        |       WHEN source IN ('src2','src3') THEN 0.8
+        |       WHEN source IN ('src4','src5') THEN 0.5
+        |       ELSE 0.25 END AS rate
+        | FROM documents)
+        |SELECT doc_id, source, bucket, rate FROM b
+        |WHERE bucket < rate * 1000000""".stripMargin,
+    "quality_filter" ->
+      """WITH toks AS (SELECT doc_id, lang,
+        |   unnest(string_split_regex(trim(text),'\s+')) AS term FROM documents),
+        | cnt AS (SELECT term, count(*) AS cnt FROM toks GROUP BY 1),
+        | tot AS (SELECT sum(cnt) AS total FROM cnt),
+        | sc AS (SELECT doc_id, lang,
+        |   floor((avg(-ln(cnt/(SELECT total FROM tot))))*1e4 + 0.5)/1e4 AS surprisal
+        |  FROM toks JOIN cnt USING (term) GROUP BY doc_id, lang),
+        | r AS (SELECT doc_id, lang, surprisal,
+        |   floor((cume_dist() OVER (PARTITION BY lang
+        |     ORDER BY surprisal, doc_id))*1e6 + 0.5)/1e6 AS cd
+        |  FROM sc)
+        |SELECT doc_id, lang, surprisal, cd FROM r WHERE cd <= 0.9""".stripMargin,
+    "seq_packing" ->
+      """WITH b AS (SELECT doc_id,
+        |  CAST((('0x' || substr(md5('split:' || doc_id), 1, 15))::BIGINT % 10) < 8
+        |    AS VARCHAR) AS is_train,
+        |  CAST(len(string_split_regex(trim(text),'\s+')) AS BIGINT) AS n_tokens
+        | FROM documents)
+        |SELECT doc_id, is_train, n_tokens,
+        | CAST(sum(n_tokens) OVER w AS BIGINT) AS cum_tokens,
+        | CAST(floor((sum(n_tokens) OVER w - n_tokens)/512.0) AS BIGINT) AS pack_id
+        |FROM b WINDOW w AS (PARTITION BY is_train ORDER BY doc_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
     "decontaminate" ->
       """WITH d AS (SELECT doc_id, string_split_regex(trim(text),'\s+') AS ts
         |           FROM documents),
