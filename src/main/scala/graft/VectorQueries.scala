@@ -159,12 +159,12 @@ object VectorQueries {
     }),
 
     // IVF-PQ (the composed largest-corpus path: nprobe cell pruning ×
-    // residual PQ codes × exact rerank). Rows-only gate; spec asserts
-    // recall floors incl. the all-cells/full-rerank exactness case.
+    // OPQ-rotated residual PQ codes × exact rerank). Rows-only gate; spec
+    // asserts recall floors incl. the all-cells/full-rerank exactness case.
     "knn_ivfpq_euclid" -> ((s, dir) => {
-      val model = ModelMemo.get(s, s"ivfpq/c16s8c16/$dir")(
+      val model = ModelMemo.get(s, s"ivfpq/c16s8c16r4/$dir")(
         graft.operators.IvfPq.fit(emb(s, dir), numCells = 16,
-          numSub = 8, codesPerSub = 16))
+          numSub = 8, codesPerSub = 16, opqIters = 4))
       graft.operators.IvfPq.knnJoin(model, emb(s, dir), probes(s, dir),
         k = 10, nprobe = 6, rerank = 150)
     }),
@@ -208,9 +208,9 @@ object VectorQueries {
     }),
 
     "recall_ivfpq" -> ((s, dir) => {
-      val model = ModelMemo.get(s, s"ivfpq/c16s8c16/$dir")(
+      val model = ModelMemo.get(s, s"ivfpq/c16s8c16r4/$dir")(
         graft.operators.IvfPq.fit(emb(s, dir), numCells = 16,
-          numSub = 8, codesPerSub = 16))
+          numSub = 8, codesPerSub = 16, opqIters = 4))
       val approx = graft.operators.IvfPq.knnJoin(model, emb(s, dir), probes(s, dir),
         k = 10, nprobe = 6, rerank = 150)
       val exact = KnnJoin.exactKnnJoin(emb(s, dir), probes(s, dir), k = 10,

@@ -29,17 +29,24 @@ import graft.functions.similarity
   */
 object IvfPq {
 
+  /** rotation (Some when fit with opqIters > 0) applies to residuals
+    * before encoding — codes then live in the rotated residual space. */
   case class Model(numCells: Int, numSub: Int, subDim: Int,
       centroids: Array[(Int, Array[Float])],
       codebooks: Array[Array[Array[Float]]],
-      encoded: DataFrame) // (cell, id, codes)
+      encoded: DataFrame, // (cell, id, codes)
+      rotation: Option[Array[Array[Float]]] = None)
 
   private def sq(x: Float): Double = x.toDouble * x
 
+  /** opqIters > 0 trains an OPQ-style orthogonal rotation of the
+    * RESIDUAL space (Procrustes alternation on the residual sample) —
+    * residuals are the natural OPQ target since the cell offset already
+    * absorbed the coarse structure. 0 keeps plain residual PQ. */
   def fit(base: DataFrame, numCells: Int = 16, numSub: Int = 8,
       codesPerSub: Int = 16, sampleN: Int = 4000, iters: Int = 5,
       seed: Long = 42L, idCol: String = "vec_id",
-      vecCol: String = "embedding"): Model = {
+      vecCol: String = "embedding", opqIters: Int = 0): Model = {
     val spark = base.sparkSession
     import spark.implicits._
     // coarse quantizer = IvfFlat's deterministic trainer, assigned with
@@ -65,67 +72,33 @@ object IvfPq {
         val cent = centroids(c)._2
         Array.tabulate(d)(j => v(j) - cent(j))
       }
-    val codebooks = Array.tabulate(numSub) { s =>
-      val pts = sample.map(_.slice(s * subDim, (s + 1) * subDim))
-      var cents = pts.take(codesPerSub).map(_.clone())
-      var it = 0
-      while (it < iters) {
-        val sums = Array.fill(codesPerSub)(new Array[Double](subDim))
-        val counts = new Array[Int](codesPerSub)
-        pts.foreach { p =>
-          var best = 0; var bestD = Double.MaxValue
-          var c = 0
-          while (c < cents.length) {
-            var dist = 0.0; var j = 0
-            while (j < subDim) { dist += sq(p(j) - cents(c)(j)); j += 1 }
-            if (dist < bestD) { bestD = dist; best = c }
-            c += 1
-          }
-          var j = 0
-          while (j < subDim) { sums(best)(j) += p(j); j += 1 }
-          counts(best) += 1
-        }
-        cents = Array.tabulate(codesPerSub) { c =>
-          if (counts(c) == 0) cents(c)
-          else Array.tabulate(subDim)(j => (sums(c)(j) / counts(c)).toFloat)
-        }
-        it += 1
-      }
-      cents
-    }
+    val (rotation, codebooks) =
+      if (opqIters > 0) {
+        val (r, cbs) = Opq.trainRotation(sample, numSub, subDim, codesPerSub,
+          iters, opqIters)
+        (Some(r), cbs)
+      } else
+        (None, Pq.trainCodebooks(sample, numSub, subDim, codesPerSub, iters))
     val bcCb = spark.sparkContext.broadcast(codebooks)
+    val bcRot = spark.sparkContext.broadcast(rotation)
 
-    // encode residuals, keep the cell for partition pruning at query time
+    // encode (optionally rotated) residuals, keep the cell for partition
+    // pruning at query time
     val encoded = assigned.select(col("cell"), col("id"), col("vec"))
       .as[(Int, Long, Array[Float])].mapPartitions { rows =>
         val cbs = bcCb.value
         val cents = bcCents.value
+        val rot = bcRot.value
         rows.map { case (cell, id, v) =>
           val cent = cents(cell)
-          val codes = new Array[Short](numSub)
-          var s = 0
-          while (s < numSub) {
-            val cb = cbs(s)
-            var best = 0; var bestD = Double.MaxValue
-            var c = 0
-            while (c < cb.length) {
-              var dist = 0.0; var j = 0
-              while (j < subDim) {
-                val r = v(s * subDim + j) - cent(s * subDim + j)
-                dist += sq(r - cb(c)(j)); j += 1
-              }
-              if (dist < bestD) { bestD = dist; best = c }
-              c += 1
-            }
-            codes(s) = best.toShort
-            s += 1
-          }
-          (cell, id, codes)
+          var res = Array.tabulate(v.length)(j => v(j) - cent(j))
+          rot.foreach { r => res = Opq.rotate(r, res) }
+          (cell, id, Pq.encodeVec(cbs, res, numSub, subDim))
         }
       }.toDF("cell", "id", "codes")
       .repartition(col("cell")).persist()
     encoded.count()
-    Model(numCells, numSub, subDim, centroids, codebooks, encoded)
+    Model(numCells, numSub, subDim, centroids, codebooks, encoded, rotation)
   }
 
   /** nprobe-cell ADC scan + exact rerank (euclidean `1/(1+L2)` scores). */
@@ -153,6 +126,7 @@ object IvfPq {
     val bcCells = spark.sparkContext.broadcast(cellsOf)
     val bcCb = spark.sparkContext.broadcast(model.codebooks)
     val bcCents = spark.sparkContext.broadcast(model.centroids.map(_._2))
+    val bcRot = spark.sparkContext.broadcast(model.rotation)
     val numSub = model.numSub
     val subDim = model.subDim
     val r = rerank
@@ -163,17 +137,19 @@ object IvfPq {
       val cents = bcCents.value
       val qs = bcQ.value
       val qCells = bcCells.value
-      // ADC tables are per (query, cell): residual-space lookup
+      val rot = bcRot.value
+      // ADC tables are per (query, cell): (rotated) residual-space lookup
       val luts = mutable.Map.empty[(Long, Int), Array[Array[Double]]]
       def lut(qid: Long, qv: Array[Float], cell: Int): Array[Array[Double]] =
         luts.getOrElseUpdate((qid, cell), {
           val cent = cents(cell)
+          var qr = Array.tabulate(qv.length)(j => qv(j) - cent(j))
+          rot.foreach { r => qr = Opq.rotate(r, qr) }
           Array.tabulate(numSub) { s =>
             Array.tabulate(cbs(s).length) { c =>
               var dist = 0.0; var j = 0
               while (j < subDim) {
-                val qr = qv(s * subDim + j) - cent(s * subDim + j)
-                dist += sq((qr - cbs(s)(c)(j)).toFloat); j += 1
+                dist += sq((qr(s * subDim + j) - cbs(s)(c)(j)).toFloat); j += 1
               }
               dist
             }

@@ -53,31 +53,20 @@ object Opq {
     total / math.max(pts.length, 1)
   }
 
-  /** Train rotation + codebooks on a seeded sample, then rotate + encode
-    * the corpus. Deterministic for fixed (seed, data). */
-  def fit(base: DataFrame, numSub: Int = 8, codesPerSub: Int = 16,
-      sampleN: Int = 4000, pqIters: Int = 5, opqIters: Int = 8, seed: Long = 42L,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Model = {
-    val spark = base.sparkSession
-    import spark.implicits._
-    val src = base.select(col(idCol).cast("long").as("id"),
-      col(vecCol).cast("array<float>").as("vec"))
-    val sample = src.withColumn("h", xxhash64(col("id"), lit(seed)))
-      .orderBy("h").limit(sampleN)
-      .select("id", "vec").as[(Long, Array[Float])].collect().map(_._2)
-    require(sample.nonEmpty, "OPQ training sample is empty")
-    val d = sample.head.length
-    require(d % numSub == 0, s"dimension $d not divisible by numSub=$numSub")
-    val subDim = d / numSub
-
+  /** The OPQ-NP alternation on an in-memory sample: k-means in the
+    * rotated space, then orthogonal Procrustes (R = U·Vᵀ of SVD(XᵀY),
+    * Y = PQ reconstructions). Shared by OPQ and rotated IVF-PQ (which
+    * hands in residuals). Returns (rotation, codebooks-in-rotated-space). */
+  private[operators] def trainRotation(sample: Array[Array[Float]], numSub: Int,
+      subDim: Int, codesPerSub: Int, pqIters: Int, opqIters: Int)
+      : (Array[Array[Float]], Array[Array[Array[Float]]]) = {
+    val d = numSub * subDim
     var r: Array[Array[Float]] = Array.tabulate(d, d)((i, j) => if (i == j) 1f else 0f)
     var cbs: Array[Array[Array[Float]]] = null
     var it = 0
     while (it < opqIters) {
       val rotated = sample.map(rotate(r, _))
       cbs = Pq.trainCodebooks(rotated, numSub, subDim, codesPerSub, pqIters)
-      // orthogonal Procrustes: R = U·Vᵀ of Xᵀ·Y (X = raw sample, Y = PQ
-      // reconstructions of the rotated sample)
       val m = breeze.linalg.DenseMatrix.zeros[Double](d, d)
       var n = 0
       while (n < sample.length) {
@@ -98,6 +87,27 @@ object Opq {
       r = Array.tabulate(d, d)((i, j) => ruv(i, j).toFloat)
       it += 1
     }
+    (r, cbs)
+  }
+
+  /** Train rotation + codebooks on a seeded sample, then rotate + encode
+    * the corpus. Deterministic for fixed (seed, data). */
+  def fit(base: DataFrame, numSub: Int = 8, codesPerSub: Int = 16,
+      sampleN: Int = 4000, pqIters: Int = 5, opqIters: Int = 8, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Model = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val src = base.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<float>").as("vec"))
+    val sample = src.withColumn("h", xxhash64(col("id"), lit(seed)))
+      .orderBy("h").limit(sampleN)
+      .select("id", "vec").as[(Long, Array[Float])].collect().map(_._2)
+    require(sample.nonEmpty, "OPQ training sample is empty")
+    val d = sample.head.length
+    require(d % numSub == 0, s"dimension $d not divisible by numSub=$numSub")
+    val subDim = d / numSub
+    val (r, cbs) = trainRotation(sample, numSub, subDim, codesPerSub,
+      pqIters, opqIters)
 
     // rotate + encode the corpus (one pass, rotation + codebooks broadcast)
     val bcR = spark.sparkContext.broadcast(r)

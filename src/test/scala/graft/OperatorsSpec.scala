@@ -472,6 +472,32 @@ class OperatorsSpec extends AnyFunSuite {
     m1.encoded.unpersist(); m2.encoded.unpersist()
   }
 
+  test("IVF-PQ with rotated residuals: orthogonal R, recall holds, exactness") {
+    import graft.operators.IvfPq
+    val m = IvfPq.fit(emb, numCells = 8, numSub = 8, codesPerSub = 16,
+      opqIters = 4)
+    val r = m.rotation.get
+    val d = r.length
+    var maxDev = 0.0
+    for (i <- 0 until d; j <- i until d) {
+      var dot = 0.0
+      (0 until d).foreach(t => dot += r(t)(i).toDouble * r(t)(j))
+      maxDev = math.max(maxDev, math.abs(dot - (if (i == j) 1.0 else 0.0)))
+    }
+    assert(maxDev < 1e-3, s"residual rotation not orthogonal, dev=$maxDev")
+    val exact = KnnJoin.exactKnnJoin(emb, probes, k = 10, metric = "euclidean")
+    val approx = IvfPq.knnJoin(m, emb, probes, k = 10, nprobe = 4, rerank = 100)
+    val recall = Recall.microAvgRecall(approx, exact)
+      .select("recall").first().getDouble(0)
+    assert(recall >= 0.5, s"rotated ivfpq recall@10 = $recall")
+    // rotation is an isometry: all-cells + corpus rerank stays exact
+    val n = emb.count().toInt
+    val full = IvfPq.knnJoin(m, emb, probes, k = 10, nprobe = 8, rerank = n)
+    val r2 = Recall.microAvgRecall(full, exact).select("recall").first().getDouble(0)
+    assert(r2 == 1.0, s"exhaustive rotated ivfpq recall = $r2")
+    m.encoded.unpersist()
+  }
+
   test("SQ8: code range, 4x compression, high recall with exact rerank") {
     import graft.operators.Sq
     val m = Sq.fit(emb)

@@ -143,6 +143,27 @@ class PlanSpec extends AnyFunSuite {
       s"lag window, running sum and groupBy must share the user_id exchange, got $exchanges:\n$p")
   }
 
+  test("decontaminate: eval shingle set broadcasts — corpus side never shuffles against eval") {
+    val p = plan("decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"eval shingles must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "decontamination must stay an equi-join on the shingle key")
+  }
+
+  test("dataset_mix: pure projection + filter, zero exchanges") {
+    val p = plan("dataset_mix")
+    assert(!p.contains("Exchange"),
+      s"mix sampling must scale with the scan, no shuffle:\n$p")
+  }
+
+  test("seq_packing: one window shuffle on the split key") {
+    val p = plan("seq_packing")
+    val exchanges = "Exchange hashpartitioning".r.findAllMatchIn(p).size
+    assert(exchanges == 1,
+      s"running prefix sum should cost exactly one exchange, got $exchanges:\n$p")
+  }
+
   test("q_qualify_topk_suppliers: partial agg, broadcast dim, bounded rank") {
     val p = plan("q_qualify_topk_suppliers")
     assert("HashAggregate".r.findAllMatchIn(p).size >= 2,
