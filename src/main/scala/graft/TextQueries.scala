@@ -426,6 +426,38 @@ object TextQueries {
         .select("doc_id", "is_train", "n_tokens", "cum_tokens", "pack_id")
     }),
 
+    // the composed cleaning pass a real corpus ships through: exact-dedup
+    // canonical ∧ no PII ∧ length floor ∧ train-split ∧ not contaminated.
+    // Each stage keeps its scale shape (window on the hash, in-row
+    // regexes, broadcast eval shingles) — composition adds no new
+    // shuffles beyond its parts.
+    "corpus_clean" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val w = Window.partitionBy(md5(col("text")))
+      val nTok = size(split(trim(col("text")), "\\s+"))
+      val flagged = d.select(col("doc_id"), col("text"),
+          (col("doc_id") === min("doc_id").over(w)).as("is_canonical"))
+        .withColumn("n_tokens", nTok.cast("long"))
+        .withColumn("has_pii",
+          size(regexp_extract_all(col("text"),
+            lit("[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+"), lit(0)))
+            + size(regexp_extract_all(col("text"), lit("https?://[^\\s]+"), lit(0)))
+            + size(regexp_extract_all(col("text"), lit("[0-9]{6,}"), lit(0))) > 0)
+      val evalSh = shingles(d.filter(col("doc_id") % 97 === 0))
+        .select("shingle").distinct()
+      val contaminated = shingles(d.filter(col("doc_id") % 97 =!= 0))
+        .join(broadcast(evalSh.withColumn("hit", lit(1))), Seq("shingle"), "left")
+        .groupBy("doc_id")
+        .agg((sum(coalesce(col("hit"), lit(0))) / count(lit(1))).as("frac"))
+        .filter(col("frac") >= 0.5)
+        .select(col("doc_id"), lit(true).as("contaminated"))
+      flagged.join(contaminated, Seq("doc_id"), "left")
+        .filter(col("is_canonical") && !col("has_pii") &&
+          col("n_tokens") >= 20 && col("doc_id") % 97 =!= 0 &&
+          col("contaminated").isNull)
+        .select("doc_id", "n_tokens")
+    }),
+
     // intra-document repetition (Gopher-style quality signals): distinct
     // word ratio stays in-row; the most-frequent-bigram fraction is one
     // (doc_id, bigram) count + one doc_id rollup — both map-side-combine
@@ -489,6 +521,34 @@ object TextQueries {
         | CAST(floor((sum(n_tokens) OVER w - n_tokens)/512.0) AS BIGINT) AS pack_id
         |FROM b WINDOW w AS (PARTITION BY is_train ORDER BY doc_id
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+    "corpus_clean" ->
+      """WITH base AS (SELECT doc_id, text, md5(text) AS h,
+        |  len(string_split_regex(trim(text),'\s+')) AS n_tokens FROM documents),
+        | canon AS (SELECT doc_id, text, n_tokens,
+        |   doc_id = min(doc_id) OVER (PARTITION BY h) AS is_canonical FROM base),
+        | pii AS (SELECT doc_id,
+        |   len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+'))
+        |   + len(regexp_extract_all(text, 'https?://[^\s]+'))
+        |   + len(regexp_extract_all(text, '[0-9]{6,}')) > 0 AS has_pii
+        |  FROM documents),
+        | dd AS (SELECT doc_id, string_split_regex(trim(text),'\s+') AS ts
+        |        FROM documents),
+        | toks AS (SELECT doc_id, unnest(ts) AS tok,
+        |          unnest(range(1, len(ts)+1)) AS pos FROM dd),
+        | sh0 AS (SELECT doc_id, tok || ' ' || lead(tok,1) OVER w
+        |          || ' ' || lead(tok,2) OVER w AS shingle
+        |         FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        | sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE shingle IS NOT NULL),
+        | ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+        | tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 97 <> 0),
+        | contam AS (SELECT tr.doc_id,
+        |    sum(CASE WHEN ev.shingle IS NOT NULL THEN 1 ELSE 0 END)*1.0/count(*) AS frac
+        |   FROM tr LEFT JOIN ev ON tr.shingle = ev.shingle GROUP BY tr.doc_id)
+        |SELECT c.doc_id, CAST(c.n_tokens AS BIGINT) AS n_tokens
+        |FROM canon c JOIN pii USING (doc_id)
+        | LEFT JOIN contam ct ON ct.doc_id = c.doc_id
+        |WHERE c.is_canonical AND NOT pii.has_pii AND c.n_tokens >= 20
+        | AND c.doc_id % 97 <> 0 AND (ct.frac IS NULL OR ct.frac < 0.5)""".stripMargin,
     "decontaminate" ->
       """WITH d AS (SELECT doc_id, string_split_regex(trim(text),'\s+') AS ts
         |           FROM documents),

@@ -31,9 +31,29 @@ import graft.functions.similarity
   */
 object Pq {
 
-  /** codebooks(sub)(code) = centroid of that subspace cell. */
+  /** codebooks(sub)(code) = centroid of that subspace cell. `packed` means
+    * `encoded.codes` is a binary column of 4-bit nibbles (two codes per
+    * byte, codesPerSub ≤ 16) instead of array<smallint> — half the scan
+    * bytes again on the largest corpora. */
   case class Model(numSub: Int, subDim: Int, codesPerSub: Int,
-      codebooks: Array[Array[Array[Float]]], encoded: DataFrame)
+      codebooks: Array[Array[Array[Float]]], encoded: DataFrame,
+      packed: Boolean = false)
+
+  /** Pack 4-bit codes two-per-byte (code 2i in the high nibble). */
+  private[operators] def packNibbles(codes: Array[Short]): Array[Byte] = {
+    val out = new Array[Byte]((codes.length + 1) / 2)
+    var i = 0
+    while (i < codes.length) {
+      val shift = (1 - (i & 1)) * 4
+      out(i / 2) = (out(i / 2) | ((codes(i) & 0xf) << shift)).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Nibble `s` of a packed code array. */
+  @inline private[operators] def nibble(packed: Array[Byte], s: Int): Int =
+    (packed(s / 2) >> ((1 - (s & 1)) * 4)) & 0xf
 
   private[operators] def sq(x: Float): Double = x.toDouble * x
 
@@ -109,7 +129,10 @@ object Pq {
   /** Train codebooks on a seeded sample, then encode the corpus. */
   def fit(base: DataFrame, numSub: Int = 8, codesPerSub: Int = 16,
       sampleN: Int = 4000, iters: Int = 5, seed: Long = 42L,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Model = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      packed: Boolean = false): Model = {
+    require(!packed || codesPerSub <= 16,
+      s"packed nibble codes need codesPerSub <= 16, got $codesPerSub")
     val spark = base.sparkSession
     import spark.implicits._
     val src = base.select(col(idCol).cast("long").as("id"),
@@ -127,12 +150,19 @@ object Pq {
     val codebooks = trainCodebooks(sample.map(_._2), numSub, subDim, codesPerSub, iters)
 
     val bc = spark.sparkContext.broadcast(codebooks)
-    val encoded = src.as[(Long, Array[Float])].mapPartitions { rows =>
-      val cbs = bc.value
-      rows.map { case (id, v) => (id, encodeVec(cbs, v, numSub, subDim)) }
-    }.toDF("id", "codes").persist()
+    val encoded = (if (packed)
+        src.as[(Long, Array[Float])].mapPartitions { rows =>
+          val cbs = bc.value
+          rows.map { case (id, v) =>
+            (id, packNibbles(encodeVec(cbs, v, numSub, subDim))) }
+        }.toDF("id", "codes")
+      else
+        src.as[(Long, Array[Float])].mapPartitions { rows =>
+          val cbs = bc.value
+          rows.map { case (id, v) => (id, encodeVec(cbs, v, numSub, subDim)) }
+        }.toDF("id", "codes")).persist()
     encoded.count()
-    Model(numSub, subDim, codesPerSub, codebooks, encoded)
+    Model(numSub, subDim, codesPerSub, codebooks, encoded, packed)
   }
 
   /** Persist code table + codebooks (O13 analog for the PQ family;
@@ -163,7 +193,9 @@ object Pq {
     rows.foreach { case (s, c, cent) => codebooks(s)(c) = cent }
     val subDim = codebooks(0)(0).length
     val encoded = spark.read.parquet(s"$path/codes")
-    Some(Model(numSub, subDim, codesPerSub, codebooks, encoded))
+    val packed = encoded.schema("codes").dataType ==
+      org.apache.spark.sql.types.BinaryType
+    Some(Model(numSub, subDim, codesPerSub, codebooks, encoded, packed))
   }
 
   def delete(spark: SparkSession, path: String): Unit = {
@@ -185,10 +217,13 @@ object Pq {
     val numSub = model.numSub
     val subDim = model.subDim
     val r = rerank
-    val cands = model.encoded.as[(Long, Array[Short])].mapPartitions { rows =>
+    // per-query ADC lookup tables: lut(q)(s)(c) = ||q_sub - cent||^2,
+    // then a bounded max-heap of the r best per query; `codeAt` abstracts
+    // the storage layout (array<smallint> vs packed nibbles)
+    def scanRows[C](rows: Iterator[(Long, C)],
+        codeAt: (C, Int) => Int): Iterator[(Long, Long, Double)] = {
       val cbs = bcCb.value
       val qs = bcQ.value
-      // per-query ADC lookup tables: lut(q)(s)(c) = ||q_sub - cent||^2
       val luts = qs.map { case (_, qv) =>
         Array.tabulate(numSub) { s =>
           Array.tabulate(cbs(s).length) { c =>
@@ -198,7 +233,6 @@ object Pq {
           }
         }
       }
-      // bounded max-heap of the r best (smallest distance) per query
       val heaps = Array.fill(qs.length)(
         mutable.PriorityQueue.empty[(Double, Long)](Ordering.by(_._1)))
       rows.foreach { case (id, codes) =>
@@ -206,7 +240,7 @@ object Pq {
         while (q < qs.length) {
           val lut = luts(q)
           var dist = 0.0; var s = 0
-          while (s < numSub) { dist += lut(s)(codes(s)); s += 1 }
+          while (s < numSub) { dist += lut(s)(codeAt(codes, s)); s += 1 }
           val h = heaps(q)
           if (h.size < r) h.enqueue((dist, id))
           else if (dist < h.head._1) { h.dequeue(); h.enqueue((dist, id)) }
@@ -217,7 +251,14 @@ object Pq {
         val qid = qs(q)._1
         h.iterator.map { case (dist, id) => (qid, id, dist) }
       }
-    }.toDF("query_id", "cand_id", "adc_dist")
+    }
+    val cands = (if (model.packed)
+        model.encoded.as[(Long, Array[Byte])].mapPartitions(rows =>
+          scanRows[Array[Byte]](rows, (c, s) => nibble(c, s)))
+      else
+        model.encoded.as[(Long, Array[Short])].mapPartitions(rows =>
+          scanRows[Array[Short]](rows, (c, s) => c(s).toInt)))
+      .toDF("query_id", "cand_id", "adc_dist")
     // global top-rerank per query over the per-partition candidates
     val wr = Window.partitionBy("query_id")
       .orderBy(col("adc_dist").asc, col("cand_id").asc)

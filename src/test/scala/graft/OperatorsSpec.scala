@@ -528,6 +528,37 @@ class OperatorsSpec extends AnyFunSuite {
     m.encoded.unpersist()
   }
 
+  test("packed 4-bit PQ codes: identical results, half the bytes, round-trips") {
+    import graft.operators.Pq
+    val plain = Pq.fit(emb, numSub = 8, codesPerSub = 16, sampleN = 500)
+    val packed = Pq.fit(emb, numSub = 8, codesPerSub = 16, sampleN = 500,
+      packed = true)
+    // same codebooks -> same codes -> byte layout must not change results
+    val a = Pq.knnJoin(plain, emb, probes, k = 10, rerank = 80)
+      .select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
+    val b = Pq.knnJoin(packed, emb, probes, k = 10, rerank = 80)
+      .select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
+    assert(a == b, "packed scan must reproduce the unpacked candidates")
+    // storage: binary nibbles, numSub/2 bytes per vector
+    assert(packed.encoded.schema("codes").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    assert(packed.encoded.take(5).forall(_.getAs[Array[Byte]]("codes").length == 4))
+    // persistence keeps the packed layout
+    val tmp = java.nio.file.Files.createTempDirectory("pqp").toString + "/idx"
+    Pq.save(packed, tmp)
+    val loaded = Pq.load(spark, tmp).get
+    assert(loaded.packed, "load must infer the packed layout from the schema")
+    val c = Pq.knnJoin(loaded, emb, probes, k = 10, rerank = 80)
+      .select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
+    assert(c == b)
+    Pq.delete(spark, tmp)
+    // illegal: nibbles cannot hold >16 codes
+    intercept[IllegalArgumentException] {
+      Pq.fit(emb, numSub = 8, codesPerSub = 32, sampleN = 100, packed = true)
+    }
+    plain.encoded.unpersist(); packed.encoded.unpersist()
+  }
+
   test("OPQ: orthogonal rotation, MSE no worse than PQ, recall floor (scale path)") {
     import graft.operators.{Opq, Pq}
     val opq = Opq.fit(emb, numSub = 8, codesPerSub = 16, sampleN = 500, opqIters = 6)
