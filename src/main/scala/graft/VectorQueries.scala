@@ -179,21 +179,26 @@ object VectorQueries {
     }),
 
     // SQ8 (scalar quantization): 4x-compressed int8 codes, ADC scan +
-    // exact rerank. Rows-only gate; recall_sq + spec assert quality.
+    // exact rerank. The encode is closed-form double arithmetic over
+    // per-dim min/max, so — like the LSH path — the WHOLE approximate
+    // pipeline is cross-engine ORACLE-checked: the DuckDB oracle
+    // recomputes identical codes, ranks candidates by the same
+    // (1e-9-rounded dist, cand_id) total order, and reranks with the
+    // same rounded euclidean scores.
     "knn_sq_euclid" -> ((s, dir) => {
       val model = ModelMemo.get(s, s"sq/8bit/$dir")(
         graft.operators.Sq.fit(emb(s, dir)))
       graft.operators.Sq.knnJoin(model, emb(s, dir), probes(s, dir),
-        k = 10, rerank = 100)
+        k = 10, rerank = 100, scoreDigits = 6)
     }),
 
     "recall_sq" -> ((s, dir) => {
       val model = ModelMemo.get(s, s"sq/8bit/$dir")(
         graft.operators.Sq.fit(emb(s, dir)))
       val approx = graft.operators.Sq.knnJoin(model, emb(s, dir),
-        probes(s, dir), k = 10, rerank = 100)
+        probes(s, dir), k = 10, rerank = 100, scoreDigits = 6)
       val exact = KnnJoin.exactKnnJoin(emb(s, dir), probes(s, dir), k = 10,
-        metric = "euclidean")
+        metric = "euclidean", scoreDigits = 6)
       Recall.microAvgRecall(approx, exact)
     }),
 
@@ -324,7 +329,64 @@ object VectorQueries {
        |     ORDER BY score DESC, neighbor_id) AS rank FROM cands)
        |  WHERE rank <= 10)""".stripMargin
 
+  /** Shared DuckDB CTE reproducing [[graft.operators.Sq]]'s pipeline
+    * end-to-end (d=64, rerank=100, k=10): per-dim min/max → closed-form
+    * double-arithmetic codes → decode → ADC distances rounded to 1e-9 →
+    * (dist, cand_id) top-rerank → euclidean rerank rounded to 1e-6 —
+    * every step the same total order the Spark side ranks by. */
+  private def sqTopCte: String =
+    """WITH dims AS (SELECT CAST(unnest(range(1, 65)) AS INT) AS i),
+      | comps AS (SELECT e.vec_id, d.i, CAST(e.embedding[d.i] AS DOUBLE) AS x
+      |           FROM embeddings e CROSS JOIN dims d),
+      | stats AS (SELECT i, min(x) AS mn, (max(x) - min(x))/255.0 AS sc
+      |           FROM comps GROUP BY i),
+      | dec AS (SELECT c.vec_id, c.i,
+      |    s.mn + (CASE WHEN s.sc = 0 THEN 0
+      |            ELSE least(255, greatest(0, floor((c.x - s.mn)/s.sc + 0.5)))
+      |            END) * s.sc AS dv
+      |   FROM comps c JOIN stats s USING (i)),
+      | q AS (SELECT vec_id AS query_id, embedding AS qv
+      |       FROM embeddings WHERE vec_id < 100),
+      | adc AS (SELECT q.query_id, d.vec_id AS cand_id,
+      |    floor((sum((CAST(q.qv[d.i] AS DOUBLE) - d.dv)
+      |               * (CAST(q.qv[d.i] AS DOUBLE) - d.dv)))*1e9 + 0.5)/1e9
+      |      AS adc_dist
+      |   FROM dec d CROSS JOIN q GROUP BY 1, 2),
+      | cand AS (SELECT query_id, cand_id FROM (
+      |    SELECT query_id, cand_id, row_number() OVER (PARTITION BY query_id
+      |      ORDER BY adc_dist, cand_id) AS cr FROM adc) WHERE cr <= 100),
+      | rer AS (SELECT c.query_id, c.cand_id AS neighbor_id,
+      |    floor((1.0/(1.0 + list_distance(CAST(e.embedding AS DOUBLE[]),
+      |      CAST(q.qv AS DOUBLE[]))))*1e6 + 0.5)/1e6 AS score
+      |   FROM cand c JOIN embeddings e ON e.vec_id = c.cand_id
+      |    JOIN q ON q.query_id = c.query_id),
+      | sq_topk AS (SELECT query_id, neighbor_id, score, rank FROM (
+      |   SELECT *, row_number() OVER (PARTITION BY query_id
+      |     ORDER BY score DESC, neighbor_id) AS rank FROM rer)
+      |  WHERE rank <= 10)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "knn_sq_euclid" ->
+      s"""$sqTopCte
+         |SELECT query_id, neighbor_id, score, rank FROM sq_topk""".stripMargin,
+    "recall_sq" ->
+      s"""$sqTopCte,
+         | exact_topk AS (SELECT query_id, neighbor_id FROM (
+         |   SELECT q.query_id, e.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |      floor((1.0/(1.0 + list_distance(CAST(e.embedding AS DOUBLE[]),
+         |        CAST(q.qv AS DOUBLE[]))))*1e6 + 0.5)/1e6 DESC, e.vec_id) AS rank
+         |   FROM embeddings e, q) WHERE rank <= 10),
+         | per_q AS (SELECT x.query_id, count(*) AS total,
+         |    CAST(sum(CASE WHEN s.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS hits
+         |   FROM exact_topk x LEFT JOIN sq_topk s
+         |    ON s.query_id = x.query_id AND s.neighbor_id = x.neighbor_id
+         |   GROUP BY x.query_id)
+         |SELECT count(*) AS n_queries, CAST(sum(hits) AS BIGINT) AS hits,
+         | CAST(sum(total) AS BIGINT) AS total,
+         | sum(hits)*1.0/sum(total) AS recall
+         |FROM per_q""".stripMargin,
     "knn_lsh_cosine" ->
       s"""$lshKnnCte
          |SELECT query_id, neighbor_id, score, rank FROM lsh_topk""".stripMargin,

@@ -268,17 +268,22 @@ object Pq {
   }
 
   /** Exact `1/(1+L2)` top-k rerank of (query_id, cand_id) candidates on
-    * the original vectors (shared by PQ and OPQ). */
+    * the original vectors (shared by PQ, OPQ and SQ). `scoreDigits >= 0`
+    * rounds scores (fixed-point floor form) BEFORE ranking so an oracle
+    * engine reproduces the order. */
   private[operators] def exactRerank(cands: DataFrame, base: DataFrame,
       queries: DataFrame, k: Int, queryId: String, queryVec: String,
-      idCol: String, vecCol: String): DataFrame = {
+      idCol: String, vecCol: String, scoreDigits: Int = -1): DataFrame = {
+    val rawScore = similarity.euclidean_sim(col("bvec"), col("qvec"))
+    val scoreCol =
+      if (scoreDigits >= 0) graft.Qutil.rnd(rawScore, scoreDigits) else rawScore
     val scored = cands
       .join(base.select(col(idCol).cast("long").as("cand_id"),
         col(vecCol).cast("array<float>").as("bvec")), Seq("cand_id"))
       .join(broadcast(queries.select(col(queryId).cast("long").as("query_id"),
         col(queryVec).cast("array<float>").as("qvec"))), Seq("query_id"))
       .select(col("query_id"), col("cand_id").as("neighbor_id"),
-        similarity.euclidean_sim(col("bvec"), col("qvec")).as("score"))
+        scoreCol.as("score"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

@@ -25,11 +25,20 @@ import org.apache.spark.sql.functions._
 object Sq {
 
   /** mins/scales are per-dimension affine decode params; encoded is the
-    * persisted (id, codes binary) table. */
-  case class Model(mins: Array[Float], scales: Array[Float], encoded: DataFrame)
+    * persisted (id, codes binary) table. Scales are DOUBLE and the whole
+    * encode/decode/ADC pipeline is closed-form double arithmetic over the
+    * data — which is what makes the SQ path cross-engine ORACLE-checkable
+    * (the DuckDB oracle recomputes identical codes from the same per-dim
+    * min/max aggregates; see the knn_sq_euclid oracle SQL). */
+  case class Model(mins: Array[Float], scales: Array[Double], encoded: DataFrame)
 
   private def decode(m: Model, i: Int, c: Int): Double =
-    m.mins(i).toDouble + c * m.scales(i).toDouble
+    m.mins(i).toDouble + c * m.scales(i)
+
+  /** floor(x·1e9+0.5)/1e9 — the Qutil.rnd fixed-point form, applied to
+    * ADC distances BEFORE ranking so both engines rank the same total
+    * order ((rounded dist, cand_id)) regardless of summation order. */
+  @inline private def rnd9(x: Double): Double = math.floor(x * 1e9 + 0.5) / 1e9
 
   /** Per-dimension min/max over the corpus (partition partials + driver
     * combine), then one broadcast encode pass. Deterministic. */
@@ -61,8 +70,10 @@ object Sq {
       Array.tabulate(d)(i => math.min(a(i), b(i))) }
     val maxs = partials.map(_._2).reduce { (a, b) =>
       Array.tabulate(d)(i => math.max(a(i), b(i))) }
-    // constant dimensions get scale 0 → all-zero codes decoding to min_i
-    val scales = Array.tabulate(d)(i => (maxs(i) - mins(i)) / 255f)
+    // constant dimensions get scale 0 → all-zero codes decoding to min_i;
+    // double arithmetic throughout (float in, double ops) so the DuckDB
+    // oracle reproduces codes exactly from the same aggregates
+    val scales = Array.tabulate(d)(i => (maxs(i).toDouble - mins(i).toDouble) / 255.0)
 
     val bcM = spark.sparkContext.broadcast(mins)
     val bcS = spark.sparkContext.broadcast(scales)
@@ -72,8 +83,9 @@ object Sq {
         val codes = new Array[Byte](v.length)
         var i = 0
         while (i < v.length) {
-          val c = if (sc(i) == 0f) 0
-            else math.max(0, math.min(255, math.round((v(i) - mn(i)) / sc(i))))
+          val c = if (sc(i) == 0.0) 0
+            else math.max(0, math.min(255,
+              math.floor((v(i).toDouble - mn(i).toDouble) / sc(i) + 0.5).toInt))
           codes(i) = c.toByte
           i += 1
         }
@@ -102,7 +114,7 @@ object Sq {
     if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/params"))) return None
     import spark.implicits._
     val rows = spark.read.parquet(s"$path/params")
-      .as[(Int, Float, Float)].collect().sortBy(_._1)
+      .as[(Int, Float, Double)].collect().sortBy(_._1)
     Some(Model(rows.map(_._2), rows.map(_._3),
       spark.read.parquet(s"$path/codes")))
   }
@@ -111,11 +123,14 @@ object Sq {
     Pq.delete(spark, path)
 
   /** ADC scan over the code table + exact top-k rerank on the original
-    * vectors (euclidean `1/(1+L2)` contract). */
+    * vectors (euclidean `1/(1+L2)` contract). `scoreDigits >= 0` rounds
+    * rerank scores before ranking (fixed-point floor form) — required for
+    * the cross-engine oracle gate. */
   def knnJoin(model: Model, base: DataFrame, queries: DataFrame, k: Int,
       rerank: Int = 100, queryId: String = "query_id",
       queryVec: String = "query_vec",
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      scoreDigits: Int = -1): DataFrame = {
     require(k > 0 && rerank >= k)
     val spark = model.encoded.sparkSession
     import spark.implicits._
@@ -144,8 +159,12 @@ object Sq {
         }
         lut
       }
+      // heap order = ((rounded dist, cand_id)) — the SAME total order the
+      // global window and the DuckDB oracle rank by, so the per-partition
+      // cut can never disagree with the cross-engine ranking
       val heaps = Array.fill(qs.length)(
-        mutable.PriorityQueue.empty[(Double, Long)](Ordering.by(_._1)))
+        mutable.PriorityQueue.empty[(Double, Long)](
+          Ordering.Tuple2[Double, Long]))
       rows.foreach { case (id, codes) =>
         var q = 0
         while (q < qs.length) {
@@ -153,9 +172,12 @@ object Sq {
           var dist = 0.0
           var i = 0
           while (i < d) { dist += lut(i * 256 + (codes(i) & 0xff)); i += 1 }
+          val rd = rnd9(dist)
           val h = heaps(q)
-          if (h.size < r) h.enqueue((dist, id))
-          else if (dist < h.head._1) { h.dequeue(); h.enqueue((dist, id)) }
+          if (h.size < r) h.enqueue((rd, id))
+          else if (Ordering.Tuple2[Double, Long].lt((rd, id), h.head)) {
+            h.dequeue(); h.enqueue((rd, id))
+          }
           q += 1
         }
       }
@@ -169,6 +191,7 @@ object Sq {
     val topCands = cands.withColumn("crank", row_number().over(wr))
       .filter(col("crank") <= r)
       .select("query_id", "cand_id")
-    Pq.exactRerank(topCands, base, queries, k, queryId, queryVec, idCol, vecCol)
+    Pq.exactRerank(topCands, base, queries, k, queryId, queryVec, idCol, vecCol,
+      scoreDigits)
   }
 }
