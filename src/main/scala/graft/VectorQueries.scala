@@ -159,12 +159,13 @@ object VectorQueries {
     }),
 
     // IVF-PQ (the composed largest-corpus path: nprobe cell pruning ×
-    // OPQ-rotated residual PQ codes × exact rerank). Rows-only gate; spec
-    // asserts recall floors incl. the all-cells/full-rerank exactness case.
+    // OPQ-rotated residual PQ codes in PACKED 4-bit nibbles × exact
+    // rerank). Rows-only gate; spec asserts recall floors incl. the
+    // all-cells/full-rerank exactness case and packed ≡ unpacked.
     "knn_ivfpq_euclid" -> ((s, dir) => {
-      val model = ModelMemo.get(s, s"ivfpq/c16s8c16r4/$dir")(
+      val model = ModelMemo.get(s, s"ivfpq/c16s8c16r4p/$dir")(
         graft.operators.IvfPq.fit(emb(s, dir), numCells = 16,
-          numSub = 8, codesPerSub = 16, opqIters = 4))
+          numSub = 8, codesPerSub = 16, opqIters = 4, packed = true))
       graft.operators.IvfPq.knnJoin(model, emb(s, dir), probes(s, dir),
         k = 10, nprobe = 6, rerank = 150)
     }),
@@ -213,9 +214,9 @@ object VectorQueries {
     }),
 
     "recall_ivfpq" -> ((s, dir) => {
-      val model = ModelMemo.get(s, s"ivfpq/c16s8c16r4/$dir")(
+      val model = ModelMemo.get(s, s"ivfpq/c16s8c16r4p/$dir")(
         graft.operators.IvfPq.fit(emb(s, dir), numCells = 16,
-          numSub = 8, codesPerSub = 16, opqIters = 4))
+          numSub = 8, codesPerSub = 16, opqIters = 4, packed = true))
       val approx = graft.operators.IvfPq.knnJoin(model, emb(s, dir), probes(s, dir),
         k = 10, nprobe = 6, rerank = 150)
       val exact = KnnJoin.exactKnnJoin(emb(s, dir), probes(s, dir), k = 10,

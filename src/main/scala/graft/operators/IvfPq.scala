@@ -30,12 +30,16 @@ import graft.functions.similarity
 object IvfPq {
 
   /** rotation (Some when fit with opqIters > 0) applies to residuals
-    * before encoding — codes then live in the rotated residual space. */
+    * before encoding — codes then live in the rotated residual space.
+    * `packed` means `encoded.codes` is a binary column of 4-bit nibbles
+    * (two codes per byte, codesPerSub ≤ 16) instead of array<smallint> —
+    * the nprobe'd cell scan reads half the bytes per row. */
   case class Model(numCells: Int, numSub: Int, subDim: Int,
       centroids: Array[(Int, Array[Float])],
       codebooks: Array[Array[Array[Float]]],
       encoded: DataFrame, // (cell, id, codes)
-      rotation: Option[Array[Array[Float]]] = None)
+      rotation: Option[Array[Array[Float]]] = None,
+      packed: Boolean = false)
 
   private def sq(x: Float): Double = x.toDouble * x
 
@@ -46,7 +50,10 @@ object IvfPq {
   def fit(base: DataFrame, numCells: Int = 16, numSub: Int = 8,
       codesPerSub: Int = 16, sampleN: Int = 4000, iters: Int = 5,
       seed: Long = 42L, idCol: String = "vec_id",
-      vecCol: String = "embedding", opqIters: Int = 0): Model = {
+      vecCol: String = "embedding", opqIters: Int = 0,
+      packed: Boolean = false): Model = {
+    require(!packed || codesPerSub <= 16,
+      s"packed nibble codes need codesPerSub <= 16, got $codesPerSub")
     val spark = base.sparkSession
     import spark.implicits._
     // coarse quantizer = IvfFlat's deterministic trainer, assigned with
@@ -84,21 +91,85 @@ object IvfPq {
 
     // encode (optionally rotated) residuals, keep the cell for partition
     // pruning at query time
-    val encoded = assigned.select(col("cell"), col("id"), col("vec"))
-      .as[(Int, Long, Array[Float])].mapPartitions { rows =>
-        val cbs = bcCb.value
-        val cents = bcCents.value
-        val rot = bcRot.value
-        rows.map { case (cell, id, v) =>
-          val cent = cents(cell)
-          var res = Array.tabulate(v.length)(j => v(j) - cent(j))
-          rot.foreach { r => res = Opq.rotate(r, res) }
-          (cell, id, Pq.encodeVec(cbs, res, numSub, subDim))
-        }
-      }.toDF("cell", "id", "codes")
+    def residualCodes(cell: Int, v: Array[Float]): Array[Short] = {
+      val cbs = bcCb.value
+      val cents = bcCents.value
+      val cent = cents(cell)
+      var res = Array.tabulate(v.length)(j => v(j) - cent(j))
+      bcRot.value.foreach { r => res = Opq.rotate(r, res) }
+      Pq.encodeVec(cbs, res, numSub, subDim)
+    }
+    val src = assigned.select(col("cell"), col("id"), col("vec"))
+      .as[(Int, Long, Array[Float])]
+    val encoded = (if (packed)
+        src.mapPartitions(_.map { case (cell, id, v) =>
+          (cell, id, Pq.packNibbles(residualCodes(cell, v))) })
+          .toDF("cell", "id", "codes")
+      else
+        src.mapPartitions(_.map { case (cell, id, v) =>
+          (cell, id, residualCodes(cell, v)) })
+          .toDF("cell", "id", "codes"))
       .repartition(col("cell")).persist()
     encoded.count()
-    Model(numCells, numSub, subDim, centroids, codebooks, encoded, rotation)
+    Model(numCells, numSub, subDim, centroids, codebooks, encoded, rotation,
+      packed)
+  }
+
+  /** Persist the full composed model: codes as CELL-PARTITIONED parquet
+    * (a probe at load-scale reads only its nprobe cells' files), centroids
+    * + codebooks + optional rotation as tiny parquets (store CRUD contract
+    * as [[Pq.save]] / reference src/db.ts:54-100; load-missing → None). */
+  def save(model: Model, path: String): Unit = {
+    val spark = model.encoded.sparkSession
+    import spark.implicits._
+    model.encoded.write.mode("overwrite")
+      .partitionBy("cell").parquet(s"$path/codes")
+    model.centroids.toSeq.toDF("cell", "cvec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    val cbRows = for {
+      s <- model.codebooks.indices
+      c <- model.codebooks(s).indices
+    } yield (s, c, model.codebooks(s)(c))
+    cbRows.toDF("sub", "code", "cent").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+    model.rotation.foreach { rot =>
+      rot.zipWithIndex.map { case (row, i) => (i, row) }.toSeq
+        .toDF("i", "row").coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/rotation")
+    }
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Option[Model] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/codebooks"))) return None
+    import spark.implicits._
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .as[(Int, Array[Float])].collect().sortBy(_._1)
+    val cbRows = spark.read.parquet(s"$path/codebooks")
+      .as[(Int, Int, Array[Float])].collect()
+    val numSub = cbRows.map(_._1).max + 1
+    val codesPerSub = cbRows.map(_._2).max + 1
+    val codebooks = Array.ofDim[Array[Float]](numSub, codesPerSub)
+    cbRows.foreach { case (s, c, cent) => codebooks(s)(c) = cent }
+    val rotation =
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/rotation")))
+        Some(spark.read.parquet(s"$path/rotation")
+          .as[(Int, Array[Float])].collect().sortBy(_._1).map(_._2))
+      else None
+    val encoded = spark.read.parquet(s"$path/codes")
+      .select(col("cell").cast("int").as("cell"), col("id"), col("codes"))
+    val packed = encoded.schema("codes").dataType ==
+      org.apache.spark.sql.types.BinaryType
+    Some(Model(centroids.length, numSub, codebooks(0)(0).length, centroids,
+      codebooks, encoded, rotation, packed))
+  }
+
+  def delete(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    ()
   }
 
   /** nprobe-cell ADC scan + exact rerank (euclidean `1/(1+L2)` scores). */
@@ -130,9 +201,11 @@ object IvfPq {
     val numSub = model.numSub
     val subDim = model.subDim
     val r = rerank
-    // partition pruning: only scan rows of probed cells
+    // partition pruning: only scan rows of probed cells; `codeAt` abstracts
+    // the storage layout (array<smallint> vs packed nibbles)
     val pruned = model.encoded.filter(col("cell").isin(wantedCells.toSeq: _*))
-    val cands = pruned.as[(Int, Long, Array[Short])].mapPartitions { rows =>
+    def scanRows[C](rows: Iterator[(Int, Long, C)],
+        codeAt: (C, Int) => Int): Iterator[(Long, Long, Double)] = {
       val cbs = bcCb.value
       val cents = bcCents.value
       val qs = bcQ.value
@@ -163,7 +236,7 @@ object IvfPq {
           if (qCells(qid).contains(cell)) {
             val t = lut(qid, qv, cell)
             var dist = 0.0; var s = 0
-            while (s < numSub) { dist += t(s)(codes(s)); s += 1 }
+            while (s < numSub) { dist += t(s)(codeAt(codes, s)); s += 1 }
             val h = heaps.getOrElseUpdate(qid,
               mutable.PriorityQueue.empty[(Double, Long)](Ordering.by(_._1)))
             if (h.size < r) h.enqueue((dist, id))
@@ -175,7 +248,14 @@ object IvfPq {
       heaps.iterator.flatMap { case (qid, h) =>
         h.iterator.map { case (dist, id) => (qid, id, dist) }
       }
-    }.toDF("query_id", "cand_id", "adc_dist")
+    }
+    val cands = (if (model.packed)
+        pruned.as[(Int, Long, Array[Byte])].mapPartitions(rows =>
+          scanRows[Array[Byte]](rows, (c, s) => Pq.nibble(c, s)))
+      else
+        pruned.as[(Int, Long, Array[Short])].mapPartitions(rows =>
+          scanRows[Array[Short]](rows, (c, s) => c(s).toInt)))
+      .toDF("query_id", "cand_id", "adc_dist")
     val wr = Window.partitionBy("query_id")
       .orderBy(col("adc_dist").asc, col("cand_id").asc)
     val topCands = cands.withColumn("crank", row_number().over(wr))

@@ -559,6 +559,43 @@ class OperatorsSpec extends AnyFunSuite {
     plain.encoded.unpersist(); packed.encoded.unpersist()
   }
 
+  test("packed 4-bit IVF-PQ codes: identical results, persistence round-trip") {
+    import graft.operators.IvfPq
+    val plain = IvfPq.fit(emb, numCells = 8, numSub = 8, codesPerSub = 16,
+      sampleN = 500, opqIters = 2)
+    val packed = IvfPq.fit(emb, numCells = 8, numSub = 8, codesPerSub = 16,
+      sampleN = 500, opqIters = 2, packed = true)
+    // packing is a storage layout, not a quantizer: results must be equal
+    val a = IvfPq.knnJoin(plain, emb, probes, k = 10, nprobe = 4, rerank = 80)
+      .select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
+    val b = IvfPq.knnJoin(packed, emb, probes, k = 10, nprobe = 4, rerank = 80)
+      .select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
+    assert(a == b, "packed cell scan must reproduce the unpacked results")
+    assert(packed.encoded.schema("codes").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    assert(packed.encoded.take(5).forall(_.getAs[Array[Byte]]("codes").length == 4))
+    // save/load round-trip: cell-partitioned codes, rotation, packed layout
+    val tmp = java.nio.file.Files.createTempDirectory("ivfpqp").toString + "/idx"
+    IvfPq.save(packed, tmp)
+    // codes directory is cell-partitioned parquet (probe-time file pruning)
+    val codesDir = new java.io.File(s"$tmp/codes")
+    assert(codesDir.listFiles().exists(_.getName.startsWith("cell=")),
+      "saved codes must be partitioned by cell")
+    val loaded = IvfPq.load(spark, tmp).get
+    assert(loaded.packed && loaded.rotation.isDefined)
+    assert(loaded.numCells == 8 && loaded.numSub == 8 && loaded.subDim == 8)
+    val c = IvfPq.knnJoin(loaded, emb, probes, k = 10, nprobe = 4, rerank = 80)
+      .select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
+    assert(c == b, "loaded model must reproduce the saved model's results")
+    IvfPq.delete(spark, tmp)
+    assert(IvfPq.load(spark, tmp).isEmpty, "load of a deleted path is None")
+    intercept[IllegalArgumentException] {
+      IvfPq.fit(emb, numCells = 8, numSub = 8, codesPerSub = 32,
+        sampleN = 100, packed = true)
+    }
+    plain.encoded.unpersist(); packed.encoded.unpersist()
+  }
+
   test("OPQ: orthogonal rotation, MSE no worse than PQ, recall floor (scale path)") {
     import graft.operators.{Opq, Pq}
     val opq = Opq.fit(emb, numSub = 8, codesPerSub = 16, sampleN = 500, opqIters = 6)
