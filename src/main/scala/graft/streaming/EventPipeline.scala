@@ -103,16 +103,31 @@ object EventPipeline {
     * sides carry watermarks and the join predicate bounds event time from
     * both directions, so Spark can expire join state — without the lower
     * bound the click buffer would grow forever. The same plan runs on
-    * batch frames (q_click_attrib is the oracle-gated batch twin). */
-  def clickAttribution(events: DataFrame, windowMin: Int = 30): DataFrame = {
+    * batch frames (q_click_attrib is the oracle-gated batch twin).
+    *
+    * State sizing for long attribution windows: the click buffer retains
+    * every click inside the `windowMin + lateness` horizon and the
+    * purchase buffer only the `lateness` horizon, so state rows ≈
+    * click_rate·(windowMin + lateness) + purchase_rate·lateness. The
+    * window term dominates for multi-day attribution — at 10k clicks/s a
+    * 7-day window holds ~6B rows cluster-wide. That state shuffles on the
+    * join key (user), so it spreads evenly over
+    * `spark.sql.shuffle.partitions`; size partitions so each holds a few
+    * hundred MB and back them with the RocksDB state store (off-heap,
+    * incremental checkpoints) rather than the default in-memory HDFS
+    * store. `lateness` buys completeness for late events at a linear
+    * state cost on the (small) purchase side but only an additive one on
+    * the click side — a day-scale window tolerates a generous lateness. */
+  def clickAttribution(events: DataFrame, windowMin: Int = 30,
+      lateness: String = "10 minutes"): DataFrame = {
     val clicks = events.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
         col("ts").as("c_ts"))
-      .withWatermark("c_ts", "10 minutes")
+      .withWatermark("c_ts", lateness)
     val purchases = events.filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id"),
         col("ts").as("p_ts"), col("value"))
-      .withWatermark("p_ts", "10 minutes")
+      .withWatermark("p_ts", lateness)
     purchases.join(clicks,
       col("c_user") === col("user_id") &&
         col("c_ts") <= col("p_ts") &&

@@ -334,6 +334,50 @@ class OperatorsSpec extends AnyFunSuite {
     assert(batch == got, "streaming and batch twins must agree")
   }
 
+  test("multi-day click attribution: streaming == batch, state ages out past the horizon") {
+    import spark.implicits._
+    implicit val sctx = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def at(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    val day = 24 * 60
+    // 2-day attribution window: a purchase on day 2 attributes to clicks
+    // from day 0 and day 1; a purchase on day 3 no longer sees day 0
+    val evs = Seq(
+      graft.streaming.Event(1, at(0), 7L, "click", 0.0),
+      graft.streaming.Event(2, at(1 * day), 7L, "click", 0.0),
+      graft.streaming.Event(3, at(2 * day), 7L, "purchase", 20.0),
+      graft.streaming.Event(4, at(3 * day), 7L, "purchase", 5.0))
+    val mem = MemoryStream[graft.streaming.Event]
+    val q = EventPipeline.clickAttribution(mem.toDS().toDF(),
+        windowMin = 2 * day, lateness = "1 hour")
+      .writeStream.format("memory").queryName("attrib_2d")
+      .outputMode("append").start()
+    mem.addData(evs: _*)
+    q.processAllAvailable()
+    val got = spark.table("attrib_2d")
+      .select("purchase_id", "click_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((3L, 1L), (3L, 2L), (4L, 2L)), s"got $got")
+    val stateAtHorizon =
+      q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    assert(stateAtHorizon > 0, "join state must buffer rows inside the horizon")
+    // advance the watermark 10 days past the data: every buffered click is
+    // older than windowMin + lateness and must be evicted — this is the
+    // bounded-state claim that makes multi-day windows runnable forever
+    mem.addData(graft.streaming.Event(5, at(13 * day), 9L, "click", 0.0))
+    q.processAllAvailable()
+    mem.addData(graft.streaming.Event(6, at(13 * day + 1), 9L, "view", 0.0))
+    q.processAllAvailable()
+    val stateAfter = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    q.stop()
+    assert(stateAfter < stateAtHorizon,
+      s"state must shrink once the watermark passes the horizon " +
+        s"($stateAtHorizon -> $stateAfter)")
+    // batch twin agrees at the same window
+    val batch = EventPipeline.clickAttribution(evs.toDF(), windowMin = 2 * day)
+      .select("purchase_id", "click_id").as[(Long, Long)].collect().toSet
+    assert(batch == got, "streaming and batch twins must agree at 2-day window")
+  }
+
   test("streaming dedup drops repeated keys within the watermark horizon") {
     import spark.implicits._
     implicit val sctx = spark.sqlContext
