@@ -483,6 +483,43 @@ object TextQueries {
           coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"),
           rnd(coalesce(col("top_bigram_n") / col("n_bigrams").cast("double"),
             lit(0.0)), 6).as("top_bigram_frac"))
+    }),
+
+    // bloom-prefiltered decontamination — the giant-eval scale path of
+    // `decontaminate`: a broadcast BIT ARRAY probe map-side (codegen'd
+    // bloom_might_contain, zero UDFs) + exact string confirm join. The
+    // result is exactly the plain join's, so the approximate structure
+    // gets a full hash-match oracle gate.
+    "decontaminate_bloom" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val ev = shingles(d.filter(col("doc_id") % 97 === 0)).select("shingle")
+      val tr = shingles(d.filter(col("doc_id") % 97 =!= 0))
+      graft.operators.BloomDecontaminate.contaminatedDocs(tr, ev,
+        expectedEvalItems = 100000L)
+    }),
+
+    // deterministic global training order: hash-key the corpus, then
+    // assign a dense 0-based ordinal with the TWO-PHASE zipWithIndex
+    // operator — never a single-partition row_number window (the plan is
+    // guarded against one in PlanSpec). The ordinal is a pure function of
+    // the data, so the oracle reproduces it with row_number()-1.
+    "train_order" -> ((s, dir) => {
+      val keyed = docs(s, dir).select(col("doc_id"), col("source"),
+        md5Long(concat(lit("ord:"), col("doc_id"))).as("shuffle_key"))
+      graft.operators.Ordinal.withOrdinal(keyed, "train_ix",
+        col("shuffle_key"), col("doc_id"))
+    }),
+
+    // bounded per-slice sample: exactly 25 docs per source picked by
+    // deterministic hash order — the "inspect k examples per slice" op.
+    // Plans as WindowGroupLimit (per-group top-k, no full per-group sort).
+    "sample_per_source" -> ((s, dir) => {
+      val keyed = docs(s, dir).select(col("doc_id"), col("source"),
+        md5Long(concat(lit("sample:"), col("doc_id"))).as("h"))
+      val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+      keyed.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 25)
+        .select("source", "doc_id", "h", "rk")
     })
   )
 
@@ -571,6 +608,36 @@ object TextQueries {
         |SELECT doc_id, n_shingles, n_matched, contamination,
         | contamination >= 0.5 AS flag_contaminated
         |FROM r""".stripMargin,
+    "decontaminate_bloom" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text),'\s+') AS ts
+        |           FROM documents),
+        | toks AS (SELECT doc_id, unnest(ts) AS tok,
+        |          unnest(range(1, len(ts)+1)) AS pos FROM d),
+        | sh0 AS (SELECT doc_id, tok || ' ' || lead(tok,1) OVER w
+        |          || ' ' || lead(tok,2) OVER w AS shingle
+        |         FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        | sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE shingle IS NOT NULL),
+        | ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+        | tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 97 <> 0)
+        |SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_matched
+        |FROM tr JOIN ev ON tr.shingle = ev.shingle
+        |GROUP BY tr.doc_id""".stripMargin,
+    "train_order" ->
+      """WITH k AS (SELECT doc_id, source,
+        |  ('0x' || substr(md5('ord:' || doc_id), 1, 15))::BIGINT AS shuffle_key
+        | FROM documents)
+        |SELECT doc_id, source, shuffle_key,
+        | row_number() OVER (ORDER BY shuffle_key, doc_id) - 1 AS train_ix
+        |FROM k""".stripMargin,
+    "sample_per_source" ->
+      """WITH k AS (SELECT doc_id, source,
+        |  ('0x' || substr(md5('sample:' || doc_id), 1, 15))::BIGINT AS h
+        | FROM documents)
+        |SELECT source, doc_id, h,
+        | CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+        |   AS INT) AS rk
+        |FROM k
+        |QUALIFY rk <= 25""".stripMargin,
     "repetition_stats" ->
       """WITH d AS (SELECT doc_id, string_split_regex(trim(text),'\s+') AS ts
         |           FROM documents),

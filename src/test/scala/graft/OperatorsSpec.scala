@@ -787,4 +787,81 @@ class OperatorsSpec extends AnyFunSuite {
     val micro = Recall.microAvgRecall(approx, exact).select("recall").first().getDouble(0)
     assert(math.abs(micro - 2.0 / 3.0) < 1e-12) // pooled, not (0.5+1)/2
   }
+
+  test("bloom_might_contain: no false negatives, codegen == interpreted") {
+    import spark.implicits._
+    import graft.functions.BloomFilters
+    val members = (0L until 200L).map(_ * 7L)
+    val bloom = members.toDF("v").stat.bloomFilter("v", 200, 0.03)
+    val probeDf = (0L until 2000L).toDF("v")
+    val got = probeDf
+      .where(BloomFilters.bloom_might_contain(col("v"), bloom))
+      .as[Long].collect().toSet
+    // every member must survive (bloom has no false negatives)...
+    assert(members.forall(got.contains), "bloom dropped a member")
+    // ...and false positives stay near fpp (not a degenerate all-true)
+    assert(got.size < 2000 / 2, s"bloom passed ${got.size}/2000 probes")
+    // interpreted evaluation (no codegen) agrees row for row
+    val interp = probeDf
+      .where(BloomFilters.bloom_might_contain(col("v"), bloom))
+      .withColumn("g", lit(1)) // force a fresh plan
+      .select("v").as[Long].collect().toSet
+    assert(interp == got)
+    val e = graft.functions.BloomMightContainExpr(
+      org.apache.spark.sql.catalyst.expressions.Literal(14L), {
+        val bos = new java.io.ByteArrayOutputStream(); bloom.writeTo(bos)
+        bos.toByteArray
+      })
+    assert(e.eval(null) == true, "interpreted eval of a member must be true")
+  }
+
+  test("bloom decontamination is exact at any fpp (confirm join removes FPs)") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    def sh(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      .select(col("doc_id"), explode(expr(
+        """array_distinct(CASE WHEN size(toks) >= 3
+          |  THEN transform(sequence(0, size(toks)-3),
+          |       i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))
+          |  ELSE array() END)""".stripMargin)).as("shingle"))
+    val ev = sh(d.filter(col("doc_id") % 97 === 0)).select("shingle")
+    val tr = sh(d.filter(col("doc_id") % 97 =!= 0))
+    // ground truth: plain exact join
+    val exact = tr.join(ev.distinct(), Seq("shingle"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_matched"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture must actually contain contamination")
+    // a sloppy bloom (fpp=0.5) floods phase 1 with false positives; the
+    // confirm join must still produce exactly the ground truth
+    for (fpp <- Seq(0.01, 0.5)) {
+      val got = graft.operators.BloomDecontaminate
+        .contaminatedDocs(tr, ev, expectedEvalItems = 10000L, fpp = fpp)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == exact, s"bloom path diverged at fpp=$fpp")
+    }
+  }
+
+  test("two-phase ordinal: dense, order-consistent, no single-partition window") {
+    import spark.implicits._
+    import graft.operators.Ordinal
+    val df = spark.range(0, 10000).select(
+      col("id"), xxhash64(col("id")).as("k"))
+      .repartition(7) // scrambled input layout must not matter
+    val out = Ordinal.withOrdinal(df, "ord", col("k"), col("id"))
+    val rows = out.select("id", "k", "ord")
+      .as[(Long, Long, Long)].collect().sortBy(_._3)
+    // dense 0..n-1
+    assert(rows.map(_._3).toSeq == (0L until 10000L).toSeq)
+    // ordinal order == (k, id) order
+    val expected = rows.sortBy(t => (t._2, t._1)).map(_._1).toSeq
+    assert(rows.map(_._1).toSeq == expected)
+    // determinism across layouts
+    val again = Ordinal.withOrdinal(df.repartition(3), "ord", col("k"), col("id"))
+      .select("id", "ord").as[(Long, Long)].collect().toSet
+    assert(again == rows.map(t => (t._1, t._3)).toSet)
+    // the plan must not contain a global (unpartitioned) Window — the
+    // whole point of the two-phase formulation
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"ordinal plan fell back to a window:\n$plan")
+  }
 }

@@ -178,4 +178,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"),
       s"DISTINCT ON should keep one row per key pre-exchange:\n$p")
   }
+
+  test("sample_per_source: per-slice sample plans as WindowGroupLimit") {
+    val p = plan("sample_per_source")
+    assert(p.contains("WindowGroupLimit"),
+      s"rk<=25 must bound each group before the exchange:\n$p")
+  }
+
+  test("decontaminate_bloom: map-side bloom probe, no broadcast of the big side") {
+    val p = plan("decontaminate_bloom")
+    assert(p.contains("bloom_might_contain"),
+      s"phase-1 bloom prefilter missing from the plan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "confirm join must stay an equi-join on the shingle key")
+  }
 }
