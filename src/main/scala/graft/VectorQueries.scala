@@ -170,6 +170,27 @@ object VectorQueries {
         k = 10, nprobe = 6, rerank = 150)
     }),
 
+    // hybrid IVF→HNSW (cell-routed graph ANN): coarse cells bound WHICH
+    // sub-graphs a query touches (nprobe/C of the corpus — sublinear,
+    // unlike shard-and-search HNSW which fans every query to every
+    // shard), per-cell HNSW answers inside them. Rows-only gate; spec
+    // asserts recall floors incl. the all-cells == shard-and-search case.
+    "knn_ivfhnsw_cosine" -> ((s, dir) => {
+      val model = ModelMemo.get(s, s"ivfhnsw/c8m16/$dir")(
+        graft.hnsw.IvfHnsw.fit(emb(s, dir), numCells = 8,
+          graft.hnsw.HnswParams(m = 16, efConstruction = 200)))
+      graft.hnsw.IvfHnsw.knnJoin(model, probes(s, dir), k = 10, nprobe = 4)
+    }),
+
+    "recall_ivfhnsw" -> ((s, dir) => {
+      val model = ModelMemo.get(s, s"ivfhnsw/c8m16/$dir")(
+        graft.hnsw.IvfHnsw.fit(emb(s, dir), numCells = 8,
+          graft.hnsw.HnswParams(m = 16, efConstruction = 200)))
+      val approx = graft.hnsw.IvfHnsw.knnJoin(model, probes(s, dir), k = 10, nprobe = 4)
+      val exact = KnnJoin.exactKnnJoin(emb(s, dir), probes(s, dir), k = 10)
+      Recall.microAvgRecall(approx, exact)
+    }),
+
     // OPQ (learned-rotation PQ): same ADC+rerank scan as PQ, better code
     // quality under correlated dims. Rows-only gate; spec asserts the
     // objective + recall floor.

@@ -151,7 +151,7 @@ class HnswModel(
     * entryPointId = first inserted node holding the max level, which under
     * ascending-id insertion is the min id at that level (promotion is
     * strict-increase only, src/main.ts:225-228). */
-  private def rebuild(rows: Iterator[PartGraphRow], p: HnswParams): Iterator[(Int, HnswIndex)] = {
+  private[hnsw] def rebuild(rows: Iterator[PartGraphRow], p: HnswParams): Iterator[(Int, HnswIndex)] = {
     val byPart = rows.toArray.groupBy(_.part)
     byPart.iterator.map { case (part, rs) =>
       val key = s"$modelId/$part"

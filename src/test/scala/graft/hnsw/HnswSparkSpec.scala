@@ -125,4 +125,39 @@ class HnswSparkSpec extends AnyFunSuite {
     assert(r1 == r2)
     m1.unpersist(); m2.unpersist()
   }
+
+  test("IVF-HNSW: cell routing recall, all-cells == shard-and-search, round-trip") {
+    import graft.operators.{KnnJoin, Recall}
+    val model = IvfHnsw.fit(emb, numCells = 8,
+      HnswParams(m = 8, efConstruction = 120, numPartitions = 8))
+    val exact = KnnJoin.exactKnnJoin(emb, probes, k = 10)
+    // pruned probing (3 of 8 cells) keeps a useful recall floor (this
+    // synthetic corpus clusters weakly, so the bar is the probe share
+    // 3/8 clearly beaten, not production recall)
+    val routed = IvfHnsw.knnJoin(model, probes, k = 10, nprobe = 3)
+    val rec2 = Recall.microAvgRecall(routed, exact).select("recall").first().getDouble(0)
+    assert(rec2 >= 0.55, s"nprobe=3 recall@10 = $rec2")
+    // probing EVERY cell degenerates to shard-and-search over cell shards:
+    // with ef >= cell size each sub-search is exhaustive → recall 1.0
+    val all = IvfHnsw.knnJoin(model, probes, k = 10, nprobe = 8)
+    val recAll = Recall.microAvgRecall(all, exact).select("recall").first().getDouble(0)
+    assert(recAll == 1.0, s"all-cells recall@10 = $recAll")
+    // determinism: a second fit reproduces the routed results exactly
+    val model2 = IvfHnsw.fit(emb, numCells = 8,
+      HnswParams(m = 8, efConstruction = 120, numPartitions = 8))
+    val routed2 = IvfHnsw.knnJoin(model2, probes, k = 10, nprobe = 3)
+      .select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
+    assert(routed2 ==
+      routed.select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet)
+    // persistence round-trip preserves routed results; delete → None
+    val path = java.nio.file.Files.createTempDirectory("ivfhnsw").toString + "/m"
+    IvfHnsw.save(model, path)
+    val loaded = IvfHnsw.load(spark, path).get
+    val routed3 = IvfHnsw.knnJoin(loaded, probes, k = 10, nprobe = 3)
+      .select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
+    assert(routed3 == routed2)
+    IvfHnsw.delete(spark, path)
+    assert(IvfHnsw.load(spark, path).isEmpty)
+    model.unpersist(); model2.unpersist(); loaded.unpersist()
+  }
 }
