@@ -266,6 +266,19 @@ object AdvancedQueries {
     "q_click_attrib" -> ((s, dir) =>
       graft.streaming.EventPipeline.clickAttribution(events(s, dir))),
 
+    // last-touch attribution over the LEFT-OUTER streaming twin: every
+    // purchase keeps exactly one row — its most recent in-window click,
+    // or null columns when none qualifies (the marketing-standard
+    // contract). WindowGroupLimit bounds the per-purchase pick.
+    "q_click_attrib_last" -> ((s, dir) => {
+      val joined = graft.streaming.EventPipeline
+        .clickAttributionOuter(events(s, dir))
+      val w = Window.partitionBy("purchase_id")
+        .orderBy(col("c_ts").desc_nulls_last, col("click_id").desc_nulls_last)
+      joined.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+    }),
+
     // DISTINCT ON semantics: each customer's latest order (ties broken by
     // highest orderkey — a total order, required for cross-engine parity).
     // row_number + filter = the distributed DISTINCT ON; WindowGroupLimit
@@ -431,6 +444,19 @@ object AdvancedQueries {
         | AND c.user_id = p.user_id
         | AND epoch_us(c.ts) <= epoch_us(p.ts)
         | AND epoch_us(c.ts) >= epoch_us(p.ts) - 30*60*1000000""".stripMargin,
+    "q_click_attrib_last" ->
+      """WITH j AS (
+        | SELECT p.event_id AS purchase_id, p.user_id, p.ts AS p_ts,
+        |  c.event_id AS click_id, c.ts AS c_ts, p.value
+        | FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        | LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON c.user_id = p.user_id
+        |  AND epoch_us(c.ts) <= epoch_us(p.ts)
+        |  AND epoch_us(c.ts) >= epoch_us(p.ts) - 30*60*1000000)
+        |SELECT purchase_id, user_id, p_ts, click_id, c_ts, value FROM (
+        | SELECT *, row_number() OVER (PARTITION BY purchase_id
+        |   ORDER BY c_ts DESC NULLS LAST, click_id DESC NULLS LAST) AS rn
+        | FROM j) WHERE rn = 1""".stripMargin,
     "q_distinct_on_latest" ->
       """SELECT DISTINCT ON (o_custkey)
         | o_custkey, o_orderkey, o_orderdate, o_totalprice

@@ -136,6 +136,31 @@ object EventPipeline {
         col("click_id"), col("c_ts"), col("value"))
   }
 
+  /** LEFT-OUTER click attribution: like [[clickAttribution]] but keeps
+    * purchases with NO qualifying click (null click columns). Streaming
+    * semantics: Spark emits the unmatched purchase only once the
+    * watermark proves no matching click can still arrive — the spec
+    * advances event time past the horizon to observe it. Same state
+    * sizing as the inner join. */
+  def clickAttributionOuter(events: DataFrame, windowMin: Int = 30,
+      lateness: String = "10 minutes"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", lateness)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"), col("value"))
+      .withWatermark("p_ts", lateness)
+    purchases.join(clicks,
+      col("c_user") === col("user_id") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowMin MINUTES"),
+      "left_outer")
+      .select(col("purchase_id"), col("user_id"), col("p_ts"),
+        col("click_id"), col("c_ts"), col("value"))
+  }
+
   /** Streaming index maintenance (B4/O10 analog): each micro-batch of new
     * vectors lands in a staging dir; the index is re-fit over base ∪
     * staged on demand. At 100 TB the per-batch work is one append plus a

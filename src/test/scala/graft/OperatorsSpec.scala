@@ -378,6 +378,80 @@ class OperatorsSpec extends AnyFunSuite {
     assert(batch == got, "streaming and batch twins must agree at 2-day window")
   }
 
+  test("left-outer click attribution emits unmatched purchases after the watermark") {
+    import spark.implicits._
+    implicit val sctx = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def at(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    val mem = MemoryStream[graft.streaming.Event]
+    val q = EventPipeline.clickAttributionOuter(mem.toDS().toDF(), windowMin = 30)
+      .writeStream.format("memory").queryName("attrib_outer")
+      .outputMode("append").start()
+    mem.addData(
+      graft.streaming.Event(1, at(0), 7L, "click", 0.0),
+      graft.streaming.Event(2, at(10), 7L, "purchase", 9.5),
+      graft.streaming.Event(3, at(12), 8L, "purchase", 3.0)) // no click
+    q.processAllAvailable()
+    // advance the watermark far enough that user 8's purchase provably
+    // has no matching click → the null-side row must appear. The global
+    // watermark is the MIN over both sides, so BOTH streams must see
+    // far-future events (a click alone leaves the purchase side behind).
+    mem.addData(
+      graft.streaming.Event(4, at(240), 9L, "click", 0.0),
+      graft.streaming.Event(5, at(240), 10L, "purchase", 1.0))
+    q.processAllAvailable()
+    mem.addData(
+      graft.streaming.Event(6, at(480), 9L, "click", 0.0),
+      graft.streaming.Event(7, at(480), 10L, "purchase", 1.0))
+    q.processAllAvailable()
+    val got = spark.table("attrib_outer")
+      .select("purchase_id", "click_id")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSet
+    q.stop()
+    assert(got.contains((2L, 1L)), s"matched purchase missing: $got")
+    assert(got.contains((3L, -1L)),
+      s"unmatched purchase must emit with null click after watermark: $got")
+  }
+
+  test("click attribution under the RocksDB state store matches batch") {
+    import spark.implicits._
+    implicit val sctx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+      def at(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+      val evs = Seq(
+        graft.streaming.Event(1, at(0), 7L, "click", 0.0),
+        graft.streaming.Event(2, at(10), 7L, "click", 0.0),
+        graft.streaming.Event(3, at(20), 7L, "purchase", 9.5))
+      val mem = MemoryStream[graft.streaming.Event]
+      val q = EventPipeline.clickAttribution(mem.toDS().toDF(), windowMin = 30)
+        .writeStream.format("memory").queryName("attrib_rocks")
+        .outputMode("append").start()
+      mem.addData(evs: _*)
+      q.processAllAvailable()
+      val got = spark.table("attrib_rocks")
+        .select("purchase_id", "click_id").as[(Long, Long)].collect().toSet
+      // the join really ran on RocksDB-backed state
+      val metrics = q.lastProgress.stateOperators
+        .flatMap(_.customMetrics.keySet().toArray.map(_.toString))
+      q.stop()
+      assert(metrics.exists(_.toLowerCase.contains("rocksdb")),
+        s"state operator not on RocksDB; metrics: ${metrics.mkString(",")}")
+      val batch = EventPipeline.clickAttribution(evs.toDF(), windowMin = 30)
+        .select("purchase_id", "click_id").as[(Long, Long)].collect().toSet
+      assert(got == batch && got == Set((3L, 1L), (3L, 2L)))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming dedup drops repeated keys within the watermark horizon") {
     import spark.implicits._
     implicit val sctx = spark.sqlContext
