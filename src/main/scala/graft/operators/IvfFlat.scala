@@ -21,7 +21,12 @@ object IvfFlat {
   case class Model(centroids: Array[(Int, Array[Float])], assigned: DataFrame)
 
   /** Deterministic training: initial centroids = the C vectors with the
-    * smallest mixed hash of their id, refined by one Lloyd iteration.
+    * smallest mixed hash of their id, refined by one Lloyd iteration over
+    * a SEEDED SAMPLE (standard IVF practice — training cost is
+    * O(sample·C), never O(corpus·C); the corpus pays exactly ONE
+    * assignment scan, the one that builds the inverted index). At any
+    * corpus ≤ `lloydSampleN` the sample is the corpus, so small-scale
+    * results are unchanged.
     * @param metric cell-assignment geometry ("cosine" | "euclidean") —
     *               MUST match the query-time probe metric, or true
     *               neighbors land in never-probed cells (IvfPq assigns
@@ -29,17 +34,19 @@ object IvfFlat {
     *               knn_ivf surface) */
   def fit(base: DataFrame, numCells: Int = 16, seed: Long = 42L,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      metric: String = "cosine"): Model = {
+      metric: String = "cosine", lloydSampleN: Int = 100000): Model = {
+    require(lloydSampleN >= numCells, "Lloyd sample smaller than cell count")
     val spark = base.sparkSession
     import spark.implicits._
     val hashed = base.select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<float>").as("vec"))
       .withColumn("h", xxhash64(col("id"), lit(seed)))
-    val init = hashed.orderBy("h").limit(numCells)
+    val sample = hashed.orderBy("h").limit(lloydSampleN).persist()
+    val init = sample.orderBy("h").limit(numCells)
       .select("id", "vec").as[(Long, Array[Float])].collect()
       .zipWithIndex.map { case ((_, v), i) => (i, v) }
-    val afterAssign = assign(hashed.select("id", "vec"), init, metric)
-    // one Lloyd step: element-wise mean per cell via posexplode
+    val afterAssign = assign(sample.select("id", "vec"), init, metric)
+    // one Lloyd step over the sample: element-wise mean per cell
     val refined = afterAssign
       .select(col("cell"), posexplode(col("vec")).as(Seq("pos", "x")))
       .groupBy("cell", "pos").agg(avg("x").as("mx"))
@@ -49,6 +56,7 @@ object IvfFlat {
       .as[(Int, Array[Float])].collect()
       .sortBy(_._1)
     val finalCentroids = if (refined.length == numCells) refined else init
+    sample.unpersist()
     Model(finalCentroids, assign(hashed.select("id", "vec"), finalCentroids, metric)
       .repartition(col("cell")))
   }
