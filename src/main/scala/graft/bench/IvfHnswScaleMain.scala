@@ -21,6 +21,7 @@ object IvfHnswScaleMain {
     val nprobes: Seq[Int] =
       if (args.length > 3) args(3).split(",").map(_.trim.toInt).toSeq
       else Seq(2, 4, 8, cells)
+    val slack = if (args.length > 4) args(4).toDouble else 0.0
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -60,7 +61,7 @@ object IvfHnswScaleMain {
 
     // hybrid: same shard count, cell-routed
     val t2 = System.nanoTime()
-    val hybrid = IvfHnsw.fit(base, cells, params)
+    val hybrid = IvfHnsw.fit(base, cells, params, balanceSlack = slack)
     val hybridBuildS = (System.nanoTime() - t2) / 1e9
     hybrid.hnsw.knnJoin(queries.limit(1), k = 10).count() // warm cache
     nprobes.foreach { np =>
@@ -71,8 +72,8 @@ object IvfHnswScaleMain {
       val recall = Recall.microAvgRecall(res, exact)
         .select("recall").first().getDouble(0)
       res.unpersist()
-      println(f"IVFHNSW-AB n=$n C=$cells build=${hybridBuildS}%.1fs nprobe=$np " +
-        f"search100=${searchS}%.2fs recall@10=$recall%.4f " +
+      println(f"IVFHNSW-AB n=$n C=$cells slack=$slack build=${hybridBuildS}%.1fs " +
+        f"nprobe=$np search100=${searchS}%.2fs recall@10=$recall%.4f " +
         f"(touches ${100.0 * np / cells}%.0f%% of cells)")
     }
     spark.stop()

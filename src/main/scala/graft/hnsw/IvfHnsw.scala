@@ -39,11 +39,15 @@ object IvfHnsw {
     * then build one deterministic HNSW per cell. */
   def fit(df: DataFrame, numCells: Int = 8,
       params: HnswParams = HnswParams(),
-      idCol: String = "vec_id", vecCol: String = "embedding"): Model = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      balanceSlack: Double = 0.0): Model = {
     val spark = df.sparkSession
     import spark.implicits._
     val p = params
-    val ivf = IvfFlat.fit(df, numCells, p.seed, idCol, vecCol, metric = p.metric)
+    // balanceSlack > 0 caps cell sizes (IvfFlat.assignBalanced), bounding
+    // the slowest per-cell builder and the hottest probe shard
+    val ivf = IvfFlat.fit(df, numCells, p.seed, idCol, vecCol,
+      metric = p.metric, balanceSlack = balanceSlack)
     val graph = ivf.assigned
       .select(col("cell"), col("id"), col("vec"))
       .as[(Int, Long, Array[Float])]

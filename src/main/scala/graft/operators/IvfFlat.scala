@@ -34,8 +34,11 @@ object IvfFlat {
     *               knn_ivf surface) */
   def fit(base: DataFrame, numCells: Int = 16, seed: Long = 42L,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      metric: String = "cosine", lloydSampleN: Int = 100000): Model = {
+      metric: String = "cosine", lloydSampleN: Int = 100000,
+      balanceSlack: Double = 0.0): Model = {
     require(lloydSampleN >= numCells, "Lloyd sample smaller than cell count")
+    require(balanceSlack == 0.0 || numCells >= 2,
+      "balanced assignment needs a second-nearest cell to spill to")
     val spark = base.sparkSession
     import spark.implicits._
     val hashed = base.select(col(idCol).cast("long").as("id"),
@@ -57,8 +60,15 @@ object IvfFlat {
       .sortBy(_._1)
     val finalCentroids = if (refined.length == numCells) refined else init
     sample.unpersist()
-    Model(finalCentroids, assign(hashed.select("id", "vec"), finalCentroids, metric)
-      .repartition(col("cell")))
+    val src = hashed.select("id", "vec")
+    val assigned =
+      if (balanceSlack <= 0.0) assign(src, finalCentroids, metric)
+      else {
+        val cap = math.ceil(
+          base.count().toDouble / numCells * (1.0 + balanceSlack)).toLong
+        assignBalanced(src, finalCentroids, metric, cap)
+      }
+    Model(finalCentroids, assigned.repartition(col("cell")))
   }
 
   /** argmax-similarity cell assignment against broadcast literal centroids.
@@ -74,6 +84,33 @@ object IvfFlat {
     }
     df.withColumn("best", greatest(scores.toSeq: _*))
       .withColumn("cell", col("best.c")).drop("best")
+  }
+
+  /** Size-capped balanced assignment: each row's nearest cell keeps its
+    * `cap` BEST-FITTING rows (similarity-desc, id tie-break — a
+    * deterministic total order); overflow spills to the row's
+    * second-nearest cell. One spill round bounds the hottest cell at
+    * ~cap + its own spill-in, which caps the slowest per-cell index
+    * builder and the hottest probe shard on skewed corpora. Cost: one
+    * window shuffle on the primary cell — the same exchange the inverted
+    * index needs anyway. Trade-off documented at the call site: spilled
+    * rows live in their second-best cell, so recall at fixed nprobe dips
+    * slightly vs greedy assignment. */
+  private def assignBalanced(df: DataFrame, centroids: Array[(Int, Array[Float])],
+      metric: String, cap: Long): DataFrame = {
+    val scores = centroids.map { case (c, v) =>
+      struct(nanvl(similarity.sim(metric)(col("vec"), typedlit(v)), lit(-1.0)).as("s"),
+        lit(c).as("c"))
+    }
+    val w = Window.partitionBy("cell1").orderBy(col("s1").desc, col("id"))
+    df.withColumn("top2", slice(reverse(array_sort(array(scores.toSeq: _*))), 1, 2))
+      .withColumn("cell1", col("top2")(0)("c"))
+      .withColumn("s1", col("top2")(0)("s"))
+      .withColumn("cell2", col("top2")(1)("c"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cell",
+        when(col("rn") <= cap, col("cell1")).otherwise(col("cell2")))
+      .drop("top2", "cell1", "s1", "cell2", "rn")
   }
 
   /** O13/O15-style persistence for the IVF path: inverted index as

@@ -915,6 +915,38 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("balanced IVF assignment: cell sizes capped, recall floor holds") {
+    import graft.operators.{IvfFlat, KnnJoin, Recall}
+    val n = emb.count()
+    val numCells = 8
+    val slack = 0.2
+    val cap = math.ceil(n.toDouble / numCells * (1 + slack)).toLong
+    val m = IvfFlat.fit(emb, numCells, balanceSlack = slack)
+    val sizes = m.assigned.groupBy("cell").count()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    // primary cells keep at most cap rows; one spill round means a cell
+    // can additionally receive spill-in, bounded by the donors' overflow
+    val greedy = IvfFlat.fit(emb, numCells)
+    val greedySizes = greedy.assigned.groupBy("cell").count()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(sizes.values.max <= cap + greedySizes.values.max - cap,
+      s"balanced max ${sizes.values.max} not under bound (cap=$cap)")
+    assert(sizes.values.max <= greedySizes.values.max,
+      s"balancing must not make the hottest cell hotter: " +
+        s"${sizes.values.max} vs greedy ${greedySizes.values.max}")
+    assert(sizes.values.sum == n, "balancing must not drop or duplicate rows")
+    // the routing contract still holds: probing more cells recovers recall
+    val exact = KnnJoin.exactKnnJoin(emb, probes, k = 10)
+    val res = IvfFlat.knnJoin(m, probes, k = 10, nprobe = 4)
+    val rec = Recall.microAvgRecall(res, exact).select("recall").first().getDouble(0)
+    assert(rec >= 0.4, s"balanced nprobe=4 recall@10 = $rec")
+    // deterministic: same fit → identical assignment
+    val m2 = IvfFlat.fit(emb, numCells, balanceSlack = slack)
+    val a1 = m.assigned.select("id", "cell").collect().map(_.toSeq).toSet
+    val a2 = m2.assigned.select("id", "cell").collect().map(_.toSeq).toSet
+    assert(a1 == a2)
+  }
+
   test("two-phase ordinal: dense, order-consistent, no single-partition window") {
     import spark.implicits._
     import graft.operators.Ordinal
