@@ -40,7 +40,18 @@ object Bench {
     val errs = results.collect { case (k, _, Some(m)) => "\"" + k + "\":\"" + esc(m) + "\"" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    println(line)
+    // Stdout tails get truncated by log collectors (BENCH_r03/r04 lost the
+    // knn_* block mid-JSON); the file copy is the durable artifact for
+    // round-over-round per-query comparison.
+    try {
+      val dir = java.nio.file.Paths.get("bench/outputs")
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.write(dir.resolve("bench_latest.json"),
+        (line + "\n").getBytes("UTF-8"))
+    } catch { case e: Exception => System.err.println(s"bench file write failed: $e") }
     spark.stop()
   }
 }

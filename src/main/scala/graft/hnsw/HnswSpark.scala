@@ -247,9 +247,14 @@ class HnswModel(
     (results, latencies)
   }
 
-  /** O13/O15 save: graph parquet + params as a small JSON file. */
-  def save(path: String): Unit = {
-    graph.write.mode("overwrite").parquet(s"$path/graph")
+  /** O13/O15 save: graph parquet + params as a small JSON file.
+    * `cellPartitioned = true` lays the graph out as one parquet directory
+    * per `part` (= IVF cell for [[IvfHnsw]] models), so a probe-time
+    * `part IN (...)` filter prunes whole files at the scan — the same
+    * load-scale pruning the IVF-PQ codes parquet already has. */
+  def save(path: String, cellPartitioned: Boolean = false): Unit = {
+    val w = graph.write.mode("overwrite")
+    (if (cellPartitioned) w.partitionBy("part") else w).parquet(s"$path/graph")
     val p = params
     val json =
       s"""{"m":${p.m},"efConstruction":${p.efConstruction},"efSearch":${p.efSearch},
@@ -277,8 +282,13 @@ class HnswModel(
 
 object HnswModel {
   /** O14/O15 load. Missing path → None (load-if-missing no-op semantics,
-    * reference src/db.ts:72-74). */
-  def load(spark: SparkSession, path: String): Option[HnswModel] = {
+    * reference src/db.ts:72-74).
+    * `eager = false` skips the persist: the graph stays a lazy scan (+
+    * part-hash repartition, which still co-locates every cell's rows for
+    * rebuild), so a downstream `part IN (...)` filter pushes down to the
+    * parquet scan and a cell-partitioned layout prunes unprobed files —
+    * the load-scale query path for [[IvfHnsw]]. */
+  def load(spark: SparkSession, path: String, eager: Boolean = true): Option[HnswModel] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
     if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/params.json"))) return None
@@ -292,9 +302,15 @@ object HnswModel {
     val params = HnswParams(num("m").toInt, num("efConstruction").toInt,
       num("efSearch").toInt, str("metric"), num("seed"), num("numPartitions").toInt)
     import spark.implicits._
-    val graph = spark.read.parquet(s"$path/graph").as[PartGraphRow]
+    val graph0 = spark.read.parquet(s"$path/graph")
+      // partitioned layouts surface `part` as the (last, int) partition
+      // column; normalize order and type so the encoder shape is identical
+      // to the flat layout
+      .select(col("part").cast("int").as("part"), col("id"), col("level"),
+        col("vector"), col("neighbors"))
+      .as[PartGraphRow]
       .repartition(params.numPartitions, col("part"))
-      .persist()
+    val graph = if (eager) graph0.persist() else graph0
     Some(new HnswModel(spark, params, graph, str("modelId")))
   }
 

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.similarity
 import graft.operators.IvfFlat
 
 /** Hybrid IVF→HNSW: coarse cells route queries, per-cell HNSW sub-graphs
@@ -70,9 +71,34 @@ object IvfHnsw {
     Model(ivf.centroids, new HnswModel(spark, p, persisted))
   }
 
-  /** Cell-routed search: rank centroids per query (NaN-guarded, id
-    * tie-break), search the `nprobe` nearest cells' sub-graphs only, merge
-    * with the usual per-query top-k window. */
+  /** Executor-side probe routing: each query's `nprobe` nearest cells as a
+    * DataFrame projection against broadcast-literal centroids — the
+    * codegen'd similarity kernel does the O(|Q|·C) ranking in parallel on
+    * the cluster instead of serialized on the driver. NaN-guarded
+    * (zero-norm queries pin to -1.0) with the (score desc, cell asc) total
+    * order the driver-loop routing used.
+    * Returns (query_id, qvec, cells: array<int>). */
+  def routeProbes(model: Model, queries: DataFrame, nprobe: Int,
+      queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame = {
+    val metric = model.hnsw.params.metric
+    // struct(-score, cell): ascending array_sort ≡ (score desc, cell asc)
+    val ranked = model.centroids.map { case (c, v) =>
+      struct(
+        negate(nanvl(similarity.sim(metric)(col("qvec"), typedlit(v)), lit(-1.0))).as("ns"),
+        lit(c).as("c"))
+    }
+    queries
+      .select(col(queryId).cast("long").as("query_id"),
+        col(queryVec).cast("array<float>").as("qvec"))
+      .withColumn("cells", slice(array_sort(array(ranked.toSeq: _*)), 1, nprobe)("c"))
+  }
+
+  /** Cell-routed search: rank centroids per query executor-side
+    * ([[routeProbes]]), search the `nprobe` nearest cells' sub-graphs only,
+    * merge with the usual per-query top-k window. The routed probe set
+    * crosses the driver only as an opaque collect-and-broadcast (the
+    * shard-and-search contract, HnswModel.knnJoin) — no per-probe driver
+    * compute; cap driver heap for large probe sets via [[knnJoinBatched]]. */
   def knnJoin(model: Model, queries: DataFrame, k: Int, nprobe: Int = 2,
       efSearchOverride: Option[Int] = None,
       queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame = {
@@ -80,28 +106,26 @@ object IvfHnsw {
     val session = model.hnsw.graph.sparkSession
     import session.implicits._
     val p = model.hnsw.params
-    val probes: Array[(Long, Array[Float])] = queries
-      .select(col(queryId).cast("long"), col(queryVec).cast("array<float>"))
-      .as[(Long, Array[Float])].collect()
-    val metric = Metric(p.metric)
-    val cellsOf: Map[Long, Array[Int]] = probes.map { case (qid, qv) =>
-      val ranked = model.centroids.map { case (c, cent) =>
-        val s = metric.sim(qv, cent)
-        (if (java.lang.Double.isNaN(s)) -1.0 else s, c)
-      }.sortBy { case (s, c) => (-s, c) }.take(nprobe).map(_._2)
-      qid -> ranked
-    }.toMap
-    val wanted = cellsOf.values.flatten.toSet.toSeq
-    val bcQ = session.sparkContext.broadcast(probes)
-    val bcCells = session.sparkContext.broadcast(cellsOf)
+    val routed: Array[(Long, Array[Float], Array[Int])] =
+      routeProbes(model, queries, nprobe, queryId, queryVec)
+        .as[(Long, Array[Float], Array[Int])].collect()
+    val wanted = routed.iterator.flatMap(_._3).toSet.toSeq
+    val bcQ = session.sparkContext.broadcast(routed)
     val ef = efSearchOverride
     val hnsw = model.hnsw
-    // partition pruning: untouched cells never rebuild or search
+    // partition pruning: untouched cells never rebuild or search (and with
+    // cell-partitioned persistence, their files are never read — the
+    // filter pushes below the load-time repartition to the parquet scan)
     val pruned = hnsw.graph.filter(col("part").isin(wanted: _*))
     val local = pruned.mapPartitions { rows =>
+      // group probes by routed cell once per task: per-cell probe lookup is
+      // O(1) instead of an O(|Q|·nprobe) scan per sub-index
+      val byCell: Map[Int, Array[(Long, Array[Float])]] = bcQ.value
+        .iterator
+        .flatMap { case (qid, qv, cells) => cells.iterator.map(c => (c, (qid, qv))) }
+        .toArray.groupBy(_._1).map { case (c, xs) => (c, xs.map(_._2)) }
       hnsw.rebuild(rows, p).flatMap { case (cell, idx) =>
-        bcQ.value.iterator
-          .filter { case (qid, _) => bcCells.value(qid).contains(cell) }
+        byCell.getOrElse(cell, Array.empty[(Long, Array[Float])]).iterator
           .flatMap { case (qid, qv) =>
             idx.searchKNN(qv, k, ef).iterator.map { case (id, s) => (qid, id, s) }
           }
@@ -112,16 +136,38 @@ object IvfHnsw {
     local.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** Persistence: centroids parquet + the cell-keyed graph via
-    * [[HnswModel.save]] (store CRUD contract; load-missing → None). */
+  /** Large-probe-set variant mirroring [[HnswModel.knnJoinBatched]]: hash-
+    * batch the queries so no more than ~batchRows routed probes are ever
+    * collected/broadcast at once; union per-batch results. */
+  def knnJoinBatched(model: Model, queries: DataFrame, k: Int, nprobe: Int = 2,
+      efSearchOverride: Option[Int] = None, batchRows: Int = 100000,
+      queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame = {
+    val n = queries.count()
+    val numBatches = math.max(1, math.ceil(n.toDouble / batchRows).toInt)
+    if (numBatches == 1)
+      return knnJoin(model, queries, k, nprobe, efSearchOverride, queryId, queryVec)
+    (0 until numBatches).map { b =>
+      val batch = queries.filter(pmod(xxhash64(col(queryId)), lit(numBatches)) === b)
+      knnJoin(model, batch, k, nprobe, efSearchOverride, queryId, queryVec)
+    }.reduce(_ unionByName _)
+  }
+
+  /** Persistence: centroids parquet + the CELL-PARTITIONED graph via
+    * [[HnswModel.save]] (store CRUD contract; load-missing → None). One
+    * parquet directory per cell, so a loaded model's nprobe-cell filter
+    * prunes unprobed cells' files at the scan instead of reading the whole
+    * graph — the same layout [[graft.operators.IvfPq]]'s codes use. */
   def save(model: Model, path: String): Unit = {
     val spark = model.hnsw.spark
     import spark.implicits._
-    model.hnsw.save(s"$path/hnsw")
+    model.hnsw.save(s"$path/hnsw", cellPartitioned = true)
     model.centroids.toSeq.toDF("cell", "cvec")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
   }
 
+  /** Lazy load: the graph is NOT persisted, so every [[knnJoin]] against a
+    * loaded model reads only the probed cells' parquet files (file-level
+    * pruning); [[SubIndexCache]] absorbs repeat-query rebuild cost. */
   def load(spark: SparkSession, path: String): Option[Model] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
@@ -129,7 +175,7 @@ object IvfHnsw {
     import spark.implicits._
     val centroids = spark.read.parquet(s"$path/centroids")
       .as[(Int, Array[Float])].collect().sortBy(_._1)
-    HnswModel.load(spark, s"$path/hnsw").map(Model(centroids, _))
+    HnswModel.load(spark, s"$path/hnsw", eager = false).map(Model(centroids, _))
   }
 
   def delete(spark: SparkSession, path: String): Unit = {

@@ -160,4 +160,74 @@ class HnswSparkSpec extends AnyFunSuite {
     assert(IvfHnsw.load(spark, path).isEmpty)
     model.unpersist(); model2.unpersist(); loaded.unpersist()
   }
+
+  test("IVF-HNSW: executor-side routing == driver-side centroid ranking") {
+    val s = spark; import s.implicits._
+    val model = IvfHnsw.fit(emb, numCells = 8,
+      HnswParams(m = 8, efConstruction = 120, numPartitions = 8))
+    val routed = IvfHnsw.routeProbes(model, probes, nprobe = 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](2).toSeq).toMap
+    // the pre-r5 driver loop, verbatim: Metric.sim per (probe, centroid),
+    // NaN → -1.0, (score desc, cell asc) total order
+    val metric = Metric(model.hnsw.params.metric)
+    val reference = probes
+      .select(col("query_id").cast("long"), col("query_vec").cast("array<float>"))
+      .as[(Long, Array[Float])].collect().map { case (qid, qv) =>
+        qid -> model.centroids.map { case (c, cent) =>
+          val sim = metric.sim(qv, cent)
+          (if (java.lang.Double.isNaN(sim)) -1.0 else sim, c)
+        }.sortBy { case (sc, c) => (-sc, c) }.take(3).map(_._2).toSeq
+      }.toMap
+    assert(routed == reference)
+    model.unpersist()
+  }
+
+  test("IVF-HNSW: knnJoinBatched matches knnJoin across hash batches") {
+    val model = IvfHnsw.fit(emb, numCells = 8,
+      HnswParams(m = 8, efConstruction = 120, numPartitions = 8))
+    val whole = IvfHnsw.knnJoin(model, probes, k = 5, nprobe = 3)
+      .select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
+    val batched = IvfHnsw.knnJoinBatched(model, probes, k = 5, nprobe = 3, batchRows = 7)
+      .select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
+    assert(whole == batched)
+    model.unpersist()
+  }
+
+  test("IVF-HNSW: loaded model reads only the probed cells' files") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val model = IvfHnsw.fit(emb, numCells = 8,
+      HnswParams(m = 8, efConstruction = 120, numPartitions = 8))
+    val path = java.nio.file.Files.createTempDirectory("ivfhnsw_prune").toString + "/m"
+    IvfHnsw.save(model, path)
+    val loaded = IvfHnsw.load(spark, path).get
+    val oneProbe = probes.limit(1)
+    val probedCells = IvfHnsw.routeProbes(loaded, oneProbe, nprobe = 2)
+      .collect().flatMap(_.getSeq[Int](2)).toSet
+    assert(probedCells.size == 2)
+    val q = IvfHnsw.knnJoin(loaded, oneProbe, k = 5, nprobe = 2)
+    q.collect()
+    // AQE hides materialized stages behind leaf wrapper nodes — recurse
+    // through AdaptiveSparkPlanExec AND QueryStageExec to reach the scans
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case qs: QueryStageExec => scans(qs.plan)
+      case f: FileSourceScanExec => Seq(f)
+    }.flatten
+    val graphScans = scans(q.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("/hnsw/graph")))
+    assert(graphScans.nonEmpty, "expected a parquet file scan of the saved graph")
+    val filesRead = graphScans.map(_.metrics("numFiles").value).sum
+    def filesUnder(cells: Set[Int]): Long = cells.toSeq.map { c =>
+      val d = new java.io.File(s"$path/hnsw/graph/part=$c")
+      Option(d.listFiles()).map(_.count(_.getName.endsWith(".parquet")).toLong).getOrElse(0L)
+    }.sum
+    val allCells = (0 until 8).toSet
+    assert(filesUnder(allCells) > filesUnder(probedCells),
+      "fixture degenerate: probed cells hold every file")
+    assert(filesRead == filesUnder(probedCells),
+      s"scan read $filesRead files, expected only the ${probedCells.size} probed cells'")
+    model.unpersist(); loaded.unpersist()
+    IvfHnsw.delete(spark, path)
+  }
 }
