@@ -40,6 +40,18 @@ object VectorQueries {
       HnswIndexer.fit(emb(s, dir),
         HnswParams(m = 16, efConstruction = 200, numPartitions = 4)))
 
+  /** The battery's IVF model. Fitting also records the trained centroids
+    * so [[oracle]] can emit the data-dependent IVF oracle SQL (literal
+    * centroids) when Verify dumps oracle_sql.json AFTER the query ran —
+    * the LSH/SQ8 cross-engine recipe extended to a trained quantizer. */
+  @volatile private var ivfCentroidsForOracle: Option[Array[(Int, Array[Float])]] = None
+  private def ivfModel(s: SparkSession, dir: String): graft.operators.IvfFlat.Model = {
+    val m = ModelMemo.get(s, s"ivf/c16/$dir")(
+      graft.operators.IvfFlat.fit(emb(s, dir), numCells = 16))
+    ivfCentroidsForOracle = Some(m.centroids)
+    m
+  }
+
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
@@ -122,20 +134,20 @@ object VectorQueries {
       AnnLsh.lshNearDupPairs(emb(s, dir), threshold = 0.4,
         numPlanes = 6, d = 64, numTables = 4)),
 
-    // IVF-Flat ANN (coarse-quantized scale path). Rows-only gate;
-    // OperatorsSpec asserts recall incl. the nprobe=C exhaustive case.
-    "knn_ivf_cosine" -> ((s, dir) => {
-      val model = ModelMemo.get(s, s"ivf/c16/$dir")(
-        graft.operators.IvfFlat.fit(emb(s, dir), numCells = 16))
-      graft.operators.IvfFlat.knnJoin(model, probes(s, dir), k = 10, nprobe = 4)
-    }),
+    // IVF-Flat ANN (coarse-quantized scale path). Oracle-checked like
+    // LSH/SQ8: the trained centroids are emitted as DuckDB literals at
+    // Verify-dump time ([[ivfModel]] records them), so the WHOLE
+    // approximate path hash-matches cross-engine.
+    "knn_ivf_cosine" -> ((s, dir) =>
+      graft.operators.IvfFlat.knnJoin(ivfModel(s, dir), probes(s, dir),
+        k = 10, nprobe = 4, scoreDigits = 6)),
 
     // B6/B7 micro-averaged recall@10 of the IVF path vs the exact oracle
     "recall_ivf" -> ((s, dir) => {
-      val model = ModelMemo.get(s, s"ivf/c16/$dir")(
-        graft.operators.IvfFlat.fit(emb(s, dir), numCells = 16))
-      val approx = graft.operators.IvfFlat.knnJoin(model, probes(s, dir), k = 10, nprobe = 4)
-      val exact = KnnJoin.exactKnnJoin(emb(s, dir), probes(s, dir), k = 10)
+      val approx = graft.operators.IvfFlat.knnJoin(ivfModel(s, dir),
+        probes(s, dir), k = 10, nprobe = 4, scoreDigits = 6)
+      val exact = KnnJoin.exactKnnJoin(emb(s, dir), probes(s, dir), k = 10,
+        scoreDigits = 6)
       Recall.microAvgRecall(approx, exact)
     }),
 
@@ -387,7 +399,46 @@ object VectorQueries {
       |     ORDER BY score DESC, neighbor_id) AS rank FROM rer)
       |  WHERE rank <= 10)""".stripMargin
 
-  val oracle: Map[String, String] = Map(
+  /** IVF oracle entries exist only after a battery fit recorded the
+    * trained centroids (Verify runs every query before dumping the SQL,
+    * so the dump always sees them; a standalone dump without a fit just
+    * falls back to the rows-only gate). */
+  private def ivfOracle: Map[String, String] = ivfCentroidsForOracle match {
+    case None => Map.empty
+    case Some(cents) =>
+      val cte = graft.operators.IvfFlat.duckdbTopkCte(cents, nprobe = 4, k = 10)
+      Map(
+        "knn_ivf_cosine" ->
+          s"""$cte
+             |SELECT query_id, neighbor_id, score, rank FROM ivf_topk""".stripMargin,
+        "recall_ivf" ->
+          s"""$cte,
+             | exact_scored AS (
+             |  SELECT q.query_id, e.vec_id AS neighbor_id,
+             |   floor((list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])))*1e6 + 0.5)/1e6 AS score
+             |  FROM embeddings e, ivf_q q),
+             | exact_topk AS (
+             |  SELECT query_id, neighbor_id FROM (
+             |   SELECT *, row_number() OVER (PARTITION BY query_id
+             |     ORDER BY score DESC, neighbor_id) AS rank FROM exact_scored)
+             |  WHERE rank <= 10),
+             | per AS (
+             |  SELECT ex.query_id,
+             |   CAST(sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+             |   CAST(count(*) AS BIGINT) AS total
+             |  FROM exact_topk ex LEFT JOIN ivf_topk l
+             |    ON ex.query_id = l.query_id AND ex.neighbor_id = l.neighbor_id
+             |  GROUP BY ex.query_id)
+             |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+             |  CAST(sum(hits) AS BIGINT) AS hits,
+             |  CAST(sum(total) AS BIGINT) AS total,
+             |  CAST(sum(hits) AS DOUBLE)/CAST(sum(total) AS DOUBLE) AS recall
+             |FROM per""".stripMargin)
+  }
+
+  def oracle: Map[String, String] = staticOracle ++ ivfOracle
+
+  private val staticOracle: Map[String, String] = Map(
     "knn_sq_euclid" ->
       s"""$sqTopCte
          |SELECT query_id, neighbor_id, score, rank FROM sq_topk""".stripMargin,

@@ -203,15 +203,9 @@ class HnswModel(
     * an index-per-query-partition replication strategy.) */
   def knnJoinBatched(queries: DataFrame, k: Int, efSearchOverride: Option[Int] = None,
       batchRows: Int = 100000,
-      queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame = {
-    val n = queries.count()
-    val numBatches = math.max(1, math.ceil(n.toDouble / batchRows).toInt)
-    if (numBatches == 1) return knnJoin(queries, k, efSearchOverride, queryId, queryVec)
-    (0 until numBatches).map { b =>
-      val batch = queries.filter(pmod(xxhash64(col(queryId)), lit(numBatches)) === b)
-      knnJoin(batch, k, efSearchOverride, queryId, queryVec)
-    }.reduce(_ unionByName _)
-  }
+      queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame =
+    graft.operators.ProbeBatch.batched(queries, batchRows, queryId)(
+      knnJoin(_, k, efSearchOverride, queryId, queryVec))
 
   /** knnJoin variant that also reports honest per-query search latency:
     * each shard times its searchKNN call; a query's latency is its

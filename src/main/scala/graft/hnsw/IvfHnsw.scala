@@ -141,16 +141,9 @@ object IvfHnsw {
     * collected/broadcast at once; union per-batch results. */
   def knnJoinBatched(model: Model, queries: DataFrame, k: Int, nprobe: Int = 2,
       efSearchOverride: Option[Int] = None, batchRows: Int = 100000,
-      queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame = {
-    val n = queries.count()
-    val numBatches = math.max(1, math.ceil(n.toDouble / batchRows).toInt)
-    if (numBatches == 1)
-      return knnJoin(model, queries, k, nprobe, efSearchOverride, queryId, queryVec)
-    (0 until numBatches).map { b =>
-      val batch = queries.filter(pmod(xxhash64(col(queryId)), lit(numBatches)) === b)
-      knnJoin(model, batch, k, nprobe, efSearchOverride, queryId, queryVec)
-    }.reduce(_ unionByName _)
-  }
+      queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame =
+    graft.operators.ProbeBatch.batched(queries, batchRows, queryId)(
+      knnJoin(model, _, k, nprobe, efSearchOverride, queryId, queryVec))
 
   /** Persistence: centroids parquet + the CELL-PARTITIONED graph via
     * [[HnswModel.save]] (store CRUD contract; load-missing → None). One

@@ -146,9 +146,12 @@ object IvfFlat {
     ()
   }
 
-  /** Query: probe the nprobe nearest cells, exact rerank inside them. */
+  /** Query: probe the nprobe nearest cells, exact rerank inside them.
+    * `scoreDigits >= 0` rounds rerank scores before ranking (fixed-point
+    * floor form) — required for the cross-engine oracle gate. */
   def knnJoin(model: Model, queries: DataFrame, k: Int, nprobe: Int = 4,
-      queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame = {
+      queryId: String = "query_id", queryVec: String = "query_vec",
+      scoreDigits: Int = -1): DataFrame = {
     require(k > 0 && nprobe > 0)
     // same NaN guard as assign(): a zero-norm query probes the first
     // nprobe cells deterministically instead of NaN-ranked arbitrary ones
@@ -161,11 +164,62 @@ object IvfFlat {
       .withColumn("cells",
         slice(reverse(array_sort(array(cellScores: _*))), 1, nprobe))
       .select(col(queryId), col("qvec"), explode(col("cells.c")).as("cell"))
+    val raw = nanvl(similarity.cosine_sim(col("vec"), col("qvec")), lit(-1.0))
+    val scoreExpr = if (scoreDigits >= 0) graft.Qutil.rnd(raw, scoreDigits) else raw
     val cands = model.assigned.join(probes, Seq("cell"))
-      .select(col(queryId), col("id").as("neighbor_id"),
-        nanvl(similarity.cosine_sim(col("vec"), col("qvec")), lit(-1.0)).as("score"))
+      .select(col(queryId), col("id").as("neighbor_id"), scoreExpr.as("score"))
     val w = Window.partitionBy(col(queryId))
       .orderBy(col("score").desc, col("neighbor_id").asc)
     cands.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** DuckDB CTE reproducing the WHOLE IVF pipeline from trained-centroid
+    * literals — the LSH/SQ8 recipe applied to the coarse quantizer. The
+    * centroids are data-dependent (sample + Lloyd step), so this SQL can
+    * only be emitted AFTER a fit; both engines then share the exact same
+    * quantizer and the full approximate path hash-matches:
+    * assignment = argmax cosine (NaN→-1.0, (s DESC, cell DESC) — the
+    * greatest(struct) tie order), probe = top-nprobe cells by the same
+    * order (reverse(array_sort) semantics), rerank = cosine rounded 1e-6
+    * with neighbor-id tie-break. Ends with CTE `ivf_topk`. */
+  def duckdbTopkCte(centroids: Array[(Int, Array[Float])], nprobe: Int, k: Int,
+      probeFilter: String = "vec_id < 100"): String = {
+    val rows = centroids.map { case (c, v) =>
+      s"($c, CAST([${v.map(_.toDouble.toString).mkString(", ")}] AS DOUBLE[]))"
+    }.mkString(",\n   ")
+    def guarded(a: String, b: String): String =
+      s"""CASE WHEN isnan(list_cosine_similarity($a, $b)) THEN -1.0
+         |        ELSE list_cosine_similarity($a, $b) END""".stripMargin
+    s"""WITH ivf_cents(cell, cvec) AS (VALUES
+       |   $rows),
+       | ivf_sim AS (
+       |  SELECT e.vec_id, e.embedding, c.cell,
+       |   ${guarded("CAST(e.embedding AS DOUBLE[])", "c.cvec")} AS s
+       |  FROM embeddings e CROSS JOIN ivf_cents c),
+       | ivf_assigned AS (
+       |  SELECT vec_id, embedding, cell FROM (
+       |   SELECT vec_id, embedding, cell,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell DESC) AS rn
+       |   FROM ivf_sim) WHERE rn = 1),
+       | ivf_q AS (SELECT vec_id AS query_id, embedding AS qv
+       |           FROM embeddings WHERE $probeFilter),
+       | ivf_qsim AS (
+       |  SELECT q.query_id, q.qv, c.cell,
+       |   ${guarded("CAST(q.qv AS DOUBLE[])", "c.cvec")} AS s
+       |  FROM ivf_q q CROSS JOIN ivf_cents c),
+       | ivf_qcells AS (
+       |  SELECT query_id, qv, cell FROM (
+       |   SELECT query_id, qv, cell,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY s DESC, cell DESC) AS rn
+       |   FROM ivf_qsim) WHERE rn <= $nprobe),
+       | ivf_cand AS (
+       |  SELECT qc.query_id, a.vec_id AS neighbor_id,
+       |   floor((${guarded("CAST(a.embedding AS DOUBLE[])", "CAST(qc.qv AS DOUBLE[])")})*1e6 + 0.5)/1e6 AS score
+       |  FROM ivf_qcells qc JOIN ivf_assigned a USING (cell)),
+       | ivf_topk AS (
+       |  SELECT query_id, neighbor_id, score, rank FROM (
+       |   SELECT *, row_number() OVER (PARTITION BY query_id
+       |     ORDER BY score DESC, neighbor_id) AS rank FROM ivf_cand)
+       |  WHERE rank <= $k)""".stripMargin
   }
 }

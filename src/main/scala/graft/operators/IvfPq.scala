@@ -271,4 +271,13 @@ object IvfPq {
       .orderBy(col("score").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** Large-probe-set variant: caps the per-batch collect/broadcast at
+    * ~batchRows probes (see [[ProbeBatch]]). */
+  def knnJoinBatched(model: Model, base: DataFrame, queries: DataFrame, k: Int,
+      nprobe: Int = 4, rerank: Int = 100, batchRows: Int = 100000,
+      queryId: String = "query_id", queryVec: String = "query_vec",
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ProbeBatch.batched(queries, batchRows, queryId)(
+      knnJoin(model, base, _, k, nprobe, rerank, queryId, queryVec, idCol, vecCol))
 }

@@ -305,4 +305,13 @@ object Pq {
     val topCands = adcCandidates(model, probes, rerank)
     exactRerank(topCands, base, queries, k, queryId, queryVec, idCol, vecCol)
   }
+
+  /** Large-probe-set variant: caps the per-batch collect/broadcast at
+    * ~batchRows probes (see [[ProbeBatch]]). */
+  def knnJoinBatched(model: Model, base: DataFrame, queries: DataFrame, k: Int,
+      rerank: Int = 100, batchRows: Int = 100000, queryId: String = "query_id",
+      queryVec: String = "query_vec",
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ProbeBatch.batched(queries, batchRows, queryId)(
+      knnJoin(model, base, _, k, rerank, queryId, queryVec, idCol, vecCol))
 }

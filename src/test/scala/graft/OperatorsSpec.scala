@@ -815,6 +815,26 @@ class OperatorsSpec extends AnyFunSuite {
     model.unpersist()
   }
 
+  test("probe batching: batched == unbatched on every code-based ANN path") {
+    import graft.operators.{IvfPq, Opq, Pq, Sq}
+    // batchRows = 7 forces 3 hash batches over the 20 probes on each path
+    def asSet(df: DataFrame): Set[Seq[Any]] =
+      df.select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
+    val pq = Pq.fit(emb, numSub = 8, codesPerSub = 16)
+    assert(asSet(Pq.knnJoin(pq, emb, probes, k = 5, rerank = 50)) ==
+      asSet(Pq.knnJoinBatched(pq, emb, probes, k = 5, rerank = 50, batchRows = 7)))
+    val opq = Opq.fit(emb, numSub = 8, codesPerSub = 16)
+    assert(asSet(Opq.knnJoin(opq, emb, probes, k = 5, rerank = 50)) ==
+      asSet(Opq.knnJoinBatched(opq, emb, probes, k = 5, rerank = 50, batchRows = 7)))
+    val sq = Sq.fit(emb)
+    assert(asSet(Sq.knnJoin(sq, emb, probes, k = 5, rerank = 50)) ==
+      asSet(Sq.knnJoinBatched(sq, emb, probes, k = 5, rerank = 50, batchRows = 7)))
+    val ivfpq = IvfPq.fit(emb, numCells = 8, numSub = 8, codesPerSub = 16)
+    assert(asSet(IvfPq.knnJoin(ivfpq, emb, probes, k = 5, nprobe = 4, rerank = 50)) ==
+      asSet(IvfPq.knnJoinBatched(ivfpq, emb, probes, k = 5, nprobe = 4,
+        rerank = 50, batchRows = 7)))
+  }
+
   test("MLlib LSH paths: MinHash near-dups + BRP ANN join produce ranked output") {
     import graft.operators.MlLsh
     val docs = spark.read.parquet(s"$dir/documents.parquet")
