@@ -305,7 +305,12 @@ object VectorQueries {
     }),
 
     // MLlib-estimator LSH paths (seeded ⇒ deterministic; rows-only gate
-    // since MLlib's hash families aren't reproducible in SQL).
+    // since MLlib's hash families aren't reproducible in SQL — instead
+    // both rows carry a cross-IMPLEMENTATION gate: OperatorsSpec "MLlib
+    // parity" asserts MinHashLSH recovers exactly the same confirmed
+    // near-dup pairs as the native banded path vs an independent exact-
+    // Jaccard ground truth, and BRP holds a recall floor vs the exact
+    // oracle).
     // MinHashLSH OR-joins on 1-row bands, which explodes into hot buckets
     // on this vocab-dense corpus — run the integration demo on a
     // deterministic 1k-doc slice; the banded 2-row minhash_lsh_pairs

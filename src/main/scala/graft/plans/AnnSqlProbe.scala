@@ -11,7 +11,7 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
 import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
 
 import graft.functions.{CosineSimilarityExpr, EuclideanSimilarityExpr}
-import graft.hnsw.HnswModel
+import graft.hnsw.{HnswModel, IvfHnsw}
 
 /** SQL-path ANN index probe (SURVEY §4 optional piece; the reference's
   * query surface is the programmatic `searchKNN` call, reference
@@ -47,7 +47,25 @@ import graft.hnsw.HnswModel
   */
 object AnnSqlProbe {
 
-  case class Entry(model: HnswModel, idCol: String, vecCol: String)
+  /** A registered index: plain shard-and-search HNSW, or the cell-routed
+    * hybrid (probed at its registered nprobe — sublinear per query, the
+    * plan SQL users should get once the corpus outgrows one shard set). */
+  sealed trait AnnIndex {
+    def metric: String
+    def knnJoin(probe: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame
+  }
+  final case class HnswRef(m: HnswModel) extends AnnIndex {
+    def metric: String = m.params.metric
+    def knnJoin(p: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame =
+      m.knnJoin(p, k)
+  }
+  final case class IvfHnswRef(m: IvfHnsw.Model, nprobe: Int) extends AnnIndex {
+    def metric: String = m.hnsw.params.metric
+    def knnJoin(p: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame =
+      IvfHnsw.knnJoin(m, p, k, nprobe)
+  }
+
+  case class Entry(index: AnnIndex, idCol: String, vecCol: String)
 
   private val catalog = TrieMap.empty[String, Entry]
 
@@ -57,8 +75,18 @@ object AnnSqlProbe {
   /** Register `model` as the index of the table stored at `path`. */
   def register(path: String, model: HnswModel, idCol: String = "vec_id",
       vecCol: String = "embedding"): Unit = {
-    catalog.put(normalize(path), Entry(model, idCol, vecCol)); ()
+    catalog.put(normalize(path), Entry(HnswRef(model), idCol, vecCol)); ()
   }
+
+  /** Register a hybrid IVF→HNSW index: SQL top-k probes route through
+    * `nprobe` cells (the sublinear path) instead of every shard. */
+  def register(path: String, model: IvfHnsw.Model, nprobe: Int,
+      idCol: String, vecCol: String): Unit = {
+    catalog.put(normalize(path), Entry(IvfHnswRef(model, nprobe), idCol, vecCol)); ()
+  }
+
+  def register(path: String, model: IvfHnsw.Model, nprobe: Int): Unit =
+    register(path, model, nprobe, "vec_id", "embedding")
 
   def unregister(path: String): Unit = { catalog.remove(normalize(path)); () }
 
@@ -72,6 +100,14 @@ object AnnSqlProbe {
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
     val loc = spark.sessionState.catalog.getTableMetadata(ident).location
     register(loc.getPath, model, idCol, vecCol)
+  }
+
+  /** Catalog-table form of the hybrid registration. */
+  def registerTable(spark: SparkSession, table: String, model: IvfHnsw.Model,
+      nprobe: Int): Unit = {
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val loc = spark.sessionState.catalog.getTableMetadata(ident).location
+    register(loc.getPath, model, nprobe)
   }
 
   def unregisterTable(spark: SparkSession, table: String): Unit = {
@@ -156,7 +192,7 @@ class AnnProbeRule(spark: SparkSession) extends Rule[LogicalPlan] {
         }
         (vecAttr, qvec, metric) <- matchSim(simAlias.child)
         if sref.exprId == simAlias.exprId &&
-          metric == entry.model.params.metric &&
+          metric == entry.index.metric &&
           vecAttr.name == entry.vecCol &&
           projList.forall {
             case a: Alias => a.exprId == simAlias.exprId
@@ -172,7 +208,7 @@ class AnnProbeRule(spark: SparkSession) extends Rule[LogicalPlan] {
         import spark.implicits._
         val probe = Seq((0L, qvec)).toDF("query_id", "query_vec")
         val kProbe = if (idFilter.isDefined) math.min(k.toLong * overfetch, 10000L).toInt else k
-        val knn = entry.model.knnJoin(probe, kProbe)
+        val knn = entry.index.knnJoin(probe, kProbe)
         val knnPlan = knn.queryExecution.analyzed
         val nbr = knnPlan.output.find(_.name == "neighbor_id").get
         val score = knnPlan.output.find(_.name == "score").get

@@ -852,6 +852,50 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows.map(_.toSeq).toSet == again)
   }
 
+  test("MLlib parity: MinHash + native banded LSH find the same confirmed near-dups") {
+    import graft.operators.MlLsh
+    val s = spark; import s.implicits._
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    // independent ground truth: exact 3-token-shingle Jaccard, driver-side
+    // (the corpus has a clean gap — every true dup pair is >= 0.6, nothing
+    // sits in [0.4, 0.6) — so threshold 0.6 separates cleanly)
+    val shs: Map[Long, Set[String]] = d
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+      .as[(Long, Seq[String])].collect()
+      .map { case (id, t) =>
+        id -> (if (t.length >= 3)
+          (0 to t.length - 3).map(i => s"${t(i)} ${t(i + 1)} ${t(i + 2)}").toSet
+        else Set.empty[String])
+      }.toMap
+    def jac(a: Set[String], b: Set[String]): Double = {
+      val inter = a.intersect(b).size
+      val union = a.size + b.size - inter
+      if (union == 0) 0.0 else inter.toDouble / union
+    }
+    val ids = shs.keys.toSeq.sorted
+    val truth = (for { i <- ids; j <- ids if i < j && jac(shs(i), shs(j)) >= 0.6 }
+      yield (i, j)).toSet
+    assert(truth.nonEmpty, "fixture degenerate: no near-dup pairs in corpus")
+    // native banded MinHash candidates, confirmed by the same exact Jaccard
+    val native = TextQueries.queries("minhash_lsh_pairs")(spark, dir)
+      .as[(Long, Long)].collect()
+      .filter { case (a, b) => jac(shs(a), shs(b)) >= 0.6 }.toSet
+    // MLlib MinHashLSH candidates; its jaccard_dist IS the exact distance
+    val mllib = MlLsh.minHashNearDups(d, maxJaccardDistance = 0.5, numHashTables = 4)
+      .filter(col("jaccard_dist") <= 0.4)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(native == truth, s"native found ${native.size}, truth ${truth.size}")
+    assert(mllib == truth, s"mllib found ${mllib.size}, truth ${truth.size}")
+  }
+
+  test("MLlib parity: BRP ANN join holds a recall floor vs the exact oracle") {
+    import graft.operators.MlLsh
+    val brp = MlLsh.brpAnnJoin(emb, probes, k = 5, maxDistance = 20.0)
+    val exact = KnnJoin.exactKnnJoin(emb, probes, k = 5, metric = "euclidean")
+    val rec = Recall.microAvgRecall(brp, exact).select("recall").first().getDouble(0)
+    assert(rec >= 0.9, s"BRP recall@5 = $rec")
+  }
+
   test("grid bench: sweep, json sink, dir source, compare, csv (B9-B16)") {
     val tmp = java.nio.file.Files.createTempDirectory("bench").toString
     val results = GridBench.runGrid(emb, probes.limit(5), "sf0.001-emb",

@@ -153,6 +153,32 @@ class AnnSqlProbeSpec extends AnyFunSuite {
     }
   }
 
+  test("hybrid IVF-HNSW registration routes SQL top-k through the cell-routed probe") {
+    import graft.hnsw.IvfHnsw
+    val model = IvfHnsw.fit(spark.read.parquet(path), numCells = 4,
+      HnswParams(m = 16, efConstruction = 200))
+    try {
+      val sql = annSql(10)
+      val exactRows = spark.sql(sql).collect()
+      AnnSqlProbe.register(path, model, nprobe = 2)
+      val probed = spark.sql(sql)
+      val plan = probed.queryExecution.executedPlan.toString
+      assert(plan.contains("Filter (rank"),
+        s"hybrid probe should replace the scan + top-k:\n$plan")
+      val probedRows = probed.collect()
+      assert(probedRows.length == 10)
+      assert(probed.schema.fieldNames.toSeq == Seq("vec_id", "score"))
+      // self-match first; nprobe=2 of 4 cells keeps strong top-k agreement
+      assert(probedRows.head.getLong(0) == 3L)
+      val recall = probedRows.map(_.getLong(0)).toSet
+        .intersect(exactRows.map(_.getLong(0)).toSet).size
+      assert(recall >= 7, s"hybrid probe recall@10 = $recall/10")
+    } finally {
+      AnnSqlProbe.unregister(path)
+      model.unpersist()
+    }
+  }
+
   test("unregistering restores the exact plan") {
     val model = HnswIndexer.fit(spark.read.parquet(path), HnswParams(numPartitions = 2))
     AnnSqlProbe.register(path, model)
