@@ -34,24 +34,39 @@ object Bench {
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
     def esc(s: String) = s.replaceAll("[\"\\\\\n\r\t]", " ").take(200)
-    val qs = results.map { case (k, v, err) =>
-      "\"" + k + "\":" + (if (err.isEmpty) v else -v)
-    }.mkString("{", ",", "}")
+    def qsJson(rs: Seq[(String, Double, Option[String])], round3: Boolean) =
+      rs.map { case (k, v, err) =>
+        val t = if (err.isEmpty) v else -v
+        "\"" + k + "\":" + (if (round3) f"$t%.3f" else t.toString)
+      }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(m)) => "\"" + k + "\":\"" + esc(m) + "\"" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
-    println(line)
-    // Stdout tails get truncated by log collectors (BENCH_r03/r04 lost the
-    // knn_* block mid-JSON); the file copy is the durable artifact for
-    // round-over-round per-query comparison.
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qsJson(results, round3 = false)},"errors":$errs,"sf":"$sfDir"}"""
+    // Stdout tails get truncated by log collectors at 2000 chars
+    // (BENCH_r03/r04 lost the head of the JSON line mid-key); the full
+    // 97-query map CANNOT fit that window, so stdout carries a compact,
+    // always-parseable line — headline-query subset at ms precision plus
+    // the total — and the committed file carries every query at full
+    // precision for round-over-round comparison.
     try {
       val dir = java.nio.file.Paths.get("bench/outputs")
       java.nio.file.Files.createDirectories(dir)
       java.nio.file.Files.write(dir.resolve("bench_latest.json"),
-        (line + "\n").getBytes("UTF-8"))
+        (fullLine + "\n").getBytes("UTF-8"))
     } catch { case e: Exception => System.err.println(s"bench file write failed: $e") }
+    val headline = Set(
+      "q1_agg", "q3_topk_join", "q5_nation_revenue", "q_range_join",
+      "q_window_topk", "q_sessions_batch", "q_click_attrib_last",
+      "knn_exact_cosine", "knn_hnsw_cosine", "knn_lsh_cosine",
+      "knn_sq_euclid", "knn_ivf_cosine", "knn_ivfpq_euclid",
+      "knn_ivfhnsw_cosine", "recall_hnsw", "recall_ivfhnsw", "recall_lsh",
+      "dedup_exact", "minhash_lsh_pairs", "simhash_near_dup",
+      "near_dup_embeddings_lsh", "decontaminate_bloom", "tfidf_top_terms",
+      "quality_filter", "token_stats", "seq_packing", "multimodal_knn")
+    val sub = results.filter { case (k, _, e) => headline(k) || e.isDefined }
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${qsJson(sub, round3 = true)},"errors":$errs,"nq":${results.size},"file":"bench/outputs/bench_latest.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -52,6 +52,18 @@ object VectorQueries {
     m
   }
 
+  /** The battery's PQ model. Like [[ivfModel]], fitting records the
+    * trained codebooks so [[oracle]] can emit the data-dependent PQ oracle
+    * SQL (literal codebooks) when Verify dumps oracle_sql.json after the
+    * query ran. */
+  @volatile private var pqCodebooksForOracle: Option[Array[Array[Array[Float]]]] = None
+  private def pqModel(s: SparkSession, dir: String): graft.operators.Pq.Model = {
+    val m = ModelMemo.get(s, s"pq/s8c16/$dir")(
+      graft.operators.Pq.fit(emb(s, dir), numSub = 8, codesPerSub = 16))
+    pqCodebooksForOracle = Some(m.codebooks)
+    m
+  }
+
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
@@ -152,21 +164,22 @@ object VectorQueries {
     }),
 
     // PQ ANN (memory-bound scale path: 8-byte codes + ADC scan + exact
-    // rerank). Rows-only gate; OperatorsSpec asserts recall floors incl.
-    // the exhaustive-rerank exactness case.
-    "knn_pq_euclid" -> ((s, dir) => {
-      val model = ModelMemo.get(s, s"pq/s8c16/$dir")(
-        graft.operators.Pq.fit(emb(s, dir), numSub = 8, codesPerSub = 16))
-      graft.operators.Pq.knnJoin(model, emb(s, dir), probes(s, dir), k = 10, rerank = 100)
-    }),
+    // rerank). Oracle-checked like LSH/SQ8/IVF: the trained codebooks are
+    // emitted as DuckDB literals at Verify-dump time ([[pqModel]] records
+    // them), ADC distances rank by the shared 1e-9-rounded (dist, cand_id)
+    // total order, rerank scores by the 1e-6-rounded one — the WHOLE
+    // product-code path hash-matches cross-engine. OperatorsSpec
+    // additionally asserts recall floors incl. the exhaustive-rerank
+    // exactness case.
+    "knn_pq_euclid" -> ((s, dir) =>
+      graft.operators.Pq.knnJoin(pqModel(s, dir), emb(s, dir), probes(s, dir),
+        k = 10, rerank = 100, scoreDigits = 6, adcDigits = 9)),
 
     "recall_pq" -> ((s, dir) => {
-      val model = ModelMemo.get(s, s"pq/s8c16/$dir")(
-        graft.operators.Pq.fit(emb(s, dir), numSub = 8, codesPerSub = 16))
-      val approx = graft.operators.Pq.knnJoin(model, emb(s, dir), probes(s, dir),
-        k = 10, rerank = 100)
+      val approx = graft.operators.Pq.knnJoin(pqModel(s, dir), emb(s, dir),
+        probes(s, dir), k = 10, rerank = 100, scoreDigits = 6, adcDigits = 9)
       val exact = KnnJoin.exactKnnJoin(emb(s, dir), probes(s, dir), k = 10,
-        metric = "euclidean")
+        metric = "euclidean", scoreDigits = 6)
       Recall.microAvgRecall(approx, exact)
     }),
 
@@ -441,7 +454,37 @@ object VectorQueries {
              |FROM per""".stripMargin)
   }
 
-  def oracle: Map[String, String] = staticOracle ++ ivfOracle
+  /** PQ oracle entries exist only after a battery fit recorded the trained
+    * codebooks (same contract as [[ivfOracle]]). */
+  private def pqOracle: Map[String, String] = pqCodebooksForOracle match {
+    case None => Map.empty
+    case Some(cbs) =>
+      val cte = graft.operators.Pq.duckdbTopkCte(cbs, rerank = 100, k = 10)
+      Map(
+        "knn_pq_euclid" ->
+          s"""$cte
+             |SELECT query_id, neighbor_id, score, rank FROM pq_topk""".stripMargin,
+        "recall_pq" ->
+          s"""$cte,
+             | exact_topk AS (SELECT query_id, neighbor_id FROM (
+             |   SELECT q.query_id, e.vec_id AS neighbor_id,
+             |    row_number() OVER (PARTITION BY q.query_id ORDER BY
+             |      floor((1.0/(1.0 + list_distance(CAST(e.embedding AS DOUBLE[]),
+             |        CAST(q.qv AS DOUBLE[]))))*1e6 + 0.5)/1e6 DESC, e.vec_id) AS rank
+             |   FROM embeddings e, pq_q q) WHERE rank <= 10),
+             | per_q AS (SELECT x.query_id, count(*) AS total,
+             |    CAST(sum(CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS hits
+             |   FROM exact_topk x LEFT JOIN pq_topk p
+             |    ON p.query_id = x.query_id AND p.neighbor_id = x.neighbor_id
+             |   GROUP BY x.query_id)
+             |SELECT count(*) AS n_queries, CAST(sum(hits) AS BIGINT) AS hits,
+             | CAST(sum(total) AS BIGINT) AS total,
+             | sum(hits)*1.0/sum(total) AS recall
+             |FROM per_q""".stripMargin)
+  }
+
+  def oracle: Map[String, String] = staticOracle ++ ivfOracle ++ pqOracle
 
   private val staticOracle: Map[String, String] = Map(
     "knn_sq_euclid" ->

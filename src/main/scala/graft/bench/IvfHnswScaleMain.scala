@@ -22,6 +22,10 @@ object IvfHnswScaleMain {
       if (args.length > 3) args(3).split(",").map(_.trim.toInt).toSeq
       else Seq(2, 4, 8, cells)
     val slack = if (args.length > 4) args(4).toDouble else 0.0
+    // "uniform" (adversarial: neighbor structure is centroid-free) or
+    // "clustered" (mixture-of-Gaussians — the corpus shape IVF routing
+    // serves; BASELINE.md carries both tables)
+    val corpus = if (args.length > 5) args(5) else "uniform"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -30,7 +34,13 @@ object IvfHnswScaleMain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val base = VectorSources.synthetic(spark, n, dim, seed = 42).cache()
+    val base = (corpus match {
+      case "clustered" => VectorSources
+        .syntheticClustered(spark, n, dim, numClusters = 4 * cells, spread = 0.15,
+          seed = 42)
+        .select("vec_id", "embedding")
+      case _ => VectorSources.synthetic(spark, n, dim, seed = 42)
+    }).cache()
     base.count()
     val queries = base.filter(col("vec_id") < 100)
       .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
@@ -55,7 +65,7 @@ object IvfHnswScaleMain {
     val plainSearchS = (System.nanoTime() - t1) / 1e9
     val plainRecall = Recall.microAvgRecall(plainRes, exact)
       .select("recall").first().getDouble(0)
-    println(f"IVFHNSW-AB n=$n P=$cells plain build=${plainBuildS}%.1fs " +
+    println(f"IVFHNSW-AB corpus=$corpus n=$n P=$cells plain build=${plainBuildS}%.1fs " +
       f"search100=${plainSearchS}%.2fs recall@10=$plainRecall%.4f (touches 100%% of shards)")
     plainRes.unpersist()
 
@@ -72,9 +82,9 @@ object IvfHnswScaleMain {
       val recall = Recall.microAvgRecall(res, exact)
         .select("recall").first().getDouble(0)
       res.unpersist()
-      println(f"IVFHNSW-AB n=$n C=$cells slack=$slack build=${hybridBuildS}%.1fs " +
-        f"nprobe=$np search100=${searchS}%.2fs recall@10=$recall%.4f " +
-        f"(touches ${100.0 * np / cells}%.0f%% of cells)")
+      println(f"IVFHNSW-AB corpus=$corpus n=$n C=$cells slack=$slack " +
+        f"build=${hybridBuildS}%.1fs nprobe=$np search100=${searchS}%.2fs " +
+        f"recall@10=$recall%.4f (touches ${100.0 * np / cells}%.0f%% of cells)")
     }
     spark.stop()
   }

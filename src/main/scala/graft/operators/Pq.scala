@@ -209,7 +209,7 @@ object Pq {
     * by asymmetric distance over the code table. `probes` must already be
     * in the model's code space (OPQ hands in rotated queries). */
   private[operators] def adcCandidates(model: Model, probes: Array[(Long, Array[Float])],
-      rerank: Int): DataFrame = {
+      rerank: Int, adcDigits: Int = -1): DataFrame = {
     val spark = model.encoded.sparkSession
     import spark.implicits._
     val bcQ = spark.sparkContext.broadcast(probes)
@@ -259,9 +259,16 @@ object Pq {
         model.encoded.as[(Long, Array[Short])].mapPartitions(rows =>
           scanRows[Array[Short]](rows, (c, s) => c(s).toInt)))
       .toDF("query_id", "cand_id", "adc_dist")
-    // global top-rerank per query over the per-partition candidates
+    // global top-rerank per query over the per-partition candidates.
+    // adcDigits >= 0 rounds the ADC distance (fixed-point floor form)
+    // BEFORE ranking so a cross-engine oracle that re-sums the same
+    // subspace distances in a different order lands on the same
+    // (dist, cand_id) total order — the SQ8 recipe's trick.
+    val rankDist =
+      if (adcDigits >= 0) graft.Qutil.rnd(col("adc_dist"), adcDigits)
+      else col("adc_dist")
     val wr = Window.partitionBy("query_id")
-      .orderBy(col("adc_dist").asc, col("cand_id").asc)
+      .orderBy(rankDist.asc, col("cand_id").asc)
     cands.withColumn("crank", row_number().over(wr))
       .filter(col("crank") <= r)
       .select("query_id", "cand_id")
@@ -295,15 +302,17 @@ object Pq {
   def knnJoin(model: Model, base: DataFrame, queries: DataFrame, k: Int,
       rerank: Int = 100, queryId: String = "query_id",
       queryVec: String = "query_vec",
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      scoreDigits: Int = -1, adcDigits: Int = -1): DataFrame = {
     require(k > 0 && rerank >= k)
     val spark = model.encoded.sparkSession
     import spark.implicits._
     val probes = queries
       .select(col(queryId).cast("long"), col(queryVec).cast("array<float>"))
       .as[(Long, Array[Float])].collect()
-    val topCands = adcCandidates(model, probes, rerank)
-    exactRerank(topCands, base, queries, k, queryId, queryVec, idCol, vecCol)
+    val topCands = adcCandidates(model, probes, rerank, adcDigits)
+    exactRerank(topCands, base, queries, k, queryId, queryVec, idCol, vecCol,
+      scoreDigits)
   }
 
   /** Large-probe-set variant: caps the per-batch collect/broadcast at
@@ -314,4 +323,71 @@ object Pq {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     ProbeBatch.batched(queries, batchRows, queryId)(
       knnJoin(model, base, _, k, rerank, queryId, queryVec, idCol, vecCol))
+
+  /** DuckDB CTE reproducing the WHOLE PQ pipeline from trained-codebook
+    * literals (the LSH/SQ8/IVF cross-engine recipe extended to product
+    * codes): encode every vector per subspace (the squared-distance
+    * expression is emitted term-by-term LEFT-ASSOCIATIVE, so DuckDB
+    * evaluates the identical IEEE double sequence as [[encodeVec]]'s
+    * ascending-j loop and picks the identical argmin code, ties to the
+    * lower code id), build per-query LUTs the same way, rank candidates by
+    * the 1e-`adcDigits`-rounded (adc_dist, cand_id) total order, and
+    * exact-rerank with 1e-6-rounded euclidean scores. Must be paired with
+    * `knnJoin(..., scoreDigits = 6, adcDigits = adcDigits)` on the Spark
+    * side. */
+  def duckdbTopkCte(codebooks: Array[Array[Array[Float]]], rerank: Int, k: Int,
+      adcDigits: Int = 9, probeFilter: String = "vec_id < 100"): String = {
+    val numSub = codebooks.length
+    val subDim = codebooks(0)(0).length
+    val cbRows = (for {
+      s <- codebooks.indices
+      c <- codebooks(s).indices
+    } yield {
+      val lits = codebooks(s)(c).map(_.toDouble.toString).mkString(", ")
+      s"($s, $c, CAST([$lits] AS DOUBLE[]))"
+    }).mkString(",\n   ")
+    // left-associative sum of per-element squared diffs (1-based lists)
+    def sqDist(vec: String): String =
+      (1 to subDim).map { j =>
+        val x = s"(CAST($vec[cb.s*$subDim + $j] AS DOUBLE) - cb.cent[$j])"
+        s"$x*$x"
+      }.mkString("\n    + ")
+    val adcScale = "1e" + adcDigits
+    s"""WITH pq_cb(s, c, cent) AS (VALUES
+       |   $cbRows),
+       | pq_enc_dist AS (
+       |  SELECT e.vec_id, cb.s, cb.c,
+       |   ${sqDist("e.embedding")} AS dist
+       |  FROM embeddings e CROSS JOIN pq_cb cb),
+       | pq_enc AS (
+       |  SELECT vec_id, s, c AS code FROM (
+       |   SELECT vec_id, s, c,
+       |    row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, c) AS rn
+       |   FROM pq_enc_dist) WHERE rn = 1),
+       | pq_q AS (SELECT vec_id AS query_id, embedding AS qv
+       |          FROM embeddings WHERE $probeFilter),
+       | pq_lut AS (
+       |  SELECT q.query_id, cb.s, cb.c,
+       |   ${sqDist("q.qv")} AS dist
+       |  FROM pq_q q CROSS JOIN pq_cb cb),
+       | pq_adc AS (
+       |  SELECT l.query_id, en.vec_id AS cand_id,
+       |   floor((sum(l.dist))*$adcScale + 0.5)/$adcScale AS adc_dist
+       |  FROM pq_enc en JOIN pq_lut l ON l.s = en.s AND l.c = en.code
+       |  GROUP BY 1, 2),
+       | pq_cand AS (
+       |  SELECT query_id, cand_id FROM (
+       |   SELECT query_id, cand_id, row_number() OVER (PARTITION BY query_id
+       |     ORDER BY adc_dist, cand_id) AS cr FROM pq_adc) WHERE cr <= $rerank),
+       | pq_rer AS (
+       |  SELECT c.query_id, c.cand_id AS neighbor_id,
+       |   floor((1.0/(1.0 + list_distance(CAST(e.embedding AS DOUBLE[]),
+       |     CAST(q.qv AS DOUBLE[]))))*1e6 + 0.5)/1e6 AS score
+       |  FROM pq_cand c JOIN embeddings e ON e.vec_id = c.cand_id
+       |   JOIN pq_q q ON q.query_id = c.query_id),
+       | pq_topk AS (SELECT query_id, neighbor_id, score, rank FROM (
+       |   SELECT *, row_number() OVER (PARTITION BY query_id
+       |     ORDER BY score DESC, neighbor_id) AS rank FROM pq_rer)
+       |  WHERE rank <= $k)""".stripMargin
+  }
 }

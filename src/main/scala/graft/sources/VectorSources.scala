@@ -166,6 +166,44 @@ object VectorSources {
     }.toDF("vec_id", "embedding")
   }
 
+  /** B1 variant: seeded mixture-of-Gaussians — `numClusters` centers drawn
+    * uniform in [-1,1)^d, each vector = its id-hashed center plus isotropic
+    * gaussian noise of stddev `spread`. Partition-independent like
+    * [[synthetic]] (every value is a pure function of (seed, id, j)).
+    *
+    * This is the corpus shape IVF routing is FOR: with spread well under
+    * the inter-center distance, a query's nearest centroids cover its true
+    * neighbors, so small-nprobe probes hold recall — unlike the uniform
+    * corpus, the adversarial worst case where neighbor structure is
+    * centroid-free. Emits (vec_id, embedding, cluster_id). */
+  def syntheticClustered(spark: SparkSession, count: Long, dimension: Int,
+      numClusters: Int = 64, spread: Double = 0.15, seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    require(numClusters > 0 && spread >= 0.0)
+    // centers are tiny (numClusters × d) — computed once, captured in the
+    // closure (Spark serializes them with the task like a broadcast)
+    val centers = Array.tabulate(numClusters) { c =>
+      Array.tabulate(dimension)(j =>
+        (unitRandom(seed ^ 0x5EEDC0DEL, c.toLong, j) * 2.0 - 1.0).toFloat)
+    }
+    val nc = numClusters
+    spark.range(0, count).as[Long].map { id =>
+      val c = math.min((unitRandom(seed ^ 0xA551D5L, id, Int.MaxValue) * nc).toInt, nc - 1)
+      val center = centers(c)
+      val arr = new Array[Float](dimension)
+      var j = 0
+      while (j < dimension) {
+        val u1 = unitRandom(seed, id, 2 * j)
+        val u2 = unitRandom(seed, id, 2 * j + 1)
+        val g = math.sqrt(-2.0 * math.log(math.max(u1, 1e-12))) *
+          math.cos(2.0 * math.Pi * u2)
+        arr(j) = (center(j) + spread * g).toFloat
+        j += 1
+      }
+      (id, arr, c)
+    }.toDF("vec_id", "embedding", "cluster_id")
+  }
+
   /** splitmix64-mixed uniform in [0,1), pure in (seed, id, k). */
   private def unitRandom(seed: Long, id: Long, k: Int): Double = {
     var z = seed ^ (id * 0x9E3779B97F4A7C15L) ^ (k.toLong * 0xC2B2AE3D27D4EB4FL)

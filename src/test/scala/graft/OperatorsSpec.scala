@@ -192,6 +192,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(g) < 0.1)
   }
 
+  test("clustered synthetic source: seeded, partition-independent, separable") {
+    val a = VectorSources.syntheticClustered(spark, 400, 8, numClusters = 4,
+      spread = 0.05, seed = 42)
+      .repartition(7).collect()
+      .map(r => (r.getLong(0), (r.getSeq[Float](1), r.getInt(2)))).toMap
+    val b = VectorSources.syntheticClustered(spark, 400, 8, numClusters = 4,
+      spread = 0.05, seed = 42)
+      .repartition(2).collect()
+      .map(r => (r.getLong(0), (r.getSeq[Float](1), r.getInt(2)))).toMap
+    assert(a == b)
+    // every cluster is populated, and membership is roughly balanced
+    val sizes = a.values.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(sizes.keySet == Set(0, 1, 2, 3))
+    assert(sizes.values.min > 400 / 4 / 3)
+    // separable at small spread: mean within-cluster distance is well under
+    // mean cross-cluster distance (the property IVF routing exploits)
+    def dist(x: Seq[Float], y: Seq[Float]): Double =
+      math.sqrt(x.zip(y).map { case (u, v) => (u - v).toDouble * (u - v) }.sum)
+    val pts = a.values.toArray
+    val (within, cross) = (for {
+      i <- pts.indices.take(80); j <- pts.indices.take(80) if i < j
+    } yield (dist(pts(i)._1, pts(j)._1), pts(i)._2 == pts(j)._2))
+      .partition(_._2)
+    val wAvg = within.map(_._1).sum / within.size
+    val cAvg = cross.map(_._1).sum / cross.size
+    assert(wAvg * 3 < cAvg, s"within=$wAvg cross=$cAvg")
+  }
+
   test("LSH ANN recall@10 >= 0.4 vs exact with 1-bit multiprobe (scale path)") {
     // isotropic random embeddings are LSH's worst case; 6 planes × 4
     // tables + 1-bit multiprobe prunes most of the corpus per query — the
