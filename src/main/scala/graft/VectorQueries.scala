@@ -64,6 +64,30 @@ object VectorQueries {
     m
   }
 
+  /** The battery's OPQ model — records (rotation, codebooks) for the
+    * literal-emission oracle, same contract as [[pqModel]]. */
+  @volatile private var opqForOracle:
+    Option[(Array[Array[Float]], Array[Array[Array[Float]]])] = None
+  private def opqModel(s: SparkSession, dir: String): graft.operators.Opq.Model = {
+    val m = ModelMemo.get(s, s"opq/s8c16/$dir")(
+      graft.operators.Opq.fit(emb(s, dir), numSub = 8, codesPerSub = 16))
+    opqForOracle = Some((m.rotation, m.pq.codebooks))
+    m
+  }
+
+  /** The battery's IVF-PQ model — records (centroids, codebooks,
+    * rotation) for the composed literal-emission oracle, same contract as
+    * [[pqModel]]. */
+  @volatile private var ivfpqForOracle: Option[(Array[(Int, Array[Float])],
+    Array[Array[Array[Float]]], Option[Array[Array[Float]]])] = None
+  private def ivfpqModel(s: SparkSession, dir: String): graft.operators.IvfPq.Model = {
+    val m = ModelMemo.get(s, s"ivfpq/c16s8c16r4p/$dir")(
+      graft.operators.IvfPq.fit(emb(s, dir), numCells = 16,
+        numSub = 8, codesPerSub = 16, opqIters = 4, packed = true))
+    ivfpqForOracle = Some((m.centroids, m.codebooks, m.rotation))
+    m
+  }
+
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
@@ -185,15 +209,17 @@ object VectorQueries {
 
     // IVF-PQ (the composed largest-corpus path: nprobe cell pruning ×
     // OPQ-rotated residual PQ codes in PACKED 4-bit nibbles × exact
-    // rerank). Rows-only gate; spec asserts recall floors incl. the
-    // all-cells/full-rerank exactness case and packed ≡ unpacked.
-    "knn_ivfpq_euclid" -> ((s, dir) => {
-      val model = ModelMemo.get(s, s"ivfpq/c16s8c16r4p/$dir")(
-        graft.operators.IvfPq.fit(emb(s, dir), numCells = 16,
-          numSub = 8, codesPerSub = 16, opqIters = 4, packed = true))
-      graft.operators.IvfPq.knnJoin(model, emb(s, dir), probes(s, dir),
-        k = 10, nprobe = 6, rerank = 150)
-    }),
+    // rerank). Oracle-checked like its parents: every trained artifact
+    // (centroids, codebooks, rotation) is emitted as DuckDB literals and
+    // every stage's arithmetic + tie order is mirrored exactly
+    // ([[graft.operators.IvfPq.duckdbTopkCte]]) — the full composed
+    // approximate path hash-matches cross-engine. Spec additionally
+    // asserts recall floors incl. the all-cells/full-rerank exactness
+    // case and packed ≡ unpacked.
+    "knn_ivfpq_euclid" -> ((s, dir) =>
+      graft.operators.IvfPq.knnJoin(ivfpqModel(s, dir), emb(s, dir),
+        probes(s, dir), k = 10, nprobe = 6, rerank = 150,
+        scoreDigits = 6, adcDigits = 9)),
 
     // hybrid IVF→HNSW (cell-routed graph ANN): coarse cells bound WHICH
     // sub-graphs a query touches (nprobe/C of the corpus — sublinear,
@@ -217,13 +243,14 @@ object VectorQueries {
     }),
 
     // OPQ (learned-rotation PQ): same ADC+rerank scan as PQ, better code
-    // quality under correlated dims. Rows-only gate; spec asserts the
-    // objective + recall floor.
-    "knn_opq_euclid" -> ((s, dir) => {
-      val model = ModelMemo.get(s, s"opq/s8c16/$dir")(
-        graft.operators.Opq.fit(emb(s, dir), numSub = 8, codesPerSub = 16))
-      graft.operators.Opq.knnJoin(model, emb(s, dir), probes(s, dir), k = 10, rerank = 100)
-    }),
+    // quality under correlated dims. Oracle-checked like PQ — the learned
+    // rotation is emitted as explicit left-associative dot-product
+    // expressions CAST to REAL (bit-identical to [[Opq.rotate]]), then the
+    // shared rounded-ADC/rerank total orders apply. Spec additionally
+    // asserts the objective + recall floor.
+    "knn_opq_euclid" -> ((s, dir) =>
+      graft.operators.Opq.knnJoin(opqModel(s, dir), emb(s, dir), probes(s, dir),
+        k = 10, rerank = 100, scoreDigits = 6, adcDigits = 9)),
 
     // SQ8 (scalar quantization): 4x-compressed int8 codes, ADC scan +
     // exact rerank. The encode is closed-form double arithmetic over
@@ -250,23 +277,19 @@ object VectorQueries {
     }),
 
     "recall_opq" -> ((s, dir) => {
-      val model = ModelMemo.get(s, s"opq/s8c16/$dir")(
-        graft.operators.Opq.fit(emb(s, dir), numSub = 8, codesPerSub = 16))
-      val approx = graft.operators.Opq.knnJoin(model, emb(s, dir), probes(s, dir),
-        k = 10, rerank = 100)
+      val approx = graft.operators.Opq.knnJoin(opqModel(s, dir), emb(s, dir),
+        probes(s, dir), k = 10, rerank = 100, scoreDigits = 6, adcDigits = 9)
       val exact = KnnJoin.exactKnnJoin(emb(s, dir), probes(s, dir), k = 10,
-        metric = "euclidean")
+        metric = "euclidean", scoreDigits = 6)
       Recall.microAvgRecall(approx, exact)
     }),
 
     "recall_ivfpq" -> ((s, dir) => {
-      val model = ModelMemo.get(s, s"ivfpq/c16s8c16r4p/$dir")(
-        graft.operators.IvfPq.fit(emb(s, dir), numCells = 16,
-          numSub = 8, codesPerSub = 16, opqIters = 4, packed = true))
-      val approx = graft.operators.IvfPq.knnJoin(model, emb(s, dir), probes(s, dir),
-        k = 10, nprobe = 6, rerank = 150)
+      val approx = graft.operators.IvfPq.knnJoin(ivfpqModel(s, dir), emb(s, dir),
+        probes(s, dir), k = 10, nprobe = 6, rerank = 150,
+        scoreDigits = 6, adcDigits = 9)
       val exact = KnnJoin.exactKnnJoin(emb(s, dir), probes(s, dir), k = 10,
-        metric = "euclidean")
+        metric = "euclidean", scoreDigits = 6)
       Recall.microAvgRecall(approx, exact)
     }),
 
@@ -484,7 +507,70 @@ object VectorQueries {
              |FROM per_q""".stripMargin)
   }
 
-  def oracle: Map[String, String] = staticOracle ++ ivfOracle ++ pqOracle
+  /** OPQ oracle entries exist only after a battery fit recorded the
+    * trained rotation + codebooks (same contract as [[pqOracle]]). */
+  private def opqOracle: Map[String, String] = opqForOracle match {
+    case None => Map.empty
+    case Some((rot, cbs)) =>
+      val cte = graft.operators.Opq.duckdbTopkCte(rot, cbs, rerank = 100, k = 10)
+      Map(
+        "knn_opq_euclid" ->
+          s"""$cte
+             |SELECT query_id, neighbor_id, score, rank FROM pq_topk""".stripMargin,
+        "recall_opq" ->
+          s"""$cte,
+             | exact_topk AS (SELECT query_id, neighbor_id FROM (
+             |   SELECT q.query_id, e.vec_id AS neighbor_id,
+             |    row_number() OVER (PARTITION BY q.query_id ORDER BY
+             |      floor((1.0/(1.0 + list_distance(CAST(e.embedding AS DOUBLE[]),
+             |        CAST(q.qv AS DOUBLE[]))))*1e6 + 0.5)/1e6 DESC, e.vec_id) AS rank
+             |   FROM embeddings e, pq_q q) WHERE rank <= 10),
+             | per_q AS (SELECT x.query_id, count(*) AS total,
+             |    CAST(sum(CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS hits
+             |   FROM exact_topk x LEFT JOIN pq_topk p
+             |    ON p.query_id = x.query_id AND p.neighbor_id = x.neighbor_id
+             |   GROUP BY x.query_id)
+             |SELECT count(*) AS n_queries, CAST(sum(hits) AS BIGINT) AS hits,
+             | CAST(sum(total) AS BIGINT) AS total,
+             | sum(hits)*1.0/sum(total) AS recall
+             |FROM per_q""".stripMargin)
+  }
+
+  /** IVF-PQ oracle entries exist only after a battery fit recorded the
+    * trained centroids + codebooks + rotation (same contract as
+    * [[pqOracle]]). */
+  private def ivfpqOracle: Map[String, String] = ivfpqForOracle match {
+    case None => Map.empty
+    case Some((cents, cbs, rot)) =>
+      val cte = graft.operators.IvfPq.duckdbTopkCte(cents, cbs, rot,
+        nprobe = 6, rerank = 150, k = 10)
+      Map(
+        "knn_ivfpq_euclid" ->
+          s"""$cte
+             |SELECT query_id, neighbor_id, score, rank FROM pq_topk""".stripMargin,
+        "recall_ivfpq" ->
+          s"""$cte,
+             | exact_topk AS (SELECT query_id, neighbor_id FROM (
+             |   SELECT q.query_id, e.vec_id AS neighbor_id,
+             |    row_number() OVER (PARTITION BY q.query_id ORDER BY
+             |      floor((1.0/(1.0 + list_distance(CAST(e.embedding AS DOUBLE[]),
+             |        CAST(q.qv AS DOUBLE[]))))*1e6 + 0.5)/1e6 DESC, e.vec_id) AS rank
+             |   FROM embeddings e, ipq_q q) WHERE rank <= 10),
+             | per_q AS (SELECT x.query_id, count(*) AS total,
+             |    CAST(sum(CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS hits
+             |   FROM exact_topk x LEFT JOIN pq_topk p
+             |    ON p.query_id = x.query_id AND p.neighbor_id = x.neighbor_id
+             |   GROUP BY x.query_id)
+             |SELECT count(*) AS n_queries, CAST(sum(hits) AS BIGINT) AS hits,
+             | CAST(sum(total) AS BIGINT) AS total,
+             | sum(hits)*1.0/sum(total) AS recall
+             |FROM per_q""".stripMargin)
+  }
+
+  def oracle: Map[String, String] =
+    staticOracle ++ ivfOracle ++ pqOracle ++ opqOracle ++ ivfpqOracle
 
   private val staticOracle: Map[String, String] = Map(
     "knn_sq_euclid" ->

@@ -49,23 +49,33 @@ object IvfHnsw {
     // the slowest per-cell builder and the hottest probe shard
     val ivf = IvfFlat.fit(df, numCells, p.seed, idCol, vecCol,
       metric = p.metric, balanceSlack = balanceSlack)
-    val graph = ivf.assigned
+    // IDENTITY partitioning — cell c builds in partition c, exactly one
+    // cell per task. The obvious `repartition(numCells, col("cell"))`
+    // hash-collides ~2-3 cells into one partition while others sit empty
+    // (measured: the straggler task serializes 2-3 graph builds, the bulk
+    // of the hybrid's build-cost gap vs plain HNSW, whose hash(id) shards
+    // are uniform by construction). Insertion order inside each cell stays
+    // ascending-id, so the graph is bit-identical to the hash-parted one.
+    val parted = ivf.assigned
       .select(col("cell"), col("id"), col("vec"))
       .as[(Int, Long, Array[Float])]
-      .repartition(numCells, col("cell"))
-      .sortWithinPartitions("cell", "id")
-      .mapPartitions { it =>
-        // a hash partition may hold several cells: build one sub-index per
-        // cell run (rows arrive sorted by (cell, id), so insertion order
-        // inside each cell is ascending id — same determinism contract as
-        // HnswIndexer.fit)
-        it.toArray.groupBy(_._1).iterator.flatMap { case (cell, rows) =>
-          val idx = new HnswIndex(p.m, p.efConstruction, -1, Metric(p.metric),
-            Some(p.effectiveEfSearch), None, p.seed)
-          idx.buildIndex(rows.iterator.map { case (_, id, v) => (id, v) })
-          idx.toRows.map(r => PartGraphRow(cell, r.id, r.level, r.vector, r.neighbors))
-        }
+      .rdd
+      .map { case (cell, id, v) => (cell, (id, v)) }
+      .partitionBy(new org.apache.spark.Partitioner {
+        override def numPartitions: Int = numCells
+        override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+      })
+    val graph = spark.createDataset(parted.mapPartitions { it =>
+      // one cell per partition by construction; keep the grouping so an
+      // empty partition just yields nothing
+      it.toArray.groupBy(_._1).iterator.flatMap { case (cell, rows) =>
+        val idx = new HnswIndex(p.m, p.efConstruction, -1, Metric(p.metric),
+          Some(p.effectiveEfSearch), None, p.seed)
+        idx.buildIndex(rows.sortBy(_._2._1).iterator
+          .map { case (_, (id, v)) => (id, v) })
+        idx.toRows.map(r => PartGraphRow(cell, r.id, r.level, r.vector, r.neighbors))
       }
+    })
     val persisted = graph.persist()
     persisted.count()
     Model(ivf.centroids, new HnswModel(spark, p, persisted))

@@ -172,11 +172,15 @@ object IvfPq {
     ()
   }
 
-  /** nprobe-cell ADC scan + exact rerank (euclidean `1/(1+L2)` scores). */
+  /** nprobe-cell ADC scan + exact rerank (euclidean `1/(1+L2)` scores).
+    * `adcDigits`/`scoreDigits >= 0` round the ADC rank order and the
+    * rerank scores (fixed-point floor form) — required for the
+    * cross-engine oracle gate, same contract as [[Pq.knnJoin]]. */
   def knnJoin(model: Model, base: DataFrame, queries: DataFrame, k: Int,
       nprobe: Int = 4, rerank: Int = 100, queryId: String = "query_id",
       queryVec: String = "query_vec", idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      scoreDigits: Int = -1, adcDigits: Int = -1): DataFrame = {
     require(k > 0 && rerank >= k && nprobe > 0)
     val spark = model.encoded.sparkSession
     import spark.implicits._
@@ -256,17 +260,23 @@ object IvfPq {
         pruned.as[(Int, Long, Array[Short])].mapPartitions(rows =>
           scanRows[Array[Short]](rows, (c, s) => c(s).toInt)))
       .toDF("query_id", "cand_id", "adc_dist")
+    val rankDist =
+      if (adcDigits >= 0) graft.Qutil.rnd(col("adc_dist"), adcDigits)
+      else col("adc_dist")
     val wr = Window.partitionBy("query_id")
-      .orderBy(col("adc_dist").asc, col("cand_id").asc)
+      .orderBy(rankDist.asc, col("cand_id").asc)
     val topCands = cands.withColumn("crank", row_number().over(wr))
       .filter(col("crank") <= r).select("query_id", "cand_id")
+    val rawScore = similarity.euclidean_sim(col("bvec"), col("qvec"))
+    val scoreExpr =
+      if (scoreDigits >= 0) graft.Qutil.rnd(rawScore, scoreDigits) else rawScore
     val scored = topCands
       .join(base.select(col(idCol).cast("long").as("cand_id"),
         col(vecCol).cast("array<float>").as("bvec")), Seq("cand_id"))
       .join(broadcast(queries.select(col(queryId).cast("long").as("query_id"),
         col(queryVec).cast("array<float>").as("qvec"))), Seq("query_id"))
       .select(col("query_id"), col("cand_id").as("neighbor_id"),
-        similarity.euclidean_sim(col("bvec"), col("qvec")).as("score"))
+        scoreExpr.as("score"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -280,4 +290,127 @@ object IvfPq {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     ProbeBatch.batched(queries, batchRows, queryId)(
       knnJoin(model, base, _, k, nprobe, rerank, queryId, queryVec, idCol, vecCol))
+
+  /** DuckDB CTE reproducing the WHOLE composed IVF-PQ pipeline from
+    * trained literals (centroids + codebooks + optional OPQ rotation) —
+    * every stage mirrors its Spark twin's arithmetic and tie order
+    * exactly:
+    *   - corpus cell assignment: argmax `1/(1+L2)` with DOUBLE diffs
+    *     ([[graft.functions.similarity.euclidean_sim]]), ties
+    *     (s DESC, cell DESC) — the greatest(struct) order of
+    *     [[IvfFlat]]'s assign;
+    *   - query probe routing: Σ(FLOAT diff)² per centroid (knnJoin's own
+    *     loop), ties (dist ASC, cell ASC);
+    *   - residuals: FLOAT diffs vs the cell centroid, for the corpus and
+    *     per (query, probed cell);
+    *   - rotation (when trained): [[Opq.rotListExpr]]'s bit-exact
+    *     left-associative form;
+    *   - encode/LUT: [[Pq.sqDistExpr]]'s float32-diff form, ADC candidate
+    *     rank by the 1e-`adcDigits`-rounded (dist, cand_id) total order,
+    *     exact rerank on the ORIGINAL vectors at 1e-6.
+    * Pair with `knnJoin(..., scoreDigits = 6, adcDigits = adcDigits)`.
+    * Ends with CTE `pq_topk`. Packed nibble storage is a layout detail the
+    * oracle never sees (packed ≡ unpacked is spec-asserted). */
+  def duckdbTopkCte(centroids: Array[(Int, Array[Float])],
+      codebooks: Array[Array[Array[Float]]],
+      rotation: Option[Array[Array[Float]]], nprobe: Int, rerank: Int, k: Int,
+      adcDigits: Int = 9, probeFilter: String = "vec_id < 100"): String = {
+    val d = centroids.head._2.length
+    val numSub = codebooks.length
+    val subDim = d / numSub
+    val centRows = centroids.map { case (c, v) =>
+      val lits = v.map(_.toDouble.toString).mkString(", ")
+      s"($c, CAST([$lits] AS DOUBLE[]), CAST([$lits] AS REAL[]))"
+    }.mkString(",\n   ")
+    // FLOAT residual vs the cell centroid (cvecf REAL[]), 1-based
+    def resList(vec: String): String =
+      (1 to d).map(j => s"(CAST($vec[$j] AS REAL) - c.cvecf[$j])").mkString(",\n    ")
+    // query->cell distance: Σ (double)(FLOAT diff)^2, left-associative
+    val qCellDist = (1 to d).map { j =>
+      val x = s"CAST((CAST(q.qv[$j] AS REAL) - c.cvecf[$j]) AS DOUBLE)"
+      s"$x*$x"
+    }.mkString("\n    + ")
+    // rotated (or identity) residual CTEs for corpus and probed queries
+    val (corpusRvCte, queryRvCte) = rotation match {
+      case Some(rot) => (
+        s""" ipq_rv AS (
+           |  SELECT vec_id, cell, [${Opq.rotListExpr(rot, "res")}] AS rv
+           |  FROM ipq_res),""".stripMargin,
+        s""" ipq_qrv AS (
+           |  SELECT query_id, cell, [${Opq.rotListExpr(rot, "res")}] AS rv
+           |  FROM ipq_qres),""".stripMargin)
+      case None => (
+        " ipq_rv AS (SELECT vec_id, cell, res AS rv FROM ipq_res),",
+        " ipq_qrv AS (SELECT query_id, cell, res AS rv FROM ipq_qres),")
+    }
+    val adcScale = "1e" + adcDigits
+    s"""WITH ipq_cents(cell, cvec, cvecf) AS (VALUES
+       |   $centRows),
+       | pq_cb(s, c, cent) AS (VALUES
+       |   ${Pq.cbValuesRows(codebooks)}),
+       | ipq_sim AS (
+       |  SELECT e.vec_id, e.embedding, c.cell,
+       |   1.0/(1.0 + list_distance(CAST(e.embedding AS DOUBLE[]), c.cvec)) AS s
+       |  FROM embeddings e CROSS JOIN ipq_cents c),
+       | ipq_assigned AS (
+       |  SELECT vec_id, embedding, cell FROM (
+       |   SELECT vec_id, embedding, cell,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell DESC) AS rn
+       |   FROM ipq_sim) WHERE rn = 1),
+       | ipq_res AS (
+       |  SELECT a.vec_id, a.cell,
+       |   [${resList("a.embedding")}] AS res
+       |  FROM ipq_assigned a JOIN ipq_cents c USING (cell)),
+       |$corpusRvCte
+       | pq_enc_dist AS (
+       |  SELECT e.vec_id, cb.s, cb.c,
+       |   ${Pq.sqDistExpr(subDim, "e.rv")} AS dist
+       |  FROM ipq_rv e CROSS JOIN pq_cb cb),
+       | pq_enc AS (
+       |  SELECT vec_id, s, c AS code FROM (
+       |   SELECT vec_id, s, c,
+       |    row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, c) AS rn
+       |   FROM pq_enc_dist) WHERE rn = 1),
+       | ipq_q AS (SELECT vec_id AS query_id, embedding AS qv
+       |           FROM embeddings WHERE $probeFilter),
+       | ipq_qdist AS (
+       |  SELECT q.query_id, q.qv, c.cell,
+       |   $qCellDist AS dist
+       |  FROM ipq_q q CROSS JOIN ipq_cents c),
+       | ipq_qcells AS (
+       |  SELECT query_id, qv, cell FROM (
+       |   SELECT query_id, qv, cell,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY dist, cell) AS rn
+       |   FROM ipq_qdist) WHERE rn <= $nprobe),
+       | ipq_qres AS (
+       |  SELECT qc.query_id, qc.cell,
+       |   [${resList("qc.qv")}] AS res
+       |  FROM ipq_qcells qc JOIN ipq_cents c USING (cell)),
+       |$queryRvCte
+       | pq_lut AS (
+       |  SELECT q.query_id, q.cell, cb.s, cb.c,
+       |   ${Pq.sqDistExpr(subDim, "q.rv")} AS dist
+       |  FROM ipq_qrv q CROSS JOIN pq_cb cb),
+       | pq_adc AS (
+       |  SELECT l.query_id, en.vec_id AS cand_id,
+       |   floor((sum(l.dist))*$adcScale + 0.5)/$adcScale AS adc_dist
+       |  FROM ipq_assigned a
+       |   JOIN pq_enc en ON en.vec_id = a.vec_id
+       |   JOIN pq_lut l ON l.cell = a.cell AND l.s = en.s AND l.c = en.code
+       |  GROUP BY 1, 2),
+       | pq_cand AS (
+       |  SELECT query_id, cand_id FROM (
+       |   SELECT query_id, cand_id, row_number() OVER (PARTITION BY query_id
+       |     ORDER BY adc_dist, cand_id) AS cr FROM pq_adc) WHERE cr <= $rerank),
+       | pq_rer AS (
+       |  SELECT c.query_id, c.cand_id AS neighbor_id,
+       |   floor((1.0/(1.0 + list_distance(CAST(e.embedding AS DOUBLE[]),
+       |     CAST(q.qv AS DOUBLE[]))))*1e6 + 0.5)/1e6 AS score
+       |  FROM pq_cand c JOIN embeddings e ON e.vec_id = c.cand_id
+       |   JOIN ipq_q q ON q.query_id = c.query_id),
+       | pq_topk AS (SELECT query_id, neighbor_id, score, rank FROM (
+       |   SELECT *, row_number() OVER (PARTITION BY query_id
+       |     ORDER BY score DESC, neighbor_id) AS rank FROM pq_rer)
+       |  WHERE rank <= $k)""".stripMargin
+  }
 }

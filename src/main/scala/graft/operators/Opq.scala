@@ -152,7 +152,8 @@ object Opq {
   def knnJoin(model: Model, base: DataFrame, queries: DataFrame, k: Int,
       rerank: Int = 100, queryId: String = "query_id",
       queryVec: String = "query_vec",
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      scoreDigits: Int = -1, adcDigits: Int = -1): DataFrame = {
     require(k > 0 && rerank >= k)
     val spark = model.pq.encoded.sparkSession
     import spark.implicits._
@@ -161,8 +162,50 @@ object Opq {
       .select(col(queryId).cast("long"), col(queryVec).cast("array<float>"))
       .as[(Long, Array[Float])].collect()
       .map { case (qid, qv) => (qid, rotate(rr, qv)) }
-    val topCands = Pq.adcCandidates(model.pq, probes, rerank)
-    Pq.exactRerank(topCands, base, queries, k, queryId, queryVec, idCol, vecCol)
+    val topCands = Pq.adcCandidates(model.pq, probes, rerank, adcDigits)
+    Pq.exactRerank(topCands, base, queries, k, queryId, queryVec, idCol, vecCol,
+      scoreDigits)
+  }
+
+  /** DuckDB CTE reproducing the WHOLE OPQ pipeline from trained literals:
+    * the rotation is emitted as one explicit LEFT-ASSOCIATIVE dot-product
+    * expression per output dimension, each CAST to REAL — the identical
+    * IEEE double sequence and float truncation as [[rotate]]'s ascending-i
+    * loop — so DuckDB reproduces the rotated corpus bit-for-bit, then the
+    * shared PQ pipeline (encode → LUT → rounded-ADC rank → exact rerank on
+    * the ORIGINAL vectors) runs in the rotated space exactly like
+    * [[knnJoin]]. Pair with `knnJoin(..., scoreDigits = 6, adcDigits =
+    * adcDigits)`. */
+  /** One explicit LEFT-ASSOCIATIVE dot-product expression per output
+    * dimension, each CAST to REAL — the identical IEEE double sequence and
+    * float truncation as [[rotate]]'s ascending-i loop, so DuckDB
+    * reproduces rotated vectors bit-for-bit from the literal weights.
+    * `srcVec` is the (1-based) float-list column being rotated. */
+  private[operators] def rotListExpr(rotation: Array[Array[Float]],
+      srcVec: String): String = {
+    val d = rotation.length
+    (0 until d).map { j =>
+      val terms = (0 until d).map { i =>
+        s"CAST($srcVec[${i + 1}] AS DOUBLE)*${rotation(i)(j).toDouble.toString}"
+      }.mkString("\n      + ")
+      s"CAST(($terms) AS REAL)"
+    }.mkString(",\n    ")
+  }
+
+  def duckdbTopkCte(rotation: Array[Array[Float]],
+      codebooks: Array[Array[Array[Float]]], rerank: Int, k: Int,
+      adcDigits: Int = 9, probeFilter: String = "vec_id < 100"): String = {
+    val srcCte =
+      s"""opq_rv AS (
+         |  SELECT vec_id, embedding,
+         |   [${rotListExpr(rotation, "embedding")}] AS rv
+         |  FROM embeddings),
+         |""".stripMargin
+    Pq.duckdbTopkCte(codebooks, rerank, k, adcDigits, probeFilter,
+      srcCte = srcCte, encFrom = "opq_rv e", encVec = "e.rv",
+      qSelect = s"SELECT vec_id AS query_id, embedding AS qv, rv AS qrv " +
+        s"FROM opq_rv WHERE $probeFilter",
+      lutVec = "q.qrv")
   }
 
   /** Large-probe-set variant: caps the per-batch collect/broadcast at

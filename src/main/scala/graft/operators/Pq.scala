@@ -335,40 +335,55 @@ object Pq {
     * exact-rerank with 1e-6-rounded euclidean scores. Must be paired with
     * `knnJoin(..., scoreDigits = 6, adcDigits = adcDigits)` on the Spark
     * side. */
-  def duckdbTopkCte(codebooks: Array[Array[Array[Float]]], rerank: Int, k: Int,
-      adcDigits: Int = 9, probeFilter: String = "vec_id < 100"): String = {
-    val numSub = codebooks.length
-    val subDim = codebooks(0)(0).length
-    val cbRows = (for {
+  /** VALUES rows for the codebook literal table `pq_cb(s, c, cent)` —
+    * cent as REAL[] so element diffs run in float32 (see [[sqDistExpr]]). */
+  private[operators] def cbValuesRows(codebooks: Array[Array[Array[Float]]]): String =
+    (for {
       s <- codebooks.indices
       c <- codebooks(s).indices
     } yield {
       val lits = codebooks(s)(c).map(_.toDouble.toString).mkString(", ")
-      s"($s, $c, CAST([$lits] AS DOUBLE[]))"
+      s"($s, $c, CAST([$lits] AS REAL[]))"
     }).mkString(",\n   ")
-    // left-associative sum of per-element squared diffs (1-based lists)
-    def sqDist(vec: String): String =
-      (1 to subDim).map { j =>
-        val x = s"(CAST($vec[cb.s*$subDim + $j] AS DOUBLE) - cb.cent[$j])"
-        s"$x*$x"
-      }.mkString("\n    + ")
+
+  /** Left-associative sum of per-element squared diffs against the
+    * `pq_cb`-aliased codebook row (1-based lists). The inner diff runs in
+    * REAL: DuckDB float32 arithmetic is IEEE single-rounding,
+    * bit-identical to [[encodeVec]]'s `Float - Float`; the square then
+    * promotes to DOUBLE exactly like `sq(x)`. */
+  private[operators] def sqDistExpr(subDim: Int, vec: String): String =
+    (1 to subDim).map { j =>
+      val x = s"CAST((CAST($vec[cb.s*$subDim + $j] AS REAL) - cb.cent[$j]) AS DOUBLE)"
+      s"$x*$x"
+    }.mkString("\n    + ")
+
+  def duckdbTopkCte(codebooks: Array[Array[Array[Float]]], rerank: Int, k: Int,
+      adcDigits: Int = 9, probeFilter: String = "vec_id < 100",
+      srcCte: String = "", encFrom: String = "embeddings e",
+      encVec: String = "e.embedding",
+      qSelect: String = "", lutVec: String = "q.qv"): String = {
+    val numSub = codebooks.length
+    val subDim = codebooks(0)(0).length
+    val cbRows = cbValuesRows(codebooks)
+    def sqDist(vec: String): String = sqDistExpr(subDim, vec)
     val adcScale = "1e" + adcDigits
-    s"""WITH pq_cb(s, c, cent) AS (VALUES
+    val qSel = if (qSelect.nonEmpty) qSelect
+      else s"SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE $probeFilter"
+    s"""WITH $srcCte pq_cb(s, c, cent) AS (VALUES
        |   $cbRows),
        | pq_enc_dist AS (
        |  SELECT e.vec_id, cb.s, cb.c,
-       |   ${sqDist("e.embedding")} AS dist
-       |  FROM embeddings e CROSS JOIN pq_cb cb),
+       |   ${sqDist(encVec)} AS dist
+       |  FROM $encFrom CROSS JOIN pq_cb cb),
        | pq_enc AS (
        |  SELECT vec_id, s, c AS code FROM (
        |   SELECT vec_id, s, c,
        |    row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, c) AS rn
        |   FROM pq_enc_dist) WHERE rn = 1),
-       | pq_q AS (SELECT vec_id AS query_id, embedding AS qv
-       |          FROM embeddings WHERE $probeFilter),
+       | pq_q AS ($qSel),
        | pq_lut AS (
        |  SELECT q.query_id, cb.s, cb.c,
-       |   ${sqDist("q.qv")} AS dist
+       |   ${sqDist(lutVec)} AS dist
        |  FROM pq_q q CROSS JOIN pq_cb cb),
        | pq_adc AS (
        |  SELECT l.query_id, en.vec_id AS cand_id,

@@ -64,6 +64,16 @@ object AnnSqlProbe {
     def knnJoin(p: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame =
       IvfHnsw.knnJoin(m, p, k, nprobe)
   }
+  /** Compressed-code euclidean path: SQL top-k probes scan nprobe cells of
+    * packed PQ codes + exact-rerank against `base` (the indexed table). */
+  final case class IvfPqRef(m: graft.operators.IvfPq.Model,
+      base: org.apache.spark.sql.DataFrame, nprobe: Int, rerank: Int,
+      idCol: String, vecCol: String) extends AnnIndex {
+    def metric: String = "euclidean"
+    def knnJoin(p: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame =
+      graft.operators.IvfPq.knnJoin(m, base, p, k,
+        nprobe, math.max(rerank, k), idCol = idCol, vecCol = vecCol)
+  }
 
   case class Entry(index: AnnIndex, idCol: String, vecCol: String)
 
@@ -87,6 +97,19 @@ object AnnSqlProbe {
 
   def register(path: String, model: IvfHnsw.Model, nprobe: Int): Unit =
     register(path, model, nprobe, "vec_id", "embedding")
+
+  /** Register an IVF-PQ index: euclidean SQL top-k probes route through
+    * the nprobe-pruned packed-code scan + exact rerank against `base`. */
+  def register(path: String, model: graft.operators.IvfPq.Model,
+      base: org.apache.spark.sql.DataFrame, nprobe: Int, rerank: Int,
+      idCol: String, vecCol: String): Unit = {
+    catalog.put(normalize(path),
+      Entry(IvfPqRef(model, base, nprobe, rerank, idCol, vecCol), idCol, vecCol)); ()
+  }
+
+  def register(path: String, model: graft.operators.IvfPq.Model,
+      base: org.apache.spark.sql.DataFrame, nprobe: Int, rerank: Int): Unit =
+    register(path, model, base, nprobe, rerank, "vec_id", "embedding")
 
   def unregister(path: String): Unit = { catalog.remove(normalize(path)); () }
 
@@ -209,7 +232,11 @@ class AnnProbeRule(spark: SparkSession) extends Rule[LogicalPlan] {
         val probe = Seq((0L, qvec)).toDF("query_id", "query_vec")
         val kProbe = if (idFilter.isDefined) math.min(k.toLong * overfetch, 10000L).toInt else k
         val knn = entry.index.knnJoin(probe, kProbe)
-        val knnPlan = knn.queryExecution.analyzed
+        // inject the OPTIMIZED subtree: an analyzed one may still carry
+        // ResolvedHint nodes (e.g. IvfPq's rerank broadcasts), which the
+        // main optimizer has already run past — the planner would reject
+        // them with INTERNAL_ERROR
+        val knnPlan = knn.queryExecution.optimizedPlan
         val nbr = knnPlan.output.find(_.name == "neighbor_id").get
         val score = knnPlan.output.find(_.name == "score").get
         val newProj: Seq[NamedExpression] = projList.map {

@@ -179,6 +179,41 @@ class AnnSqlProbeSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF-PQ registration routes euclidean SQL top-k through the code scan") {
+    import graft.operators.IvfPq
+    val base = spark.read.parquet(path)
+    val model = IvfPq.fit(base, numCells = 4, numSub = 8, codesPerSub = 16,
+      opqIters = 2, packed = true)
+    try {
+      val qvec = base.filter(col("vec_id") === 3)
+        .select("embedding").first().getSeq[Float](0)
+      val arr = qvec.map(v => s"cast($v as float)").mkString("array(", ", ", ")")
+      val sql =
+        s"""SELECT vec_id, euclidean_sim(embedding, $arr) AS score
+           |FROM parquet.`$path` ORDER BY score DESC LIMIT 10""".stripMargin
+      val exactRows = spark.sql(sql).collect()
+      AnnSqlProbe.register(path, model, base, nprobe = 3, rerank = 50)
+      val probed = spark.sql(sql)
+      val plan = probed.queryExecution.executedPlan.toString
+      assert(plan.contains("Filter (rank"),
+        s"IVF-PQ probe should replace the scan + top-k:\n$plan")
+      val probedRows = probed.collect()
+      assert(probedRows.length == 10)
+      assert(probed.schema.fieldNames.toSeq == Seq("vec_id", "score"))
+      // self-match survives the code scan; rerank restores exact scores
+      assert(probedRows.head.getLong(0) == 3L && probedRows.head.getDouble(1) > 0.999)
+      val recall = probedRows.map(_.getLong(0)).toSet
+        .intersect(exactRows.map(_.getLong(0)).toSet).size
+      assert(recall >= 6, s"ivfpq probe recall@10 = $recall/10")
+      // a cosine query over the euclidean-only index falls through
+      val p2 = spark.sql(annSql(5)).queryExecution.executedPlan.toString
+      assert(!p2.contains("Filter (rank"), "cosine over IVF-PQ must not rewrite")
+    } finally {
+      AnnSqlProbe.unregister(path)
+      model.encoded.unpersist()
+    }
+  }
+
   test("unregistering restores the exact plan") {
     val model = HnswIndexer.fit(spark.read.parquet(path), HnswParams(numPartitions = 2))
     AnnSqlProbe.register(path, model)
