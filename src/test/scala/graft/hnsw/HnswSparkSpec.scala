@@ -161,6 +161,25 @@ class HnswSparkSpec extends AnyFunSuite {
     model.unpersist(); model2.unpersist(); loaded.unpersist()
   }
 
+  test("IVF-HNSW: identity partitioning — one cell per build partition") {
+    // the proxy-pid repartition must land cell c alone in partition c;
+    // if a Spark version changes the hash this only costs balance (the
+    // per-cell grouping keeps results correct), and this spec flags it
+    val model = IvfHnsw.fit(emb, numCells = 8,
+      HnswParams(m = 8, efConstruction = 120, numPartitions = 8))
+    val cellsPerPart = model.hnsw.graph.rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        Iterator.single(pid -> it.map(_.part).toSet)
+      }.collect().toMap
+    assert(cellsPerPart.values.forall(_.size <= 1),
+      s"a build partition holds >1 cell: $cellsPerPart")
+    // and the mapping is identity: cell c sits in partition c
+    cellsPerPart.foreach { case (pid, cells) =>
+      cells.foreach(c => assert(c == pid, s"cell $c landed in partition $pid"))
+    }
+    model.unpersist()
+  }
+
   test("IVF-HNSW: executor-side routing == driver-side centroid ranking") {
     val s = spark; import s.implicits._
     val model = IvfHnsw.fit(emb, numCells = 8,
