@@ -371,7 +371,23 @@ object VectorQueries {
       emb(s, dir).groupBy("label")
         .agg(count(lit(1)).as("n"),
           rnd(avg(sqrt(dot_product(col("embedding"), col("embedding")))), 6)
-            .as("avg_norm")))
+            .as("avg_norm"))),
+
+    // late-interaction multi-vector retrieval (MaxSim, ColBERT-style):
+    // documents = bags of 8 vectors (embeddings grouped by vec_id DIV 8),
+    // queries = the first 5 bags; score = Σ_i max_j dot(q_i, d_j). Two
+    // map-side-combined aggregations + top-k window, kernels codegen'd —
+    // the whole scorer is cross-engine oracle-checked.
+    "maxsim_multivec" -> ((s, dir) => {
+      val dv = emb(s, dir).select(
+        expr("CAST(vec_id DIV 8 AS BIGINT)").as("doc_id"),
+        col("embedding").as("vec"))
+      val qv = emb(s, dir).filter(col("vec_id") < 40).select(
+        expr("CAST(vec_id DIV 8 AS BIGINT)").as("query_id"),
+        expr("CAST(vec_id % 8 AS INT)").as("vec_no"),
+        col("embedding").as("query_vec"))
+      graft.operators.MaxSim.maxSimJoin(dv, qv, k = 10, scoreDigits = 6)
+    })
   )
 
   /** Shared DuckDB CTE prefix reproducing the LSH signature pipeline of
@@ -679,6 +695,21 @@ object VectorQueries {
     "label_centroid_norm" ->
       """SELECT label, count(*) AS n,
         | floor((avg(sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))))*1e6 + 0.5)/1e6 AS avg_norm
-        |FROM embeddings GROUP BY label""".stripMargin
+        |FROM embeddings GROUP BY label""".stripMargin,
+    "maxsim_multivec" ->
+      """WITH dv AS (SELECT vec_id // 8 AS doc_id, embedding AS dvec FROM embeddings),
+        | qv AS (SELECT vec_id // 8 AS query_id, CAST(vec_id % 8 AS INT) AS vec_no,
+        |         embedding AS qvec FROM embeddings WHERE vec_id < 40),
+        | pairs AS (
+        |  SELECT q.query_id, d.doc_id, q.vec_no,
+        |   max(list_inner_product(CAST(d.dvec AS DOUBLE[]), CAST(q.qvec AS DOUBLE[]))) AS best
+        |  FROM dv d CROSS JOIN qv q GROUP BY 1, 2, 3),
+        | scored AS (
+        |  SELECT query_id, doc_id, floor((sum(best))*1e6 + 0.5)/1e6 AS score
+        |  FROM pairs GROUP BY 1, 2)
+        |SELECT query_id, doc_id, score, rank FROM (
+        | SELECT *, row_number() OVER (PARTITION BY query_id
+        |   ORDER BY score DESC, doc_id) AS rank FROM scored)
+        |WHERE rank <= 10""".stripMargin
   )
 }

@@ -192,6 +192,41 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(g) < 0.1)
   }
 
+  test("MaxSim late-interaction scorer matches driver-side brute force") {
+    import graft.operators.MaxSim
+    // 20 docs x 8 vectors from the embeddings table; 2 query bags
+    val dv = emb.filter(col("vec_id") < 160).select(
+      expr("CAST(vec_id DIV 8 AS BIGINT)").as("doc_id"),
+      col("embedding").as("vec"))
+    val qv = emb.filter(col("vec_id") < 16).select(
+      expr("CAST(vec_id DIV 8 AS BIGINT)").as("query_id"),
+      expr("CAST(vec_id % 8 AS INT)").as("vec_no"),
+      col("embedding").as("query_vec"))
+    val got = MaxSim.maxSimJoin(dv, qv, k = 5, scoreDigits = 6)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getDouble(2))).toMap
+    // brute force on the driver
+    val vecs = emb.filter(col("vec_id") < 160)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i); i += 1 }; s
+    }
+    (0L to 1L).foreach { q =>
+      val qvecs = (0 until 8).map(i => vecs(q * 8 + i))
+      val scores = (0L until 20L).map { d =>
+        val dvecs = (0 until 8).map(i => vecs(d * 8 + i))
+        val raw = qvecs.map(qi => dvecs.map(di => dot(qi, di)).max).sum
+        d -> math.floor(raw * 1e6 + 0.5) / 1e6
+      }.sortBy { case (d, s) => (-s, d) }.take(5)
+      scores.zipWithIndex.foreach { case ((d, s), i) =>
+        assert(got((q, i + 1)) == ((d, s)),
+          s"query $q rank ${i + 1}: got ${got((q, i + 1))}, want ($d, $s)")
+      }
+      // self-match: the query bag IS doc q, so it must rank first
+      assert(scores.head._1 == q)
+    }
+  }
+
   test("clustered synthetic source: seeded, partition-independent, separable") {
     val a = VectorSources.syntheticClustered(spark, 400, 8, numClusters = 4,
       spread = 0.05, seed = 42)
