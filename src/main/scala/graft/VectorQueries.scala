@@ -387,6 +387,23 @@ object VectorQueries {
         expr("CAST(vec_id % 8 AS INT)").as("vec_no"),
         col("embedding").as("query_vec"))
       graft.operators.MaxSim.maxSimJoin(dv, qv, k = 10, scoreDigits = 6)
+    }),
+
+    // the late-interaction SCALE path: per-vector hyperplane-LSH candidate
+    // generation (same seeded tables + multiprobe as knn_lsh_cosine), then
+    // the exact MaxSim scorer over candidate (query, doc) pairs only — the
+    // ColBERT serving pattern. Whole pruned pipeline oracle-checked from
+    // plane literals.
+    "maxsim_multivec_lsh" -> ((s, dir) => {
+      val dv = emb(s, dir).select(
+        expr("CAST(vec_id DIV 8 AS BIGINT)").as("doc_id"),
+        col("embedding").as("vec"))
+      val qv = emb(s, dir).filter(col("vec_id") < 40).select(
+        expr("CAST(vec_id DIV 8 AS BIGINT)").as("query_id"),
+        expr("CAST(vec_id % 8 AS INT)").as("vec_no"),
+        col("embedding").as("query_vec"))
+      graft.operators.MaxSim.maxSimJoinPruned(dv, qv, k = 10,
+        numPlanes = 6, d = 64, numTables = 4, scoreDigits = 6)
     })
   )
 
@@ -696,6 +713,34 @@ object VectorQueries {
       """SELECT label, count(*) AS n,
         | floor((avg(sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))))*1e6 + 0.5)/1e6 AS avg_norm
         |FROM embeddings GROUP BY label""".stripMargin,
+    "maxsim_multivec_lsh" ->
+      s"""$lshSigsCte,
+         | dsig AS (SELECT vec_id // 8 AS doc_id, sig FROM sigs),
+         | mq AS (SELECT vec_id // 8 AS query_id, sig AS qsig FROM sigs
+         |        WHERE vec_id < 40),
+         | mprobes AS (
+         |  SELECT query_id, qsig AS sig FROM mq
+         |  UNION ALL
+         |  SELECT query_id, xor(qsig, CAST(1 AS BIGINT) << i) AS sig
+         |  FROM mq, range(0, 6) t(i)),
+         | cand AS (SELECT DISTINCT p.query_id, d.doc_id
+         |          FROM mprobes p JOIN dsig d ON p.sig = d.sig),
+         | dv AS (SELECT vec_id // 8 AS doc_id, embedding AS dvec FROM embeddings),
+         | qbag AS (SELECT vec_id // 8 AS query_id, CAST(vec_id % 8 AS INT) AS vec_no,
+         |          embedding AS qvec FROM embeddings WHERE vec_id < 40),
+         | pairs AS (
+         |  SELECT c.query_id, c.doc_id, q.vec_no,
+         |   max(list_inner_product(CAST(d.dvec AS DOUBLE[]), CAST(q.qvec AS DOUBLE[]))) AS best
+         |  FROM cand c JOIN dv d ON d.doc_id = c.doc_id
+         |   JOIN qbag q ON q.query_id = c.query_id
+         |  GROUP BY 1, 2, 3),
+         | scored AS (
+         |  SELECT query_id, doc_id, floor((sum(best))*1e6 + 0.5)/1e6 AS score
+         |  FROM pairs GROUP BY 1, 2)
+         |SELECT query_id, doc_id, score, rank FROM (
+         | SELECT *, row_number() OVER (PARTITION BY query_id
+         |   ORDER BY score DESC, doc_id) AS rank FROM scored)
+         |WHERE rank <= 10""".stripMargin,
     "maxsim_multivec" ->
       """WITH dv AS (SELECT vec_id // 8 AS doc_id, embedding AS dvec FROM embeddings),
         | qv AS (SELECT vec_id // 8 AS query_id, CAST(vec_id % 8 AS INT) AS vec_no,

@@ -26,6 +26,9 @@ object IvfHnswScaleMain {
     // "clustered" (mixture-of-Gaussians — the corpus shape IVF routing
     // serves; BASELINE.md carries both tables)
     val corpus = if (args.length > 5) args(5) else "uniform"
+    // "noplain" skips the shard-and-search control (10M runs: the plain
+    // build is already anchored by ScaleBenchMain/BASELINE tables)
+    val skipPlain = args.length > 6 && args(6) == "noplain"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -53,21 +56,24 @@ object IvfHnswScaleMain {
     exact.count()
 
     // baseline: shard-and-search over `cells` hash shards
-    val t0 = System.nanoTime()
-    val plain = HnswIndexer.fit(base, params)
-    plain.graph.count()
-    val plainBuildS = (System.nanoTime() - t0) / 1e9
-    // warm the sub-index cache, then measure
-    plain.knnJoin(queries.limit(1), k = 10).count()
-    val t1 = System.nanoTime()
-    val plainRes = plain.knnJoin(queries, k = 10).cache()
-    plainRes.count()
-    val plainSearchS = (System.nanoTime() - t1) / 1e9
-    val plainRecall = Recall.microAvgRecall(plainRes, exact)
-      .select("recall").first().getDouble(0)
-    println(f"IVFHNSW-AB corpus=$corpus n=$n P=$cells plain build=${plainBuildS}%.1fs " +
-      f"search100=${plainSearchS}%.2fs recall@10=$plainRecall%.4f (touches 100%% of shards)")
-    plainRes.unpersist()
+    if (!skipPlain) {
+      val t0 = System.nanoTime()
+      val plain = HnswIndexer.fit(base, params)
+      plain.graph.count()
+      val plainBuildS = (System.nanoTime() - t0) / 1e9
+      // warm the sub-index cache, then measure
+      plain.knnJoin(queries.limit(1), k = 10).count()
+      val t1 = System.nanoTime()
+      val plainRes = plain.knnJoin(queries, k = 10).cache()
+      plainRes.count()
+      val plainSearchS = (System.nanoTime() - t1) / 1e9
+      val plainRecall = Recall.microAvgRecall(plainRes, exact)
+        .select("recall").first().getDouble(0)
+      println(f"IVFHNSW-AB corpus=$corpus n=$n P=$cells plain build=${plainBuildS}%.1fs " +
+        f"search100=${plainSearchS}%.2fs recall@10=$plainRecall%.4f (touches 100%% of shards)")
+      plainRes.unpersist()
+      plain.unpersist()
+    }
 
     // hybrid: same shard count, cell-routed
     val t2 = System.nanoTime()

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -44,6 +44,68 @@ object MaxSim {
         col(queryId).cast("long").as("query_id"),
         col("vec_no").cast("int").as("vec_no"),
         col(queryVec).cast("array<float>").as("qvec"))))
+      .groupBy(col("query_id"), col("doc_id"), col("vec_no"))
+      .agg(max(pairScore).as("best"))
+    val scored = perQvec
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("best")).as("raw"))
+      .select(col("query_id"), col("doc_id"),
+        (if (scoreDigits >= 0) graft.Qutil.rnd(col("raw"), scoreDigits)
+         else col("raw")).as("score"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** LSH-pruned MaxSim — the late-interaction SCALE path (the serving
+    * pattern of ColBERT-style systems: per-token candidate generation,
+    * exact late-interaction rerank on the survivors):
+    *
+    *   1. candidates: a document is scored for a query iff ANY of its
+    *      vectors shares a hyperplane-LSH bucket with ANY query vector
+    *      (same seeded multi-table signatures + 1-bit multiprobe as
+    *      [[AnnLsh.lshKnnJoin]] — a single long-keyed equi-join, no
+    *      cross join);
+    *   2. the exact MaxSim scorer runs only over candidate (query, doc)
+    *      pairs.
+    *
+    * Per query the scan cost drops from every doc vector to the bucket
+    * collisions — the trade identical to lshKnnJoin's, tuned by
+    * numPlanes/numTables. The signatures are pure (seed, plane, dim)
+    * functions, so the WHOLE pruned pipeline is cross-engine
+    * oracle-checkable like the flat LSH path. */
+  def maxSimJoinPruned(docVecs: DataFrame, queryVecs: DataFrame, k: Int,
+      numPlanes: Int = 6, d: Int = 64, seed: Long = 42L, multiProbe: Int = 1,
+      numTables: Int = 4,
+      queryId: String = "query_id", queryVec: String = "query_vec",
+      idCol: String = "doc_id", vecCol: String = "vec",
+      scoreDigits: Int = -1): DataFrame = {
+    require(k > 0 && numPlanes > 0 && numPlanes <= 56 && numTables > 0)
+    def sigs(vec: Column): Seq[Column] = (0 until numTables).map { t =>
+      AnnLsh.signature(vec, numPlanes, d, AnnLsh.tableSeed(seed, t)) +
+        lit(t.toLong << 56)
+    }
+    val docs = docVecs.select(col(idCol).cast("long").as("doc_id"),
+      col(vecCol).cast("array<float>").as("dvec"))
+    val qbag = queryVecs.select(col(queryId).cast("long").as("query_id"),
+      col("vec_no").cast("int").as("vec_no"),
+      col(queryVec).cast("array<float>").as("qvec"))
+    val sigD = docs.select(col("doc_id"),
+      explode(array(sigs(col("dvec")): _*)).as("sig"))
+    val sigQ0 = qbag.select(col("query_id"),
+      explode(array(sigs(col("qvec")): _*)).as("qsig"))
+    val probeSigs: Column =
+      if (multiProbe <= 0) array(col("qsig"))
+      else array(col("qsig") +: (0 until numPlanes).map(i =>
+        col("qsig").bitwiseXOR(lit(1L << i))): _*)
+    val probes = sigQ0.select(col("query_id"), explode(probeSigs).as("sig"))
+    val cand = sigD.join(probes, Seq("sig"))
+      .select("query_id", "doc_id").distinct()
+    // exact MaxSim restricted to candidate pairs: dock the doc vectors to
+    // their candidate queries, then the query bag broadcasts as usual
+    val pairScore = similarity.dot_product(col("dvec"), col("qvec"))
+    val perQvec = docs.join(cand, Seq("doc_id"))
+      .join(broadcast(qbag), Seq("query_id"))
       .groupBy(col("query_id"), col("doc_id"), col("vec_no"))
       .agg(max(pairScore).as("best"))
     val scored = perQvec

@@ -227,6 +227,32 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("LSH-pruned MaxSim: self-match first, strong top-k agreement with exact") {
+    import graft.operators.MaxSim
+    val dv = emb.select(expr("CAST(vec_id DIV 8 AS BIGINT)").as("doc_id"),
+      col("embedding").as("vec"))
+    val qv = emb.filter(col("vec_id") < 24).select(
+      expr("CAST(vec_id DIV 8 AS BIGINT)").as("query_id"),
+      expr("CAST(vec_id % 8 AS INT)").as("vec_no"),
+      col("embedding").as("query_vec"))
+    val exact = MaxSim.maxSimJoin(dv, qv, k = 10, scoreDigits = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    val pruned = MaxSim.maxSimJoinPruned(dv, qv, k = 10,
+      numPlanes = 6, d = 64, numTables = 4, scoreDigits = 6).collect()
+    val byQuery = pruned.map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+      .groupBy(_._1)
+    (0L to 2L).foreach { q =>
+      // identical vectors collide in every table → the self doc is always
+      // a candidate, and MaxSim scores it highest
+      val top = byQuery(q).find(_._3 == 1).get
+      assert(top._2 == q, s"query $q: self doc not rank 1 (got ${top._2})")
+      // candidate pruning keeps strong agreement with the exact top-10
+      val hit = byQuery(q).map(_._2).toSet
+        .intersect(exact(q).map(_._2).toSet).size
+      assert(hit >= 6, s"query $q: pruned/exact top-10 overlap $hit/10")
+    }
+  }
+
   test("clustered synthetic source: seeded, partition-independent, separable") {
     val a = VectorSources.syntheticClustered(spark, 400, 8, numClusters = 4,
       spread = 0.05, seed = 42)
