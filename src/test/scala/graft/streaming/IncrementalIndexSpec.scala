@@ -20,6 +20,55 @@ class IncrementalIndexSpec extends AnyFunSuite {
   val dir = "/root/testdata/sf0.001"
   def emb: DataFrame = spark.read.parquet(s"$dir/embeddings.parquet")
 
+  test("IVF-cell incremental ingest: routed queries, batch-servable snapshot") {
+    import spark.implicits._
+    implicit val sctx = spark.sqlContext
+    import graft.hnsw.IvfHnsw
+    // freeze the quantizer on a batch fit, stream the corpus in 3 batches
+    val params = HnswParams(m = 16, efConstruction = 200, efSearch = 300)
+    val batchModel = IvfHnsw.fit(emb, numCells = 4, params)
+    val maintainer = IncrementalIvfIndex.fromModel(spark, batchModel)
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = mem.toDS().toDF("vec_id", "embedding").writeStream
+      .foreachBatch(maintainer.processBatch _).start()
+    val all = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+    all.grouped(math.max(all.length / 3, 1)).foreach { b =>
+      mem.addData(b.toIndexedSeq); q.processAllAvailable()
+    }
+    q.stop()
+    assert(maintainer.indexedCount() == all.length)
+
+    val probes = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val exact = KnnJoin.exactKnnJoin(emb, probes, k = 10)
+    // all-cells probing with ef >= cell size degenerates to exhaustive
+    val allCells = maintainer.knnJoin(probes, k = 10, nprobe = 4)
+    val recAll = graft.operators.Recall.microAvgRecall(allCells, exact)
+      .select("recall").first().getDouble(0)
+    assert(recAll == 1.0, s"all-cells recall@10 = $recAll")
+    // pruned probing keeps a useful floor (cells are frozen-quantizer)
+    val routed = maintainer.knnJoin(probes, k = 10, nprobe = 2)
+    val rec2 = graft.operators.Recall.microAvgRecall(routed, exact)
+      .select("recall").first().getDouble(0)
+    assert(rec2 >= 0.55, s"nprobe=2 recall@10 = $rec2")
+
+    // snapshot writes the IvfHnsw layout: load + probe WITHOUT conversion
+    val tmp = java.nio.file.Files.createTempDirectory("incivf").toString + "/m"
+    maintainer.snapshot(tmp)
+    val served = IvfHnsw.load(spark, tmp).get
+    val servedRes = IvfHnsw.knnJoin(served, probes, k = 10, nprobe = 2)
+      .select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
+    val liveRes = routed
+      .select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
+    assert(servedRes == liveRes,
+      "batch-served snapshot must reproduce the live pinned-shard results")
+    IvfHnsw.delete(spark, tmp)
+    maintainer.close()
+    assert(maintainer.indexedCount() == 0)
+    batchModel.unpersist()
+  }
+
   test("foreachBatch ingest: incremental inserts, no refit, exactness probes") {
     import spark.implicits._
     implicit val sctx = spark.sqlContext
