@@ -136,6 +136,15 @@ class PlanSpec extends AnyFunSuite {
       s"LSH kNN must never cross-join base with probes:\n$p")
   }
 
+  test("maxsim_multivec_lsh: pruned late-interaction is equi-joins only") {
+    val p = plan("maxsim_multivec_lsh")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pruned MaxSim must gate docs through the signature equi-join:\n$p")
+    // the exact rerank broadcasts the (tiny) query bag
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected the query bag broadcast into the candidate rerank:\n$p")
+  }
+
   test("q_sessions_batch: both windows and the agg share one shuffle") {
     val p = plan("q_sessions_batch")
     val exchanges = "Exchange hashpartitioning".r.findAllMatchIn(p).size
