@@ -62,7 +62,15 @@ object Bench {
         val t = if (err.isEmpty) v else -v
         "\"" + k + "\":" + (if (round3) f"$t%.3f" else t.toString)
       }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(m)) => "\"" + k + "\":\"" + esc(m) + "\"" }
+    val failing = results.collect { case (k, _, Some(m)) => (k, m) }
+    val errs = failing.map { case (k, m) => "\"" + k + "\":\"" + esc(m) + "\"" }
+      .mkString("{", ",", "}")
+    // stdout carries at most 3 error messages (80 chars each) plus the
+    // count; a multi-failure run must not blow the 2000-char collector
+    // tail exactly when the driver most needs the error signal — the full
+    // errors object lives only in bench_latest.json
+    val errsCompact = failing.take(3)
+      .map { case (k, m) => "\"" + k + "\":\"" + esc(m).take(80) + "\"" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
     val fullLine =
@@ -76,9 +84,14 @@ object Bench {
       "dedup_exact", "minhash_lsh_pairs", "simhash_near_dup",
       "near_dup_embeddings_lsh", "decontaminate_bloom", "tfidf_top_terms",
       "quality_filter", "token_stats", "seq_packing", "multimodal_knn")
-    val sub = results.filter { case (k, _, e) => headline(k) || e.isDefined }
+    // failed queries surface on stdout (negated time), but capped: the
+    // headline set plus at most 12 extra failures keeps the worst case
+    // (every query failing) inside the tail window
+    val extraFail = failing.map(_._1).filterNot(headline).take(12).toSet
+    val sub = results.filter { case (k, _, e) =>
+      headline(k) || (e.isDefined && extraFail(k)) }
     val stdoutLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${qsJson(sub, round3 = true)},"errors":$errs,"nq":${results.size},"file":"bench/outputs/bench_latest.json","sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${qsJson(sub, round3 = true)},"errors":$errsCompact,"nerr":${failing.size},"nq":${results.size},"file":"bench/outputs/bench_latest.json","sf":"$sfDir"}"""
     (fullLine, stdoutLine)
   }
 }

@@ -227,16 +227,20 @@ object VectorQueries {
     // shard), per-cell HNSW answers inside them. Rows-only gate; spec
     // asserts recall floors incl. the all-cells == shard-and-search case.
     "knn_ivfhnsw_cosine" -> ((s, dir) => {
+      // balanceSlack = 0.2 explicitly: the battery ran with the capped
+      // assignment in round 5; keep it while the library default is 0.0
       val model = ModelMemo.get(s, s"ivfhnsw/c8m16/$dir")(
         graft.hnsw.IvfHnsw.fit(emb(s, dir), numCells = 8,
-          graft.hnsw.HnswParams(m = 16, efConstruction = 200)))
+          graft.hnsw.HnswParams(m = 16, efConstruction = 200),
+          balanceSlack = 0.2))
       graft.hnsw.IvfHnsw.knnJoin(model, probes(s, dir), k = 10, nprobe = 4)
     }),
 
     "recall_ivfhnsw" -> ((s, dir) => {
       val model = ModelMemo.get(s, s"ivfhnsw/c8m16/$dir")(
         graft.hnsw.IvfHnsw.fit(emb(s, dir), numCells = 8,
-          graft.hnsw.HnswParams(m = 16, efConstruction = 200)))
+          graft.hnsw.HnswParams(m = 16, efConstruction = 200),
+          balanceSlack = 0.2))
       val approx = graft.hnsw.IvfHnsw.knnJoin(model, probes(s, dir), k = 10, nprobe = 4)
       val exact = KnnJoin.exactKnnJoin(emb(s, dir), probes(s, dir), k = 10)
       Recall.microAvgRecall(approx, exact)

@@ -39,16 +39,18 @@ object IvfHnsw {
     * mismatched assignment strands true neighbors in never-probed cells),
     * then build one deterministic HNSW per cell.
     *
-    * `balanceSlack` defaults ON (0.2): clustered corpora — the shape this
-    * operator serves — produce skewed cells whose largest straggles the
-    * build; the size cap cut the 1M clustered build 2.8x at unchanged
-    * recall (BASELINE.md round 5), and on balanced (uniform) corpora the
-    * cap never binds so results are identical to greedy assignment. Set
-    * 0.0 for pure nearest-centroid assignment. */
+    * `balanceSlack` defaults OFF (0.0, pure nearest-centroid assignment):
+    * a nonzero default silently changes cell assignments — and therefore
+    * exact result sets and determinism baselines — for every existing
+    * caller on skewed corpora (ADVICE round 5). Opt IN to 0.2 on
+    * clustered corpora: the size cap bounds the straggler cell builder
+    * and the hottest probe shard (cut the 1M clustered build 2.8x at
+    * unchanged recall, BASELINE.md round 5); on balanced (uniform)
+    * corpora the cap never binds so 0.2 ≡ 0.0. */
   def fit(df: DataFrame, numCells: Int = 8,
       params: HnswParams = HnswParams(),
       idCol: String = "vec_id", vecCol: String = "embedding",
-      balanceSlack: Double = 0.2): Model = {
+      balanceSlack: Double = 0.0): Model = {
     val spark = df.sparkSession
     import spark.implicits._
     val p = params
@@ -110,10 +112,18 @@ object IvfHnsw {
     * order the driver-loop routing used.
     * Returns (query_id, qvec, cells: array<int>). */
   def routeProbes(model: Model, queries: DataFrame, nprobe: Int,
-      queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame = {
-    val metric = model.hnsw.params.metric
+      queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame =
+    routeProbes(model.centroids, model.hnsw.params.metric, queries, nprobe,
+      queryId, queryVec)
+
+  /** Centroid-literal form of [[routeProbes]] — shared with the streaming
+    * maintainer ([[graft.streaming.IncrementalIvfIndex]]), whose frozen
+    * quantizer is a bare centroid array rather than a fitted model. */
+  def routeProbes(centroids: Array[(Int, Array[Float])], metric: String,
+      queries: DataFrame, nprobe: Int,
+      queryId: String, queryVec: String): DataFrame = {
     // struct(-score, cell): ascending array_sort ≡ (score desc, cell asc)
-    val ranked = model.centroids.map { case (c, v) =>
+    val ranked = centroids.map { case (c, v) =>
       struct(
         negate(nanvl(similarity.sim(metric)(col("qvec"), typedlit(v)), lit(-1.0))).as("ns"),
         lit(c).as("c"))

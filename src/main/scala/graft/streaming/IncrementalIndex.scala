@@ -6,29 +6,48 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.hnsw.{HnswIndex, HnswParams, Metric, SubIndexPin}
+import graft.operators.ProbeBatch
 
-/** True incremental streaming index maintenance (the O10 `addPoint` analog
-  * the reference exposes for its chunked reader — src/main.ts:234-248,
+/** INSERT-ONLY incremental streaming index maintenance (the O10 `addPoint`
+  * analog the reference exposes for its chunked reader — src/main.ts:234-248,
   * src/bench/dataset.ts:153-194): every micro-batch hash-routes its new
   * vectors to P stable partitions and inserts them into that partition's
   * pinned executor-side sub-index — no refit, per-batch work is O(batch).
+  * A re-delivered vec_id is skipped (replay idempotence), so a CHANGED
+  * embedding is dropped and counted ([[staleUpdateCount]]); updates flow
+  * through the compaction path.
   *
   * Executor pinning: sub-indexes live in the executor JVM keyed by
-  * (maintainerId, partition). In local mode and on static clusters with
-  * deterministic hash partitioning this is exact; with dynamic allocation
-  * a task can land on an executor missing its shard, which [[knnJoin]]
-  * surfaces via [[indexedCount]] (returns how many vectors the pinned
-  * shards currently hold). For durable, relocatable state use
-  * [[EventPipeline.StreamingIndexMaintainer]] (staging + compaction refit)
-  * and [[snapshot]] (persist current shards to rows) — the two maintainers
-  * are complementary: this one bounds per-batch latency, that one bounds
-  * recovery.
+  * (maintainerId, partition). Co-location of a partition's rows, shard,
+  * and query task is guaranteed only when all tasks share one JVM —
+  * local mode or a one-executor static cluster; on a multi-executor
+  * cluster a task can land on an executor missing its shard. Rather than
+  * silently returning partial results, [[knnJoin]] and [[snapshot]]
+  * compare [[indexedCount]] against the rows this instance inserted
+  * ([[ingestedCount]]) and THROW on mismatch. For durable, relocatable
+  * state use [[EventPipeline.StreamingIndexMaintainer]] (staging +
+  * compaction refit) and [[snapshot]] (persist current shards to rows) —
+  * the two maintainers are complementary: this one bounds per-batch
+  * latency, that one bounds recovery.
   */
 class IncrementalIndex(spark: SparkSession, params: HnswParams,
     val maintainerId: String = java.util.UUID.randomUUID().toString)
     extends Serializable {
 
   private val p = params
+
+  private val ingested =
+    spark.sparkContext.longAccumulator(s"graft.inc.$maintainerId.ingested")
+  private val staleUpdates =
+    spark.sparkContext.longAccumulator(s"graft.inc.$maintainerId.staleUpdates")
+
+  /** Rows actually inserted by THIS maintainer instance ([[IncrementalIndex.restore]]
+    * seeds shards without touching it — the guard only checks `>=`). */
+  def ingestedCount: Long = ingested.value
+
+  /** Re-delivered ids whose embedding DIFFERED from the indexed one —
+    * updates this insert-only maintainer dropped. */
+  def staleUpdateCount: Long = staleUpdates.value
 
   /** foreachBatch sink: route and insert one micro-batch of
     * (vec_id, embedding) rows. Insert order inside a batch partition is
@@ -37,6 +56,8 @@ class IncrementalIndex(spark: SparkSession, params: HnswParams,
   def processBatch(batch: DataFrame, batchId: Long): Unit = {
     val mid = maintainerId
     val pr = p
+    val ing = ingested
+    val stale = staleUpdates
     import batch.sparkSession.implicits._
     batch
       .select(col("vec_id").cast("long"), col("embedding").cast("array<float>"))
@@ -60,15 +81,43 @@ class IncrementalIndex(spark: SparkSession, params: HnswParams,
         // knnJoin/indexedCount tasks on the same pinned index.
         idx.synchronized {
           it.foreach { case (id, v) =>
-            if (!idx.nodes.contains(id)) idx.addPoint(id, v)
+            idx.nodes.get(id) match {
+              case None =>
+                idx.addPoint(id, v); ing.add(1)
+              case Some(node) =>
+                if (!java.util.Arrays.equals(node.vector, v)) stale.add(1)
+            }
           }
         }
       }
   }
 
-  /** Pinned-shard k-NN: one task per shard, searched in place. */
+  /** Fails loudly when the pinned shards hold fewer vectors than this
+    * instance inserted — the silent-partial-results failure mode of
+    * executor-pinned state on a multi-executor cluster. */
+  def assertComplete(context: String): Unit = {
+    val indexed = indexedCount()
+    val expected = ingested.value
+    if (indexed < expected) throw new IllegalStateException(
+      s"$context: pinned shards hold $indexed vectors but $expected were " +
+        s"inserted — executor-pinned state was lost or is not visible to " +
+        s"this stage's tasks (multi-executor cluster?). Re-ingest, restore " +
+        s"from snapshot(), or serve through the compaction path.")
+  }
+
+  /** Pinned-shard k-NN: one task per shard, searched in place. Probe sets
+    * are hash-batched (`batchRows`) so driver heap stays bounded;
+    * completeness-guarded ([[assertComplete]]). */
   def knnJoin(queries: DataFrame, k: Int,
-      efSearchOverride: Option[Int] = None): DataFrame = {
+      efSearchOverride: Option[Int] = None, batchRows: Int = 100000,
+      completenessCheck: Boolean = true): DataFrame = {
+    if (completenessCheck) assertComplete("knnJoin")
+    ProbeBatch.batched(queries, batchRows, "query_id")(
+      knnJoinOnce(_, k, efSearchOverride))
+  }
+
+  private def knnJoinOnce(queries: DataFrame, k: Int,
+      efSearchOverride: Option[Int]): DataFrame = {
     import spark.implicits._
     val probes = queries
       .select(col("query_id").cast("long"), col("query_vec").cast("array<float>"))
@@ -106,8 +155,11 @@ class IncrementalIndex(spark: SparkSession, params: HnswParams,
   }
 
   /** Persist the pinned shards as graph rows (same layout HnswModel
-    * uses) — the durable snapshot for recovery/compaction. */
+    * uses) — the durable snapshot for recovery/compaction.
+    * Completeness-guarded: a partial snapshot would silently become a
+    * partial restore. */
   def snapshot(path: String): Unit = {
+    assertComplete("snapshot")
     val mid = maintainerId
     import spark.implicits._
     spark.sparkContext.makeRDD(0 until p.numPartitions, p.numPartitions)

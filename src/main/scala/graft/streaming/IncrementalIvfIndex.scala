@@ -6,26 +6,38 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.similarity
 import graft.hnsw.{HnswIndex, HnswModel, HnswParams, IvfHnsw, Metric, SubIndexPin}
+import graft.operators.ProbeBatch
 
-/** Streaming upsert for the HYBRID index ([[graft.hnsw.IvfHnsw]]): every
-  * micro-batch assigns its new vectors to their nearest IVF cell (the
-  * same greatest-struct argmax the batch fit uses, against the FIXED
-  * centroids of a fitted model) and inserts them into that cell's pinned
-  * executor-side HNSW sub-index — per-batch work is O(batch), queries
-  * keep the cell-routed sublinear probe, and [[snapshot]] writes the
-  * exact on-disk layout [[IvfHnsw.load]] serves, so a stream-built index
-  * is batch-servable without conversion.
+/** INSERT-ONLY incremental ingest for the HYBRID index
+  * ([[graft.hnsw.IvfHnsw]]): every micro-batch assigns its new vectors to
+  * their nearest IVF cell (the same greatest-struct argmax the batch fit
+  * uses, against the FIXED centroids of a fitted model) and inserts them
+  * into that cell's pinned executor-side HNSW sub-index — per-batch work
+  * is O(batch), queries keep the cell-routed sublinear probe, and
+  * [[snapshot]] writes the exact on-disk layout [[IvfHnsw.load]] serves,
+  * so a stream-built index is batch-servable without conversion.
   *
-  * Composition contract: centroids are FROZEN at construction (train on
-  * a batch corpus or a seeded sample — retraining centroids online would
-  * silently re-route the corpus). Ingest uses greedy nearest-centroid
-  * assignment; a long-running stream on a drifting distribution should
-  * periodically compact through a batch refit (the
-  * [[EventPipeline.StreamingIndexMaintainer]] pattern).
+  * NOT an upsert: a re-delivered vec_id is skipped (task-retry/replay
+  * idempotence), so a CHANGED embedding for an existing id is not applied
+  * — it is counted ([[staleUpdateCount]]) so the caller can see dropped
+  * updates and route them through the compaction/refit path
+  * ([[EventPipeline.StreamingIndexMaintainer]]). Centroids are FROZEN at
+  * construction (retraining online would silently re-route the corpus);
+  * a long-running stream on a drifting distribution should periodically
+  * compact through a batch refit.
   *
-  * Executor pinning caveats are those of [[IncrementalIndex]]: exact in
-  * local mode and on static clusters (identity cell partitioning routes
-  * cell c's rows to task c); [[indexedCount]] is the consistency probe.
+  * Executor pinning: shards live in executor JVMs keyed by
+  * (maintainerId, cell). Batch rows reach their shard via a hash
+  * `repartition` on the cell key and queries via tasks with NO executor
+  * affinity, so co-location of a cell's rows, shard, and query task is
+  * guaranteed only when all tasks share one JVM — local mode (where the
+  * specs and benches run) or a one-executor static cluster. On a
+  * multi-executor cluster a task can land on an executor missing its
+  * shard; rather than silently returning partial results, [[knnJoin]]
+  * and [[snapshot]] compare [[indexedCount]] against the count of rows
+  * this instance actually inserted ([[ingestedCount]]) and THROW on
+  * mismatch. For durable multi-executor serving, [[snapshot]] +
+  * [[IvfHnsw.load]] is the supported path.
   */
 class IncrementalIvfIndex(spark: SparkSession,
     val centroids: Array[(Int, Array[Float])], params: HnswParams,
@@ -35,6 +47,25 @@ class IncrementalIvfIndex(spark: SparkSession,
   private val p = params
   private val numCells = centroids.length
 
+  // actual inserts (incremented only when addPoint runs, so replayed
+  // rows don't double-count) and dropped updates (existing id,
+  // different vector). Accumulator updates from failed tasks are
+  // discarded, so `ingested` is a lower bound — the completeness guard
+  // checks indexedCount() >= ingested.
+  private val ingested =
+    spark.sparkContext.longAccumulator(s"graft.incivf.$maintainerId.ingested")
+  private val staleUpdates =
+    spark.sparkContext.longAccumulator(s"graft.incivf.$maintainerId.staleUpdates")
+
+  /** Rows actually inserted by THIS maintainer instance (restores via
+    * [[IncrementalIndex.restore]]-style recovery reset it). */
+  def ingestedCount: Long = ingested.value
+
+  /** Re-delivered ids whose embedding DIFFERED from the indexed one —
+    * updates this insert-only maintainer dropped. Nonzero means the
+    * caller needs the compaction/refit path to apply them. */
+  def staleUpdateCount: Long = staleUpdates.value
+
   /** foreachBatch sink: assign cells and insert one micro-batch of
     * (vec_id, embedding) rows. Insert order inside a batch cell is
     * ascending id — replaying identical batches rebuilds identical
@@ -42,6 +73,8 @@ class IncrementalIvfIndex(spark: SparkSession,
   def processBatch(batch: DataFrame, batchId: Long): Unit = {
     val mid = maintainerId
     val pr = p
+    val ing = ingested
+    val stale = staleUpdates
     import batch.sparkSession.implicits._
     val scores = centroids.map { case (c, v) =>
       struct(nanvl(similarity.sim(pr.metric)(col("embedding"), typedlit(v)),
@@ -66,34 +99,57 @@ class IncrementalIvfIndex(spark: SparkSession,
             built
           }
           idx.synchronized {
-            if (!idx.nodes.contains(id)) idx.addPoint(id, v)
+            idx.nodes.get(id) match {
+              case None =>
+                idx.addPoint(id, v); ing.add(1)
+              case Some(node) =>
+                if (!java.util.Arrays.equals(node.vector, v)) stale.add(1)
+            }
           }
         }
       }
   }
 
-  /** Cell-routed pinned-shard k-NN: each probe searches only its
-    * `nprobe` nearest cells' pinned sub-indexes — the same routing order
-    * as [[IvfHnsw.routeProbes]] ((score desc, cell asc), NaN pinned to
-    * -1.0). Probes are already driver-resident (the pinned-shard
-    * contract), so the O(|Q|·C) cell ranking happens on the collected
-    * array. */
+  /** Fails loudly when the pinned shards hold fewer vectors than this
+    * instance inserted — the silent-partial-results failure mode of
+    * executor-pinned state on a multi-executor cluster (shard lost with
+    * its executor, or a task scheduled off-JVM from its shard). */
+  def assertComplete(context: String): Unit = {
+    val indexed = indexedCount()
+    val expected = ingested.value
+    if (indexed < expected) throw new IllegalStateException(
+      s"$context: pinned shards hold $indexed vectors but $expected were " +
+        s"inserted — executor-pinned state was lost or is not visible to " +
+        s"this stage's tasks (multi-executor cluster?). Re-ingest, or " +
+        s"serve from snapshot() + IvfHnsw.load.")
+  }
+
+  /** Cell-routed pinned-shard k-NN: each probe searches only its `nprobe`
+    * nearest cells' pinned sub-indexes. Routing runs executor-side as a
+    * DataFrame projection against broadcast-literal centroids — the exact
+    * [[IvfHnsw.routeProbes]] plan ((score desc, cell asc), NaN pinned to
+    * -1.0) — so the driver never computes per-probe work; the routed set
+    * crosses the driver only as the collect-and-broadcast the pinned-
+    * shard contract requires, hash-batched (`batchRows`) so driver heap
+    * stays bounded for large probe sets. Completeness-guarded
+    * ([[assertComplete]]); disable via `completenessCheck` only in a
+    * loop that already checked. */
   def knnJoin(queries: DataFrame, k: Int, nprobe: Int = 2,
-      efSearchOverride: Option[Int] = None): DataFrame = {
+      efSearchOverride: Option[Int] = None, batchRows: Int = 100000,
+      completenessCheck: Boolean = true): DataFrame = {
     require(k > 0 && nprobe > 0)
+    if (completenessCheck) assertComplete("knnJoin")
+    ProbeBatch.batched(queries, batchRows, "query_id")(
+      knnJoinOnce(_, k, nprobe, efSearchOverride))
+  }
+
+  private def knnJoinOnce(queries: DataFrame, k: Int, nprobe: Int,
+      efSearchOverride: Option[Int]): DataFrame = {
     import spark.implicits._
-    val cents = centroids
-    val metric = Metric(p.metric)
-    val probes = queries
-      .select(col("query_id").cast("long"), col("query_vec").cast("array<float>"))
-      .as[(Long, Array[Float])].collect()
-    val routed = probes.map { case (qid, qv) =>
-      val ranked = cents.map { case (c, cv) =>
-        val s = metric.sim(qv, cv)
-        ((if (s.isNaN) -1.0 else s), c)
-      }.sortBy { case (s, c) => (-s, c) }.take(nprobe).map(_._2)
-      (qid, qv, ranked)
-    }
+    val routed: Array[(Long, Array[Float], Array[Int])] =
+      IvfHnsw.routeProbes(centroids, p.metric, queries, nprobe,
+        "query_id", "query_vec")
+        .as[(Long, Array[Float], Array[Int])].collect()
     val byCell: Map[Int, Array[(Long, Array[Float])]] = routed
       .flatMap { case (qid, qv, cells) => cells.map(c => (c, (qid, qv))) }
       .groupBy(_._1).map { case (c, xs) => (c, xs.map(_._2)) }
@@ -133,8 +189,11 @@ class IncrementalIvfIndex(spark: SparkSession,
   /** Persist as a BATCH-SERVABLE hybrid model: the exact layout
     * [[IvfHnsw.save]] writes (cell-partitioned graph + params.json +
     * centroids parquet), so `IvfHnsw.load(spark, path)` serves the
-    * stream-built index with file-pruned probes — no conversion step. */
+    * stream-built index with file-pruned probes — no conversion step.
+    * Completeness-guarded: a partial snapshot would otherwise be served
+    * as a complete batch model. */
   def snapshot(path: String): Unit = {
+    assertComplete("snapshot")
     val mid = maintainerId
     import spark.implicits._
     val graph = spark.sparkContext.makeRDD(0 until numCells, numCells)

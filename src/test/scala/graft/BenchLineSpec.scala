@@ -38,17 +38,22 @@ class BenchLineSpec extends AnyFunSuite {
     val (_, line) = Bench.renderLines(rs, "/root/testdata/sf0.1")
     val node = mapper.readTree(line)
     assert(node.get("errors").has(failing))
+    assert(node.get("nerr").asInt() == 1)
     // failed queries report negated time so they can't read as fast wins
     assert(node.get("queries").get(failing).asDouble() < 0)
   }
 
   test("worst case — every query failing — still fits the tail window") {
-    val (_, line) = Bench.renderLines(results(Some("x" * 300)), "/root/testdata/sf0.1")
-    assert(mapper.readTree(line).get("errors").size() == SparkEntry.queries.size)
-    // error messages are truncated to 200 chars each; the line will blow
-    // the tail at full battery size, but it must stay parseable JSON
-    // (the driver still sees a structurally complete errors object in the
-    // file copy); assert the escape rules held
+    val rs = results(Some("x" * 300))
+    val (full, line) = Bench.renderLines(rs, "/root/testdata/sf0.1")
+    val node = mapper.readTree(line)
+    // stdout caps the error payload (3 messages @ 80 chars + a count) so
+    // the line STILL fits the collector tail when everything fails — the
+    // full errors object lives only in the file copy
+    assert(node.get("errors").size() == 3)
+    assert(node.get("nerr").asInt() == SparkEntry.queries.size)
+    assert(line.length <= 1800, s"stdout line too long: ${line.length}")
     assert(!line.contains("\n"))
+    assert(mapper.readTree(full).get("errors").size() == SparkEntry.queries.size)
   }
 }

@@ -121,4 +121,59 @@ class IncrementalIndexSpec extends AnyFunSuite {
     assert(restored.indexedCount() == all.length)
     restored.close()
   }
+
+  test("insert-only contract: replay is free, changed vectors are counted, " +
+      "shard loss fails loudly, batched probes are exact") {
+    import spark.implicits._
+    import graft.hnsw.IvfHnsw
+    val params = HnswParams(m = 16, efConstruction = 200, efSearch = 300)
+    val batchModel = IvfHnsw.fit(emb, numCells = 4, params)
+    val maintainer = IncrementalIvfIndex.fromModel(spark, batchModel)
+    val base = emb.select(col("vec_id"), col("embedding"))
+    maintainer.processBatch(base, 0L)
+    val n = base.count()
+    assert(maintainer.ingestedCount == n)
+    assert(maintainer.staleUpdateCount == 0)
+
+    // identical replay: no new inserts, no stale updates (idempotence)
+    maintainer.processBatch(base, 1L)
+    assert(maintainer.ingestedCount == n)
+    assert(maintainer.staleUpdateCount == 0)
+
+    // re-delivery with a CHANGED embedding: dropped, but counted
+    val changed = base.limit(5)
+      .withColumn("embedding", transform(col("embedding"), x => x * lit(2.0f)))
+    maintainer.processBatch(changed, 2L)
+    assert(maintainer.ingestedCount == n)
+    assert(maintainer.staleUpdateCount == 5)
+
+    // batched probe path returns exactly the unbatched result set
+    val probes = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val whole = maintainer.knnJoin(probes, k = 10, nprobe = 2)
+      .select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
+    val batched = maintainer.knnJoin(probes, k = 10, nprobe = 2, batchRows = 7)
+      .select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
+    assert(batched == whole)
+
+    // shard loss (close drops every pinned shard) must fail loudly, not
+    // serve partial results or persist a partial snapshot
+    maintainer.close()
+    val eKnn = intercept[IllegalStateException] {
+      maintainer.knnJoin(probes, k = 10, nprobe = 2).count()
+    }
+    assert(eKnn.getMessage.contains("knnJoin"))
+    val tmp = java.nio.file.Files.createTempDirectory("incivf-guard").toString
+    val eSnap = intercept[IllegalStateException] { maintainer.snapshot(s"$tmp/m") }
+    assert(eSnap.getMessage.contains("snapshot"))
+
+    // plain IncrementalIndex shares the guard
+    val plain = new IncrementalIndex(spark,
+      HnswParams(m = 16, efConstruction = 200, numPartitions = 2))
+    plain.processBatch(base, 0L)
+    assert(plain.ingestedCount == n)
+    plain.close()
+    intercept[IllegalStateException] { plain.knnJoin(probes, k = 10).count() }
+    batchModel.unpersist()
+  }
 }
