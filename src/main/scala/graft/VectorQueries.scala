@@ -246,6 +246,25 @@ object VectorQueries {
       Recall.microAvgRecall(approx, exact)
     }),
 
+    // metadata-FILTERED ANN with a k-result guarantee
+    // ([[graft.operators.FilteredAnn]]): probe-then-filter escalates the
+    // candidate fetch and falls back to the exact scan over the filtered
+    // base, so a selective predicate returns min(k, matches) rows instead
+    // of silently fewer. Here the predicate keeps 15 rows < k = 20, which
+    // forces the exact-fallback branch deterministically at every sf —
+    // the guarantee itself is what the hash-match oracle checks (the
+    // DuckDB twin is the exact filtered top-k).
+    "knn_filtered_guarantee" -> ((s, dir) => {
+      val model = ModelMemo.get(s, s"ivfhnsw/c8m16/$dir")(
+        graft.hnsw.IvfHnsw.fit(emb(s, dir), numCells = 8,
+          graft.hnsw.HnswParams(m = 16, efConstruction = 200),
+          balanceSlack = 0.2))
+      graft.operators.FilteredAnn.knnJoin(
+        emb(s, dir), probes(s, dir), k = 20, col("vec_id") < 15,
+        (q, kp, _) => graft.hnsw.IvfHnsw.knnJoin(model, q, kp, nprobe = 4),
+        metric = "cosine", scoreDigits = 6)
+    }),
+
     // OPQ (learned-rotation PQ): same ADC+rerank scan as PQ, better code
     // quality under correlated dims. Oracle-checked like PQ — the learned
     // rotation is emitted as explicit left-associative dot-product
@@ -610,6 +629,17 @@ object VectorQueries {
     staticOracle ++ ivfOracle ++ pqOracle ++ opqOracle ++ ivfpqOracle
 
   private val staticOracle: Map[String, String] = Map(
+    "knn_filtered_guarantee" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+        |           FROM embeddings WHERE vec_id < 100),
+        | scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |   floor((list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])))*1e6 + 0.5)/1e6 AS score
+        |  FROM embeddings e, q WHERE e.vec_id < 15)
+        |SELECT query_id, neighbor_id, score, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, neighbor_id) AS rank FROM scored)
+        |WHERE rank <= 20""".stripMargin,
     "knn_sq_euclid" ->
       s"""$sqTopCte
          |SELECT query_id, neighbor_id, score, rank FROM sq_topk""".stripMargin,

