@@ -33,8 +33,11 @@ import graft.hnsw.{HnswModel, IvfHnsw}
   * EVERY guard holds: the scanned path has a registered index, the
   * similarity metric matches the index metric, the query vector is a
   * literal, the projection is exactly (id column, similarity alias), and
-  * the sort is a single descending order on that alias. Anything else
-  * falls through untouched to the exact plan.
+  * the sort is a single descending order on that alias. An optional
+  * WHERE over metadata columns rewrites into the k-GUARANTEED filtered
+  * probe ([[graft.operators.FilteredAnn]]); a predicate over the vector
+  * column itself, or anything else unsupported, falls through untouched
+  * to the exact plan.
   *
   * Opt-in semantics: like any vector-DB ANN index, the probe returns
   * *approximate* top-k — registering the index is the explicit consent to
@@ -227,11 +230,14 @@ class AnnProbeRule(spark: SparkSession) extends Rule[LogicalPlan] {
             case ar: AttributeReference => ar.name == entry.idCol
             case _ => false
           } &&
-          // an optional WHERE may touch ONLY the id column (probe-then-
-          // filter semantics; a vector/other-column predicate falls through
-          // to the exact plan)
+          // an optional WHERE may touch any METADATA column (id, label,
+          // ...) — FilteredAnn enforces it with the k guarantee. Only a
+          // predicate over the vector column itself (or a non-deterministic
+          // / subquery one) falls through to the exact plan.
           idFilter.forall(c => c.deterministic &&
-            c.references.forall(_.name == entry.idCol))
+            c.references.forall(_.name != entry.vecCol) &&
+            !c.exists(_.isInstanceOf[
+              org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]))
       } yield {
         import spark.implicits._
         val probe = Seq((0L, qvec)).toDF("query_id", "query_vec")

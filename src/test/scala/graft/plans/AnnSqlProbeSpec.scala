@@ -154,14 +154,28 @@ class AnnSqlProbeSpec extends AnyFunSuite {
       val exactSel = spark.sql(selSql).collect()
       assert(selRows.map(_.getLong(0)).toSeq == exactSel.map(_.getLong(0)).toSeq)
       AnnSqlProbe.register(path, model)
-      // a predicate on a non-id column must fall through to the exact plan
-      val p2 = spark.sql(
+      // a METADATA predicate (non-id column) also rewrites, with the same
+      // guarantee: k survivors, every one actually satisfying label = 1
+      val metaSql =
         s"""SELECT vec_id, cosine_sim(embedding, $arr) AS score
            |FROM parquet.`$path` WHERE label = 1
+           |ORDER BY score DESC LIMIT 5""".stripMargin
+      val metaProbed = spark.sql(metaSql)
+      assert(metaProbed.queryExecution.executedPlan.toString.contains("Filter (rank"),
+        "metadata predicate should rewrite through FilteredAnn")
+      val metaRows = metaProbed.collect()
+      val label1 = spark.read.parquet(path).filter(col("label") === 1)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(metaRows.length == math.min(5, label1.size))
+      assert(metaRows.forall(r => label1(r.getLong(0))))
+      // a predicate over the VECTOR column must fall through to the exact plan
+      val p2 = spark.sql(
+        s"""SELECT vec_id, cosine_sim(embedding, $arr) AS score
+           |FROM parquet.`$path` WHERE size(embedding) = 64
            |ORDER BY score DESC LIMIT 5""".stripMargin)
         .queryExecution.executedPlan.toString
       assert(!p2.contains("Filter (rank"),
-        s"non-id predicate must not rewrite:\n$p2")
+        s"vector-column predicate must not rewrite:\n$p2")
     } finally {
       AnnSqlProbe.unregister(path)
       model.unpersist()
