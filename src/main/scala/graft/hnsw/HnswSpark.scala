@@ -134,10 +134,20 @@ private[hnsw] object SubIndexCache {
   * owning maintainer removes them explicitly via close(). */
 private[graft] object SubIndexPin {
   private val pins = new java.util.concurrent.ConcurrentHashMap[String, HnswIndex]()
+  // per-maintainer id -> cell registry: vector-routed ingest (the IVF
+  // maintainer) needs cross-CELL duplicate detection — a changed vector
+  // re-routes to a different cell, whose shard has never seen the id.
+  // Same single-JVM visibility boundary as the pins themselves.
+  private val idCells = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.ConcurrentHashMap[java.lang.Long, Integer]]()
   def get(key: String): HnswIndex = pins.get(key)
   def put(key: String, idx: HnswIndex): Unit = { pins.put(key, idx); () }
+  def idRegistry(modelId: String): java.util.concurrent.ConcurrentHashMap[java.lang.Long, Integer] =
+    idCells.computeIfAbsent(modelId,
+      _ => new java.util.concurrent.ConcurrentHashMap[java.lang.Long, Integer]())
   def evictModel(modelId: String): Unit = {
-    pins.keySet().removeIf(_.startsWith(modelId + "/")); ()
+    pins.keySet().removeIf(_.startsWith(modelId + "/"))
+    idCells.remove(modelId); ()
   }
 }
 

@@ -20,11 +20,16 @@ import graft.operators.ProbeBatch
   * NOT an upsert: a re-delivered vec_id is skipped (task-retry/replay
   * idempotence), so a CHANGED embedding for an existing id is not applied
   * — it is counted ([[staleUpdateCount]]) so the caller can see dropped
-  * updates and route them through the compaction/refit path
-  * ([[EventPipeline.StreamingIndexMaintainer]]). Centroids are FROZEN at
-  * construction (retraining online would silently re-route the corpus);
-  * a long-running stream on a drifting distribution should periodically
-  * compact through a batch refit.
+  * updates and apply them through [[compact]] (a quantizer refit over
+  * everything indexed, with updates replacing same-id vectors). Because
+  * cell routing is a function of the vector, a changed embedding lands in
+  * a different cell; a maintainer-wide id registry (same JVM-visibility
+  * boundary as the shard pins) detects it there instead of inserting a
+  * duplicate id. Centroids are FROZEN at construction (retraining online
+  * would silently re-route the corpus); trigger compaction on
+  * [[needsCompaction]] — the round-6 measurement (BASELINE.md) keys it
+  * to corpus growth since fit, the actual recall driver, rather than
+  * drift detection.
   *
   * Executor pinning: shards live in executor JVMs keyed by
   * (maintainerId, cell). Batch rows reach their shard via a hash
@@ -41,7 +46,8 @@ import graft.operators.ProbeBatch
   */
 class IncrementalIvfIndex(spark: SparkSession,
     val centroids: Array[(Int, Array[Float])], params: HnswParams,
-    val maintainerId: String = java.util.UUID.randomUUID().toString)
+    val maintainerId: String = java.util.UUID.randomUUID().toString,
+    val fitCorpusSize: Long = -1L)
     extends Serializable {
 
   private val p = params
@@ -90,6 +96,7 @@ class IncrementalIvfIndex(spark: SparkSession,
       .foreachPartition { (it: Iterator[(Int, Long, Array[Float])]) =>
         // a partition may hold several cells (hash packing is irrelevant
         // here — the pin key comes from the ROW's cell, not the task id)
+        val reg = SubIndexPin.idRegistry(mid)
         it.foreach { case (cell, id, v) =>
           val key = s"$mid/$cell"
           val idx = Option(SubIndexPin.get(key)).getOrElse {
@@ -98,13 +105,25 @@ class IncrementalIvfIndex(spark: SparkSession,
             SubIndexPin.put(key, built)
             built
           }
+          // cell routing is a deterministic function of the VECTOR, so a
+          // changed embedding re-routes to a DIFFERENT cell whose shard
+          // has never seen the id — per-shard dedup alone would insert a
+          // duplicate id. The maintainer-wide id registry catches it:
+          // same registered cell -> compare vectors; different cell ->
+          // the vector necessarily changed.
           idx.synchronized {
-            idx.nodes.get(id) match {
-              case None =>
-                idx.addPoint(id, v); ing.add(1)
-              case Some(node) =>
-                if (!java.util.Arrays.equals(node.vector, v)) stale.add(1)
-            }
+            val prev = reg.putIfAbsent(id, cell)
+            if (prev == null) { idx.addPoint(id, v); ing.add(1) }
+            else if (prev.intValue == cell) {
+              idx.nodes.get(id) match {
+                case Some(node) =>
+                  if (!java.util.Arrays.equals(node.vector, v)) stale.add(1)
+                case None =>
+                  // a task died between registering and inserting; the
+                  // retry repairs the shard (we hold this cell's lock)
+                  idx.addPoint(id, v); ing.add(1)
+              }
+            } else stale.add(1)
           }
         }
       }
@@ -176,6 +195,61 @@ class IncrementalIvfIndex(spark: SparkSession,
     local.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Indexed-corpus growth relative to the quantizer's fit corpus
+    * (None when the fit size is unknown). The round-6 drift measurement
+    * (BASELINE.md) showed recall decline is driven by growth past the
+    * frozen quantizer, not distribution drift per se — so the compaction
+    * trigger keys on this ratio. */
+  def growthSinceFit: Option[Double] =
+    if (fitCorpusSize > 0) Some(indexedCount().toDouble / fitCorpusSize) else None
+
+  /** True once the indexed corpus outgrew the fit corpus by `factor`
+    * (default 2x — recall at nprobe=4 had shed ~3 points by then and ~8
+    * by 5x in the round-6 measurement). */
+  def needsCompaction(factor: Double = 2.0): Boolean =
+    growthSinceFit.exists(_ >= factor)
+
+  /** Everything currently indexed, as (vec_id, embedding) rows. */
+  def currentVectors(): DataFrame = {
+    val mid = maintainerId
+    import spark.implicits._
+    spark.sparkContext.makeRDD(0 until numCells, numCells)
+      .mapPartitions { cellIds =>
+        cellIds.flatMap { cell =>
+          Option(SubIndexPin.get(s"$mid/$cell")).iterator.flatMap { idx =>
+            idx.synchronized {
+              idx.toRows.map(r => (r.id, r.vector)).toVector
+            }.iterator
+          }
+        }
+      }.toDF("vec_id", "embedding")
+  }
+
+  /** COMPACTION: refit the coarse quantizer over everything currently
+    * indexed and rebuild the per-cell graphs — the recovery path for
+    * corpus growth past the fit corpus ([[needsCompaction]]) and the
+    * ONLY path that applies vector updates (this maintainer is
+    * insert-only; [[staleUpdateCount]] counts what compaction owes).
+    * `updates` rows (vec_id, embedding) REPLACE same-id indexed vectors.
+    * Returns a fresh batch model; serve it via [[IvfHnsw]] or hand it to
+    * [[IncrementalIvfIndex.fromModel]] for the next ingest epoch (then
+    * [[close]] this maintainer). Deterministic: equals `IvfHnsw.fit`
+    * over the merged corpus. */
+  def compact(numCellsNew: Int = -1, updates: Option[DataFrame] = None,
+      balanceSlack: Double = 0.0): IvfHnsw.Model = {
+    assertComplete("compact")
+    val current = currentVectors()
+    val merged = updates match {
+      case None => current
+      case Some(u) =>
+        val upd = u.select(col("vec_id").cast("long"),
+          col("embedding").cast("array<float>"))
+        current.join(upd, Seq("vec_id"), "left_anti").unionByName(upd)
+    }
+    val cellsOut = if (numCellsNew > 0) numCellsNew else numCells
+    IvfHnsw.fit(merged, cellsOut, p, balanceSlack = balanceSlack)
+  }
+
   /** Total vectors currently held by the pinned cell shards. */
   def indexedCount(): Long = {
     val mid = maintainerId
@@ -223,7 +297,10 @@ class IncrementalIvfIndex(spark: SparkSession,
 
 object IncrementalIvfIndex {
   /** Start an incremental maintainer from a fitted batch model's
-    * centroids (the frozen-quantizer contract). */
+    * centroids (the frozen-quantizer contract). The model's graph size
+    * is recorded as the fit-corpus size so [[growthSinceFit]] /
+    * [[needsCompaction]] can key the refit trigger. */
   def fromModel(spark: SparkSession, model: IvfHnsw.Model): IncrementalIvfIndex =
-    new IncrementalIvfIndex(spark, model.centroids, model.hnsw.params)
+    new IncrementalIvfIndex(spark, model.centroids, model.hnsw.params,
+      fitCorpusSize = model.hnsw.graph.count())
 }

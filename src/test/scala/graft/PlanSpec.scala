@@ -130,6 +130,17 @@ class PlanSpec extends AnyFunSuite {
       s"expected an equi-join on the signature key:\n$p")
   }
 
+  test("knn_filtered_guarantee: predicate pushed to the filtered-base scan; " +
+      "probe side broadcast in the exact fallback") {
+    val p = plan("knn_filtered_guarantee")
+    // the battery predicate (vec_id < 15) forces the exact-fallback branch;
+    // its scan must be predicate-pruned, not filter-after-read
+    assert(p.contains("PushedFilters") && p.contains("LessThan(vec_id,15)"),
+      s"filter not pushed to the filtered-base scan:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"exact fallback must broadcast the probe side against the filtered base:\n$p")
+  }
+
   test("knn_lsh_cosine: signature probe is an equi-join, no cartesian") {
     val p = plan("knn_lsh_cosine")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

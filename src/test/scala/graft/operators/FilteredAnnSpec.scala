@@ -46,6 +46,11 @@ class FilteredAnnSpec extends AnyFunSuite {
     val perQuery = got.groupBy("query_id").count().collect()
     assert(perQuery.length == 20 && perQuery.forall(_.getLong(1) == 10))
     assert(got.filter(col("neighbor_id") % 2 =!= 0).count() == 0)
+    // plan shape: the predicate semi-join broadcasts the (small) candidate
+    // side — the base is never shuffled by the filter application
+    val p = got.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"survivors should come from a broadcast left-semi join:\n$p")
     // quality: survivors should broadly agree with the exact filtered top-k
     val exact = KnnJoin.exactKnnJoin(emb.filter(pred), probes, k = 10)
     val hits = got.select("query_id", "neighbor_id")

@@ -176,4 +176,63 @@ class IncrementalIndexSpec extends AnyFunSuite {
     intercept[IllegalStateException] { plain.knnJoin(probes, k = 10).count() }
     batchModel.unpersist()
   }
+
+  test("compaction: growth-keyed trigger, quantizer refit over the indexed " +
+      "corpus, dropped updates applied") {
+    import spark.implicits._
+    import graft.hnsw.IvfHnsw
+    val params = HnswParams(m = 16, efConstruction = 200, efSearch = 300)
+    // quantizer fitted on HALF the corpus; ingesting all of it puts the
+    // growth ratio at exactly 2.0
+    val half = emb.filter(col("vec_id") < 250).select("vec_id", "embedding")
+    val batchModel = IvfHnsw.fit(half, numCells = 4, params)
+    val maintainer = IncrementalIvfIndex.fromModel(spark, batchModel)
+    batchModel.unpersist()
+    val base = emb.select(col("vec_id"), col("embedding"))
+    maintainer.processBatch(base, 0L)
+    assert(maintainer.growthSinceFit.exists(g => math.abs(g - 2.0) < 1e-9))
+    assert(maintainer.needsCompaction(2.0) && !maintainer.needsCompaction(2.5))
+    assert(maintainer.currentVectors().count() == maintainer.indexedCount())
+
+    // deliver CHANGED embeddings (negated) for 5 ids — dropped, counted
+    val changed = base.filter(col("vec_id") < 5)
+      .withColumn("embedding", transform(col("embedding"), x => -x))
+      .cache()
+    maintainer.processBatch(changed, 1L)
+    // the negated vectors re-route to DIFFERENT cells — the cross-cell id
+    // registry must still detect them as dropped updates, and the index
+    // must NOT grow duplicate ids
+    assert(maintainer.staleUpdateCount == 5)
+    assert(maintainer.indexedCount() == base.count())
+
+    // compact with updates: fresh quantizer + graphs over the merged
+    // corpus, updates replacing same-id vectors
+    val compacted = maintainer.compact(updates = Some(changed))
+    val merged = base.filter(col("vec_id") >= 5).unionByName(changed)
+    assert(compacted.hnsw.graph.count() == base.count())
+    // all-cells probing with ef >= cell size is exhaustive, so the
+    // compacted model must EXACTLY reproduce the exact scan over the
+    // merged corpus — updated vectors included
+    val probes = changed
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val gotDf = IvfHnsw.knnJoin(compacted, probes, k = 10, nprobe = 4).cache()
+    val got = gotDf
+      .select("query_id", "neighbor_id").collect().map(_.toSeq).toSet
+    val exact = graft.operators.KnnJoin.exactKnnJoin(merged, probes, k = 10)
+      .select("query_id", "neighbor_id").collect().map(_.toSeq).toSet
+    assert(got == exact,
+      "compacted index must serve the UPDATED vectors exactly (all-cells probe)")
+    // each updated vector is its own nearest neighbor — impossible unless
+    // the update actually replaced the indexed (negated-away) original
+    val top1 = gotDf.filter(col("rank") === 1).collect()
+    assert(top1.length == 5 && top1.forall(r => r.getLong(0) == r.getLong(1)))
+    gotDf.unpersist()
+
+    // the next epoch starts with a reset growth trigger
+    val next = IncrementalIvfIndex.fromModel(spark, compacted)
+    assert(next.growthSinceFit.isEmpty || !next.needsCompaction(1.5))
+    maintainer.close()
+    changed.unpersist()
+    compacted.unpersist()
+  }
 }
