@@ -255,7 +255,9 @@ object VectorQueries {
     // the guarantee itself is what the hash-match oracle checks (the
     // DuckDB twin is the exact filtered top-k).
     "knn_filtered_guarantee" -> ((s, dir) => {
-      val model = ModelMemo.get(s, s"ivfhnsw/c8m16/$dir")(
+      // lazy: the bounded pre-probe (matches < k) skips the escalation
+      // rounds entirely, so the index is never touched — and never fitted
+      lazy val model = ModelMemo.get(s, s"ivfhnsw/c8m16/$dir")(
         graft.hnsw.IvfHnsw.fit(emb(s, dir), numCells = 8,
           graft.hnsw.HnswParams(m = 16, efConstruction = 200),
           balanceSlack = 0.2))

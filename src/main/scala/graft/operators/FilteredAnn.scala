@@ -71,7 +71,12 @@ object FilteredAnn {
     var out: Option[DataFrame] = None
     var kProbe = math.min(k.toLong * overfetch, maxKProbe).toInt
     var round = 0
-    while (round < maxRounds && remCount > 0) {
+    // bounded pre-probe (scans at most k matching rows): when fewer than
+    // k rows pass the predicate, NO probe depth can ever satisfy a query
+    // — skip the escalation rounds entirely and go straight to the exact
+    // fallback over the (small) filtered base
+    val enough = remCount == 0 || fids.limit(k).count() >= k
+    while (enough && round < maxRounds && remCount > 0) {
       val cand = probe(remaining, kProbe, round)
         .select(col(queryId), col("neighbor_id").cast("long").as("neighbor_id"),
           col("score").cast("double").as("score"))
