@@ -429,6 +429,24 @@ object VectorQueries {
         col("embedding").as("query_vec"))
       graft.operators.MaxSim.maxSimJoinPruned(dv, qv, k = 10,
         numPlanes = 6, d = 64, numTables = 4, scoreDigits = 6)
+    }),
+
+    // IVF-cell-gated MaxSim (the README roadmap item): coarse cells bound
+    // which documents a query's late-interaction scorer touches —
+    // region pruning (nprobe/C of the corpus) instead of LSH collision
+    // pruning. Reuses the battery's IVF quantizer, so the composed
+    // pipeline is oracle-checked from the same centroid literals.
+    "maxsim_multivec_ivf" -> ((s, dir) => {
+      val model = ivfModel(s, dir)
+      val dv = emb(s, dir).select(
+        expr("CAST(vec_id DIV 8 AS BIGINT)").as("doc_id"),
+        col("embedding").as("vec"))
+      val qv = emb(s, dir).filter(col("vec_id") < 40).select(
+        expr("CAST(vec_id DIV 8 AS BIGINT)").as("query_id"),
+        expr("CAST(vec_id % 8 AS INT)").as("vec_no"),
+        col("embedding").as("query_vec"))
+      graft.operators.MaxSim.maxSimJoinIvf(dv, qv, k = 10,
+        centroids = model.centroids, nprobe = 4, scoreDigits = 6)
     })
   )
 
@@ -532,7 +550,59 @@ object VectorQueries {
              |  CAST(sum(hits) AS BIGINT) AS hits,
              |  CAST(sum(total) AS BIGINT) AS total,
              |  CAST(sum(hits) AS DOUBLE)/CAST(sum(total) AS DOUBLE) AS recall
-             |FROM per""".stripMargin)
+             |FROM per""".stripMargin,
+        // IVF-cell-gated MaxSim from the SAME centroid literals: doc-vector
+        // assignment ties to the LARGER cell (greatest-struct), query-vector
+        // routing ties to the SMALLER (array_sort) — mirrored exactly; the
+        // candidate join and the MaxSim tail reuse the proven recipes.
+        "maxsim_multivec_ivf" -> {
+          val rows = cents.map { case (c, v) =>
+            s"($c, CAST([${v.map(_.toDouble.toString).mkString(", ")}] AS DOUBLE[]))"
+          }.mkString(",\n   ")
+          def guarded(a: String) =
+            s"""CASE WHEN isnan(list_cosine_similarity($a, c.cvec)) THEN -1.0
+               |        ELSE list_cosine_similarity($a, c.cvec) END""".stripMargin
+          s"""WITH mi_cents(cell, cvec) AS (VALUES
+             |   $rows),
+             | mi_d AS (SELECT vec_id, vec_id // 8 AS doc_id, embedding FROM embeddings),
+             | mi_dsim AS (
+             |  SELECT d.vec_id, d.doc_id, c.cell,
+             |   ${guarded("CAST(d.embedding AS DOUBLE[])")} AS s
+             |  FROM mi_d d CROSS JOIN mi_cents c),
+             | mi_dcell AS (
+             |  SELECT DISTINCT doc_id, cell FROM (
+             |   SELECT vec_id, doc_id, cell,
+             |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell DESC) AS rn
+             |   FROM mi_dsim) WHERE rn = 1),
+             | mi_q AS (SELECT vec_id, vec_id // 8 AS query_id, CAST(vec_id % 8 AS INT) AS vec_no,
+             |          embedding AS qvec FROM embeddings WHERE vec_id < 40),
+             | mi_qsim AS (
+             |  SELECT q.vec_id, q.query_id, c.cell,
+             |   ${guarded("CAST(q.qvec AS DOUBLE[])")} AS s
+             |  FROM mi_q q CROSS JOIN mi_cents c),
+             | mi_qcell AS (
+             |  SELECT DISTINCT query_id, cell FROM (
+             |   SELECT vec_id, query_id, cell,
+             |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS rn
+             |   FROM mi_qsim) WHERE rn <= 4),
+             | mi_cand AS (
+             |  SELECT DISTINCT q.query_id, d.doc_id
+             |  FROM mi_qcell q JOIN mi_dcell d USING (cell)),
+             | mi_dv AS (SELECT vec_id // 8 AS doc_id, embedding AS dvec FROM embeddings),
+             | mi_pairs AS (
+             |  SELECT c.query_id, c.doc_id, q.vec_no,
+             |   max(list_inner_product(CAST(d.dvec AS DOUBLE[]), CAST(q.qvec AS DOUBLE[]))) AS best
+             |  FROM mi_cand c JOIN mi_dv d ON d.doc_id = c.doc_id
+             |   JOIN mi_q q ON q.query_id = c.query_id
+             |  GROUP BY 1, 2, 3),
+             | mi_scored AS (
+             |  SELECT query_id, doc_id, floor((sum(best))*1e6 + 0.5)/1e6 AS score
+             |  FROM mi_pairs GROUP BY 1, 2)
+             |SELECT query_id, doc_id, score, rank FROM (
+             | SELECT *, row_number() OVER (PARTITION BY query_id
+             |   ORDER BY score DESC, doc_id) AS rank FROM mi_scored)
+             |WHERE rank <= 10""".stripMargin
+        })
   }
 
   /** PQ oracle entries exist only after a battery fit recorded the trained

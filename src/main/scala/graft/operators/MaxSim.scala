@@ -118,4 +118,76 @@ object MaxSim {
       .orderBy(col("score").desc, col("doc_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** IVF-cell-gated MaxSim — coarse routing for CLUSTERED corpora (the
+    * roadmap counterpart of [[graft.hnsw.IvfHnsw]] for late interaction):
+    *
+    *   1. every document vector is assigned to its nearest IVF cell
+    *      (greatest-struct argmax against broadcast centroid literals —
+    *      ties to the larger cell, the [[IvfFlat]] convention);
+    *   2. every query vector ranks the centroids and keeps its `nprobe`
+    *      nearest cells ((score desc, cell asc) — the
+    *      [[graft.hnsw.IvfHnsw.routeProbes]] total order);
+    *   3. candidates: a document is scored for a query iff ANY of its
+    *      vectors lives in a cell probed by ANY of the query's vectors —
+    *      a small-key cell equi-join, no cross join;
+    *   4. the exact MaxSim scorer runs only over candidate pairs.
+    *
+    * Per query the scan cost drops to ~nprobe/C of the corpus — the IVF
+    * trade, with LATE-INTERACTION scoring inside. vs [[maxSimJoinPruned]]:
+    * LSH prunes by per-vector collision (corpus-shape-agnostic, pays the
+    * signature scan), cells prune by region (cheaper joins, needs a
+    * clusterable corpus). Routing/assignment use `metric` (the
+    * quantizer's geometry — cosine for normalized late-interaction
+    * embeddings); the scorer stays Σ max dot. Centroids are literals, so
+    * the WHOLE gated pipeline is cross-engine oracle-checkable like the
+    * flat IVF path. */
+  def maxSimJoinIvf(docVecs: DataFrame, queryVecs: DataFrame, k: Int,
+      centroids: Array[(Int, Array[Float])], nprobe: Int = 2,
+      metric: String = "cosine",
+      queryId: String = "query_id", queryVec: String = "query_vec",
+      idCol: String = "doc_id", vecCol: String = "vec",
+      scoreDigits: Int = -1): DataFrame = {
+    require(k > 0 && nprobe > 0 && centroids.nonEmpty)
+    val docs = docVecs.select(col(idCol).cast("long").as("doc_id"),
+      col(vecCol).cast("array<float>").as("dvec"))
+    val qbag = queryVecs.select(col(queryId).cast("long").as("query_id"),
+      col("vec_no").cast("int").as("vec_no"),
+      col(queryVec).cast("array<float>").as("qvec"))
+    // doc-vector cells: argmax sim, NaN pinned to -1.0, ties -> larger cell
+    val assignScores = centroids.map { case (c, v) =>
+      struct(nanvl(similarity.sim(metric)(col("dvec"), typedlit(v)), lit(-1.0)).as("s"),
+        lit(c).as("c"))
+    }
+    val docCells = docs
+      .withColumn("cell", greatest(assignScores.toSeq: _*)("c"))
+      .select("doc_id", "cell").distinct()
+    // query-vector routing: nprobe nearest cells, (score desc, cell asc)
+    val ranked = centroids.map { case (c, v) =>
+      struct(
+        negate(nanvl(similarity.sim(metric)(col("qvec"), typedlit(v)), lit(-1.0))).as("ns"),
+        lit(c).as("c"))
+    }
+    val qCells = qbag
+      .withColumn("cells", slice(array_sort(array(ranked.toSeq: _*)), 1, nprobe)("c"))
+      .select(col("query_id"), explode(col("cells")).as("cell")).distinct()
+    val cand = docCells.join(qCells, Seq("cell"))
+      .select("query_id", "doc_id").distinct()
+    // exact MaxSim restricted to candidate pairs (same tail as the LSH
+    // pruned path)
+    val pairScore = similarity.dot_product(col("dvec"), col("qvec"))
+    val perQvec = docs.join(cand, Seq("doc_id"))
+      .join(broadcast(qbag), Seq("query_id"))
+      .groupBy(col("query_id"), col("doc_id"), col("vec_no"))
+      .agg(max(pairScore).as("best"))
+    val scored = perQvec
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("best")).as("raw"))
+      .select(col("query_id"), col("doc_id"),
+        (if (scoreDigits >= 0) graft.Qutil.rnd(col("raw"), scoreDigits)
+         else col("raw")).as("score"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
 }

@@ -253,6 +253,40 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF-gated MaxSim: all-cells equals brute force exactly; pruned keeps " +
+      "self-match and overlap") {
+    import graft.operators.{IvfFlat, MaxSim}
+    val dv = emb.select(expr("CAST(vec_id DIV 8 AS BIGINT)").as("doc_id"),
+      col("embedding").as("vec"))
+    val qv = emb.filter(col("vec_id") < 24).select(
+      expr("CAST(vec_id DIV 8 AS BIGINT)").as("query_id"),
+      expr("CAST(vec_id % 8 AS INT)").as("vec_no"),
+      col("embedding").as("query_vec"))
+    val cents = IvfFlat.fit(emb, numCells = 8).centroids
+    val exact = MaxSim.maxSimJoin(dv, qv, k = 10, scoreDigits = 6)
+    // nprobe = C: every cell probed, so candidates = all pairs and the
+    // gated scorer must reproduce brute force EXACTLY (same rounding/ties)
+    val allCells = MaxSim.maxSimJoinIvf(dv, qv, k = 10, cents, nprobe = 8,
+      scoreDigits = 6)
+    assert(allCells.collect().map(_.toSeq).toSet ==
+      exact.collect().map(_.toSeq).toSet)
+    // pruned: a query's vectors route to the cells THEY are assigned to,
+    // so the self doc is always a candidate and MaxSim ranks it first
+    val pruned = MaxSim.maxSimJoinIvf(dv, qv, k = 10, cents, nprobe = 2,
+      scoreDigits = 6).collect()
+    val byQuery = pruned.map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+      .groupBy(_._1)
+    val exactIds = exact.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1)
+    (0L to 2L).foreach { q =>
+      assert(byQuery(q).find(_._3 == 1).get._2 == q,
+        s"query $q: self doc not rank 1")
+      val hit = byQuery(q).map(_._2).toSet
+        .intersect(exactIds(q).map(_._2).toSet).size
+      assert(hit >= 5, s"query $q: gated/exact top-10 overlap $hit/10")
+    }
+  }
+
   test("clustered synthetic source: seeded, partition-independent, separable") {
     val a = VectorSources.syntheticClustered(spark, 400, 8, numClusters = 4,
       spread = 0.05, seed = 42)

@@ -147,6 +147,14 @@ class PlanSpec extends AnyFunSuite {
       s"LSH kNN must never cross-join base with probes:\n$p")
   }
 
+  test("maxsim_multivec_ivf: cell-gated late-interaction is equi-joins only") {
+    val p = plan("maxsim_multivec_ivf")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"cell-gated MaxSim must gate docs through the cell equi-join:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected broadcast equi-joins (cell gate + query bag):\n$p")
+  }
+
   test("maxsim_multivec_lsh: pruned late-interaction is equi-joins only") {
     val p = plan("maxsim_multivec_lsh")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
