@@ -69,6 +69,27 @@ class FilteredAnnSpec extends AnyFunSuite {
     assert(got.collect().map(_.toSeq).toSet == exact.collect().map(_.toSeq).toSet)
   }
 
+  test("euclidean probe family (IVF-PQ): fallback scores rank consistently " +
+      "with the probe's 1/(1+L2) scores") {
+    val pq = IvfPq.fit(emb, numCells = 4, numSub = 8, codesPerSub = 16,
+      opqIters = 2, packed = true)
+    def pqProbe(q: DataFrame, kp: Int, round: Int): DataFrame =
+      IvfPq.knnJoin(pq, emb, q, kp, nprobe = 2, rerank = math.max(50, kp))
+    // selective: guarantee branch == exact filtered euclidean top-k
+    val pred = col("vec_id") < 6
+    val got = FilteredAnn.knnJoin(emb, probes, k = 10, pred, pqProbe,
+      metric = "euclidean", scoreDigits = 6)
+    val exact = KnnJoin.exactKnnJoin(emb.filter(pred), probes, k = 10,
+      metric = "euclidean", scoreDigits = 6)
+    assert(got.collect().map(_.toSeq).toSet == exact.collect().map(_.toSeq).toSet)
+    // non-selective: escalation satisfies with k predicate-true survivors
+    val wide = FilteredAnn.knnJoin(emb, probes, k = 5, col("vec_id") % 2 === 1,
+      pqProbe, metric = "euclidean")
+    val perQuery = wide.groupBy("query_id").count().collect()
+    assert(perQuery.length == 20 && perQuery.forall(_.getLong(1) == 5))
+    assert(wide.filter(col("neighbor_id") % 2 =!= 1).count() == 0)
+  }
+
   test("predicate matching nothing returns an empty result, not an error") {
     val got = FilteredAnn.knnJoin(emb, probes, k = 5, col("vec_id") < 0,
       hybridProbe)
