@@ -231,10 +231,11 @@ class IncrementalIvfIndex(spark: SparkSession,
     * ONLY path that applies vector updates (this maintainer is
     * insert-only; [[staleUpdateCount]] counts what compaction owes).
     * `updates` rows (vec_id, embedding) REPLACE same-id indexed vectors.
-    * Returns a fresh batch model; serve it via [[IvfHnsw]] or hand it to
-    * [[IncrementalIvfIndex.fromModel]] for the next ingest epoch (then
-    * [[close]] this maintainer). Deterministic: equals `IvfHnsw.fit`
-    * over the merged corpus. */
+    * Returns a fresh batch model. Epoch handoff: hand the model to
+    * [[IncrementalIvfIndex.fromModel]] (then [[close]] this maintainer);
+    * the NEW maintainer ingests only post-compact arrivals and
+    * [[knnJoinMerged]] serves batch + live together. Deterministic:
+    * equals `IvfHnsw.fit` over the merged corpus. */
   def compact(numCellsNew: Int = -1, updates: Option[DataFrame] = None,
       balanceSlack: Double = 0.0): IvfHnsw.Model = {
     assertComplete("compact")
@@ -248,6 +249,32 @@ class IncrementalIvfIndex(spark: SparkSession,
     }
     val cellsOut = if (numCellsNew > 0) numCellsNew else numCells
     IvfHnsw.fit(merged, cellsOut, p, balanceSlack = balanceSlack)
+  }
+
+  /** Epoch-pattern serving: after [[compact]], the corpus lives in the
+    * returned BATCH model and this (fresh) maintainer ingests only the
+    * vectors that arrived since — queries must see both. Runs the
+    * cell-routed probe on each side and merges with the usual per-query
+    * top-k window. Ids present in both sides (a vector re-ingested after
+    * the compact snapshot) keep the higher-scoring row, then the id
+    * tie-break. */
+  def knnJoinMerged(batch: IvfHnsw.Model, queries: DataFrame, k: Int,
+      nprobe: Int = 2, efSearchOverride: Option[Int] = None,
+      batchRows: Int = 100000): DataFrame = {
+    require(k > 0 && nprobe > 0)
+    assertComplete("knnJoinMerged")
+    val live = knnJoin(queries, k, nprobe, efSearchOverride, batchRows,
+      completenessCheck = false)
+      .select("query_id", "neighbor_id", "score")
+    val base = IvfHnsw.knnJoinBatched(batch, queries, k, nprobe,
+      efSearchOverride, batchRows)
+      .select("query_id", "neighbor_id", "score")
+    val merged = live.unionByName(base)
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(max(col("score")).as("score"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    merged.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
   /** Total vectors currently held by the pinned cell shards. */

@@ -235,4 +235,34 @@ class IncrementalIndexSpec extends AnyFunSuite {
     changed.unpersist()
     compacted.unpersist()
   }
+
+  test("epoch handoff: merged serving of the compacted batch model plus the " +
+      "live maintainer equals the exact scan over old + new together") {
+    import spark.implicits._
+    import graft.hnsw.IvfHnsw
+    val params = HnswParams(m = 16, efConstruction = 200, efSearch = 300)
+    // "old" epoch: first 400 vectors live in the batch model (as if
+    // produced by compact()); "new" arrivals stream into a fresh
+    // maintainer sharing its frozen centroids
+    val old = emb.filter(col("vec_id") < 400).select("vec_id", "embedding")
+    val fresh = emb.filter(col("vec_id") >= 400).select("vec_id", "embedding")
+    val batchModel = IvfHnsw.fit(old, numCells = 4, params)
+    val maintainer = IncrementalIvfIndex.fromModel(spark, batchModel)
+    maintainer.processBatch(fresh, 0L)
+    assert(maintainer.indexedCount() == fresh.count())
+
+    // probes from BOTH epochs; all-cells + ef >= cell size = exhaustive,
+    // so the merged top-k must equal the exact scan over the full corpus
+    val probes = emb.filter(col("vec_id") < 10 ||
+        (col("vec_id") >= 400 && col("vec_id") < 410))
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val merged = maintainer.knnJoinMerged(batchModel, probes, k = 10, nprobe = 4)
+    val exact = graft.operators.KnnJoin.exactKnnJoin(emb, probes, k = 10)
+    val got = merged.select("query_id", "neighbor_id").collect().map(_.toSeq).toSet
+    val want = exact.select("query_id", "neighbor_id").collect().map(_.toSeq).toSet
+    assert(got == want,
+      "merged batch+live serving must reproduce the exact scan over old+new")
+    maintainer.close()
+    batchModel.unpersist()
+  }
 }
