@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Qutil.rnd
 import graft.functions.similarity._
@@ -265,6 +266,56 @@ object VectorQueries {
         emb(s, dir), probes(s, dir), k = 20, col("vec_id") < 15,
         (q, kp, _) => graft.hnsw.IvfHnsw.knnJoin(model, q, kp, nprobe = 4),
         metric = "cosine", scoreDigits = 6)
+    }),
+
+    // serving-THROUGHPUT summary (VERDICT-r5 #8): every base vector becomes
+    // a probe and is pushed through the batched cell-routed hybrid — the
+    // battery's r-vs-r tracker for the serving path that ServingBenchMain
+    // measures at 1M/10M scale. Rows-only by nature (wall-clock content);
+    // the row-count column is still a hard correctness check (n·k rows or
+    // the serving path dropped probes).
+    "hybrid_serving_summary" -> ((s, dir) => {
+      val model = ModelMemo.get(s, s"ivfhnsw/c8m16/$dir")(
+        graft.hnsw.IvfHnsw.fit(emb(s, dir), numCells = 8,
+          graft.hnsw.HnswParams(m = 16, efConstruction = 200),
+          balanceSlack = 0.2))
+      val allProbes = emb(s, dir)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val nq = allProbes.count()
+      val t0 = System.nanoTime()
+      val rows = graft.hnsw.IvfHnsw
+        .knnJoinBatched(model, allProbes, k = 10, nprobe = 2, batchRows = 100000)
+        .count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      import s.implicits._
+      Seq((nq, rows, math.floor(wall * 1000) / 1000, math.floor(nq / wall)))
+        .toDF("n_queries", "result_rows", "wall_s", "qps")
+    }),
+
+    // hybrid lexical+vector retrieval via reciprocal-rank fusion
+    // ([[graft.operators.Rrf]]): lexical side is the inverted-index shape
+    // (distinct query terms equi-joined to distinct corpus terms — NEVER a
+    // doc×doc cross join), vector side is the exact cosine top-k; fusion is
+    // a bounded full-outer join over the two |Q|·k ranked heads. The RRF
+    // rank arithmetic is exactly SQL-expressible, so the whole composition
+    // is cross-engine oracle-checked.
+    "rrf_fusion" -> ((s, dir) => {
+      val nq = 10
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val terms = d.select(col("doc_id"),
+        explode(array_distinct(split(trim(col("text")), "\\s+"))).as("term"))
+      val overlap = terms.filter(col("doc_id") < nq)
+        .select(col("doc_id").as("query_id"), col("term"))
+        .join(terms, Seq("term"))
+        .groupBy("query_id", "doc_id").agg(count(lit(1)).as("overlap"))
+      val wl = Window.partitionBy("query_id")
+        .orderBy(col("overlap").desc, col("doc_id").asc)
+      val lexical = overlap.withColumn("rank", row_number().over(wl))
+        .filter(col("rank") <= 20).select("query_id", "doc_id", "rank")
+      val vector = KnnJoin.exactKnnJoin(emb(s, dir), probes(s, dir, nq),
+          k = 20, metric = "cosine", scoreDigits = 6)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+      graft.operators.Rrf.fuse(lexical, vector, k = 10)
     }),
 
     // OPQ (learned-rotation PQ): same ADC+rerank scan as PQ, better code
@@ -701,6 +752,45 @@ object VectorQueries {
     staticOracle ++ ivfOracle ++ pqOracle ++ opqOracle ++ ivfpqOracle
 
   private val staticOracle: Map[String, String] = Map(
+    // RRF twin: same lexical inverted-index overlap ranking, same rounded
+    // exact-cosine ranking, same two-term reciprocal sum (written order
+    // lexical-then-vector, CAST(1 AS DOUBLE) so the division is IEEE
+    // double), same round-before-rank + doc_id tie-break.
+    "rrf_fusion" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |   unnest(list_distinct(string_split_regex(trim(text),'\s+'))) AS term
+        |  FROM documents),
+        | ovl AS (
+        |  SELECT q.doc_id AS query_id, c.doc_id AS doc_id, count(*) AS overlap
+        |  FROM toks q JOIN toks c USING (term) WHERE q.doc_id < 10
+        |  GROUP BY 1, 2),
+        | lex AS (
+        |  SELECT query_id, doc_id, lrank FROM (
+        |   SELECT *, row_number() OVER (PARTITION BY query_id
+        |     ORDER BY overlap DESC, doc_id) AS lrank FROM ovl)
+        |  WHERE lrank <= 20),
+        | vscored AS (
+        |  SELECT q.vec_id AS query_id, e.vec_id AS doc_id,
+        |   floor((list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))*1e6 + 0.5)/1e6 AS score
+        |  FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 10) q),
+        | vec AS (
+        |  SELECT query_id, doc_id, vrank FROM (
+        |   SELECT *, row_number() OVER (PARTITION BY query_id
+        |     ORDER BY score DESC, doc_id) AS vrank FROM vscored)
+        |  WHERE vrank <= 20),
+        | fused AS (
+        |  SELECT coalesce(l.query_id, v.query_id) AS query_id,
+        |   coalesce(l.doc_id, v.doc_id) AS doc_id, l.lrank, v.vrank,
+        |   floor((coalesce(CAST(1 AS DOUBLE)/(60 + l.lrank), 0.0)
+        |        + coalesce(CAST(1 AS DOUBLE)/(60 + v.vrank), 0.0))*1e6 + 0.5)/1e6
+        |     AS rrf_score
+        |  FROM lex l FULL OUTER JOIN vec v
+        |   ON l.query_id = v.query_id AND l.doc_id = v.doc_id)
+        |SELECT query_id, doc_id, lrank, vrank, rrf_score, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY rrf_score DESC, doc_id) AS rank FROM fused)
+        |WHERE rank <= 10""".stripMargin,
     "knn_filtered_guarantee" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
         |           FROM embeddings WHERE vec_id < 100),

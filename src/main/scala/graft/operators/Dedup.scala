@@ -25,9 +25,12 @@ object Dedup {
 
   /** @param docs  (doc_id) — the full corpus (defines singleton clusters)
     * @param pairs (id1, id2) candidate near-dup pairs, id1 < id2
+    * @param roundsOut when set, receives the pointer-jumping round count
+    *                  (0 on the union-find path) — scale-bench telemetry
     * @return (doc_id, cluster_id, is_canonical) for every doc */
   def connectedComponents(docs: DataFrame, pairs: DataFrame,
-      driverEdgeLimit: Long = 5000000L, maxRounds: Int = 25): DataFrame = {
+      driverEdgeLimit: Long = 5000000L, maxRounds: Int = 25,
+      roundsOut: Option[java.util.concurrent.atomic.AtomicInteger] = None): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val edges2 = pairs.select(col("id1").cast("long").as("a"), col("id2").cast("long").as("b"))
@@ -53,6 +56,7 @@ object Dedup {
           if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
         }
         val resolved = parent.keys.map(k => (k, find(k))).toSeq
+        roundsOut.foreach(_.set(0))
         spark.createDataFrame(resolved).toDF("doc_id", "lbl")
       } else {
         val edges = edges2
@@ -81,6 +85,7 @@ object Dedup {
           rounds += 1
         }
         edges.unpersist()
+        roundsOut.foreach(_.set(rounds))
         lbls
       }
     docs.select(col("doc_id")).join(labels, Seq("doc_id"), "left")

@@ -614,6 +614,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(canon == Set(1L, 10L, 20L, 21L))
   }
 
+  test("dedup pointer jumping converges in O(log diameter) rounds on deep " +
+      "components (CcScaleMain geometry at spec scale)") {
+    import spark.implicits._
+    // a 512-chain [0,512) and a 256-vertex binary tree [1000,1256):
+    // worst realistic diameters; the label-chase compression step must
+    // converge well under the 25-round cap (one-hop chase ⇒ ~log2 rounds)
+    val chain = (0L until 511L).map(v => (v, v + 1))
+    val tree = (1001L until 1256L).map(v => (1000L + (v - 1000L) / 2, v))
+    val docs = ((0L until 512L) ++ (1000L until 1256L)).toDF("doc_id")
+    val pairs = (chain ++ tree).toDF("id1", "id2")
+    val rounds = new java.util.concurrent.atomic.AtomicInteger(-1)
+    val got = graft.operators.Dedup.connectedComponents(docs, pairs,
+        driverEdgeLimit = 0L, maxRounds = 25, roundsOut = Some(rounds))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    docs.as[Long].collect().foreach { v =>
+      val want = if (v < 512L) 0L else 1000L
+      assert(got(v) == want, s"vertex $v")
+    }
+    assert(rounds.get > 0 && rounds.get <= 15,
+      s"expected O(log diameter) convergence, took ${rounds.get} rounds")
+    // union-find twin agrees (and reports rounds=0)
+    val ufRounds = new java.util.concurrent.atomic.AtomicInteger(-1)
+    val uf = graft.operators.Dedup.connectedComponents(docs, pairs,
+        roundsOut = Some(ufRounds))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(uf == got)
+    assert(ufRounds.get == 0)
+  }
+
   test("multimodal stub plumbing: decode features + frame sampling") {
     import spark.implicits._
     val media = (0L until 10L).map { i =>

@@ -147,6 +147,17 @@ class PlanSpec extends AnyFunSuite {
       s"LSH kNN must never cross-join base with probes:\n$p")
   }
 
+  test("rrf_fusion: lexical side is an inverted-index equi-join; the only " +
+      "non-equi join is the bounded exact-kNN probe broadcast") {
+    val p = plan("rrf_fusion")
+    assert(!p.contains("CartesianProduct"), s"cartesian in fusion plan:\n$p")
+    // exactly one BNLJ: the |Q|-row probe side against the base scan (the
+    // exact-kNN kernel); a second one would mean the doc×doc lexical pair
+    // generation regressed to a cross join
+    assert("BroadcastNestedLoopJoin".r.findAllMatchIn(p).size == 1,
+      s"expected exactly the exact-kNN probe BNLJ:\n$p")
+  }
+
   test("maxsim_multivec_ivf: cell-gated late-interaction is equi-joins only") {
     val p = plan("maxsim_multivec_ivf")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -26,6 +26,14 @@ class QueriesSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("hybrid_serving_summary serves every probe: n·k result rows") {
+    val r = SparkEntry.queries("hybrid_serving_summary")(spark, dir)
+      .collect().head
+    assert(r.getAs[Long]("result_rows") == r.getAs[Long]("n_queries") * 10,
+      s"serving path dropped probes: $r")
+    assert(r.getAs[Double]("qps") > 0)
+  }
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name executes at sf0.001") {
       val df = fn(spark, dir)
