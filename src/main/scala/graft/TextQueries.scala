@@ -208,6 +208,42 @@ object TextQueries {
         .select("doc_id", "trank", "term", "tf", "df", "tfidf")
     }),
 
+    // Okapi BM25 document ranking (k1=1.2, b=0.75): the standard lexical
+    // retrieval scorer — the lexical leg the rrf_fusion entry composes
+    // with the vector leg. Query side: the distinct terms of the first 20
+    // docs, probed as an inverted-index posting join (broadcast the query
+    // terms, equi-join the tf table on term — the 100 TB shape: posting
+    // lists stay partitioned by term, no corpus scan per query). One
+    // map-side-combined agg per (qid, doc) then a top-10 window.
+    // Round-before-rank (4 dp) keeps cross-engine rank ties deterministic
+    // (double group-sum order differs between engines; ~1e-12 error vs
+    // 1e-4 grain — same regime unigram_surprisal hash-matches in).
+    "bm25_top_docs" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val n = d.count()
+      val toks = d.select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("term"))
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val avgdl = dl.agg(avg("dl")).first().getDouble(0)
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val qt = tf.filter(col("doc_id") < 20)
+        .select(col("doc_id").as("qid"), col("term")).distinct()
+      val score = log(lit(1.0) +
+          (lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5)) *
+        col("tf") * 2.2 /
+        (col("tf") + lit(1.2) * (lit(1.0) - 0.75 + lit(0.75) * col("dl") / avgdl))
+      val scored = broadcast(qt).join(tf, Seq("term"))
+        .join(broadcast(df), Seq("term"))
+        .join(dl, Seq("doc_id"))
+        .groupBy("qid", "doc_id")
+        .agg(rnd(sum(score), 4).as("bm25"))
+      val w = Window.partitionBy("qid")
+        .orderBy(col("bm25").desc, col("doc_id").asc)
+      scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 10)
+        .select("qid", "rnk", "doc_id", "bm25")
+    }),
+
     // corpus unigram language-model scoring: per-doc mean surprisal
     // -avg(ln p(token)) under the corpus unigram distribution — the
     // classic "how typical is this document" quality signal (high = rare
@@ -817,6 +853,28 @@ object TextQueries {
         |  SELECT *, row_number() OVER (PARTITION BY doc_id
         |    ORDER BY tfidf DESC, term) AS trank FROM sc)
         |WHERE trank <= 3""".stripMargin,
+    "bm25_top_docs" ->
+      """WITH toks AS (SELECT doc_id,
+        |   unnest(string_split_regex(trim(text),'\s+')) AS term FROM documents),
+        | tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        | dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        | stats AS (SELECT avg(dl) AS avgdl FROM dl),
+        | dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        | n AS (SELECT count(*) AS n FROM documents),
+        | qt AS (SELECT DISTINCT doc_id AS qid, term FROM tf WHERE doc_id < 20),
+        | sc AS (SELECT qt.qid, tf.doc_id,
+        |   floor((sum(ln(1.0 + (n.n - dft.df + 0.5)/(dft.df + 0.5))
+        |     * tf.tf * 2.2
+        |     / (tf.tf + 1.2*(1.0 - 0.75 + 0.75*dl.dl/stats.avgdl))))*1e4
+        |     + 0.5)/1e4 AS bm25
+        |  FROM qt JOIN tf USING (term) JOIN dft USING (term)
+        |    JOIN dl ON dl.doc_id = tf.doc_id
+        |    CROSS JOIN n CROSS JOIN stats
+        |  GROUP BY 1, 2)
+        |SELECT qid, rnk, doc_id, bm25 FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid
+        |    ORDER BY bm25 DESC, doc_id) AS rnk FROM sc)
+        |WHERE rnk <= 10""".stripMargin,
     "unigram_surprisal" ->
       """WITH toks AS (SELECT doc_id,
         |   unnest(string_split_regex(trim(text),'\s+')) AS term FROM documents),

@@ -34,6 +34,20 @@ class QueriesSpec extends AnyFunSuite {
     assert(r.getAs[Double]("qps") > 0)
   }
 
+  test("bm25_top_docs: 20 query docs, dense ranks, scores descend per query") {
+    val rows = SparkEntry.queries("bm25_top_docs")(spark, dir).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.size == 20, s"expected 20 query docs, got ${byQ.size}")
+    byQ.foreach { case (qid, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rnk"))
+      assert(sorted.map(_.getAs[Int]("rnk")).toSeq == (1 to rs.length),
+        s"qid=$qid ranks not dense")
+      val scores = sorted.map(_.getAs[Double]("bm25")).toSeq
+      assert(scores == scores.sorted.reverse, s"qid=$qid scores not descending")
+      assert(scores.head > 0.0)
+    }
+  }
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name executes at sf0.001") {
       val df = fn(spark, dir)
