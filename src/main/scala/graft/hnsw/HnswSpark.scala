@@ -162,21 +162,40 @@ class HnswModel(
     * ascending-id insertion is the min id at that level (promotion is
     * strict-increase only, src/main.ts:225-228). */
   private[hnsw] def rebuild(rows: Iterator[PartGraphRow], p: HnswParams): Iterator[(Int, HnswIndex)] = {
-    val byPart = rows.toArray.groupBy(_.part)
-    byPart.iterator.map { case (part, rs) =>
-      val key = s"$modelId/$part"
-      val cached = SubIndexCache.get(key)
-      val idx = if (cached != null) cached else {
-        val levelMax = rs.map(_.level).max
-        val entry = rs.filter(_.level == levelMax).map(_.id).min
-        val built = HnswSerde.fromRows(
-          rs.iterator.map(r => HnswGraphRow(r.id, r.level, r.vector, r.neighbors)),
-          p.m, p.efConstruction, Metric(p.metric), Some(p.effectiveEfSearch),
-          p.seed, levelMax, entry)
-        SubIndexCache.put(key, built)
-        built
+    // Streamed, cache-aware grouping: a part whose sub-index is already in
+    // [[SubIndexCache]] is drained row-by-row without retaining anything,
+    // so the warm path's cost is the scan alone — materializing the whole
+    // Spark partition up front (the old rows.toArray) held multi-GB row
+    // arrays live across the rebuild and thrashed GC once the cache filled
+    // (measured: warm 100-probe wave 4x SLOWER than its cold first run at
+    // 10M vectors). Cache-miss parts buffer only their own rows; buffers
+    // are keyed by part id, so arbitrary part interleaving within a
+    // partition (packed multi-file scans) still groups correctly.
+    val hits = scala.collection.mutable.LinkedHashMap.empty[Int, HnswIndex]
+    val misses = scala.collection.mutable.LinkedHashMap
+      .empty[Int, scala.collection.mutable.ArrayBuffer[PartGraphRow]]
+    rows.foreach { r =>
+      if (!hits.contains(r.part)) misses.get(r.part) match {
+        case Some(b) => b += r
+        case None =>
+          val cached = SubIndexCache.get(s"$modelId/${r.part}")
+          if (cached != null) hits.put(r.part, cached)
+          else {
+            val b = new scala.collection.mutable.ArrayBuffer[PartGraphRow]
+            b += r
+            misses.put(r.part, b)
+          }
       }
-      (part, idx)
+    }
+    hits.iterator ++ misses.iterator.map { case (part, rs) =>
+      val levelMax = rs.iterator.map(_.level).max
+      val entry = rs.iterator.filter(_.level == levelMax).map(_.id).min
+      val built = HnswSerde.fromRows(
+        rs.iterator.map(r => HnswGraphRow(r.id, r.level, r.vector, r.neighbors)),
+        p.m, p.efConstruction, Metric(p.metric), Some(p.effectiveEfSearch),
+        p.seed, levelMax, entry)
+      SubIndexCache.put(s"$modelId/$part", built)
+      (part, built)
     }
   }
 
