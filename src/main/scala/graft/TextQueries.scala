@@ -27,6 +27,43 @@ object TextQueries {
   private def md5Long(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** Okapi BM25 (k1=1.2, b=0.75) top-`topk` docs per query doc, query side
+    * = the distinct terms of docs with id < `nq`, probed as an
+    * inverted-index posting join (broadcast the query terms, equi-join the
+    * tf table on term — the 100 TB shape: posting lists stay partitioned
+    * by term, no corpus scan per query). One map-side-combined agg per
+    * (qid, doc), then a top-`topk` window. Round-before-rank (4 dp) keeps
+    * cross-engine rank ties deterministic (double group-sum order differs
+    * between engines; ~1e-12 error vs 1e-4 grain — same regime
+    * unigram_surprisal hash-matches in). Shared by the `bm25_top_docs`
+    * battery entry and the `rrf_fusion_bm25` lexical leg. */
+  private[graft] def bm25Ranked(s: SparkSession, dir: String,
+      nq: Int, topk: Int): DataFrame = {
+    val d = docs(s, dir)
+    val n = d.count()
+    val toks = d.select(col("doc_id"),
+      explode(split(trim(col("text")), "\\s+")).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val avgdl = dl.agg(avg("dl")).first().getDouble(0)
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val qt = tf.filter(col("doc_id") < nq)
+      .select(col("doc_id").as("qid"), col("term")).distinct()
+    val score = log(lit(1.0) +
+        (lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5)) *
+      col("tf") * 2.2 /
+      (col("tf") + lit(1.2) * (lit(1.0) - 0.75 + lit(0.75) * col("dl") / avgdl))
+    val scored = broadcast(qt).join(tf, Seq("term"))
+      .join(broadcast(df), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .groupBy("qid", "doc_id")
+      .agg(rnd(sum(score), 4).as("bm25"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= topk)
+      .select("qid", "rnk", "doc_id", "bm25")
+  }
+
   /** Materialization barrier: wrap an expensive array expression behind a
     * one-element explode (a Generate node). Without it, CollapseProject
     * inlines the expression into every downstream lambda reference —
@@ -218,31 +255,7 @@ object TextQueries {
     // Round-before-rank (4 dp) keeps cross-engine rank ties deterministic
     // (double group-sum order differs between engines; ~1e-12 error vs
     // 1e-4 grain — same regime unigram_surprisal hash-matches in).
-    "bm25_top_docs" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val n = d.count()
-      val toks = d.select(col("doc_id"),
-        explode(split(trim(col("text")), "\\s+")).as("term"))
-      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-      val avgdl = dl.agg(avg("dl")).first().getDouble(0)
-      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      val qt = tf.filter(col("doc_id") < 20)
-        .select(col("doc_id").as("qid"), col("term")).distinct()
-      val score = log(lit(1.0) +
-          (lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5)) *
-        col("tf") * 2.2 /
-        (col("tf") + lit(1.2) * (lit(1.0) - 0.75 + lit(0.75) * col("dl") / avgdl))
-      val scored = broadcast(qt).join(tf, Seq("term"))
-        .join(broadcast(df), Seq("term"))
-        .join(dl, Seq("doc_id"))
-        .groupBy("qid", "doc_id")
-        .agg(rnd(sum(score), 4).as("bm25"))
-      val w = Window.partitionBy("qid")
-        .orderBy(col("bm25").desc, col("doc_id").asc)
-      scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 10)
-        .select("qid", "rnk", "doc_id", "bm25")
-    }),
+    "bm25_top_docs" -> ((s, dir) => bm25Ranked(s, dir, nq = 20, topk = 10)),
 
     // corpus unigram language-model scoring: per-doc mean surprisal
     // -avg(ln p(token)) under the corpus unigram distribution — the

@@ -318,6 +318,23 @@ object VectorQueries {
       graft.operators.Rrf.fuse(lexical, vector, k = 10)
     }),
 
+    // RRF fusion with the REAL lexical scorer: BM25 top-20 per query doc
+    // ([[graft.TextQueries.bm25Ranked]] — inverted-index posting join)
+    // fused with exact-cosine top-20 over the same ids. The production
+    // hybrid-retrieval composition (BM25 ⊕ dense) end to end, and every
+    // stage — BM25 arithmetic, cosine ranking, reciprocal-rank sum — is
+    // SQL-expressible, so the whole pipeline is cross-engine
+    // oracle-checked. Same O(|Q|·k) fusion bound: only ranked heads join.
+    "rrf_fusion_bm25" -> ((s, dir) => {
+      val nq = 10
+      val lexical = graft.TextQueries.bm25Ranked(s, dir, nq = nq, topk = 20)
+        .select(col("qid").as("query_id"), col("doc_id"), col("rnk").as("rank"))
+      val vector = KnnJoin.exactKnnJoin(emb(s, dir), probes(s, dir, nq),
+          k = 20, metric = "cosine", scoreDigits = 6)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+      graft.operators.Rrf.fuse(lexical, vector, k = 10)
+    }),
+
     // OPQ (learned-rotation PQ): same ADC+rerank scan as PQ, better code
     // quality under correlated dims. Oracle-checked like PQ — the learned
     // rotation is emitted as explicit left-associative dot-product
@@ -769,6 +786,52 @@ object VectorQueries {
         |  SELECT query_id, doc_id, lrank FROM (
         |   SELECT *, row_number() OVER (PARTITION BY query_id
         |     ORDER BY overlap DESC, doc_id) AS lrank FROM ovl)
+        |  WHERE lrank <= 20),
+        | vscored AS (
+        |  SELECT q.vec_id AS query_id, e.vec_id AS doc_id,
+        |   floor((list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))*1e6 + 0.5)/1e6 AS score
+        |  FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 10) q),
+        | vec AS (
+        |  SELECT query_id, doc_id, vrank FROM (
+        |   SELECT *, row_number() OVER (PARTITION BY query_id
+        |     ORDER BY score DESC, doc_id) AS vrank FROM vscored)
+        |  WHERE vrank <= 20),
+        | fused AS (
+        |  SELECT coalesce(l.query_id, v.query_id) AS query_id,
+        |   coalesce(l.doc_id, v.doc_id) AS doc_id, l.lrank, v.vrank,
+        |   floor((coalesce(CAST(1 AS DOUBLE)/(60 + l.lrank), 0.0)
+        |        + coalesce(CAST(1 AS DOUBLE)/(60 + v.vrank), 0.0))*1e6 + 0.5)/1e6
+        |     AS rrf_score
+        |  FROM lex l FULL OUTER JOIN vec v
+        |   ON l.query_id = v.query_id AND l.doc_id = v.doc_id)
+        |SELECT query_id, doc_id, lrank, vrank, rrf_score, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY rrf_score DESC, doc_id) AS rank FROM fused)
+        |WHERE rank <= 10""".stripMargin,
+    // BM25-leg RRF twin: the bm25_top_docs CTE pipeline (nq=10, topk=20)
+    // as the lexical list, the rounded exact-cosine top-20 as the vector
+    // list, same fusion arithmetic/tie-breaks as rrf_fusion.
+    "rrf_fusion_bm25" ->
+      """WITH toks AS (SELECT doc_id,
+        |   unnest(string_split_regex(trim(text),'\s+')) AS term FROM documents),
+        | tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        | dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        | stats AS (SELECT avg(dl) AS avgdl FROM dl),
+        | dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        | n AS (SELECT count(*) AS n FROM documents),
+        | qt AS (SELECT DISTINCT doc_id AS qid, term FROM tf WHERE doc_id < 10),
+        | sc AS (SELECT qt.qid, tf.doc_id,
+        |   floor((sum(ln(1.0 + (n.n - dft.df + 0.5)/(dft.df + 0.5))
+        |     * tf.tf * 2.2
+        |     / (tf.tf + 1.2*(1.0 - 0.75 + 0.75*dl.dl/stats.avgdl))))*1e4
+        |     + 0.5)/1e4 AS bm25
+        |  FROM qt JOIN tf USING (term) JOIN dft USING (term)
+        |    JOIN dl ON dl.doc_id = tf.doc_id
+        |    CROSS JOIN n CROSS JOIN stats
+        |  GROUP BY 1, 2),
+        | lex AS (SELECT qid AS query_id, doc_id, lrank FROM (
+        |   SELECT *, row_number() OVER (PARTITION BY qid
+        |     ORDER BY bm25 DESC, doc_id) AS lrank FROM sc)
         |  WHERE lrank <= 20),
         | vscored AS (
         |  SELECT q.vec_id AS query_id, e.vec_id AS doc_id,
