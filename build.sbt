@@ -34,4 +34,4 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // turns the full battery into a GC crawl (measured 4-10x). The box has
   // 128 GiB; leave the default generous.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
-)
+) ++ sys.env.get("GRAFT_GC_LOG").map(f => s"-Xlog:gc*:file=$f").toSeq
