@@ -83,7 +83,8 @@ object Bench {
       "knn_ivfhnsw_cosine", "recall_hnsw", "recall_ivfhnsw", "recall_lsh",
       "dedup_exact", "minhash_lsh_pairs", "simhash_near_dup",
       "near_dup_embeddings_lsh", "decontaminate_bloom", "tfidf_top_terms",
-      "quality_filter", "token_stats", "seq_packing", "multimodal_knn")
+      "quality_filter", "token_stats", "seq_packing", "multimodal_knn",
+      "bm25_top_docs", "rrf_fusion_bm25")
     // failed queries surface on stdout (negated time), but capped: the
     // headline set plus at most 12 extra failures keeps the worst case
     // (every query failing) inside the tail window

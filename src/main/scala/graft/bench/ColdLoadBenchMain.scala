@@ -96,6 +96,33 @@ object ColdLoadBenchMain {
           IvfHnsw.knnJoin(model, q1, k = 10, nprobe = cells).count())
         require(call == 10 && wall == 10, s"row counts off: $call $wall")
 
+      case "filtered" =>
+        // metadata-filtered ANN k-guarantee at scale: 100 probes against
+        // the saved 10M model under a 1% predicate (escalation regime —
+        // enough matches that deeper probes satisfy most queries) and a
+        // 0.01% predicate (guarantee regime — the exact fallback over the
+        // ~1k-row filtered base must fire). Row-count checks are the
+        // guarantee itself: k rows per query in both regimes.
+        val model = IvfHnsw.load(spark, path)
+          .getOrElse(sys.error(s"no model at $path"))
+        val base = VectorSources
+          .syntheticClustered(spark, n, dim, numClusters = 4 * cells,
+            spread = 0.15, seed = 42)
+          .select("vec_id", "embedding")
+        val q = probeSet(100).cache(); q.count()
+        val k = 10
+        for ((label, pred) <- Seq(
+            ("1pct", col("vec_id") % 100 === 0),
+            ("0.01pct", col("vec_id") % 10000 === 0))) {
+          val rows = timed(s"filtered $label 100-probe k=$k")(
+            graft.operators.FilteredAnn.knnJoin(
+              base, q, k, pred,
+              (qs, kp, round) => IvfHnsw.knnJoin(model, qs, kp,
+                nprobe = 2 << round),
+              metric = "cosine").count())
+          require(rows == 100L * k, s"guarantee broken: $label -> $rows")
+        }
+
       case other => sys.error(s"unknown mode $other")
     }
     spark.stop()
