@@ -96,6 +96,18 @@ object VectorQueries {
     emb(s, dir).filter(col("vec_id") < n)
       .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
 
+  /** BM25 top-20 lexical leg fused with exact-cosine top-20 by RRF —
+    * shared by the `rrf_fusion_bm25` entry and the `rank_quality` eval. */
+  private def rrfBm25Fused(s: SparkSession, dir: String): DataFrame = {
+    val nq = 10
+    val lexical = graft.TextQueries.bm25Ranked(s, dir, nq = nq, topk = 20)
+      .select(col("qid").as("query_id"), col("doc_id"), col("rnk").as("rank"))
+    val vector = KnnJoin.exactKnnJoin(emb(s, dir), probes(s, dir, nq),
+        k = 20, metric = "cosine", scoreDigits = 6)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    graft.operators.Rrf.fuse(lexical, vector, k = 10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // B5 exact k-NN, cosine — queries are the first 100 base vectors
     // (reference semantics, src/bench/run.ts:121-122: queries ⊆ base)
@@ -325,14 +337,19 @@ object VectorQueries {
     // stage — BM25 arithmetic, cosine ranking, reciprocal-rank sum — is
     // SQL-expressible, so the whole pipeline is cross-engine
     // oracle-checked. Same O(|Q|·k) fusion bound: only ranked heads join.
-    "rrf_fusion_bm25" -> ((s, dir) => {
-      val nq = 10
-      val lexical = graft.TextQueries.bm25Ranked(s, dir, nq = nq, topk = 20)
-        .select(col("qid").as("query_id"), col("doc_id"), col("rnk").as("rank"))
-      val vector = KnnJoin.exactKnnJoin(emb(s, dir), probes(s, dir, nq),
-          k = 20, metric = "cosine", scoreDigits = 6)
-        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
-      graft.operators.Rrf.fuse(lexical, vector, k = 10)
+    "rrf_fusion_bm25" -> ((s, dir) => rrfBm25Fused(s, dir)),
+
+    // ranked-retrieval quality metrics ([[graft.operators.RankEval]]):
+    // per-query reciprocal rank + nDCG@10 of the BM25⊕dense fused list
+    // against the exact-cosine top-10 as binary-relevance truth — the
+    // standard order-quality eval pair completing the recall@k coverage
+    // metrics. Bounded heads only (|Q|·k rows); corpus-size-independent.
+    "rank_quality" -> ((s, dir) => {
+      val fused = rrfBm25Fused(s, dir).select("query_id", "doc_id", "rank")
+      val truth = KnnJoin.exactKnnJoin(emb(s, dir), probes(s, dir, 10),
+          k = 10, metric = "cosine", scoreDigits = 6)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"))
+      graft.operators.RankEval.rankMetrics(fused, truth, k = 10)
     }),
 
     // OPQ (learned-rotation PQ): same ADC+rerank scan as PQ, better code
@@ -854,6 +871,65 @@ object VectorQueries {
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |    ORDER BY rrf_score DESC, doc_id) AS rank FROM fused)
         |WHERE rank <= 10""".stripMargin,
+    // rank-metrics twin: the rrf_fusion_bm25 fused top-10 as the system,
+    // exact-cosine top-10 (vrank <= 10 of the same vscored CTE) as binary
+    // truth; RR = max(rel/rank) (order-free), DCG via ln/ln(2) parity,
+    // IDCG as the shared double literal, round-before-compare at 6 dp.
+    "rank_quality" ->
+      s"""WITH toks AS (SELECT doc_id,
+        |   unnest(string_split_regex(trim(text),'\\s+')) AS term FROM documents),
+        | tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        | dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        | stats AS (SELECT avg(dl) AS avgdl FROM dl),
+        | dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        | n AS (SELECT count(*) AS n FROM documents),
+        | qt AS (SELECT DISTINCT doc_id AS qid, term FROM tf WHERE doc_id < 10),
+        | sc AS (SELECT qt.qid, tf.doc_id,
+        |   floor((sum(ln(1.0 + (n.n - dft.df + 0.5)/(dft.df + 0.5))
+        |     * tf.tf * 2.2
+        |     / (tf.tf + 1.2*(1.0 - 0.75 + 0.75*dl.dl/stats.avgdl))))*1e4
+        |     + 0.5)/1e4 AS bm25
+        |  FROM qt JOIN tf USING (term) JOIN dft USING (term)
+        |    JOIN dl ON dl.doc_id = tf.doc_id
+        |    CROSS JOIN n CROSS JOIN stats
+        |  GROUP BY 1, 2),
+        | lex AS (SELECT qid AS query_id, doc_id, lrank FROM (
+        |   SELECT *, row_number() OVER (PARTITION BY qid
+        |     ORDER BY bm25 DESC, doc_id) AS lrank FROM sc)
+        |  WHERE lrank <= 20),
+        | vscored AS (
+        |  SELECT q.vec_id AS query_id, e.vec_id AS doc_id,
+        |   floor((list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))*1e6 + 0.5)/1e6 AS score
+        |  FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 10) q),
+        | vranked AS (
+        |  SELECT query_id, doc_id, vrank FROM (
+        |   SELECT *, row_number() OVER (PARTITION BY query_id
+        |     ORDER BY score DESC, doc_id) AS vrank FROM vscored)),
+        | vec AS (SELECT * FROM vranked WHERE vrank <= 20),
+        | fused AS (
+        |  SELECT coalesce(l.query_id, v.query_id) AS query_id,
+        |   coalesce(l.doc_id, v.doc_id) AS doc_id,
+        |   floor((coalesce(CAST(1 AS DOUBLE)/(60 + l.lrank), 0.0)
+        |        + coalesce(CAST(1 AS DOUBLE)/(60 + v.vrank), 0.0))*1e6 + 0.5)/1e6
+        |     AS rrf_score
+        |  FROM lex l FULL OUTER JOIN vec v
+        |   ON l.query_id = v.query_id AND l.doc_id = v.doc_id),
+        | system AS (
+        |  SELECT query_id, doc_id, rank FROM (
+        |   SELECT *, row_number() OVER (PARTITION BY query_id
+        |     ORDER BY rrf_score DESC, doc_id) AS rank FROM fused)
+        |  WHERE rank <= 10),
+        | truth AS (SELECT query_id, doc_id FROM vranked WHERE vrank <= 10),
+        | lab AS (
+        |  SELECT s.query_id, s.rank,
+        |   CASE WHEN t.doc_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+        |  FROM system s LEFT JOIN truth t
+        |   ON s.query_id = t.query_id AND s.doc_id = t.doc_id)
+        |SELECT query_id,
+        |  floor((max(rel*CAST(1 AS DOUBLE)/rank))*1e6 + 0.5)/1e6 AS rr,
+        |  floor((sum(rel*CAST(1 AS DOUBLE)/(ln(rank + 1.0)/ln(2)))
+        |    / ${graft.operators.RankEval.idcg(10)})*1e6 + 0.5)/1e6 AS ndcg
+        |FROM lab GROUP BY 1""".stripMargin,
     "knn_filtered_guarantee" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
         |           FROM embeddings WHERE vec_id < 100),
