@@ -68,6 +68,7 @@ object StreamingIngestBenchMain {
       f"rate=${initN / initS}%.0f rows/s drift=$drift")
 
     var corpus = init
+    var lastProbes: DataFrame = null
     (1 to batches).foreach { b =>
       val shift = (b * drift / math.sqrt(dim)).toFloat
       val batch = clustered(batchN, initN + (b - 1) * batchN)
@@ -93,7 +94,47 @@ object StreamingIngestBenchMain {
       println(f"STREAM-INGEST batch=$b rows=$batchN ingest=${ingestS}%.1fs " +
         f"rate=${batchN / ingestS}%.0f rows/s indexed=$total " +
         f"recall@10(nprobe=$nprobe,newest100)=$rec%.4f drift=$drift")
-      probes.unpersist()
+      if (b == batches) lastProbes = probes else probes.unpersist()
+    }
+    // compaction cost + recall recovery at the final size: refit the
+    // quantizer over everything indexed (the remedy for the frozen-
+    // quantizer recall decline measured above), then re-measure the SAME
+    // newest-batch probes against the compacted batch model
+    if (sys.env.get("STREAM_COMPACT").contains("1")) {
+      val tC = System.nanoTime()
+      val compacted = maintainer.compact(balanceSlack = 0.2)
+      val compactS = (System.nanoTime() - tC) / 1e9
+      val exact = KnnJoin.exactKnnJoin(corpus, lastProbes, k = 10)
+      val recC = Recall.microAvgRecall(
+          IvfHnsw.knnJoin(compacted, lastProbes, k = 10, nprobe = nprobe),
+          exact)
+        .select("recall").first().getDouble(0)
+      println(f"STREAM-INGEST compact wall=${compactS}%.1fs " +
+        f"indexed=${maintainer.indexedCount()} " +
+        f"recall@10(nprobe=$nprobe,newest100)=$recC%.4f drift=$drift")
+      compacted.hnsw.graph.unpersist()
+      // growth-scaled compaction: the r5 P-sizing rule says recall is a
+      // function of SHARD SIZE, so a same-C refit can't recover growth-
+      // driven decline — refit with C scaled by corpus growth since fit
+      // and nprobe scaled to keep the touched FRACTION constant
+      val growth = math.max(1,
+        math.round(maintainer.indexedCount().toDouble / initN).toInt)
+      if (growth > 1) {
+        val cellsNew = cells * growth
+        val nprobeNew = nprobe * growth
+        val tS = System.nanoTime()
+        val scaled = maintainer.compact(numCellsNew = cellsNew,
+          balanceSlack = 0.2)
+        val scaledS = (System.nanoTime() - tS) / 1e9
+        val recS = Recall.microAvgRecall(
+            IvfHnsw.knnJoin(scaled, lastProbes, k = 10, nprobe = nprobeNew),
+            exact)
+          .select("recall").first().getDouble(0)
+        println(f"STREAM-INGEST compact-scaled wall=${scaledS}%.1fs " +
+          f"cells=$cellsNew nprobe=$nprobeNew " +
+          f"recall@10(newest100)=$recS%.4f drift=$drift")
+        scaled.hnsw.graph.unpersist()
+      }
     }
     maintainer.close()
     spark.stop()
