@@ -235,7 +235,16 @@ class IncrementalIvfIndex(spark: SparkSession,
     * [[IncrementalIvfIndex.fromModel]] (then [[close]] this maintainer);
     * the NEW maintainer ingests only post-compact arrivals and
     * [[knnJoinMerged]] serves batch + live together. Deterministic:
-    * equals `IvfHnsw.fit` over the merged corpus. */
+    * equals `IvfHnsw.fit` over the merged corpus.
+    *
+    * SIZE `numCellsNew` BY GROWTH: the round-6 measurement (BASELINE.md
+    * compaction table) shows a same-C refit at 5x growth makes
+    * newest-region recall WORSE than the frozen quantizer (0.963 ->
+    * 0.926 at 1M) — recall decline is a shard-SIZE effect, and refitting
+    * at the same C leaves shards 5x their fit-time mass while spreading
+    * the newest region over more cells. Compact into ~C·growth cells and
+    * scale nprobe with C (constant touched fraction): measured 0.966,
+    * restoring the live level at one fresh-fit cost (183 s at 1M). */
   def compact(numCellsNew: Int = -1, updates: Option[DataFrame] = None,
       balanceSlack: Double = 0.0): IvfHnsw.Model = {
     assertComplete("compact")
