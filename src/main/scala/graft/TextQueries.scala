@@ -20,6 +20,23 @@ object TextQueries {
 
   private val P = 1000000007L
 
+  /** Per-session memo for built index artifacts (same pattern as
+    * VectorQueries.ModelMemo): battery/verify invoke each query fn
+    * repeatedly in one session; the inverted-index build runs once. */
+  private object TextMemo {
+    private val maxEntries = 16
+    private val lru = new java.util.LinkedHashMap[String, AnyRef](16, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[String, AnyRef]): Boolean =
+        size() > maxEntries
+    }
+    def get[T <: AnyRef](s: SparkSession, key: String)(mk: => T): T = lru.synchronized {
+      val k = s"${System.identityHashCode(s.sparkContext)}/$key"
+      val hit = lru.get(k)
+      if (hit != null) hit.asInstanceOf[T]
+      else { val v = mk; lru.put(k, v); v }
+    }
+  }
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
@@ -256,6 +273,27 @@ object TextQueries {
     // (double group-sum order differs between engines; ~1e-12 error vs
     // 1e-4 grain — same regime unigram_surprisal hash-matches in).
     "bm25_top_docs" -> ((s, dir) => bm25Ranked(s, dir, nq = 20, topk = 10)),
+
+    // BM25 served from the PERSISTED inverted index
+    // ([[graft.operators.TextIndex]]): build tokenizes once into a
+    // term-bucketed posting table (df/dl denormalized into the posting
+    // row), queries probe it with bucket/row-group-pruned scans + a
+    // broadcast term join — no corpus-wide aggregation at query time.
+    // Same score arithmetic and round-before-rank as bm25_top_docs, so
+    // the index-served results hash-match the SAME oracle (the whole
+    // point: a user switching to the index keeps bit-identical results).
+    "bm25_indexed" -> ((s, dir) => {
+      val prefix = TextMemo.get(s, s"textindex/$dir") {
+        val p = "graft_tix_" + java.security.MessageDigest.getInstance("MD5")
+          .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+        graft.operators.TextIndex.build(docs(s, dir), p, numBuckets = 8)
+        p
+      }
+      val queryTerms = s.table(s"${prefix}_postings")
+        .filter(col("doc_id") < 20)
+        .select(col("doc_id").as("qid"), col("term"))
+      graft.operators.TextIndex.bm25TopDocs(s, prefix, queryTerms, topk = 10)
+    }),
 
     // corpus unigram language-model scoring: per-doc mean surprisal
     // -avg(ln p(token)) under the corpus unigram distribution — the
@@ -572,6 +610,30 @@ object TextQueries {
     })
   )
 
+  /** Shared by `bm25_top_docs` and the index-served `bm25_indexed`. */
+  private val bm25Sql: String =
+    """WITH toks AS (SELECT doc_id,
+      |   unnest(string_split_regex(trim(text),'\s+')) AS term FROM documents),
+      | tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      | dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+      | stats AS (SELECT avg(dl) AS avgdl FROM dl),
+      | dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      | n AS (SELECT count(*) AS n FROM documents),
+      | qt AS (SELECT DISTINCT doc_id AS qid, term FROM tf WHERE doc_id < 20),
+      | sc AS (SELECT qt.qid, tf.doc_id,
+      |   floor((sum(ln(1.0 + (n.n - dft.df + 0.5)/(dft.df + 0.5))
+      |     * tf.tf * 2.2
+      |     / (tf.tf + 1.2*(1.0 - 0.75 + 0.75*dl.dl/stats.avgdl))))*1e4
+      |     + 0.5)/1e4 AS bm25
+      |  FROM qt JOIN tf USING (term) JOIN dft USING (term)
+      |    JOIN dl ON dl.doc_id = tf.doc_id
+      |    CROSS JOIN n CROSS JOIN stats
+      |  GROUP BY 1, 2)
+      |SELECT qid, rnk, doc_id, bm25 FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY qid
+      |    ORDER BY bm25 DESC, doc_id) AS rnk FROM sc)
+      |WHERE rnk <= 10""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "dataset_mix" ->
       """WITH b AS (SELECT doc_id, source,
@@ -866,28 +928,9 @@ object TextQueries {
         |  SELECT *, row_number() OVER (PARTITION BY doc_id
         |    ORDER BY tfidf DESC, term) AS trank FROM sc)
         |WHERE trank <= 3""".stripMargin,
-    "bm25_top_docs" ->
-      """WITH toks AS (SELECT doc_id,
-        |   unnest(string_split_regex(trim(text),'\s+')) AS term FROM documents),
-        | tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
-        | dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
-        | stats AS (SELECT avg(dl) AS avgdl FROM dl),
-        | dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-        | n AS (SELECT count(*) AS n FROM documents),
-        | qt AS (SELECT DISTINCT doc_id AS qid, term FROM tf WHERE doc_id < 20),
-        | sc AS (SELECT qt.qid, tf.doc_id,
-        |   floor((sum(ln(1.0 + (n.n - dft.df + 0.5)/(dft.df + 0.5))
-        |     * tf.tf * 2.2
-        |     / (tf.tf + 1.2*(1.0 - 0.75 + 0.75*dl.dl/stats.avgdl))))*1e4
-        |     + 0.5)/1e4 AS bm25
-        |  FROM qt JOIN tf USING (term) JOIN dft USING (term)
-        |    JOIN dl ON dl.doc_id = tf.doc_id
-        |    CROSS JOIN n CROSS JOIN stats
-        |  GROUP BY 1, 2)
-        |SELECT qid, rnk, doc_id, bm25 FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY qid
-        |    ORDER BY bm25 DESC, doc_id) AS rnk FROM sc)
-        |WHERE rnk <= 10""".stripMargin,
+    "bm25_top_docs" -> bm25Sql,
+    // the indexed path must produce bit-identical results — same oracle
+    "bm25_indexed" -> bm25Sql,
     "unigram_surprisal" ->
       """WITH toks AS (SELECT doc_id,
         |   unnest(string_split_regex(trim(text),'\s+')) AS term FROM documents),
