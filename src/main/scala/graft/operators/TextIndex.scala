@@ -8,24 +8,29 @@ import org.apache.spark.sql.functions._
   * counterpart of the from-scratch `bm25_top_docs` pipeline, which
   * re-tokenizes the corpus per query. At 100 TB you tokenize ONCE:
   *
-  *  - `build` writes a single posting table (term, doc_id, tf, df, dl)
-  *    BUCKETED AND SORTED BY term (doc frequency and doc length are
-  *    denormalized into the posting row — the classic posting-list
-  *    layout — so query time needs no second join), plus a 1-row corpus
-  *    stats table (N, avgdl). The tokenize/aggregate cost is paid at
-  *    ingest, like every other index in this engine.
+  *  - `build` writes a single posting table (term, doc_id, tf, dl)
+  *    BUCKETED AND SORTED BY term, plus a 1-row corpus stats table
+  *    (N, avgdl). The build plan is LINEAR — scan → explode → tf
+  *    aggregation → per-doc window for dl → bucketed write: one
+  *    tokenization pass, zero joins, no vocabulary-sized shuffle or
+  *    broadcast (plan-asserted in PlanSpec). Doc length is denormalized
+  *    into the posting row; document frequency deliberately is NOT —
+  *    see `bm25TopDocs`.
   *  - `bm25TopDocs` serves queries from the persisted table alone: the
   *    bounded query-term set pushes into the scan as an `IN` filter on
   *    the bucket column, so Spark prunes whole buckets for narrow
   *    queries (`SelectedBucketsCount` in the scan) and parquet row-group
   *    stats on the sorted term column prune within buckets for broad
-  *    ones; the probe side broadcasts. One map-side-combined agg per
+  *    ones. df per query term is a count over that already-pruned scan
+  *    (each term's postings are read in full by construction), so it
+  *    costs a probe-bounded aggregation at serve time instead of a
+  *    corpus-wide join at build time. One map-side-combined agg per
   *    (qid, doc) and a top-k window after — the same shape as the
-  *    transient pipeline, minus the three corpus-wide aggregations.
+  *    transient pipeline, minus the corpus-wide aggregations.
   *
   * Score arithmetic is written EXACTLY as `TextQueries.bm25Ranked` (same
-  * operation order, 4-dp round-before-rank), and N/avgdl derive from
-  * exact integer sums — so index-served results hash-match the same
+  * operation order, 4-dp round-before-rank), and N/avgdl/df derive from
+  * exact integer counts — so index-served results hash-match the same
   * DuckDB oracle as the from-scratch path, which is what the
   * `bm25_indexed` battery entry checks.
   */
@@ -50,26 +55,36 @@ object TextIndex {
     ()
   }
 
+  /** The posting rows (term, doc_id, tf, dl) as one LINEAR plan: the
+    * corpus is scanned and exploded exactly once, dl = sum(tf) per doc
+    * (the identical integer the transient path counts from the raw
+    * token stream) rides a doc-partitioned window — partitions bounded
+    * by document length, so no skew hazard — and nothing joins. */
+  private[graft] def postingsFor(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(split(trim(col("text")), "\\s+")).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    tf.withColumn("dl", sum("tf").over(Window.partitionBy("doc_id")))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+  }
+
   /** Tokenize `docs` (doc_id, text) and persist the posting + stats
     * tables under `prefix` (overwrites). Returns the corpus stats. */
   def build(docs: DataFrame, prefix: String, numBuckets: Int = 32): Stats = {
     val spark = docs.sparkSession
     clearTable(spark, postingsTable(prefix))
     clearTable(spark, statsTable(prefix))
-    val toks = docs.select(col("doc_id"),
-      explode(split(trim(col("text")), "\\s+")).as("term"))
-    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val postings = tf
-      .join(dfT, Seq("term"))
-      .join(dl, Seq("doc_id"))
-      .select(col("term"), col("doc_id"), col("tf"), col("df"), col("dl"))
-    postings.write.mode(SaveMode.Overwrite)
+    postingsFor(docs).write.mode(SaveMode.Overwrite)
       .bucketBy(numBuckets, "term").sortBy("term")
       .format("parquet").saveAsTable(postingsTable(prefix))
+    // n must count ALL docs (a null-text doc never reaches the token
+    // stream but still counts toward N, matching the transient path);
+    // avgdl derives from the index itself — the write above was the one
+    // and only tokenization pass.
     val n = docs.count()
-    val avgdl = dl.agg(avg("dl")).first().getDouble(0)
+    val avgdl = spark.table(postingsTable(prefix))
+      .select(col("doc_id"), col("dl")).distinct()
+      .agg(avg("dl")).first().getDouble(0)
     import spark.implicits._
     Seq((n, avgdl)).toDF("n", "avgdl").write.mode(SaveMode.Overwrite)
       .format("parquet").saveAsTable(statsTable(prefix))
@@ -85,7 +100,9 @@ object TextIndex {
   /** Okapi BM25 top-`topk` docs per query, served from the persisted
     * index. `queryTerms` (qid, term) must be bounded (the probe
     * contract): its distinct terms become the scan's bucket/row-group
-    * pruning filter and the probe side broadcasts.
+    * pruning filter and the probe side broadcasts. df per term counts
+    * the pruned scan's rows (complete per term by construction) and
+    * broadcast-joins back — a #query-terms-sized table.
     *
     * Identical score arithmetic + round-before-rank as
     * `TextQueries.bm25Ranked` — results hash-match the same oracle. */
@@ -99,11 +116,13 @@ object TextIndex {
       .collect().map(_.getString(0))
     val postings = spark.table(postingsTable(prefix))
       .filter(col("term").isin(terms.toSeq: _*))
+    val dfT = postings.groupBy("term").agg(count(lit(1)).as("df"))
     val score = log(lit(1.0) +
         (lit(st.n.toDouble) - col("df") + 0.5) / (col("df") + 0.5)) *
       col("tf") * (k1 + 1.0) /
       (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / st.avgdl))
     val scored = broadcast(qt).join(postings, Seq("term"))
+      .join(broadcast(dfT), Seq("term"))
       .groupBy("qid", "doc_id")
       .agg(graft.Qutil.rnd(sum(score), 4).as("bm25"))
     val w = Window.partitionBy("qid")

@@ -70,6 +70,16 @@ class PlanSpec extends AnyFunSuite {
       "band join must not broadcast the (mis-estimated) Generate output")
   }
 
+  test("TextIndex build: linear single-pass plan — one tokenize, no joins") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = graft.operators.TextIndex.postingsFor(docs)
+      .queryExecution.executedPlan.toString
+    assert("Generate explode".r.findAllMatchIn(p).size == 1,
+      s"the corpus must be tokenized exactly once per build:\n$p")
+    assert(!p.contains("Join"),
+      s"build must not join (df is serve-time, dl is a doc window):\n$p")
+  }
+
   test("ngram_jaccard_topk: shingle self-join reuses one exchange") {
     val p = plan("ngram_jaccard_topk")
     assert(p.contains("ReusedExchange"),

@@ -52,6 +52,25 @@ class TextIndexSpec extends AnyFunSuite {
       s"single-term probe should select a strict bucket subset:\n$plan")
   }
 
+  test("bit-identity holds at sf0.01 (the driver gate scale)") {
+    val dir01 = "/root/testdata/sf0.01"
+    val p01 = "graft_tix_spec01"
+    TextIndex.build(spark.read.parquet(s"$dir01/documents.parquet"), p01,
+      numBuckets = 8)
+    val queryTerms = spark.table(s"${p01}_postings")
+      .filter(col("doc_id") < 20)
+      .select(col("doc_id").as("qid"), col("term"))
+    val indexed = TextIndex.bm25TopDocs(spark, p01, queryTerms, topk = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val scratch = graft.TextQueries.bm25Ranked(spark, dir01, nq = 20, topk = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    TextIndex.drop(spark, p01)
+    assert(indexed == scratch,
+      s"diff: ${(indexed diff scratch).take(3)} / ${(scratch diff indexed).take(3)}")
+  }
+
   test("drop removes the persisted tables (store CRUD contract)") {
     TextIndex.drop(spark, prefix)
     assert(!spark.catalog.tableExists(s"${prefix}_postings"))
