@@ -96,6 +96,38 @@ object StreamingIngestBenchMain {
         f"recall@10(nprobe=$nprobe,newest100)=$rec%.4f drift=$drift")
       if (b == batches) lastProbes = probes else probes.unpersist()
     }
+    // UPDATE phase (STREAM_UPDATE=<n>): re-deliver changed embeddings for
+    // n EXISTING ids (the re-embed workload) — measures the upsert path's
+    // throughput (every row is a registry hit + in-place re-link or
+    // tombstone-and-move) and recall at the ids' NEW locations. The live
+    // count must not change: updates replace, never grow.
+    sys.env.get("STREAM_UPDATE").map(_.toLong).filter(_ > 0).foreach { updN =>
+      val updates = VectorSources.syntheticClustered(spark, updN, dim,
+        numClusters = 4 * cells, spread = 0.15, seed = 7)
+        .select(col("vec_id"), col("embedding")).cache()
+      updates.count() // materialize OUTSIDE the update timing
+      val before = maintainer.indexedCount()
+      val tU = System.nanoTime()
+      maintainer.processBatch(updates, 1000L)
+      val updS = (System.nanoTime() - tU) / 1e9
+      val after = maintainer.indexedCount()
+      val probes = updates.limit(100)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+        .cache()
+      probes.count()
+      val corpusUpd = corpus.join(updates, Seq("vec_id"), "left_anti")
+        .unionByName(updates).cache()
+      val exactU = KnnJoin.exactKnnJoin(corpusUpd, probes, k = 10)
+      val recU = Recall.microAvgRecall(
+          maintainer.knnJoin(probes, k = 10, nprobe = nprobe), exactU)
+        .select("recall").first().getDouble(0)
+      println(f"STREAM-INGEST update n=$updN wall=${updS}%.1fs " +
+        f"rate=${updN / updS}%.0f rows/s applied=${maintainer.appliedUpdateCount} " +
+        f"indexed=$before->$after " +
+        f"recall@10(nprobe=$nprobe,updated100)=$recU%.4f")
+      corpus = corpusUpd // the compaction phase below sees the updated corpus
+      probes.unpersist()
+    }
     // compaction cost + recall recovery at the final size: refit the
     // quantizer over everything indexed (the remedy for the frozen-
     // quantizer recall decline measured above), then re-measure the SAME

@@ -78,8 +78,10 @@ object Metric {
 }
 
 /** Graph node (reference src/node.ts:1-13): jagged per-layer adjacency,
-  * each layer holding at most M neighbor ids. */
-final class HnswNode(val id: Long, val vector: Array[Float], val level: Int) {
+  * each layer holding at most M neighbor ids. `vector` is mutable for
+  * the in-place update path ([[HnswIndex.updatePoint]]); reset `norm`
+  * whenever it changes. */
+final class HnswNode(val id: Long, var vector: Array[Float], val level: Int) {
   var neighbors: Array[Array[Long]] = Array.fill(level + 1)(Array.empty[Long])
   /** cached L2 norm for the cosine fast path (lazy; -1 = not computed).
     * Derived, never serialized. */
@@ -230,7 +232,19 @@ final class HnswIndex(
   var levelMax: Int = -1
   var entryPointId: Long = -1L
   def d: Int = dIn
-  def size: Int = nodes.size
+
+  /** Tombstoned ids ([[removePoint]]): excluded from searchKNN RESULTS,
+    * [[toRows]] and [[size]], but their nodes keep their edges and stay
+    * traversable — hard-deleting would tear holes in the graph's
+    * navigability (the standard soft-delete HNSW contract). Tombstones
+    * are purged by any rebuild: toRows serializes live nodes only, so
+    * snapshot/compact/save→load all come back clean. */
+  private val deleted: mutable.LongMap[Unit] = mutable.LongMap.empty
+  def deletedCount: Int = deleted.size
+  def isDeleted(id: Long): Boolean = deleted.contains(id)
+
+  /** LIVE node count (tombstones excluded). */
+  def size: Int = nodes.size - deleted.size
 
   private def sim(a: Array[Float], b: Array[Float]): Double = metric.sim(a, b)
 
@@ -415,24 +429,49 @@ final class HnswIndex(
       levelMax = node.level
       return
     }
-    val currentMaxLevel = levelMax
-    var entry = nodes(entryPointId)
+    relink(node)
+    if (node.level > levelMax) {
+      entryPointId = node.id
+      levelMax = node.level
+    }
+  }
+
+  /** The descent-and-connect phase of an insert, reusable for in-place
+    * updates: greedy-descend from the graph entry to the node's level,
+    * then ef-bounded search + diversity-pruned bidirectional linking per
+    * layer. When the node being (re-)linked IS the entry point (update
+    * path only — its own edges were just detached, so descending from it
+    * would see an empty graph), descent starts from the highest-level
+    * other node instead (min-id tie-break: deterministic). */
+  private def relink(node: HnswNode): Unit = {
+    val entryId =
+      if (entryPointId != node.id) entryPointId
+      else {
+        var bestLevel = -1
+        var bestId = Long.MaxValue
+        nodes.valuesIterator.foreach { n =>
+          if (n.id != node.id &&
+              (n.level > bestLevel || (n.level == bestLevel && n.id < bestId))) {
+            bestLevel = n.level
+            bestId = n.id
+          }
+        }
+        if (bestLevel == -1) -1L else bestId
+      }
+    if (entryId == -1L) return // single-node graph: nothing to link to
+    var entry = nodes(entryId)
     val qNorm = if (cosineFast) nodeNorm(node) else 0.0
-    var level = currentMaxLevel
+    var level = levelMax
     while (level > node.level) {
       entry = greedySearch(node.vector, qNorm, entry, level)
       level -= 1
     }
-    level = math.min(node.level, currentMaxLevel)
+    level = math.min(node.level, levelMax)
     while (level >= 0) {
       val (scores, found) = searchLayerScored(node.vector, qNorm, entry, level, efConstruction)
       connectNodeAtLevel(node, found, scores, level)
       if (found.nonEmpty) entry = found(0)
       level -= 1
-    }
-    if (node.level > levelMax) {
-      entryPointId = node.id
-      levelMax = node.level
     }
   }
 
@@ -449,6 +488,65 @@ final class HnswIndex(
     addNodeToGraph(node)
   }
 
+  /** Soft-delete: `id` stops appearing in search results, [[toRows]] and
+    * [[size]], but its node keeps routing traversal (edges intact — the
+    * hnswlib/Lucene tombstone pattern). Idempotent: false when the id is
+    * absent or already deleted. Tombstones are purged by any
+    * serialize-rebuild cycle (toRows emits live nodes only). */
+  def removePoint(id: Long): Boolean =
+    if (nodes.contains(id) && !deleted.contains(id)) {
+      deleted(id) = ()
+      true
+    } else false
+
+  /** In-place vector UPDATE (the hnswlib updatePoint pattern): detach the
+    * node's edges with reciprocal cleanup, replace the vector, and
+    * re-link through the standard insert search path at the node's
+    * ORIGINAL level (the level draw is a pure function of (seed, id), so
+    * it is unchanged by design). Neighbors that lost a back-edge keep
+    * their other links — per-update graph degradation is marginal, and
+    * compaction rebuilds cleanly. Deterministic given the same graph
+    * state. Throws on unknown/deleted ids and dimension mismatch. */
+  def updatePoint(id: Long, vector: Array[Float]): Unit = {
+    if (dIn != -1 && vector.length != dIn)
+      throw new IllegalArgumentException("All vectors must be of the same dimension")
+    val node = nodes.getOrElse(id,
+      throw new IllegalArgumentException(s"Node with id $id does not exist"))
+    if (deleted.contains(id))
+      throw new IllegalArgumentException(s"Node with id $id is deleted")
+    var l = 0
+    while (l < node.neighbors.length) {
+      removeReciprocalLinks(node, node.neighbors(l), l)
+      l += 1
+    }
+    node.neighbors = Array.fill(node.level + 1)(Array.empty[Long])
+    node.vector = vector
+    node.norm = -1.0
+    relink(node)
+  }
+
+  /** Insert-or-update: fresh id → [[addPoint]]; tombstoned id → revive
+    * with the new vector; changed vector → [[updatePoint]]; identical
+    * vector → no-op. Returns true iff the index was MUTATED (callers
+    * meter applied work with it; live count grows only on insert or
+    * revive, which the caller can distinguish via [[isDeleted]]/
+    * [[size]] beforehand if needed). */
+  def upsertPoint(id: Long, vector: Array[Float]): Boolean =
+    nodes.get(id) match {
+      case None =>
+        addPoint(id, vector)
+        true
+      case Some(n) =>
+        if (deleted.contains(id)) {
+          deleted.remove(id)
+          updatePoint(id, vector)
+          true
+        } else if (!java.util.Arrays.equals(n.vector, vector)) {
+          updatePoint(id, vector)
+          true
+        } else false
+    }
+
   /** O11 bulk build (src/main.ts:288-317) with progress cadence: callback
     * every `progressInterval` inserts plus a final partial call. */
   def buildIndex(data: Iterator[(Long, Array[Float])],
@@ -456,6 +554,7 @@ final class HnswIndex(
       progressInterval: Long = 10000L,
       total: Long = -1L): Unit = {
     nodes.clear()
+    deleted.clear()
     levelMax = -1
     entryPointId = -1L
     dIn = -1
@@ -480,14 +579,17 @@ final class HnswIndex(
       entry = greedySearch(query, qNorm, entry, level)
       level -= 1
     }
-    val ef = math.max(k, efSearchOverride.getOrElse(efSearch))
+    // tombstones are filtered from results, so widen ef by the tombstone
+    // count — the beam then still carries >= k live candidates. With no
+    // deletions this is exactly max(k, efSearch): bit-identical behavior.
+    val ef = math.max(k + deleted.size, efSearchOverride.getOrElse(efSearch))
     val candidates = searchLayerScored(query, qNorm, entry, 0, ef)._2
     val seen = mutable.LongMap.empty[Unit]
     val results = mutable.ArrayBuffer.empty[(Long, Double)]
     var i = 0
     while (i < candidates.length && results.length < k) {
       val n = candidates(i)
-      if (!seen.contains(n.id)) {
+      if (!seen.contains(n.id) && !deleted.contains(n.id)) {
         seen(n.id) = ()
         results += ((n.id, simQN(query, qNorm, n)))
       }
@@ -497,10 +599,16 @@ final class HnswIndex(
   }
 
   /** O13 serialize: flatten to rows (the Spark-native analog of toJSON,
-    * src/main.ts:322-344). */
+    * src/main.ts:322-344). Tombstoned nodes are dropped and edges
+    * pointing at them stripped — a rebuilt index would otherwise crash
+    * traversing a dangling neighbor id. This is where tombstones get
+    * purged: every snapshot/save/compact cycle comes back clean. */
   def toRows: Iterator[HnswGraphRow] =
-    nodes.valuesIterator.map { n =>
-      HnswGraphRow(n.id, n.level, n.vector, n.neighbors)
+    nodes.valuesIterator.filter(n => !deleted.contains(n.id)).map { n =>
+      val nbrs =
+        if (deleted.isEmpty) n.neighbors
+        else n.neighbors.map(_.filter(nb => !deleted.contains(nb)))
+      HnswGraphRow(n.id, n.level, n.vector, nbrs)
     }
 }
 

@@ -8,14 +8,17 @@ import org.apache.spark.sql.functions._
 import graft.hnsw.{HnswIndex, HnswParams, Metric, SubIndexPin}
 import graft.operators.ProbeBatch
 
-/** INSERT-ONLY incremental streaming index maintenance (the O10 `addPoint`
+/** UPSERTING incremental streaming index maintenance (the O10 `addPoint`
   * analog the reference exposes for its chunked reader — src/main.ts:234-248,
-  * src/bench/dataset.ts:153-194): every micro-batch hash-routes its new
-  * vectors to P stable partitions and inserts them into that partition's
+  * src/bench/dataset.ts:153-194): every micro-batch hash-routes its
+  * vectors to P stable partitions and upserts them into that partition's
   * pinned executor-side sub-index — no refit, per-batch work is O(batch).
-  * A re-delivered vec_id is skipped (replay idempotence), so a CHANGED
-  * embedding is dropped and counted ([[staleUpdateCount]]); updates flow
-  * through the compaction path.
+  * A re-delivered vec_id with an identical embedding is skipped (replay
+  * idempotence); a CHANGED embedding is APPLIED in place
+  * ([[HnswIndex.updatePoint]], counted by [[appliedUpdateCount]]) —
+  * hash routing is id-keyed, so an update always lands on the shard that
+  * holds the id. Last-delivered-wins: a source that re-delivers OLD rows
+  * in later batches regresses the vector — version upstream if needed.
   *
   * Executor pinning: sub-indexes live in the executor JVM keyed by
   * (maintainerId, partition). Co-location of a partition's rows, shard,
@@ -38,16 +41,18 @@ class IncrementalIndex(spark: SparkSession, params: HnswParams,
 
   private val ingested =
     spark.sparkContext.longAccumulator(s"graft.inc.$maintainerId.ingested")
-  private val staleUpdates =
-    spark.sparkContext.longAccumulator(s"graft.inc.$maintainerId.staleUpdates")
+  private val appliedUpdates =
+    spark.sparkContext.longAccumulator(s"graft.inc.$maintainerId.appliedUpdates")
 
   /** Rows actually inserted by THIS maintainer instance ([[IncrementalIndex.restore]]
     * seeds shards without touching it — the guard only checks `>=`). */
   def ingestedCount: Long = ingested.value
 
   /** Re-delivered ids whose embedding DIFFERED from the indexed one —
-    * updates this insert-only maintainer dropped. */
-  def staleUpdateCount: Long = staleUpdates.value
+    * vector updates this maintainer APPLIED in place. In-place updates
+    * never change the live count, so the completeness guard's
+    * arithmetic is update-proof. */
+  def appliedUpdateCount: Long = appliedUpdates.value
 
   /** foreachBatch sink: route and insert one micro-batch of
     * (vec_id, embedding) rows. Insert order inside a batch partition is
@@ -57,13 +62,15 @@ class IncrementalIndex(spark: SparkSession, params: HnswParams,
     val mid = maintainerId
     val pr = p
     val ing = ingested
-    val stale = staleUpdates
+    val upd = appliedUpdates
     import batch.sparkSession.implicits._
     batch
       .select(col("vec_id").cast("long"), col("embedding").cast("array<float>"))
       .as[(Long, Array[Float])]
+      // the embedding tie-break makes duplicate ids WITHIN a batch apply
+      // in a deterministic order (last one in sort order wins)
       .repartition(pr.numPartitions, col("vec_id"))
-      .sortWithinPartitions("vec_id")
+      .sortWithinPartitions("vec_id", "embedding")
       .foreachPartition { (it: Iterator[(Long, Array[Float])]) =>
         val part = TaskContext.getPartitionId()
         val key = s"$mid/$part"
@@ -73,19 +80,22 @@ class IncrementalIndex(spark: SparkSession, params: HnswParams,
           SubIndexPin.put(key, built)
           built
         }
-        // already-present ids are skipped, NOT errors: task retries and
-        // foreachBatch re-delivery after restart replay rows into shards
-        // that already absorbed them — idempotence is what makes the
-        // "replaying identical batches rebuilds identical shards" claim
-        // true. The shard lock serializes ingest against concurrent
-        // knnJoin/indexedCount tasks on the same pinned index.
+        // already-present ids with identical vectors are skipped, NOT
+        // errors: task retries and foreachBatch re-delivery after restart
+        // replay rows into shards that already absorbed them —
+        // idempotence is what makes the "replaying identical batches
+        // rebuilds identical shards" claim true. Changed vectors are
+        // APPLIED in place. The shard lock serializes ingest against
+        // concurrent knnJoin/indexedCount tasks on the same pinned index.
         idx.synchronized {
           it.foreach { case (id, v) =>
             idx.nodes.get(id) match {
               case None =>
                 idx.addPoint(id, v); ing.add(1)
               case Some(node) =>
-                if (!java.util.Arrays.equals(node.vector, v)) stale.add(1)
+                if (!java.util.Arrays.equals(node.vector, v)) {
+                  idx.updatePoint(id, v); upd.add(1)
+                }
             }
           }
         }

@@ -8,8 +8,8 @@ import graft.functions.similarity
 import graft.hnsw.{HnswIndex, HnswModel, HnswParams, IvfHnsw, Metric, SubIndexPin}
 import graft.operators.ProbeBatch
 
-/** INSERT-ONLY incremental ingest for the HYBRID index
-  * ([[graft.hnsw.IvfHnsw]]): every micro-batch assigns its new vectors to
+/** UPSERTING incremental ingest for the HYBRID index
+  * ([[graft.hnsw.IvfHnsw]]): every micro-batch assigns its vectors to
   * their nearest IVF cell (the same greatest-struct argmax the batch fit
   * uses, against the FIXED centroids of a fitted model) and inserts them
   * into that cell's pinned executor-side HNSW sub-index — per-batch work
@@ -17,19 +17,24 @@ import graft.operators.ProbeBatch
   * [[snapshot]] writes the exact on-disk layout [[IvfHnsw.load]] serves,
   * so a stream-built index is batch-servable without conversion.
   *
-  * NOT an upsert: a re-delivered vec_id is skipped (task-retry/replay
-  * idempotence), so a CHANGED embedding for an existing id is not applied
-  * — it is counted ([[staleUpdateCount]]) so the caller can see dropped
-  * updates and apply them through [[compact]] (a quantizer refit over
-  * everything indexed, with updates replacing same-id vectors). Because
-  * cell routing is a function of the vector, a changed embedding lands in
-  * a different cell; a maintainer-wide id registry (same JVM-visibility
-  * boundary as the shard pins) detects it there instead of inserting a
-  * duplicate id. Centroids are FROZEN at construction (retraining online
-  * would silently re-route the corpus); trigger compaction on
-  * [[needsCompaction]] — the round-6 measurement (BASELINE.md) keys it
-  * to corpus growth since fit, the actual recall driver, rather than
-  * drift detection.
+  * UPDATE semantics: a re-delivered vec_id with an IDENTICAL embedding is
+  * skipped (task-retry/failed-batch-replay idempotence — the foreachBatch
+  * contract only ever replays the most recent uncommitted batch); a
+  * CHANGED embedding is APPLIED ([[appliedUpdateCount]]). Because cell
+  * routing is a function of the vector, a changed embedding usually lands
+  * in a DIFFERENT cell: the maintainer-wide id registry (same
+  * JVM-visibility boundary as the shard pins) detects the move, the old
+  * cell's node is tombstoned (soft-delete: excluded from results, kept
+  * for traversal; purged at snapshot/compact), and the vector is inserted
+  * — or revived, if it once lived there — in its new cell. A same-cell
+  * change re-links in place ([[HnswIndex.updatePoint]]). Updates are
+  * last-DELIVERED-wins: a source that re-delivers OLD rows in LATER
+  * batches will regress the vector — dedupe or version upstream if the
+  * source is at-least-once across batches. Centroids are FROZEN at
+  * construction (retraining online would silently re-route the corpus);
+  * trigger compaction on [[needsCompaction]] — the round-6 measurement
+  * (BASELINE.md) keys it to corpus growth since fit, the actual recall
+  * driver, rather than drift detection.
   *
   * Executor pinning: shards live in executor JVMs keyed by
   * (maintainerId, cell). Batch rows reach their shard via a hash
@@ -53,34 +58,44 @@ class IncrementalIvfIndex(spark: SparkSession,
   private val p = params
   private val numCells = centroids.length
 
-  // actual inserts (incremented only when addPoint runs, so replayed
-  // rows don't double-count) and dropped updates (existing id,
-  // different vector). Accumulator updates from failed tasks are
-  // discarded, so `ingested` is a lower bound — the completeness guard
-  // checks indexedCount() >= ingested.
+  // actual inserts (incremented only when a fresh id's addPoint runs, so
+  // replayed rows don't double-count) and applied updates (existing id,
+  // different vector — moved/re-linked). An update never changes the
+  // live count (same-cell re-link is in place; a cross-cell move
+  // tombstones one node and inserts/revives one), so the completeness
+  // guard's indexedCount() >= ingested arithmetic is update-proof.
+  // Accumulator updates from failed tasks are discarded, so both are
+  // lower bounds (telemetry, not exact meters).
   private val ingested =
     spark.sparkContext.longAccumulator(s"graft.incivf.$maintainerId.ingested")
-  private val staleUpdates =
-    spark.sparkContext.longAccumulator(s"graft.incivf.$maintainerId.staleUpdates")
+  private val appliedUpdates =
+    spark.sparkContext.longAccumulator(s"graft.incivf.$maintainerId.appliedUpdates")
 
   /** Rows actually inserted by THIS maintainer instance (restores via
     * [[IncrementalIndex.restore]]-style recovery reset it). */
   def ingestedCount: Long = ingested.value
 
   /** Re-delivered ids whose embedding DIFFERED from the indexed one —
-    * updates this insert-only maintainer dropped. Nonzero means the
-    * caller needs the compaction/refit path to apply them. */
-  def staleUpdateCount: Long = staleUpdates.value
+    * vector updates this maintainer APPLIED (moved across cells or
+    * re-linked in place). */
+  def appliedUpdateCount: Long = appliedUpdates.value
 
-  /** foreachBatch sink: assign cells and insert one micro-batch of
-    * (vec_id, embedding) rows. Insert order inside a batch cell is
-    * ascending id — replaying identical batches rebuilds identical
-    * shards; already-present ids are skipped (task-retry idempotence). */
+  /** foreachBatch sink: assign cells and upsert one micro-batch of
+    * (vec_id, embedding) rows. A duplicate vec_id WITHIN a batch is
+    * deterministically collapsed first (max (cell, embedding) struct —
+    * without this, one id's insert and cross-cell move could race in
+    * different tasks); each surviving row then inserts, updates in
+    * place, or moves across cells through the id registry. Insert order
+    * inside a batch cell is ascending id and every cell's rows live in
+    * exactly one partition, so graph STRUCTURE mutations per shard stay
+    * single-task sequential — replaying identical batches rebuilds
+    * identical shards. The only cross-task shard touch is the tombstone
+    * mark of a move's OLD cell, which is structure-neutral. */
   def processBatch(batch: DataFrame, batchId: Long): Unit = {
     val mid = maintainerId
     val pr = p
     val ing = ingested
-    val stale = staleUpdates
+    val upd = appliedUpdates
     import batch.sparkSession.implicits._
     val scores = centroids.map { case (c, v) =>
       struct(nanvl(similarity.sim(pr.metric)(col("embedding"), typedlit(v)),
@@ -89,7 +104,10 @@ class IncrementalIvfIndex(spark: SparkSession,
     batch
       .select(col("vec_id").cast("long"), col("embedding").cast("array<float>"))
       .withColumn("cell", greatest(scores.toSeq: _*)("c"))
-      .select(col("cell"), col("vec_id"), col("embedding"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("cell"), col("embedding"))).as("pick"))
+      .select(col("pick.cell").as("cell"), col("vec_id"),
+        col("pick.embedding").as("embedding"))
       .as[(Int, Long, Array[Float])]
       .repartition(numCells, col("cell"))
       .sortWithinPartitions("cell", "vec_id")
@@ -106,24 +124,37 @@ class IncrementalIvfIndex(spark: SparkSession,
             built
           }
           // cell routing is a deterministic function of the VECTOR, so a
-          // changed embedding re-routes to a DIFFERENT cell whose shard
-          // has never seen the id — per-shard dedup alone would insert a
-          // duplicate id. The maintainer-wide id registry catches it:
-          // same registered cell -> compare vectors; different cell ->
-          // the vector necessarily changed.
-          idx.synchronized {
-            val prev = reg.putIfAbsent(id, cell)
-            if (prev == null) { idx.addPoint(id, v); ing.add(1) }
-            else if (prev.intValue == cell) {
-              idx.nodes.get(id) match {
-                case Some(node) =>
-                  if (!java.util.Arrays.equals(node.vector, v)) stale.add(1)
-                case None =>
-                  // a task died between registering and inserting; the
-                  // retry repairs the shard (we hold this cell's lock)
-                  idx.addPoint(id, v); ing.add(1)
+          // changed embedding usually re-routes to a DIFFERENT cell — the
+          // maintainer-wide id registry detects the move: tombstone the
+          // old cell's node, insert (or revive) in the new cell. A
+          // same-cell change re-links in place. Idempotent under task
+          // retry and failed-batch replay: every step converges (registry
+          // put is last; re-running any prefix re-applies no-ops).
+          val prev = reg.putIfAbsent(id, cell)
+          if (prev == null) {
+            idx.synchronized { idx.addPoint(id, v); ing.add(1) }
+          } else if (prev.intValue == cell) {
+            idx.synchronized {
+              if (idx.nodes.contains(id)) {
+                // upsertPoint covers: identical vector (no-op), changed
+                // vector (in-place re-link), tombstoned here by a crashed
+                // move (revive)
+                if (idx.upsertPoint(id, v)) upd.add(1)
+              } else {
+                // a task died between registering and inserting; the
+                // retry repairs the shard
+                idx.addPoint(id, v); ing.add(1)
               }
-            } else stale.add(1)
+            }
+          } else {
+            // cross-cell move: locks taken one at a time (never nested —
+            // no deadlock); queries never run mid-batch, so the brief
+            // tombstoned-but-not-yet-inserted window is unobservable
+            val removed = Option(SubIndexPin.get(s"$mid/${prev.intValue}"))
+              .exists(o => o.synchronized(o.removePoint(id)))
+            val upserted = idx.synchronized(idx.upsertPoint(id, v))
+            reg.put(id, cell)
+            if (removed || upserted) upd.add(1)
           }
         }
       }
@@ -227,10 +258,10 @@ class IncrementalIvfIndex(spark: SparkSession,
 
   /** COMPACTION: refit the coarse quantizer over everything currently
     * indexed and rebuild the per-cell graphs — the recovery path for
-    * corpus growth past the fit corpus ([[needsCompaction]]) and the
-    * ONLY path that applies vector updates (this maintainer is
-    * insert-only; [[staleUpdateCount]] counts what compaction owes).
-    * `updates` rows (vec_id, embedding) REPLACE same-id indexed vectors.
+    * corpus growth past the fit corpus ([[needsCompaction]]). Streamed
+    * vector updates are already live ([[appliedUpdateCount]]); the
+    * `updates` parameter is for EXTERNAL corrections — its
+    * (vec_id, embedding) rows REPLACE same-id indexed vectors.
     * Returns a fresh batch model. Epoch handoff: hand the model to
     * [[IncrementalIvfIndex.fromModel]] (then [[close]] this maintainer);
     * the NEW maintainer ingests only post-compact arrivals and

@@ -173,6 +173,112 @@ class HnswIndexSpec extends AnyFunSuite {
     assert((0L until 100L).forall(id => sampler.level(id) == sampler.level(id)))
   }
 
+  test("removePoint soft-deletes: excluded from results/size/toRows, " +
+      "still routes traversal, k live results survive") {
+    val rnd = new scala.util.Random(11)
+    val data = (0 until 200).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+    val idx = build(data, m = 8, efC = 64)
+    val victims = (0L until 40L).toSet
+    victims.foreach(id => assert(idx.removePoint(id)))
+    assert(!idx.removePoint(0L), "second remove is a no-op")
+    assert(!idx.removePoint(9999L), "unknown id is a no-op")
+    assert(idx.size == 160 && idx.deletedCount == 40)
+    // full-k searches return k LIVE results, never a deleted id
+    data.take(20).foreach { case (_, q) =>
+      val res = idx.searchKNN(q, 20, Some(100))
+      assert(res.length == 20, s"expected 20 live results, got ${res.length}")
+      assert(res.forall { case (id, _) => !victims.contains(id) })
+    }
+    // recall vs brute force over the LIVE set stays high — deleted nodes
+    // keep routing (edges intact), they just can't be results
+    val live = data.filter { case (id, _) => !victims.contains(id) }
+    var hits = 0; var total = 0
+    data.take(30).foreach { case (_, q) =>
+      val approx = idx.searchKNN(q, 10, Some(100)).map(_._1).toSet
+      val exact = live.map { case (id, v) => (id, Metric.Cosine.sim(q, v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(10).map(_._1).toSet
+      hits += approx.intersect(exact).size; total += exact.size
+    }
+    assert(hits.toDouble / total >= 0.9, s"post-delete recall ${hits.toDouble / total}")
+    // serialization drops tombstones AND strips dangling edges, so a
+    // rebuilt index searches cleanly and never surfaces a deleted id
+    val rows = idx.toRows.toArray
+    assert(rows.length == 160)
+    assert(rows.forall(r => r.neighbors.flatten.forall(nb => !victims.contains(nb))))
+    val back = HnswSerde.fromRows(rows.iterator, 8, 64, Metric.Cosine,
+      Some(64), 42L,
+      rows.map(_.level).max,
+      rows.filter(_.level == rows.map(_.level).max).map(_.id).min)
+    data.take(10).foreach { case (_, q) =>
+      val res = back.searchKNN(q, 10, Some(100))
+      assert(res.nonEmpty && res.forall { case (id, _) => !victims.contains(id) })
+    }
+  }
+
+  test("updatePoint re-links in place: new location found, old location " +
+      "forgotten, level/id stable, entry-point update works") {
+    // two tight clusters around (1,0,...) and (0,1,...); move a vector
+    // from cluster A to cluster B and the index must serve it there
+    val rnd = new scala.util.Random(5)
+    def near(base: Int, d: Int) =
+      Array.tabulate(8)(j => (if (j == d) 1f else 0f) + rnd.nextFloat() * 0.05f)
+    val a = (0 until 100).map(i => (i.toLong, near(i, 0)))
+    val b = (100 until 200).map(i => (i.toLong, near(i, 1)))
+    val idx = build(a ++ b, m = 8, efC = 64)
+    val moved = near(0, 1) // id 7 relocates into cluster B
+    idx.updatePoint(7L, moved)
+    assert(idx.nodes(7L).level == new SeededLevelSampler(
+      HnswIndex.levelProbs(8), 42L).level(7L), "level is a function of id")
+    val atNew = idx.searchKNN(moved, 5, Some(100))
+    assert(atNew.head._1 == 7L && math.abs(atNew.head._2 - 1.0) < 1e-9,
+      s"updated vector must be its own nearest neighbor, got ${atNew.toSeq}")
+    val atOld = idx.searchKNN(a.head._2, 50, Some(100)).map(_._1).take(40)
+    assert(!atOld.contains(7L),
+      "the old location must not rank the moved id among cluster A")
+    // updating the ENTRY node exercises the alternate-entry descent
+    val entry = idx.entryPointId
+    idx.updatePoint(entry, near(0, 1))
+    val res = idx.searchKNN(near(1, 1), 10, Some(100))
+    assert(res.nonEmpty, "search still works after entry-node update")
+    // dimension guard holds for updates too
+    intercept[IllegalArgumentException](idx.updatePoint(7L, Array(1f)))
+    intercept[IllegalArgumentException](idx.updatePoint(9999L, near(0, 0)))
+  }
+
+  test("upsertPoint: insert, no-op on identical, update on change, revive " +
+      "after remove; recall floor under 20% churn") {
+    val rnd = new scala.util.Random(13)
+    val data = (0 until 300).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+    val idx = new HnswIndex(8, 64, -1, Metric.Cosine, Some(64), None, 42L)
+    data.foreach { case (id, v) => assert(idx.upsertPoint(id, v)) }
+    assert(idx.size == 300)
+    assert(!idx.upsertPoint(5L, data(5)._2), "identical vector is a no-op")
+    // remove then upsert the same id: revived with the new vector
+    assert(idx.removePoint(5L))
+    assert(idx.size == 299)
+    val revived = Array.fill(8)(rnd.nextFloat() * 2 - 1)
+    assert(idx.upsertPoint(5L, revived))
+    assert(idx.size == 300 && !idx.isDeleted(5L))
+    assert(idx.searchKNN(revived, 1, Some(100)).head._1 == 5L)
+    // churn 20% of ids to fresh vectors; recall vs brute force over the
+    // FINAL corpus stays high (the update path must not shred the graph)
+    val updated = (0 until 60).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+    updated.foreach { case (id, v) => assert(idx.upsertPoint(id, v)) }
+    val finalCorpus = (updated ++ data.drop(60)).sortBy(_._1)
+    var hits = 0; var total = 0
+    finalCorpus.take(40).foreach { case (_, q) =>
+      val approx = idx.searchKNN(q, 10, Some(100)).map(_._1).toSet
+      val exact = finalCorpus.map { case (id, v) => (id, Metric.Cosine.sim(q, v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(10).map(_._1).toSet
+      hits += approx.intersect(exact).size; total += exact.size
+    }
+    assert(hits.toDouble / total >= 0.9,
+      s"post-churn recall ${hits.toDouble / total}")
+  }
+
   test("diversity heuristic picks spread-out neighbors (HNSW.test.ts:105-115)") {
     // base (0,0); candidates (1,0),(2,0),(0,2); euclidean; M=2 ⇒ [2,4]:
     // candidate 3 at (2,0) is closer to kept neighbor 2 at (1,0) than to base

@@ -122,8 +122,9 @@ class IncrementalIndexSpec extends AnyFunSuite {
     restored.close()
   }
 
-  test("insert-only contract: replay is free, changed vectors are counted, " +
-      "shard loss fails loudly, batched probes are exact") {
+  test("upsert contract: replay is free, changed vectors are APPLIED " +
+      "(in place and across cells), shard loss fails loudly, batched " +
+      "probes are exact") {
     import spark.implicits._
     import graft.hnsw.IvfHnsw
     val params = HnswParams(m = 16, efConstruction = 200, efSearch = 300)
@@ -133,19 +134,73 @@ class IncrementalIndexSpec extends AnyFunSuite {
     maintainer.processBatch(base, 0L)
     val n = base.count()
     assert(maintainer.ingestedCount == n)
-    assert(maintainer.staleUpdateCount == 0)
+    assert(maintainer.appliedUpdateCount == 0)
 
-    // identical replay: no new inserts, no stale updates (idempotence)
+    // identical replay: no new inserts, no applied updates (idempotence)
     maintainer.processBatch(base, 1L)
     assert(maintainer.ingestedCount == n)
-    assert(maintainer.staleUpdateCount == 0)
+    assert(maintainer.appliedUpdateCount == 0)
 
-    // re-delivery with a CHANGED embedding: dropped, but counted
-    val changed = base.limit(5)
+    // scaled embeddings (×2): same cosine direction → SAME cell, the
+    // in-place re-link path; byte-different, so they must be applied
+    val scaled = base.filter(col("vec_id") < 5)
       .withColumn("embedding", transform(col("embedding"), x => x * lit(2.0f)))
-    maintainer.processBatch(changed, 2L)
+    maintainer.processBatch(scaled, 2L)
     assert(maintainer.ingestedCount == n)
-    assert(maintainer.staleUpdateCount == 5)
+    assert(maintainer.appliedUpdateCount == 5)
+    assert(maintainer.indexedCount() == n, "updates must not change live count")
+
+    // negated embeddings: opposite direction → (usually) a different
+    // cell, the tombstone-and-move path; the registry re-homes the id
+    val negated = base.filter(col("vec_id") >= 5 && col("vec_id") < 10)
+      .withColumn("embedding", transform(col("embedding"), x => -x))
+      .cache()
+    maintainer.processBatch(negated, 3L)
+    assert(maintainer.ingestedCount == n)
+    assert(maintainer.appliedUpdateCount == 10)
+    assert(maintainer.indexedCount() == n, "moves must not change live count")
+
+    // replaying the update batch is also free (vectors now identical)
+    maintainer.processBatch(negated, 4L)
+    assert(maintainer.appliedUpdateCount == 10)
+    assert(maintainer.indexedCount() == n)
+
+    // exhaustive serving (all cells, ef >= cell size) must EXACTLY match
+    // the brute-force scan over the UPDATED corpus — moved vectors found
+    // at their new location, old locations forgotten
+    val updatedCorpus = base.filter(col("vec_id") >= 10)
+      .unionByName(base.filter(col("vec_id") < 5)
+        .withColumn("embedding", transform(col("embedding"), x => x * lit(2.0f))))
+      .unionByName(negated)
+    val updProbes = negated
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val servedDf = maintainer.knnJoin(updProbes, k = 10, nprobe = 4).cache()
+    val served = servedDf
+      .select("query_id", "neighbor_id").collect().map(_.toSeq).toSet
+    val exactUpd = KnnJoin.exactKnnJoin(updatedCorpus, updProbes, k = 10)
+      .select("query_id", "neighbor_id").collect().map(_.toSeq).toSet
+    assert(served == exactUpd,
+      "exhaustive probe must serve the updated corpus exactly")
+    // each negated vector is its own nearest neighbor — impossible
+    // unless the update actually moved it
+    val top1 = servedDf.filter(col("rank") === 1).collect()
+    assert(top1.length == 5 && top1.forall(r => r.getLong(0) == r.getLong(1)))
+    servedDf.unpersist()
+
+    // snapshot after moves: tombstones are PURGED at serialization (live
+    // rows only, dangling edges stripped), so the batch-served layout
+    // reproduces the live updated results exactly
+    val snapDir = java.nio.file.Files.createTempDirectory("incivf-upd").toString + "/m"
+    maintainer.snapshot(snapDir)
+    val servedModel = IvfHnsw.load(spark, snapDir).get
+    assert(servedModel.hnsw.graph.count() == n,
+      "snapshot must hold exactly the live corpus — no tombstones")
+    val snapRes = IvfHnsw.knnJoin(servedModel, updProbes, k = 10, nprobe = 4)
+      .select("query_id", "neighbor_id").collect().map(_.toSeq).toSet
+    assert(snapRes == exactUpd,
+      "snapshot-served results must match the exact scan over the updated corpus")
+    IvfHnsw.delete(spark, snapDir)
+    negated.unpersist()
 
     // batched probe path returns exactly the unbatched result set
     val probes = emb.filter(col("vec_id") < 20)
@@ -177,8 +232,37 @@ class IncrementalIndexSpec extends AnyFunSuite {
     batchModel.unpersist()
   }
 
+  test("plain maintainer upsert: in-place updates served, replay free") {
+    import spark.implicits._
+    val maintainer = new IncrementalIndex(spark,
+      HnswParams(m = 16, efConstruction = 200, efSearch = 300, numPartitions = 2))
+    val base = emb.select(col("vec_id"), col("embedding"))
+    maintainer.processBatch(base, 0L)
+    val n = base.count()
+    assert(maintainer.ingestedCount == n && maintainer.appliedUpdateCount == 0)
+
+    val negated = base.filter(col("vec_id") < 5)
+      .withColumn("embedding", transform(col("embedding"), x => -x))
+      .cache()
+    maintainer.processBatch(negated, 1L)
+    assert(maintainer.appliedUpdateCount == 5)
+    assert(maintainer.indexedCount() == n, "in-place update keeps live count")
+    maintainer.processBatch(negated, 2L)
+    assert(maintainer.appliedUpdateCount == 5, "replay applies nothing")
+
+    // every updated vector is served at its NEW location, rank 1
+    val probes = negated
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val top1 = maintainer.knnJoin(probes, k = 5, Some(300))
+      .filter(col("rank") === 1).collect()
+    assert(top1.length == 5 && top1.forall(r => r.getLong(0) == r.getLong(1)),
+      "updated vectors must be their own nearest neighbors")
+    negated.unpersist()
+    maintainer.close()
+  }
+
   test("compaction: growth-keyed trigger, quantizer refit over the indexed " +
-      "corpus, dropped updates applied") {
+      "corpus, streamed updates carried through") {
     import spark.implicits._
     import graft.hnsw.IvfHnsw
     val params = HnswParams(m = 16, efConstruction = 200, efSearch = 300)
@@ -194,20 +278,22 @@ class IncrementalIndexSpec extends AnyFunSuite {
     assert(maintainer.needsCompaction(2.0) && !maintainer.needsCompaction(2.5))
     assert(maintainer.currentVectors().count() == maintainer.indexedCount())
 
-    // deliver CHANGED embeddings (negated) for 5 ids — dropped, counted
+    // deliver CHANGED embeddings (negated) for 5 ids — applied LIVE
+    // (cross-cell moves through the id registry, no duplicate ids)
     val changed = base.filter(col("vec_id") < 5)
       .withColumn("embedding", transform(col("embedding"), x => -x))
       .cache()
     maintainer.processBatch(changed, 1L)
-    // the negated vectors re-route to DIFFERENT cells — the cross-cell id
-    // registry must still detect them as dropped updates, and the index
-    // must NOT grow duplicate ids
-    assert(maintainer.staleUpdateCount == 5)
+    assert(maintainer.appliedUpdateCount == 5)
     assert(maintainer.indexedCount() == base.count())
+    // currentVectors carries the UPDATED vectors (tombstones excluded),
+    // so a plain compact() refits over the post-update corpus
+    assert(maintainer.currentVectors().count() == base.count())
 
-    // compact with updates: fresh quantizer + graphs over the merged
-    // corpus, updates replacing same-id vectors
-    val compacted = maintainer.compact(updates = Some(changed))
+    // compact WITHOUT an updates argument: the streamed updates are
+    // already in the indexed corpus, so the plain refit must carry them
+    // (the `updates` param remains for external corrections)
+    val compacted = maintainer.compact()
     val merged = base.filter(col("vec_id") >= 5).unionByName(changed)
     assert(compacted.hnsw.graph.count() == base.count())
     // all-cells probing with ef >= cell size is exhaustive, so the
