@@ -190,4 +190,20 @@ object MaxSim {
       .orderBy(col("score").desc, col("doc_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** Quantizer-SHARING composition: gate late-interaction retrieval with
+    * the SAME coarse quantizer a single-vector hybrid index was fitted
+    * with (`IvfHnsw.fit`/`load`) — one fleet-wide cell geometry across
+    * single- and multi-vector surfaces, so a mixed corpus pays ONE
+    * quantizer fit and routes every retrieval mode through the same
+    * centroid literals (consistent cell pruning, shared cell-partitioned
+    * layouts). Exactly [[maxSimJoinIvf]] with the model's centroids and
+    * metric. */
+  def maxSimJoinSharedQuantizer(docVecs: DataFrame, queryVecs: DataFrame,
+      k: Int, model: graft.hnsw.IvfHnsw.Model, nprobe: Int = 2,
+      queryId: String = "query_id", queryVec: String = "query_vec",
+      idCol: String = "doc_id", vecCol: String = "vec",
+      scoreDigits: Int = -1): DataFrame =
+    maxSimJoinIvf(docVecs, queryVecs, k, model.centroids, nprobe,
+      model.hnsw.params.metric, queryId, queryVec, idCol, vecCol, scoreDigits)
 }

@@ -285,6 +285,22 @@ class OperatorsSpec extends AnyFunSuite {
         .intersect(exactIds(q).map(_._2).toSet).size
       assert(hit >= 5, s"query $q: gated/exact top-10 overlap $hit/10")
     }
+
+    // quantizer SHARING: the single-vector hybrid model's quantizer gates
+    // the multi-vector surface — one fit serves both retrieval modes.
+    // Identical to passing its centroids/metric explicitly, and exact at
+    // all-cells gating
+    val hyModel = graft.hnsw.IvfHnsw.fit(emb, numCells = 8,
+      graft.hnsw.HnswParams(m = 8, efConstruction = 64))
+    val shared = MaxSim.maxSimJoinSharedQuantizer(dv, qv, k = 10, hyModel,
+      nprobe = 8, scoreDigits = 6).collect().map(_.toSeq).toSet
+    val viaCents = MaxSim.maxSimJoinIvf(dv, qv, k = 10, hyModel.centroids,
+      nprobe = 8, metric = hyModel.hnsw.params.metric, scoreDigits = 6)
+      .collect().map(_.toSeq).toSet
+    assert(shared == viaCents, "model overload must equal explicit centroids")
+    assert(shared == exact.collect().map(_.toSeq).toSet,
+      "all-cells shared-quantizer gating must reproduce brute force")
+    hyModel.unpersist()
   }
 
   test("clustered synthetic source: seeded, partition-independent, separable") {

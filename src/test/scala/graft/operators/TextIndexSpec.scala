@@ -71,9 +71,79 @@ class TextIndexSpec extends AnyFunSuite {
       s"diff: ${(indexed diff scratch).take(3)} / ${(scratch diff indexed).take(3)}")
   }
 
+  test("lexicon df matches the posting lists; maxDfFrac cuts head terms " +
+      "BEFORE the posting scan and equals manual stopword removal") {
+    built
+    import spark.implicits._
+    // lexicon df = distinct docs per term (one posting row per (doc, term))
+    val fromPostings = spark.table(s"${prefix}_postings")
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val lex = spark.table(s"${prefix}_lexicon")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(lex == fromPostings)
+
+    val st = TextIndex.stats(spark, prefix)
+    val frac = 0.2
+    val queryTerms = spark.table(s"${prefix}_postings")
+      .filter(col("doc_id") < 20)
+      .select(col("doc_id").as("qid"), col("term")).cache()
+    // pruned serve ≡ full serve over a query set with head terms removed
+    // by hand — the cut is exactly "drop terms with df > frac·N"
+    val lowDfTerms = lex.filter(_._2 <= frac * st.n).keySet
+    val manual = TextIndex.bm25TopDocs(spark, prefix,
+        queryTerms.filter(col("term").isin(lowDfTerms.toSeq: _*)), topk = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val pruned = TextIndex.bm25TopDocs(spark, prefix, queryTerms, topk = 10,
+        maxDfFrac = frac)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(pruned == manual,
+      s"diff: ${(pruned diff manual).take(3)} / ${(manual diff pruned).take(3)}")
+    assert(pruned.nonEmpty, "the fixture must keep some content terms")
+
+    // the head terms' posting lists are never read: the posting scan's
+    // term membership filter (the lexicon lookup is eager and not part
+    // of this plan) strictly shrinks under the cut. OptimizeIn renders
+    // the list as In (≤10 terms), InSet (>10), or a bare EqualTo when a
+    // single survivor remains — count the widest membership width.
+    def termFilterWidth(df: org.apache.spark.sql.DataFrame): Int = {
+      import org.apache.spark.sql.catalyst.expressions._
+      df.queryExecution.optimizedPlan.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition.collect {
+            case i: In => i.list.size
+            case s: InSet => s.hset.size
+            case EqualTo(a: AttributeReference, _: Literal)
+                if a.name == "term" => 1
+            case EqualTo(_: Literal, a: AttributeReference)
+                if a.name == "term" => 1
+          }
+      }.flatten.reduceOption(_ max _).getOrElse(-1)
+    }
+    val full = TextIndex.bm25TopDocs(spark, prefix, queryTerms, topk = 10)
+    val prunedDf = TextIndex.bm25TopDocs(spark, prefix, queryTerms, topk = 10,
+      maxDfFrac = frac)
+    val fullIn = termFilterWidth(full)
+    val prunedIn = termFilterWidth(prunedDf)
+    assert(prunedIn > 0 && prunedIn < fullIn,
+      s"pruned width $prunedIn vs full $fullIn\n" +
+        s"pruned plan:\n${prunedDf.queryExecution.optimizedPlan}")
+
+    // a probe whose every term is stopword-class returns no rows
+    val headTerms = lex.toSeq.sortBy(-_._2).take(2).map(_._1)
+    val allHead = headTerms.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("qid", "term")
+    assert(TextIndex.bm25TopDocs(spark, prefix, allHead, topk = 10,
+      maxDfFrac = 1e-9).count() == 0)
+    queryTerms.unpersist()
+  }
+
   test("drop removes the persisted tables (store CRUD contract)") {
     TextIndex.drop(spark, prefix)
     assert(!spark.catalog.tableExists(s"${prefix}_postings"))
+    assert(!spark.catalog.tableExists(s"${prefix}_lexicon"))
     assert(!spark.catalog.tableExists(s"${prefix}_stats"))
   }
 }
