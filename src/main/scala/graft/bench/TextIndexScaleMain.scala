@@ -90,23 +90,29 @@ object TextIndexScaleMain {
         .mkString(" "))
 
     // stopword-class pruning: a Zipf query set carries head terms whose
-    // posting lists are O(corpus) yet contribute ~zero idf mass — the
-    // lexicon lets the serve path drop them BEFORE the posting scan
-    val maxDfFrac = sys.env.getOrElse("TIX_MAXDF", "0.05").toDouble
-    var prunedPairs = Set.empty[(Long, Long)]
-    val prunedWalls = (1 to repeats).map { _ =>
-      val t = System.nanoTime()
-      prunedPairs = TextIndex.bm25TopDocs(spark, prefix, queryTerms,
-          topk = 10, maxDfFrac = maxDfFrac)
-        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
-      (System.nanoTime() - t) / 1e9
+    // posting lists are O(corpus) to read — the lexicon lets the serve
+    // path drop them BEFORE the posting scan. The cut's ranking cost
+    // depends on where it lands on the idf curve (df = frac·N ⇒
+    // idf = ln(1 + (1-frac)/frac + ...)), so sweep a frac list to map
+    // the quality/wall trade-off against the same full-serve top-10.
+    val fracs = sys.env.getOrElse("TIX_MAXDF", "0.05")
+      .split(",").map(_.toDouble)
+    for (maxDfFrac <- fracs) {
+      var prunedPairs = Set.empty[(Long, Long)]
+      val prunedWalls = (1 to repeats).map { _ =>
+        val t = System.nanoTime()
+        prunedPairs = TextIndex.bm25TopDocs(spark, prefix, queryTerms,
+            topk = 10, maxDfFrac = maxDfFrac)
+          .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+        (System.nanoTime() - t) / 1e9
+      }
+      println(f"TEXTINDEX-SCALE serve-pruned maxDfFrac=$maxDfFrac " +
+        f"rows=${prunedPairs.size} " +
+        prunedWalls.zipWithIndex.map { case (s, i) => f"serve${i + 1}=${s}%.1fs" }
+          .mkString(" ") +
+        // ranking quality of the cut: overlap of pruned vs full top-10
+        f" overlap@10=${prunedPairs.intersect(fullPairs).size.toDouble / fullPairs.size}%.3f")
     }
-    println(f"TEXTINDEX-SCALE serve-pruned maxDfFrac=$maxDfFrac " +
-      f"rows=${prunedPairs.size} " +
-      prunedWalls.zipWithIndex.map { case (s, i) => f"serve${i + 1}=${s}%.1fs" }
-        .mkString(" ") +
-      // ranking quality of the cut: overlap of pruned vs full top-10
-      f" overlap@10=${prunedPairs.intersect(fullPairs).size.toDouble / fullPairs.size}%.3f")
 
     // the from-scratch pipeline at the same scale: re-tokenizes the
     // corpus and runs corpus-wide aggregations per call — and must agree
