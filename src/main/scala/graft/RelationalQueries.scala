@@ -30,10 +30,23 @@ object RelationalQueries {
   /** The events table is written with nanosecond timestamps, which Spark's
     * parquet reader rejects unless read as long — convert back to (micro)
     * timestamps, truncating like DuckDB's TIMESTAMP_NS→TIMESTAMP cast. */
+  /** events table with `ts` normalized to TimestampType regardless of the
+    * on-disk layout: older generations stored int64 nanoseconds (read as
+    * long under the legacy nanosAsLong conf), newer ones a native
+    * timestamp[us]. Downstream queries always see a timestamp. */
   private[graft] def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = t(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // parquet timestamp[us] without tz metadata; sessions run UTC so
+        // the NTZ -> LTZ cast is an exact relabel, and downstream
+        // unix_micros/window arithmetic needs the LTZ type
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
