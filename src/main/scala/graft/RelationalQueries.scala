@@ -27,15 +27,15 @@ object RelationalQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table is written with nanosecond timestamps, which Spark's
-    * parquet reader rejects unless read as long — convert back to (micro)
-    * timestamps, truncating like DuckDB's TIMESTAMP_NS→TIMESTAMP cast. */
   /** events table with `ts` normalized to TimestampType regardless of the
     * on-disk layout: older generations stored int64 nanoseconds (read as
     * long under the legacy nanosAsLong conf), newer ones a native
     * timestamp[us]. Downstream queries always see a timestamp. */
   private[graft] def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the NTZ->LTZ relabel below is exact only under UTC; pin it here
+    // rather than relying on every caller's session config
+    s.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = t(s, dir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>

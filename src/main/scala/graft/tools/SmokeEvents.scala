@@ -31,7 +31,7 @@ object SmokeEvents {
       } catch {
         case e: Throwable =>
           failed += 1
-          println(s"FAIL $n ${e.getClass.getSimpleName}: ${e.getMessage.take(200)}")
+          println(s"FAIL $n ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
       }
     }
     spark.stop()
