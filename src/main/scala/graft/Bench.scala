@@ -19,6 +19,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val loadStart = readLoadAvg()
     // Warm-up: pay session/codegen/JIT startup once, outside any timing.
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000).count()
     spark.range(0, 1000000).selectExpr("sum(id)").collect()
@@ -33,7 +34,8 @@ object Bench {
         catch { case e: Throwable => Some(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val (fullLine, stdoutLine) = Bench.renderLines(results, sfDir)
+    val (fullLine, stdoutLine) = Bench.renderLines(results, sfDir,
+      loadStart = loadStart, loadEnd = readLoadAvg(), cpuSec = processCpuSec())
     // Stdout tails get truncated by log collectors at 2000 chars
     // (BENCH_r03/r04 lost the head of the JSON line mid-key); the full
     // 97-query map CANNOT fit that window, so stdout carries a compact,
@@ -50,12 +52,36 @@ object Bench {
     spark.stop()
   }
 
+  /** 1-minute load average from /proc/loadavg, or -1 where unreadable.
+    * BENCH_r07 recorded 10-20x per-query swings (quality_filter 1.8->21.5s,
+    * recall_hnsw 1.4->26s) that reproduced at r6-level speeds on an idle
+    * box minutes later — the driver's bench can land on a loaded VM, and
+    * without a contention signal in the line those swings read as code
+    * regressions. */
+  private def readLoadAvg(): Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.getLines().next().split("\\s+")(0).toDouble finally src.close()
+    } catch { case _: Exception => -1.0 }
+
+  /** Total JVM process CPU seconds (utime+stime incl. child-thread work),
+    * or -1 where the platform bean is unavailable. cpu_sec/total >> 1 on a
+    * healthy 32-way run; a total that grows while cpu_sec doesn't is
+    * external contention, not engine work. */
+  private def processCpuSec(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case b: com.sun.management.OperatingSystemMXBean =>
+        b.getProcessCpuTime / 1e9
+      case _ => -1.0
+    }
+
   /** Renders (full-precision file line, compact stdout line). Factored so
     * the stdout-contract spec can pin: the compact line parses as one
     * complete JSON object and fits a 2000-char log-collector tail with
     * room for sbt's trailing success line. */
   private[graft] def renderLines(results: Seq[(String, Double, Option[String])],
-      sfDir: String): (String, String) = {
+      sfDir: String, loadStart: Double = -1.0, loadEnd: Double = -1.0,
+      cpuSec: Double = -1.0): (String, String) = {
     def esc(s: String) = s.replaceAll("[\"\\\\\n\r\t]", " ").take(200)
     def qsJson(rs: Seq[(String, Double, Option[String])], round3: Boolean) =
       rs.map { case (k, v, err) =>
@@ -73,8 +99,12 @@ object Bench {
       .map { case (k, m) => "\"" + k + "\":\"" + esc(m).take(80) + "\"" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
+    // box-contention telemetry: 1-min loadavg at battery start/end plus
+    // process CPU seconds — lets round-over-round comparison discount
+    // loaded-VM noise (see readLoadAvg). ~55 chars, inside the tail budget.
+    val tele = f""""load_start":$loadStart%.2f,"load_end":$loadEnd%.2f,"cpu_sec":$cpuSec%.1f"""
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qsJson(results, round3 = false)},"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qsJson(results, round3 = false)},"errors":$errs,$tele,"sf":"$sfDir"}"""
     val headline = Set(
       "q1_agg", "q3_topk_join", "q5_nation_revenue", "q_range_join",
       "q_window_topk", "q_sessions_batch", "q_click_attrib_last",
@@ -92,7 +122,7 @@ object Bench {
     val sub = results.filter { case (k, _, e) =>
       headline(k) || (e.isDefined && extraFail(k)) }
     val stdoutLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${qsJson(sub, round3 = true)},"errors":$errsCompact,"nerr":${failing.size},"nq":${results.size},"file":"bench/outputs/bench_latest.json","sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${qsJson(sub, round3 = true)},"errors":$errsCompact,"nerr":${failing.size},"nq":${results.size},$tele,"file":"bench/outputs/bench_latest.json","sf":"$sfDir"}"""
     (fullLine, stdoutLine)
   }
 }

@@ -17,17 +17,24 @@ class BenchLineSpec extends AnyFunSuite {
     SparkEntry.queries.keys.toSeq.sorted.map(k => (k, 1.23456789, err))
 
   test("compact stdout line parses as complete JSON and fits the tail window") {
-    val (full, line) = Bench.renderLines(results(None), "/root/testdata/sf0.1")
+    val (full, line) = Bench.renderLines(results(None), "/root/testdata/sf0.1",
+      loadStart = 31.25, loadEnd = 2.5, cpuSec = 1234.5)
     val node = mapper.readTree(line)
     assert(node.get("metric").asText() == "total")
     assert(node.get("nq").asInt() == SparkEntry.queries.size)
     assert(node.get("queries").size() > 10)
     assert(node.get("errors").size() == 0)
+    // contention telemetry rides both lines so a loaded-VM round (see
+    // BENCH_r07's 10-20x swings) is distinguishable from a regression
+    assert(node.get("load_start").asDouble() == 31.25)
+    assert(node.get("load_end").asDouble() == 2.5)
+    assert(node.get("cpu_sec").asDouble() == 1234.5)
     // 2000-char collector tail minus sbt's trailing success line (~80)
     assert(line.length <= 1800, s"stdout line too long: ${line.length}")
     // the file line carries EVERY query at full precision
     val fullNode = mapper.readTree(full)
     assert(fullNode.get("queries").size() == SparkEntry.queries.size)
+    assert(fullNode.get("cpu_sec").asDouble() == 1234.5)
   }
 
   test("failures surface on stdout even for non-headline queries") {
