@@ -183,6 +183,13 @@ object VectorQueries {
       AnnLsh.lshNearDupPairs(emb(s, dir), threshold = 0.4,
         numPlanes = 6, d = 64, numTables = 4)),
 
+    // SemDeDup-style semantic dedup: IVF-cell clustering + within-cell
+    // keep-first cosine pruning. Oracle-checked from the SAME recorded
+    // centroid literals as knn_ivf (the trained-quantizer recipe); the
+    // only pairwise work is a cell equi-join (PlanSpec no-cartesian).
+    "semdedup_embeddings" -> ((s, dir) =>
+      graft.operators.SemDedup.dedup(ivfModel(s, dir), threshold = 0.8)),
+
     // IVF-Flat ANN (coarse-quantized scale path). Oracle-checked like
     // LSH/SQ8: the trained centroids are emitted as DuckDB literals at
     // Verify-dump time ([[ivfModel]] records them), so the WHOLE
@@ -610,6 +617,8 @@ object VectorQueries {
     case Some(cents) =>
       val cte = graft.operators.IvfFlat.duckdbTopkCte(cents, nprobe = 4, k = 10)
       Map(
+        "semdedup_embeddings" ->
+          graft.operators.SemDedup.duckdbSql(cents, threshold = 0.8),
         "knn_ivf_cosine" ->
           s"""$cte
              |SELECT query_id, neighbor_id, score, rank FROM ivf_topk""".stripMargin,
