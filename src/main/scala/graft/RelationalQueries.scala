@@ -291,10 +291,30 @@ object RelationalQueries {
           expr("aggregate(transform(keys, x -> x * 2L), 0L, (a, x) -> a + x)")
             .as("double_sum"),
           expr("size(array_distinct(transform(keys, x -> x % 10)))")
-            .as("n_mod_groups")))
+            .as("n_mod_groups"))),
+
+    // Morton (z-order) key arithmetic — the data-skipping layout key
+    // (operators.ZOrder): unrolled shift/mask interleave of two key
+    // columns, whole-stage codegen, exact integer arithmetic mirrored in
+    // the oracle. The layout itself (repartitionByRange + in-file sort +
+    // measured row-group skipping) is spec- and BASELINE-gated; this
+    // entry pins the key arithmetic cross-engine.
+    "zorder_key" -> ((s, dir) =>
+      t(s, dir, "lineitem").filter(col("l_orderkey") < 300)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"),
+          graft.operators.ZOrder.zvalue(col("l_partkey"), col("l_suppkey"),
+            bits = 16).as("zkey")))
   )
 
   val oracle: Map[String, String] = Map(
+    "zorder_key" -> {
+      val z = graft.operators.ZOrder.duckdbZExpr(
+        "CAST(l_partkey AS BIGINT)", "CAST(l_suppkey AS BIGINT)", bits = 16)
+      s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         | $z AS zkey
+         |FROM lineitem WHERE l_orderkey < 300""".stripMargin
+    },
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | floor((sum(l_quantity))*1e2 + 0.5)/1e2 AS sum_qty,
