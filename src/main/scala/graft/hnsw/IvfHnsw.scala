@@ -122,16 +122,15 @@ object IvfHnsw {
   def routeProbes(centroids: Array[(Int, Array[Float])], metric: String,
       queries: DataFrame, nprobe: Int,
       queryId: String, queryVec: String): DataFrame = {
-    // struct(-score, cell): ascending array_sort ≡ (score desc, cell asc)
-    val ranked = centroids.map { case (c, v) =>
-      struct(
-        negate(nanvl(similarity.sim(metric)(col("qvec"), typedlit(v)), lit(-1.0))).as("ns"),
-        lit(c).as("c"))
-    }
+    // (score desc, cell ASC) — the struct(-s, c) ascending-sort order the
+    // literal form produced, via the O(1)-codegen scorer expression
+    // (graft.functions.CellScorer; see IvfFlat.assign for the why)
     queries
       .select(col(queryId).cast("long").as("query_id"),
         col(queryVec).cast("array<float>").as("qvec"))
-      .withColumn("cells", slice(array_sort(array(ranked.toSeq: _*)), 1, nprobe)("c"))
+      .withColumn("cells",
+        graft.functions.cells.nearest_cells(col("qvec"), centroids, metric,
+          n = nprobe, tieCellDesc = false))
   }
 
   /** Cell-routed search: rank centroids per query executor-side

@@ -71,20 +71,18 @@ object IvfFlat {
     Model(finalCentroids, assigned.repartition(col("cell")))
   }
 
-  /** argmax-similarity cell assignment against broadcast literal centroids.
-    * Zero-norm vectors score NaN under cosine, and Spark orders NaN above
-    * every double — without the nanvl guard greatest() would hand such
-    * rows an arbitrary (last-NaN) cell. They pin to -1.0 (worst) instead,
-    * landing deterministically in the first cell. */
+  /** argmax-similarity cell assignment against the centroid matrix.
+    * Arithmetic + ties are the proven literal-expression semantics
+    * (greatest(struct): NaN→-1.0, equal scores pick the LARGER cell),
+    * executed by [[graft.functions.CellScorer]] — a single reference-
+    * object expression, so codegen cost is O(1) in C instead of the
+    * O(C·d) generated source that cost ~100 s of Janino/JIT per plan at
+    * C=128 (SemDedupScaleMain, round 8). */
   private def assign(df: DataFrame, centroids: Array[(Int, Array[Float])],
-      metric: String = "cosine"): DataFrame = {
-    val scores = centroids.map { case (c, v) =>
-      struct(nanvl(similarity.sim(metric)(col("vec"), typedlit(v)), lit(-1.0)).as("s"),
-        lit(c).as("c"))
-    }
-    df.withColumn("best", greatest(scores.toSeq: _*))
-      .withColumn("cell", col("best.c")).drop("best")
-  }
+      metric: String = "cosine"): DataFrame =
+    df.withColumn("cell", element_at(
+      graft.functions.cells.nearest_cells(col("vec"), centroids, metric,
+        n = 1, tieCellDesc = true), 1))
 
   /** Size-capped balanced assignment: each row's nearest cell keeps its
     * `cap` BEST-FITTING rows (similarity-desc, id tie-break — a
@@ -98,15 +96,20 @@ object IvfFlat {
     * slightly vs greedy assignment. */
   private def assignBalanced(df: DataFrame, centroids: Array[(Int, Array[Float])],
       metric: String, cap: Long): DataFrame = {
-    val scores = centroids.map { case (c, v) =>
-      struct(nanvl(similarity.sim(metric)(col("vec"), typedlit(v)), lit(-1.0)).as("s"),
-        lit(c).as("c"))
-    }
+    // top-2 cells via the reference-object scorer (same (s desc, c desc)
+    // order the literal reverse(array_sort) form produced); s1 recomputed
+    // against a SINGLE matrix literal — one expression, not C of them
+    val matrix = centroids.sortBy(_._1).map(_._2)
+    require(centroids.map(_._1).sorted.sameElements(centroids.indices),
+      "balanced assignment expects dense 0..C-1 cell ids")
     val w = Window.partitionBy("cell1").orderBy(col("s1").desc, col("id"))
-    df.withColumn("top2", slice(reverse(array_sort(array(scores.toSeq: _*))), 1, 2))
-      .withColumn("cell1", col("top2")(0)("c"))
-      .withColumn("s1", col("top2")(0)("s"))
-      .withColumn("cell2", col("top2")(1)("c"))
+    df.withColumn("top2",
+        graft.functions.cells.nearest_cells(col("vec"), centroids, metric,
+          n = 2, tieCellDesc = true))
+      .withColumn("cell1", col("top2")(0))
+      .withColumn("cell2", col("top2")(1))
+      .withColumn("s1", nanvl(similarity.sim(metric)(col("vec"),
+        element_at(typedlit(matrix), col("cell1") + 1)), lit(-1.0)))
       .withColumn("rn", row_number().over(w))
       .withColumn("cell",
         when(col("rn") <= cap, col("cell1")).otherwise(col("cell2")))
@@ -153,17 +156,14 @@ object IvfFlat {
       queryId: String = "query_id", queryVec: String = "query_vec",
       scoreDigits: Int = -1): DataFrame = {
     require(k > 0 && nprobe > 0)
-    // same NaN guard as assign(): a zero-norm query probes the first
-    // nprobe cells deterministically instead of NaN-ranked arbitrary ones
-    val cellScores = model.centroids.map { case (c, v) =>
-      struct(nanvl(similarity.cosine_sim(col("qvec"), typedlit(v)), lit(-1.0)).as("s"),
-        lit(c).as("c"))
-    }
+    // same NaN guard + (s desc, c desc) order as the literal
+    // reverse(array_sort) form, via the O(1)-codegen scorer expression
     val probes = queries
       .select(col(queryId), col(queryVec).as("qvec"))
       .withColumn("cells",
-        slice(reverse(array_sort(array(cellScores: _*))), 1, nprobe))
-      .select(col(queryId), col("qvec"), explode(col("cells.c")).as("cell"))
+        graft.functions.cells.nearest_cells(col("qvec"), model.centroids,
+          "cosine", n = nprobe, tieCellDesc = true))
+      .select(col(queryId), col("qvec"), explode(col("cells")).as("cell"))
     val raw = nanvl(similarity.cosine_sim(col("vec"), col("qvec")), lit(-1.0))
     val scoreExpr = if (scoreDigits >= 0) graft.Qutil.rnd(raw, scoreDigits) else raw
     val cands = model.assigned.join(probes, Seq("cell"))
