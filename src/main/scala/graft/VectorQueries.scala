@@ -393,6 +393,29 @@ object VectorQueries {
       Recall.microAvgRecall(approx, exact)
     }),
 
+    // BQ (binary/sign quantization): 1 bit/dim packed into longs — 32×
+    // smaller than float32; XOR+popcount Hamming scan + exact cosine
+    // rerank. Midrange thresholds are order-independent exact arithmetic
+    // and the candidate key (hamming, cand_id) is integer-valued, so the
+    // WHOLE pipeline is cross-engine oracle-checked with no rounding
+    // epsilon before the shared 1e-6 rerank.
+    "knn_bq_cosine" -> ((s, dir) => {
+      val model = ModelMemo.get(s, s"bq/1bit/$dir")(
+        graft.operators.Bq.fit(emb(s, dir)))
+      graft.operators.Bq.knnJoin(model, emb(s, dir), probes(s, dir),
+        k = 10, rerank = 100, scoreDigits = 6)
+    }),
+
+    "recall_bq" -> ((s, dir) => {
+      val model = ModelMemo.get(s, s"bq/1bit/$dir")(
+        graft.operators.Bq.fit(emb(s, dir)))
+      val approx = graft.operators.Bq.knnJoin(model, emb(s, dir),
+        probes(s, dir), k = 10, rerank = 100, scoreDigits = 6)
+      val exact = KnnJoin.exactKnnJoin(emb(s, dir), probes(s, dir), k = 10,
+        metric = "cosine", scoreDigits = 6)
+      Recall.microAvgRecall(approx, exact)
+    }),
+
     "recall_opq" -> ((s, dir) => {
       val approx = graft.operators.Opq.knnJoin(opqModel(s, dir), emb(s, dir),
         probes(s, dir), k = 10, rerank = 100, scoreDigits = 6, adcDigits = 9)
@@ -965,6 +988,30 @@ object VectorQueries {
          |    CAST(sum(CASE WHEN s.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
          |      AS BIGINT) AS hits
          |   FROM exact_topk x LEFT JOIN sq_topk s
+         |    ON s.query_id = x.query_id AND s.neighbor_id = x.neighbor_id
+         |   GROUP BY x.query_id)
+         |SELECT count(*) AS n_queries, CAST(sum(hits) AS BIGINT) AS hits,
+         | CAST(sum(total) AS BIGINT) AS total,
+         | sum(hits)*1.0/sum(total) AS recall
+         |FROM per_q""".stripMargin,
+    "knn_bq_cosine" ->
+      s"""${graft.operators.Bq.duckdbTopkCte(64)}
+         |SELECT query_id, neighbor_id, score, rank FROM bq_topk""".stripMargin,
+    "recall_bq" ->
+      s"""${graft.operators.Bq.duckdbTopkCte(64)},
+         | exact_scored AS (
+         |  SELECT q.query_id, e.vec_id AS neighbor_id,
+         |   floor((list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])))*1e6 + 0.5)/1e6 AS score
+         |  FROM embeddings e, q),
+         | exact_topk AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |   SELECT *, row_number() OVER (PARTITION BY query_id
+         |     ORDER BY score DESC, neighbor_id) AS rank FROM exact_scored)
+         |  WHERE rank <= 10),
+         | per_q AS (SELECT x.query_id, count(*) AS total,
+         |    CAST(sum(CASE WHEN s.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS hits
+         |   FROM exact_topk x LEFT JOIN bq_topk s
          |    ON s.query_id = x.query_id AND s.neighbor_id = x.neighbor_id
          |   GROUP BY x.query_id)
          |SELECT count(*) AS n_queries, CAST(sum(hits) AS BIGINT) AS hits,
