@@ -125,6 +125,13 @@ object TextQueries {
           .stripMargin)).as(Seq("j", "mh")))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // duplicated-substring spans (the exact-substring-dedup signal):
+    // per-doc count + span-union coverage of 8-token windows that occur
+    // ≥2 times corpus-wide — distributed window group-by instead of a
+    // suffix array (see operators.NgramDup for the 100 TB shape)
+    "dup_ngram_spans" -> ((s, dir) =>
+      graft.operators.NgramDup.dupNgramStats(docs(s, dir), w = 8, minCount = 2)),
+
     // token counting: whitespace tokens + BPE-ish regex token count
     "token_stats" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
@@ -635,6 +642,7 @@ object TextQueries {
       |WHERE rnk <= 10""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "dup_ngram_spans" -> graft.operators.NgramDup.duckdbSql(w = 8, minCount = 2),
     "dataset_mix" ->
       """WITH b AS (SELECT doc_id, source,
         |  ('0x' || substr(md5('mix:' || doc_id), 1, 15))::BIGINT % 1000000 AS bucket,

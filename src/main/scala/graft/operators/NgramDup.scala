@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.Qutil.rnd
+
+/** Duplicated-substring detection: which token windows of each document
+  * also occur elsewhere in the corpus, and how much of the document they
+  * cover. The operator behind exact-substring deduplication of LLM
+  * training data (train-set memorization comes from repeated SPANS, not
+  * only repeated documents — the motivation for suffix-array dedup;
+  * additive beyond the reference's surface, which stops at whole-vector
+  * similarity).
+  *
+  * The Spark-native formulation replaces the suffix array with a
+  * distributed window group-by: every w-token sliding window is exploded
+  * once, counted corpus-wide (hash-partitioned, map-side combined), and
+  * windows with total occurrence count ≥ `minCount` are joined back to
+  * their positions — two shuffles total (the count group-by and the
+  * dup-window equi-join; the span-union aggregation re-shuffles only
+  * duplicated positions). No quadratic pair work anywhere: cost is
+  * O(total tokens) rows through a hash shuffle, exactly how MinHash
+  * shingles already flow at 100 TB.
+  *
+  * Everything is exact integer arithmetic over window strings, so the
+  * whole pipeline is cross-engine oracle-checkable; the only rounding is
+  * the final 1e-6 coverage fraction (fixed-point floor form both sides).
+  */
+object NgramDup {
+
+  /** Per-document duplicated-span stats over `w`-token windows:
+    * (doc_id, n_tokens, n_windows, dup_windows, dup_tokens, dup_frac)
+    * where dup_windows counts window positions whose window string occurs
+    * ≥ `minCount` times corpus-wide, dup_tokens is the size of the UNION
+    * of those windows' token spans (the Lee-et-al-style coverage number —
+    * overlapping duplicated windows are not double-counted), and dup_frac
+    * = dup_tokens / n_tokens rounded to 1e-6. Every document gets a row
+    * (docs shorter than `w` tokens have zero windows).
+    *
+    * `hashKey = true` swaps the shuffle key from the window STRING to its
+    * xxhash64 — identical results modulo 64-bit collisions (~n²/2⁶⁴), at
+    * 8 bytes of shuffle per window instead of the full text. That is the
+    * 100 TB configuration; the default keeps exact strings so the result
+    * is collision-free and cross-engine oracle-checkable.
+    */
+  def dupNgramStats(docs: DataFrame, w: Int = 8, minCount: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text",
+      hashKey: Boolean = false): DataFrame = {
+    require(w >= 1 && minCount >= 2)
+    val toks = docs.select(col(idCol).as("doc_id"),
+      split(trim(col(textCol)), "\\s+").as("ts"))
+    // 1-based window start positions; window i covers tokens i..i+w-1
+    val winExpr =
+      s"transform(sequence(1, size(ts) - ${w} + 1), i -> array_join(slice(ts, i, $w), ' '))"
+    val wins0 = toks.filter(size(col("ts")) >= w)
+      .select(col("doc_id"), posexplode(expr(winExpr)).as(Seq("i0", "win")))
+      .select(col("doc_id"), (col("i0") + 1).cast("long").as("i"), col("win"))
+    val wins =
+      if (hashKey) wins0.select(col("doc_id"), col("i"), xxhash64(col("win")).as("win"))
+      else wins0
+    val dupKeys = wins.groupBy("win")
+      .agg(count(lit(1)).as("c")).filter(col("c") >= minCount)
+      .select("win")
+    val dupw = wins.join(dupKeys, Seq("win")).select("doc_id", "i")
+    val dcount = dupw.groupBy("doc_id")
+      .agg(count(lit(1)).as("dup_windows"))
+    val cover = dupw
+      .select(col("doc_id"), explode(sequence(col("i"), col("i") + (w - 1))).as("p"))
+      .groupBy("doc_id").agg(countDistinct(col("p")).as("dup_tokens"))
+    val perdoc = toks.select(col("doc_id"),
+      size(col("ts")).cast("long").as("n_tokens"),
+      greatest(size(col("ts")) - (w - 1), lit(0)).cast("long").as("n_windows"))
+    perdoc
+      .join(dcount, Seq("doc_id"), "left")
+      .join(cover, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_windows"),
+        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        rnd(coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+          col("n_tokens").cast("double"), 6).as("dup_frac"))
+  }
+
+  /** DuckDB twin of [[dupNgramStats]] (hashKey = false): same tokenizer
+    * (`string_split_regex(trim(text),'\s+')`), same 1-based window
+    * positions, same ≥`minCount` corpus-wide cut, same span-union
+    * coverage, same 1e-6 floor rounding. */
+  def duckdbSql(w: Int = 8, minCount: Int = 2): String =
+    s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts
+       |              FROM documents),
+       | wins AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+       |    array_to_string(ts[i:i+${w - 1}], ' ') AS win
+       |   FROM toks, LATERAL unnest(range(1, len(ts) - ${w} + 2)) AS t(i)
+       |   WHERE len(ts) >= $w),
+       | dupkeys AS (SELECT win FROM (SELECT win, count(*) AS c FROM wins
+       |    GROUP BY win) WHERE c >= $minCount),
+       | dupw AS (SELECT w.doc_id, w.i FROM wins w JOIN dupkeys USING (win)),
+       | dcount AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_windows
+       |   FROM dupw GROUP BY doc_id),
+       | cover AS (SELECT doc_id, CAST(count(DISTINCT p) AS BIGINT) AS dup_tokens
+       |   FROM dupw, LATERAL unnest(range(i, i + $w)) AS u(p) GROUP BY doc_id),
+       | perdoc AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+       |    CAST(greatest(len(ts) - ${w - 1}, 0) AS BIGINT) AS n_windows
+       |   FROM toks)
+       |SELECT p.doc_id, p.n_tokens, p.n_windows,
+       |  coalesce(d.dup_windows, 0) AS dup_windows,
+       |  coalesce(c.dup_tokens, 0) AS dup_tokens,
+       |  floor((coalesce(c.dup_tokens, 0)*CAST(1 AS DOUBLE)/p.n_tokens)*1e6 + 0.5)/1e6
+       |    AS dup_frac
+       |FROM perdoc p LEFT JOIN dcount d USING (doc_id)
+       | LEFT JOIN cover c USING (doc_id)""".stripMargin
+}

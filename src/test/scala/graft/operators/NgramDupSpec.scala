@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class NgramDupSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def stats(rows: Seq[(Long, String)], w: Int) =
+    NgramDup.dupNgramStats(rows.toDF("doc_id", "text"), w = w)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toMap
+
+  test("hand-checked geometry: shared span counted once per position, " +
+      "union coverage not double-counted on overlap") {
+    // docs 1 and 2 share the 4-token run "a b c d e" → two 3-windows each
+    // ("a b c", "b c d", "c d e"); doc 3 is all-unique
+    val got = stats(Seq(
+      1L -> "a b c d e x y z",
+      2L -> "q a b c d e r",
+      3L -> "u v w t s"), w = 3)
+    // doc 1: 8 tokens, 6 windows; dup windows at pos 1,2,3 cover tokens 1..5
+    assert(got(1L) == ((8L, 6L, 3L, 5L, 0.625)))
+    // doc 2: 7 tokens, 5 windows; dup windows at pos 2,3,4 cover tokens 2..6
+    assert(got(2L) == ((7L, 5L, 3L, 5L, math.floor(5.0 / 7.0 * 1e6 + 0.5) / 1e6)))
+    // doc 3: nothing duplicated
+    assert(got(3L) == ((5L, 3L, 0L, 0L, 0.0)))
+  }
+
+  test("within-doc repetition alone counts as duplication") {
+    val got = stats(Seq(1L -> "p q r s p q r t", 2L -> "m n o"), w = 3)
+    // "p q r" occurs twice inside doc 1 (pos 1 and 5) → both positions dup;
+    // spans 1..3 and 5..7 → 6 covered tokens of 8
+    assert(got(1L) == ((8L, 6L, 2L, 6L, 0.75)))
+    assert(got(2L)._3 == 0L)
+  }
+
+  test("short docs get a zero-window row, never dropped") {
+    val got = stats(Seq(1L -> "a b", 2L -> "a b c d"), w = 3)
+    assert(got(1L) == ((2L, 0L, 0L, 0L, 0.0)))
+    assert(got(2L)._2 == 2L)
+  }
+
+  test("hashKey=true (the 8-byte-shuffle scale path) matches exact strings") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val exact = NgramDup.dupNgramStats(docs, w = 8)
+      .collect().map(_.toSeq).toSet
+    val hashed = NgramDup.dupNgramStats(docs, w = 8, hashKey = true)
+      .collect().map(_.toSeq).toSet
+    assert(exact == hashed)
+    assert(exact.nonEmpty)
+  }
+
+  test("no cartesian/broadcast-nested-loop anywhere in the plan") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = NgramDup.dupNgramStats(docs, w = 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+}
