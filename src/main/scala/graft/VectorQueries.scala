@@ -416,6 +416,22 @@ object VectorQueries {
       Recall.microAvgRecall(approx, exact)
     }),
 
+    // MRL (matryoshka) truncated-dim retrieval: candidates by cosine on
+    // the first 16 of 64 dims (4× fewer bytes touched in the scan stage),
+    // exact full-dim rerank. Fully declarative — two windows, no shuffle
+    // of the base data — and fully cross-engine oracle-checked.
+    "knn_mrl_cosine" -> ((s, dir) =>
+      graft.operators.Mrl.knnJoinTruncated(emb(s, dir), probes(s, dir),
+        k = 10, prefixDims = 16, rerank = 100, scoreDigits = 6)),
+
+    "recall_mrl" -> ((s, dir) => {
+      val approx = graft.operators.Mrl.knnJoinTruncated(emb(s, dir),
+        probes(s, dir), k = 10, prefixDims = 16, rerank = 100, scoreDigits = 6)
+      val exact = KnnJoin.exactKnnJoin(emb(s, dir), probes(s, dir), k = 10,
+        metric = "cosine", scoreDigits = 6)
+      Recall.microAvgRecall(approx, exact)
+    }),
+
     "recall_opq" -> ((s, dir) => {
       val approx = graft.operators.Opq.knnJoin(opqModel(s, dir), emb(s, dir),
         probes(s, dir), k = 10, rerank = 100, scoreDigits = 6, adcDigits = 9)
@@ -988,6 +1004,30 @@ object VectorQueries {
          |    CAST(sum(CASE WHEN s.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
          |      AS BIGINT) AS hits
          |   FROM exact_topk x LEFT JOIN sq_topk s
+         |    ON s.query_id = x.query_id AND s.neighbor_id = x.neighbor_id
+         |   GROUP BY x.query_id)
+         |SELECT count(*) AS n_queries, CAST(sum(hits) AS BIGINT) AS hits,
+         | CAST(sum(total) AS BIGINT) AS total,
+         | sum(hits)*1.0/sum(total) AS recall
+         |FROM per_q""".stripMargin,
+    "knn_mrl_cosine" ->
+      s"""${graft.operators.Mrl.duckdbTopkCte(16)}
+         |SELECT query_id, neighbor_id, score, rank FROM mrl_topk""".stripMargin,
+    "recall_mrl" ->
+      s"""${graft.operators.Mrl.duckdbTopkCte(16)},
+         | exact_scored AS (
+         |  SELECT q.query_id, e.vec_id AS neighbor_id,
+         |   floor((list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])))*1e6 + 0.5)/1e6 AS score
+         |  FROM embeddings e, q),
+         | exact_topk AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |   SELECT *, row_number() OVER (PARTITION BY query_id
+         |     ORDER BY score DESC, neighbor_id) AS rank FROM exact_scored)
+         |  WHERE rank <= 10),
+         | per_q AS (SELECT x.query_id, count(*) AS total,
+         |    CAST(sum(CASE WHEN s.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS hits
+         |   FROM exact_topk x LEFT JOIN mrl_topk s
          |    ON s.query_id = x.query_id AND s.neighbor_id = x.neighbor_id
          |   GROUP BY x.query_id)
          |SELECT count(*) AS n_queries, CAST(sum(hits) AS BIGINT) AS hits,
