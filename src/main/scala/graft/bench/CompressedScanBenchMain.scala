@@ -1,0 +1,127 @@
+package graft.bench
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Bq, KnnJoin, Recall, Sq}
+import graft.sources.VectorSources
+
+/** Compressed-scan serving ladder: the bytes-per-vector story measured.
+  * At 100 TB the exact float32 scan is bound by touched bytes; SQ8 cuts
+  * them 4× and BQ (sign bits) 32×, each with a bounded exact rerank. This
+  * main measures all three against the same 1M-vector corpus in one run
+  * (same-run ratios only — this box's wall clock varies across runs):
+  *
+  *   - exact cosine scan, `probesExact` queries (the uncompressed anchor;
+  *     its per-query cost is the window over n×q scored rows — the plan
+  *     whose byte+shuffle cost the compressed paths exist to avoid)
+  *   - SQ8 ADC scan + rerank, `probesSq` queries via `knnJoinBatched`
+  *   - BQ Hamming scan + rerank, `probesBq` queries via `knnJoinBatched`
+  *
+  * Probe counts differ per path (each sized so the run stays in minutes);
+  * qps numbers are per-path amortized walls, not a head-to-head at equal
+  * batch shape — the honest comparison is qps × recall at the stated
+  * probe count. Recall anchors on the first 100 queries vs the exact
+  * scan in each path's own metric.
+  *
+  * `sbt "runMain graft.bench.CompressedScanBenchMain 1000000 64 100 2000 10000"`
+  */
+object CompressedScanBenchMain {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.length > 0) args(0).toLong else 1000000L
+    val dim = if (args.length > 1) args(1).toInt else 64
+    val probesExact = if (args.length > 2) args(2).toInt else 100
+    val probesSq = if (args.length > 3) args(3).toInt else 2000
+    val probesBq = if (args.length > 4) args(4).toInt else 10000
+    val batchRows = if (args.length > 5) args(5).toInt else 2000
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = VectorSources.synthetic(spark, n, dim, seed = 42).cache()
+    base.count()
+    def probeSet(nq: Int) = base.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val anchor = probeSet(100).cache(); anchor.count()
+    val exactCos = KnnJoin.exactKnnJoin(base, anchor, k = 10,
+      metric = "cosine").cache()
+    exactCos.count()
+    val exactEuc = KnnJoin.exactKnnJoin(base, anchor, k = 10,
+      metric = "euclidean").cache()
+    exactEuc.count()
+
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // exact float32 scan (cosine): 4·d bytes/vector touched per query.
+    // Probe ids disjoint from the anchor so the cached anchor plan can't
+    // serve the timed run.
+    {
+      val q = base.filter(col("vec_id") >= 1000 &&
+          col("vec_id") < 1000 + probesExact)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+        .cache()
+      q.count()
+      val (cnt, wall) = timed(KnnJoin.exactKnnJoin(base, q, k = 10,
+        metric = "cosine").count())
+      println(f"CSCAN exact n=$n d=$dim bytes/vec=${4 * dim} nq=$probesExact " +
+        f"wall=$wall%.1fs qps=${probesExact / wall}%.1f rows=$cnt recall=1.0")
+    }
+
+    // SQ8 ADC scan (euclidean contract): d bytes/vector
+    {
+      val (m, fitS) = timed(Sq.fit(base))
+      val q = probeSet(probesSq).cache(); q.count()
+      val (cnt, wall) = timed(
+        Sq.knnJoinBatched(m, base, q, k = 10, rerank = 100,
+          batchRows = batchRows).count())
+      val rec = Recall.microAvgRecall(
+          Sq.knnJoin(m, base, anchor, k = 10, rerank = 100), exactEuc)
+        .select("recall").first().getDouble(0)
+      println(f"CSCAN sq8 n=$n d=$dim bytes/vec=$dim fit=$fitS%.1fs " +
+        f"nq=$probesSq wall=$wall%.1fs qps=${probesSq / wall}%.0f " +
+        f"rows=$cnt recall@100=$rec%.3f")
+      m.encoded.unpersist()
+    }
+
+    // BQ Hamming scan (cosine contract): d/8 bytes/vector. The overfetch
+    // must scale with n to hold recall (d-bit codes rank ever-more
+    // candidates into the same integer Hamming levels as the corpus
+    // grows), so measure a rerank ladder at the same corpus.
+    {
+      val (m, fitS) = timed(Bq.fit(base))
+      val q = probeSet(probesBq).cache(); q.count()
+      val (cnt, wall) = timed(
+        Bq.knnJoinBatched(m, base, q, k = 10, rerank = 100,
+          batchRows = batchRows).count())
+      val rec = Recall.microAvgRecall(
+          Bq.knnJoin(m, base, anchor, k = 10, rerank = 100), exactCos)
+        .select("recall").first().getDouble(0)
+      println(f"CSCAN bq n=$n d=$dim bytes/vec=${dim / 8} fit=$fitS%.1fs " +
+        f"nq=$probesBq wall=$wall%.1fs qps=${probesBq / wall}%.0f " +
+        f"rows=$cnt recall@100=$rec%.3f rerank=100")
+      Seq(1000, 4000).foreach { rr =>
+        val nq = probesBq / 5
+        val qr = probeSet(nq).cache(); qr.count()
+        val (_, w2) = timed(
+          Bq.knnJoinBatched(m, base, qr, k = 10, rerank = rr,
+            batchRows = batchRows).count())
+        val r2 = Recall.microAvgRecall(
+            Bq.knnJoin(m, base, anchor, k = 10, rerank = rr), exactCos)
+          .select("recall").first().getDouble(0)
+        println(f"CSCAN bq n=$n d=$dim bytes/vec=${dim / 8} nq=$nq " +
+          f"wall=$w2%.1fs qps=${nq / w2}%.0f recall@100=$r2%.3f rerank=$rr")
+      }
+      m.encoded.unpersist()
+    }
+    spark.stop()
+  }
+}

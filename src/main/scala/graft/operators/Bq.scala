@@ -148,19 +148,47 @@ object Bq {
       // heap order = ((hamming, cand_id)) — the SAME integer total order
       // the global window and the DuckDB oracle rank by, so the
       // per-partition cut can never disagree with the cross-engine ranking
-      val ord = Ordering.Tuple2[Int, Long]
       val heaps = Array.fill(qs.length)(
-        mutable.PriorityQueue.empty[(Int, Long)](ord))
-      rows.foreach { case (id, bits) =>
+        mutable.PriorityQueue.empty[(Int, Long)](Ordering.Tuple2[Int, Long]))
+      // Row-chunked, QUERY-MAJOR scan (same shape as [[Sq.knnJoin]]): at
+      // 10k+ probes the per-row inner loop touches every query's bits and
+      // heap head — a working set far past L2. Buffering a chunk of rows
+      // and looping queries outside keeps one (qbits, heap) pair hot
+      // across the chunk. The bounded heap keeps the EXACT top-r under
+      // the (hamming, id) total order — insertion-order-invariant, so
+      // results are bit-identical to the row-major loop.
+      val chunk = 1024
+      val idBuf = new Array[Long](chunk)
+      val bitBuf = new Array[Array[Long]](chunk)
+      def flush(nRows: Int): Unit = {
         var q = 0
         while (q < qs.length) {
-          val hd = hamming(qs(q)._2, bits)
+          val qb = qs(q)._2
           val h = heaps(q)
-          if (h.size < r) h.enqueue((hd, id))
-          else if (ord.lt((hd, id), h.head)) { h.dequeue(); h.enqueue((hd, id)) }
+          var j = 0
+          while (j < nRows) {
+            val hd = hamming(qb, bitBuf(j))
+            val id = idBuf(j)
+            if (h.size < r) h.enqueue((hd, id))
+            else {
+              // allocation-free (hd, id) < h.head in the Tuple2 order (the
+              // reject path runs once per row × query — no boxing here)
+              val top = h.head
+              if (hd < top._1 || (hd == top._1 && id < top._2)) {
+                h.dequeue(); h.enqueue((hd, id))
+              }
+            }
+            j += 1
+          }
           q += 1
         }
       }
+      var nBuf = 0
+      rows.foreach { case (id, bits) =>
+        idBuf(nBuf) = id; bitBuf(nBuf) = bits; nBuf += 1
+        if (nBuf == chunk) { flush(nBuf); nBuf = 0 }
+      }
+      if (nBuf > 0) flush(nBuf)
       heaps.iterator.zipWithIndex.flatMap { case (h, q) =>
         val qid = qs(q)._1
         h.iterator.map { case (hd, id) => (qid, id, hd) }

@@ -165,22 +165,51 @@ object Sq {
       val heaps = Array.fill(qs.length)(
         mutable.PriorityQueue.empty[(Double, Long)](
           Ordering.Tuple2[Double, Long]))
-      rows.foreach { case (id, codes) =>
+      // Row-chunked, QUERY-MAJOR scan: with many probes the LUT set (q ×
+      // d × 256 doubles — 131 KB/probe) dwarfs every cache, and a
+      // row-major loop streams the whole set past the core once per row.
+      // Buffering a chunk of rows and putting queries on the outer loop
+      // keeps one LUT hot across the chunk (the codes chunk is ~64 KB —
+      // L1/L2-resident). The bounded heap keeps the EXACT top-r under the
+      // (dist, id) total order, which is insertion-order-invariant, so
+      // results are bit-identical to the row-major loop.
+      val chunk = 1024
+      val ids = new Array[Long](chunk)
+      val codeBuf = new Array[Array[Byte]](chunk)
+      def flush(nRows: Int): Unit = {
         var q = 0
         while (q < qs.length) {
           val lut = luts(q)
-          var dist = 0.0
-          var i = 0
-          while (i < d) { dist += lut(i * 256 + (codes(i) & 0xff)); i += 1 }
-          val rd = rnd9(dist)
           val h = heaps(q)
-          if (h.size < r) h.enqueue((rd, id))
-          else if (Ordering.Tuple2[Double, Long].lt((rd, id), h.head)) {
-            h.dequeue(); h.enqueue((rd, id))
+          var j = 0
+          while (j < nRows) {
+            val codes = codeBuf(j)
+            var dist = 0.0
+            var i = 0
+            while (i < d) { dist += lut(i * 256 + (codes(i) & 0xff)); i += 1 }
+            val rd = rnd9(dist)
+            val id = ids(j)
+            if (h.size < r) h.enqueue((rd, id))
+            else {
+              // allocation-free (rd, id) < h.head in the Tuple2 order —
+              // the reject path runs once per (row × query); boxing a
+              // tuple per comparison dominated the scan at 1M × 2k probes
+              val hd = h.head
+              if (rd < hd._1 || (rd == hd._1 && id < hd._2)) {
+                h.dequeue(); h.enqueue((rd, id))
+              }
+            }
+            j += 1
           }
           q += 1
         }
       }
+      var nBuf = 0
+      rows.foreach { case (id, codes) =>
+        ids(nBuf) = id; codeBuf(nBuf) = codes; nBuf += 1
+        if (nBuf == chunk) { flush(nBuf); nBuf = 0 }
+      }
+      if (nBuf > 0) flush(nBuf)
       heaps.iterator.zipWithIndex.flatMap { case (h, q) =>
         val qid = qs(q)._1
         h.iterator.map { case (dist, id) => (qid, id, dist) }
