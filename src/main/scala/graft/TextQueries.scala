@@ -302,6 +302,26 @@ object TextQueries {
       graft.operators.TextIndex.bm25TopDocs(s, prefix, queryTerms, topk = 10)
     }),
 
+    // incremental maintenance of the same index: build on half the
+    // corpus, APPEND the other half as a new epoch (df/avgdl merge by
+    // exact integer sums), serve — hash-matches the SAME oracle as the
+    // build-once path, i.e. append ≡ rebuild end to end
+    "bm25_incremental" -> ((s, dir) => {
+      val prefix = TextMemo.get(s, s"textindexinc/$dir") {
+        val p = "graft_tixinc_" + java.security.MessageDigest.getInstance("MD5")
+          .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+        graft.operators.TextIndex.build(
+          docs(s, dir).filter(col("doc_id") < 250), p, numBuckets = 8)
+        graft.operators.TextIndex.append(
+          docs(s, dir).filter(col("doc_id") >= 250), p, numBuckets = 8)
+        p
+      }
+      val queryTerms = s.table(s"${prefix}_postings")
+        .filter(col("doc_id") < 20)
+        .select(col("doc_id").as("qid"), col("term"))
+      graft.operators.TextIndex.bm25TopDocs(s, prefix, queryTerms, topk = 10)
+    }),
+
     // corpus unigram language-model scoring: per-doc mean surprisal
     // -avg(ln p(token)) under the corpus unigram distribution — the
     // classic "how typical is this document" quality signal (high = rare
@@ -939,6 +959,7 @@ object TextQueries {
     "bm25_top_docs" -> bm25Sql,
     // the indexed path must produce bit-identical results — same oracle
     "bm25_indexed" -> bm25Sql,
+    "bm25_incremental" -> bm25Sql,
     "unigram_surprisal" ->
       """WITH toks AS (SELECT doc_id,
         |   unnest(string_split_regex(trim(text),'\s+')) AS term FROM documents),

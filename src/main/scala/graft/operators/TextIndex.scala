@@ -38,6 +38,17 @@ import org.apache.spark.sql.functions._
   * exact integer counts — so index-served results hash-match the same
   * DuckDB oracle as the from-scratch path, which is what the
   * `bm25_indexed` battery entry checks.
+  *
+  * INCREMENTAL maintenance (the lexical twin of the vector side's
+  * epoch-handoff serving): [[append]] adds a doc batch as new posting /
+  * df / stats EPOCH rows without touching existing files (df and avgdl
+  * merge by exact integer sums, so post-append serving is bit-identical
+  * to a full rebuild over the union); [[remove]] is a delete vector
+  * (bounded (doc_id, dl) rows; serving anti-joins and recounts df from
+  * survivors — again bit-identical to a rebuild without those docs);
+  * [[compact]] folds both back into a fresh single-epoch layout. The
+  * `bm25_incremental` battery entry hash-matches the SAME oracle as the
+  * build-once path after an append.
   */
 object TextIndex {
 
@@ -47,6 +58,7 @@ object TextIndex {
   private def statsTable(prefix: String) = s"${prefix}_stats"
   private def postingsTable(prefix: String) = s"${prefix}_postings"
   private def lexiconTable(prefix: String) = s"${prefix}_lexicon"
+  private def deletesTable(prefix: String) = s"${prefix}_deletes"
 
   /** Drop `table` from the catalog AND delete its default warehouse
     * location — a stale directory from a prior session (not in this
@@ -96,21 +108,165 @@ object TextIndex {
     // n must count ALL docs (a null-text doc never reaches the token
     // stream but still counts toward N, matching the transient path);
     // avgdl derives from the index itself — the write above was the one
-    // and only tokenization pass.
+    // and only tokenization pass. ndl/sumdl are the MERGEABLE exact-
+    // integer forms of avgdl (dl is an integer token count, so epoch
+    // sums are exactly representable and Σsumdl/Σndl after appends is
+    // the SAME double a full rebuild computes).
     val n = docs.count()
-    val avgdl = spark.table(postingsTable(prefix))
+    spark.sql(s"DROP TABLE IF EXISTS ${deletesTable(prefix)}")
+    val dld = spark.table(postingsTable(prefix))
       .select(col("doc_id"), col("dl")).distinct()
-      .agg(avg("dl")).first().getDouble(0)
+      .agg(count(lit(1)).as("ndl"), sum("dl").as("sumdl")).first()
+    val ndl = dld.getLong(0)
+    val sumdl = if (dld.isNullAt(1)) 0L else dld.getLong(1)
     import spark.implicits._
-    Seq((n, avgdl)).toDF("n", "avgdl").write.mode(SaveMode.Overwrite)
+    Seq((n, ndl, sumdl)).toDF("n", "ndl", "sumdl")
+      .write.mode(SaveMode.Overwrite)
       .format("parquet").saveAsTable(statsTable(prefix))
-    Stats(n, avgdl)
+    Stats(n, avgdlOf(ndl, sumdl))
   }
 
-  /** Load the build-time stats for a persisted index. */
+  private def avgdlOf(ndl: Long, sumdl: Long): Double =
+    if (ndl == 0) 0.0 else sumdl.toDouble / ndl
+
+  /** (Σn, Σndl, Σsumdl) across all epoch rows, minus the delete-side
+    * adjustments when a deletes table exists. Indexes persisted by older
+    * builds carry (n, avgdl) only — still served (single-epoch), but
+    * append/remove require the mergeable format. */
+  private def rawStats(spark: SparkSession, prefix: String): (Long, Long, Long) = {
+    val t = spark.table(statsTable(prefix))
+    require(t.columns.contains("sumdl"),
+      s"index '$prefix' predates the mergeable stats format — rebuild it")
+    val r = t.agg(sum("n"), sum("ndl"), sum("sumdl")).first()
+    (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) 0L else r.getLong(2))
+  }
+
+  /** Load the corpus stats for a persisted index (epoch rows aggregated,
+    * deletions subtracted — exact integer arithmetic, so the result is
+    * bit-identical to a from-scratch build over the surviving docs). */
   def stats(spark: SparkSession, prefix: String): Stats = {
-    val r = spark.table(statsTable(prefix)).first()
-    Stats(r.getAs[Long]("n"), r.getAs[Double]("avgdl"))
+    val t = spark.table(statsTable(prefix))
+    if (!t.columns.contains("sumdl")) {
+      // pre-mergeable layout: single row (n, avgdl)
+      val r = t.first()
+      return Stats(r.getAs[Long]("n"), r.getAs[Double]("avgdl"))
+    }
+    val (n, ndl, sumdl) = rawStats(spark, prefix)
+    val (nDel, ndlDel, sumdlDel) = deleteAdjust(spark, prefix)
+    Stats(n - nDel, avgdlOf(ndl - ndlDel, sumdl - sumdlDel))
+  }
+
+  private def deletesExist(spark: SparkSession, prefix: String): Boolean =
+    spark.catalog.tableExists(deletesTable(prefix))
+
+  /** (#deleted docs, #deleted docs with postings, Σ their dl). */
+  private def deleteAdjust(spark: SparkSession, prefix: String): (Long, Long, Long) = {
+    if (!deletesExist(spark, prefix)) return (0L, 0L, 0L)
+    val r = spark.table(deletesTable(prefix))
+      .agg(count(lit(1)), count(col("dl")), sum("dl")).first()
+    (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) 0L else r.getLong(2))
+  }
+
+  /** Append a NEW batch of docs to a persisted index without touching the
+    * existing posting files: the batch's postings and per-term df rows
+    * append to the bucketed tables (same bucket spec ⇒ pruning still
+    * works; serve-time df sums across epoch rows), and one (n, ndl,
+    * sumdl) epoch row appends to the stats table. All three are exact
+    * integer merges, so serving after append is BIT-IDENTICAL to a full
+    * rebuild over the union — the spec pins that. Contract: `newDocs`
+    * ids must not already be in the index (use [[remove]] + append, or
+    * [[compact]], for replacement). */
+  def append(newDocs: DataFrame, prefix: String, numBuckets: Int = 32): Stats = {
+    val spark = newDocs.sparkSession
+    require(spark.catalog.tableExists(postingsTable(prefix)),
+      s"index '$prefix' does not exist — call build first")
+    val delta = postingsFor(newDocs)
+    delta.write.mode(SaveMode.Append)
+      .bucketBy(numBuckets, "term").sortBy("term")
+      .format("parquet").saveAsTable(postingsTable(prefix))
+    // per-term df of THIS batch only — merged by sum at lookup time
+    // (re-aggregate the delta rather than re-reading the written files:
+    // the delta plan is linear and batch-sized)
+    delta.groupBy("term").agg(count(lit(1)).as("df"))
+      .write.mode(SaveMode.Append)
+      .bucketBy(numBuckets, "term").sortBy("term")
+      .format("parquet").saveAsTable(lexiconTable(prefix))
+    val n = newDocs.count()
+    val dld = delta.select(col("doc_id"), col("dl")).distinct()
+      .agg(count(lit(1)).as("ndl"), sum("dl").as("sumdl")).first()
+    val ndl = dld.getLong(0)
+    val sumdl = if (dld.isNullAt(1)) 0L else dld.getLong(1)
+    import spark.implicits._
+    Seq((n, ndl, sumdl)).toDF("n", "ndl", "sumdl")
+      .write.mode(SaveMode.Append)
+      .format("parquet").saveAsTable(statsTable(prefix))
+    stats(spark, prefix)
+  }
+
+  /** Mark docs deleted without rewriting posting files (the delete-vector
+    * pattern): one bounded lookup records each id's dl (null when the doc
+    * has no postings — it still counted toward N), and serving
+    * anti-joins the postings scan against the broadcast delete set,
+    * counting df from the surviving pruned postings — results are
+    * bit-identical to a rebuild without those docs. Contract: ids must
+    * be distinct, present, and not previously removed. */
+  def remove(docIds: DataFrame, prefix: String): Unit = {
+    val spark = docIds.sparkSession
+    require(spark.table(statsTable(prefix)).columns.contains("sumdl"),
+      s"index '$prefix' predates the mergeable stats format — rebuild it")
+    val ids = docIds.select(col("doc_id").cast("long").as("doc_id"))
+    val dls = spark.table(postingsTable(prefix))
+      .select(col("doc_id"), col("dl")).distinct()
+    ids.join(dls, Seq("doc_id"), "left")
+      .write.mode(SaveMode.Append)
+      .format("parquet").saveAsTable(deletesTable(prefix))
+    ()
+  }
+
+  /** Fold appends + deletes into a fresh single-epoch layout: rewrite the
+    * postings minus the delete set (via a temp table — the source can't
+    * be overwritten while it is being read), rebuild the lexicon from the
+    * compacted postings, consolidate stats to one row, drop the delete
+    * vector. Serving before and after compact is bit-identical; compact
+    * restores the stopword-cut skip-read (maxDfFrac) that the delete
+    * path suspends. */
+  def compact(spark: SparkSession, prefix: String, numBuckets: Int = 32): Stats = {
+    val st = stats(spark, prefix) // pre-compute the post-delete stats
+    val tmp = s"${prefix}_compact_tmp"
+    clearTable(spark, tmp)
+    val survivors =
+      if (deletesExist(spark, prefix))
+        spark.table(postingsTable(prefix)).join(
+          broadcast(spark.table(deletesTable(prefix)).select("doc_id")),
+          Seq("doc_id"), "left_anti")
+      else spark.table(postingsTable(prefix))
+    survivors.select("term", "doc_id", "tf", "dl")
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, "term").sortBy("term")
+      .format("parquet").saveAsTable(tmp)
+    clearTable(spark, postingsTable(prefix))
+    spark.table(tmp).write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, "term").sortBy("term")
+      .format("parquet").saveAsTable(postingsTable(prefix))
+    clearTable(spark, tmp)
+    clearTable(spark, lexiconTable(prefix))
+    spark.table(postingsTable(prefix))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, "term").sortBy("term")
+      .format("parquet").saveAsTable(lexiconTable(prefix))
+    val dld = spark.table(postingsTable(prefix))
+      .select(col("doc_id"), col("dl")).distinct()
+      .agg(count(lit(1)).as("ndl"), sum("dl").as("sumdl")).first()
+    val ndl = dld.getLong(0)
+    val sumdl = if (dld.isNullAt(1)) 0L else dld.getLong(1)
+    import spark.implicits._
+    clearTable(spark, statsTable(prefix))
+    Seq((st.n, ndl, sumdl)).toDF("n", "ndl", "sumdl")
+      .write.mode(SaveMode.Overwrite)
+      .format("parquet").saveAsTable(statsTable(prefix))
+    spark.sql(s"DROP TABLE IF EXISTS ${deletesTable(prefix)}")
+    Stats(st.n, avgdlOf(ndl, sumdl))
   }
 
   /** Okapi BM25 top-`topk` docs per query, served from the persisted
@@ -141,16 +297,30 @@ object TextIndex {
     val allTerms: Array[String] = qt.select("term").distinct()
       .collect().map(_.getString(0))
     import spark.implicits._
+    val hasDeletes = deletesExist(spark, prefix)
+    val antiDel = (p: DataFrame) =>
+      if (hasDeletes) p.join(
+        broadcast(spark.table(deletesTable(prefix)).select("doc_id")),
+        Seq("doc_id"), "left_anti")
+      else p
     val (terms, dfT) =
-      if (spark.catalog.tableExists(lexiconTable(prefix))) {
+      if (!hasDeletes && spark.catalog.tableExists(lexiconTable(prefix))) {
+        // epoch rows merge by exact integer sum; the maxDfFrac cut
+        // applies to the MERGED df so the skip-read decision matches a
+        // single-epoch rebuild
         val dfPairs = spark.table(lexiconTable(prefix))
           .filter(col("term").isin(allTerms.toSeq: _*))
+          .groupBy("term").agg(sum("df").as("df"))
           .filter(col("df") <= lit(maxDfFrac) * lit(st.n.toDouble))
           .select("term", "df").as[(String, Long)].collect()
         (dfPairs.map(_._1), broadcast(dfPairs.toSeq.toDF("term", "df")))
       } else {
-        val pruned = spark.table(postingsTable(prefix))
-          .filter(col("term").isin(allTerms.toSeq: _*))
+        // delete-vector mode (or no lexicon): df must count SURVIVING
+        // postings, so it comes from the pruned, anti-joined scan —
+        // exact, but the stopword cut can no longer skip the read
+        // (compact() restores that)
+        val pruned = antiDel(spark.table(postingsTable(prefix))
+          .filter(col("term").isin(allTerms.toSeq: _*)))
         val counted = pruned.groupBy("term").agg(count(lit(1)).as("df"))
           .filter(col("df") <= lit(maxDfFrac) * lit(st.n.toDouble))
         (allTerms, broadcast(counted))
@@ -158,8 +328,8 @@ object TextIndex {
     if (terms.isEmpty)
       return Seq.empty[(Long, Int, Long, Double)]
         .toDF("qid", "rnk", "doc_id", "bm25")
-    val postings = spark.table(postingsTable(prefix))
-      .filter(col("term").isin(terms.toSeq: _*))
+    val postings = antiDel(spark.table(postingsTable(prefix))
+      .filter(col("term").isin(terms.toSeq: _*)))
     val score = log(lit(1.0) +
         (lit(st.n.toDouble) - col("df") + 0.5) / (col("df") + 0.5)) *
       col("tf") * (k1 + 1.0) /
@@ -179,6 +349,7 @@ object TextIndex {
     spark.sql(s"DROP TABLE IF EXISTS ${postingsTable(prefix)}")
     spark.sql(s"DROP TABLE IF EXISTS ${lexiconTable(prefix)}")
     spark.sql(s"DROP TABLE IF EXISTS ${statsTable(prefix)}")
+    spark.sql(s"DROP TABLE IF EXISTS ${deletesTable(prefix)}")
     ()
   }
 }

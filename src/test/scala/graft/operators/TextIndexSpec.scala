@@ -145,5 +145,60 @@ class TextIndexSpec extends AnyFunSuite {
     assert(!spark.catalog.tableExists(s"${prefix}_postings"))
     assert(!spark.catalog.tableExists(s"${prefix}_lexicon"))
     assert(!spark.catalog.tableExists(s"${prefix}_stats"))
+    assert(!spark.catalog.tableExists(s"${prefix}_deletes"))
+  }
+
+  private def serve(pre: String, qt: org.apache.spark.sql.DataFrame,
+      maxDfFrac: Double = 1.0) =
+    TextIndex.bm25TopDocs(spark, pre, qt, topk = 10, maxDfFrac = maxDfFrac)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+
+  test("append serves bit-identically to a full rebuild over the union") {
+    val inc = "graft_tix_inc"; val full = "graft_tix_incfull"
+    TextIndex.drop(spark, inc); TextIndex.drop(spark, full)
+    TextIndex.build(docs.filter(col("doc_id") < 250), inc, numBuckets = 8)
+    val stInc = TextIndex.append(docs.filter(col("doc_id") >= 250), inc,
+      numBuckets = 8)
+    val stFull = TextIndex.build(docs, full, numBuckets = 8)
+    assert(stInc == stFull, s"merged stats $stInc vs rebuilt $stFull")
+    val qt = spark.table(s"${full}_postings").filter(col("doc_id") < 20)
+      .select(col("doc_id").as("qid"), col("term")).cache()
+    qt.count()
+    assert(serve(inc, qt) == serve(full, qt))
+    // the stopword cut must make the SAME keep/drop decisions on merged df
+    assert(serve(inc, qt, maxDfFrac = 0.5) == serve(full, qt, maxDfFrac = 0.5))
+    qt.unpersist()
+    TextIndex.drop(spark, inc); TextIndex.drop(spark, full)
+  }
+
+  test("remove (delete vector) serves bit-identically to a rebuild " +
+      "without those docs; compact folds and preserves results") {
+    val del = "graft_tix_del"; val ref = "graft_tix_delref"
+    TextIndex.drop(spark, del); TextIndex.drop(spark, ref)
+    TextIndex.build(docs, del, numBuckets = 8)
+    import spark.implicits._
+    TextIndex.remove((0L until 50L).toDF("doc_id"), del)
+    val stRef = TextIndex.build(docs.filter(col("doc_id") >= 50), ref,
+      numBuckets = 8)
+    assert(TextIndex.stats(spark, del) == stRef)
+    val qt = spark.table(s"${ref}_postings")
+      .filter(col("doc_id") >= 50 && col("doc_id") < 70)
+      .select(col("doc_id").as("qid"), col("term")).cache()
+    qt.count()
+    val before = serve(del, qt)
+    assert(before == serve(ref, qt),
+      "delete-vector serving must equal the rebuilt-without index")
+    // deleted docs never appear in results
+    assert(before.forall(_._3 >= 50))
+    val stC = TextIndex.compact(spark, del, numBuckets = 8)
+    assert(stC == stRef)
+    assert(!spark.catalog.tableExists(s"${del}_deletes"))
+    assert(serve(del, qt) == before, "compaction must not change results")
+    // the index stays maintainable after compact
+    TextIndex.append(docs.filter(col("doc_id") < 50), del, numBuckets = 8)
+    assert(TextIndex.stats(spark, del).n == docs.count())
+    qt.unpersist()
+    TextIndex.drop(spark, del); TextIndex.drop(spark, ref)
   }
 }
