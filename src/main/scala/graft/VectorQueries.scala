@@ -416,6 +416,28 @@ object VectorQueries {
       Recall.microAvgRecall(approx, exact)
     }),
 
+    // IVF × BQ: the composition the round-8 compressed-scan ladder
+    // measured its way to — cell-routed Hamming scan (scan AND candidate
+    // exchange both divided by nprobe/C) + exact cosine rerank. Composed
+    // from the battery's memoized IVF quantizer, so the whole trained
+    // pipeline is cross-engine oracle-checked from centroid literals.
+    "knn_ivfbq_cosine" -> ((s, dir) => {
+      val model = ModelMemo.get(s, s"ivfbq/c16/$dir")(
+        graft.operators.IvfBq.fromIvf(ivfModel(s, dir)))
+      graft.operators.IvfBq.knnJoin(model, emb(s, dir), probes(s, dir),
+        k = 10, nprobe = 4, rerank = 100, scoreDigits = 6)
+    }),
+
+    "recall_ivfbq" -> ((s, dir) => {
+      val model = ModelMemo.get(s, s"ivfbq/c16/$dir")(
+        graft.operators.IvfBq.fromIvf(ivfModel(s, dir)))
+      val approx = graft.operators.IvfBq.knnJoin(model, emb(s, dir),
+        probes(s, dir), k = 10, nprobe = 4, rerank = 100, scoreDigits = 6)
+      val exact = KnnJoin.exactKnnJoin(emb(s, dir), probes(s, dir), k = 10,
+        metric = "cosine", scoreDigits = 6)
+      Recall.microAvgRecall(approx, exact)
+    }),
+
     // MRL (matryoshka) truncated-dim retrieval: candidates by cosine on
     // the first 16 of 64 dims (4× fewer bytes touched in the scan stage),
     // exact full-dim rerank. Fully declarative — two windows, no shuffle
@@ -655,7 +677,33 @@ object VectorQueries {
     case None => Map.empty
     case Some(cents) =>
       val cte = graft.operators.IvfFlat.duckdbTopkCte(cents, nprobe = 4, k = 10)
+      val bqCte = graft.operators.IvfBq.duckdbTopkCte(cents, d = 64,
+        nprobe = 4, rerank = 100, k = 10)
       Map(
+        "knn_ivfbq_cosine" ->
+          s"""$bqCte
+             |SELECT query_id, neighbor_id, score, rank FROM ivfbq_topk""".stripMargin,
+        "recall_ivfbq" ->
+          s"""$bqCte,
+             | exact_scored AS (
+             |  SELECT q.query_id, e.vec_id AS neighbor_id,
+             |   floor((list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])))*1e6 + 0.5)/1e6 AS score
+             |  FROM embeddings e, ivf_q q),
+             | exact_topk AS (
+             |  SELECT query_id, neighbor_id FROM (
+             |   SELECT *, row_number() OVER (PARTITION BY query_id
+             |     ORDER BY score DESC, neighbor_id) AS rank FROM exact_scored)
+             |  WHERE rank <= 10),
+             | per_q AS (SELECT x.query_id, count(*) AS total,
+             |    CAST(sum(CASE WHEN s.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS hits
+             |   FROM exact_topk x LEFT JOIN ivfbq_topk s
+             |    ON s.query_id = x.query_id AND s.neighbor_id = x.neighbor_id
+             |   GROUP BY x.query_id)
+             |SELECT count(*) AS n_queries, CAST(sum(hits) AS BIGINT) AS hits,
+             | CAST(sum(total) AS BIGINT) AS total,
+             | sum(hits)*1.0/sum(total) AS recall
+             |FROM per_q""".stripMargin,
         "semdedup_embeddings" ->
           graft.operators.SemDedup.duckdbSql(cents, threshold = 0.8),
         "knn_ivf_cosine" ->

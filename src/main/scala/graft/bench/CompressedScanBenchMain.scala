@@ -3,7 +3,7 @@ package graft.bench
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bq, KnnJoin, Recall, Sq}
+import graft.operators.{Bq, IvfBq, KnnJoin, Recall, Sq}
 import graft.sources.VectorSources
 
 /** Compressed-scan serving ladder: the bytes-per-vector story measured.
@@ -34,6 +34,10 @@ object CompressedScanBenchMain {
     val probesSq = if (args.length > 3) args(3).toInt else 2000
     val probesBq = if (args.length > 4) args(4).toInt else 10000
     val batchRows = if (args.length > 5) args(5).toInt else 2000
+    // "uniform" is the adversarial shape for IVF routing (true neighbors
+    // scatter across cells — the r5 hybrid-index finding); "clustered" is
+    // the corpus shape cell routing serves
+    val corpus = if (args.length > 6) args(6) else "uniform"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -43,7 +47,13 @@ object CompressedScanBenchMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val base = VectorSources.synthetic(spark, n, dim, seed = 42).cache()
+    val base = (corpus match {
+      case "clustered" => VectorSources
+        .syntheticClustered(spark, n, dim, numClusters = 256,
+          spread = 0.15, seed = 42)
+        .select("vec_id", "embedding")
+      case _ => VectorSources.synthetic(spark, n, dim, seed = 42)
+    }).cache()
     base.count()
     def probeSet(nq: Int) = base.filter(col("vec_id") < nq)
       .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
@@ -119,6 +129,28 @@ object CompressedScanBenchMain {
           .select("recall").first().getDouble(0)
         println(f"CSCAN bq n=$n d=$dim bytes/vec=${dim / 8} nq=$nq " +
           f"wall=$w2%.1fs qps=${nq / w2}%.0f recall@100=$r2%.3f rerank=$rr")
+      }
+      m.encoded.unpersist()
+    }
+
+    // IVF × BQ: the high-recall configuration — cells divide the Hamming
+    // scan AND the candidate exchange by ~nprobe/C, so the big rerank
+    // that standalone BQ can't afford becomes payable
+    {
+      val cells = 64
+      val (m, fitS) = timed(IvfBq.fit(base, numCells = cells))
+      val nq = probesBq / 5
+      val q = probeSet(nq).cache(); q.count()
+      Seq((4, 4000), (8, 4000)).foreach { case (np, rr) =>
+        val (cnt, wall) = timed(
+          IvfBq.knnJoinBatched(m, base, q, k = 10, nprobe = np, rerank = rr,
+            batchRows = batchRows).count())
+        val rec = Recall.microAvgRecall(
+            IvfBq.knnJoin(m, base, anchor, k = 10, nprobe = np, rerank = rr),
+          exactCos).select("recall").first().getDouble(0)
+        println(f"CSCAN ivfbq n=$n d=$dim bytes/vec=${dim / 8} C=$cells " +
+          f"nprobe=$np fit=$fitS%.1fs nq=$nq wall=$wall%.1fs " +
+          f"qps=${nq / wall}%.0f rows=$cnt recall@100=$rec%.3f rerank=$rr")
       }
       m.encoded.unpersist()
     }

@@ -1,0 +1,260 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.similarity
+
+/** IVF × binary quantization: the composition the round-8 compressed-scan
+  * ladder measured its way to. Standalone BQ needs rerank ∝ n to hold
+  * recall, and past ~1000 the P×nq×rerank candidate exchange eats the
+  * 32×-compression scan win (BASELINE.md round-8). Routing the Hamming
+  * scan through IVF cells divides BOTH costs by nprobe/C — the scan
+  * touches only probed cells' code rows and the exchange carries only
+  * their survivors — which is exactly how binary codes are deployed at
+  * scale (always behind a coarse quantizer).
+  *
+  * Every stage reuses proven parts: cell assignment/routing is the
+  * [[graft.functions.CellScorer]] expression (the `knn_ivf_cosine`
+  * semantics, bit-parity-pinned), codes are [[Bq]]'s midrange sign bits,
+  * candidates rank by the integer (hamming, cand_id) order, and the
+  * bounded exact rerank is the battery's rounded-cosine contract — so
+  * the WHOLE composed pipeline is cross-engine oracle-checkable from the
+  * trained centroid literals, like IVF-PQ.
+  */
+object IvfBq {
+
+  /** centroids = the coarse quantizer; thresholds = global per-dim
+    * midrange cut points; encoded = (cell, id, bits) — the
+    * cell-partitioned packed code table (8 bytes/vector at d=64). */
+  case class Model(centroids: Array[(Int, Array[Float])],
+      thresholds: Array[Double], encoded: DataFrame)
+
+  /** Fit = IVF coarse quantizer + BQ thresholds + one encode pass over
+    * the assigned rows. `metric` routes cells (the reranker is always
+    * cosine, matching [[Bq]]). */
+  def fit(base: DataFrame, numCells: Int = 16, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      metric: String = "cosine", lloydSampleN: Int = 100000,
+      balanceSlack: Double = 0.0): Model =
+    fromIvf(IvfFlat.fit(base, numCells, seed, idCol, vecCol, metric,
+      lloydSampleN, balanceSlack))
+
+  /** Build from an already-fitted coarse quantizer (shares the battery's
+    * memoized IVF model — same centroids, so oracle literals line up). */
+  def fromIvf(ivf: IvfFlat.Model): Model = {
+    val spark = ivf.assigned.sparkSession
+    import spark.implicits._
+    val src = ivf.assigned.select(col("id"), col("vec"))
+    val partials = src.as[(Long, Array[Float])].mapPartitions { it =>
+      var mins: Array[Float] = null
+      var maxs: Array[Float] = null
+      it.foreach { case (_, v) =>
+        if (mins == null) { mins = v.clone(); maxs = v.clone() }
+        else {
+          var i = 0
+          while (i < v.length) {
+            if (v(i) < mins(i)) mins(i) = v(i)
+            if (v(i) > maxs(i)) maxs(i) = v(i)
+            i += 1
+          }
+        }
+      }
+      if (mins == null) Iterator.empty else Iterator((mins, maxs))
+    }.collect()
+    require(partials.nonEmpty, "IvfBq fit over an empty corpus")
+    val d = partials.head._1.length
+    val mins = partials.map(_._1).reduce { (a, b) =>
+      Array.tabulate(d)(i => math.min(a(i), b(i))) }
+    val maxs = partials.map(_._2).reduce { (a, b) =>
+      Array.tabulate(d)(i => math.max(a(i), b(i))) }
+    val thr = Array.tabulate(d)(i => (mins(i).toDouble + maxs(i).toDouble) / 2.0)
+    val bcT = spark.sparkContext.broadcast(thr)
+    val encoded = ivf.assigned
+      .select(col("cell").cast("int"), col("id"), col("vec"))
+      .as[(Int, Long, Array[Float])].mapPartitions { rows =>
+        val t = bcT.value
+        rows.map { case (cell, id, v) => (cell, id, Bq.packBits(v, t)) }
+      }.toDF("cell", "id", "bits").persist()
+    encoded.count()
+    Model(ivf.centroids, thr, encoded)
+  }
+
+  /** Cell-routed Hamming scan + exact cosine rerank: probes route to
+    * their `nprobe` nearest cells via the proven scorer expression, only
+    * those cells' code rows are scanned (chunked query-major, like
+    * [[Bq.knnJoin]]), candidates cut at the integer (hamming, cand_id)
+    * order, bounded rounded-cosine rerank on the originals. */
+  def knnJoin(model: Model, base: DataFrame, queries: DataFrame, k: Int,
+      nprobe: Int = 4, rerank: Int = 100, queryId: String = "query_id",
+      queryVec: String = "query_vec", idCol: String = "vec_id",
+      vecCol: String = "embedding", metric: String = "cosine",
+      scoreDigits: Int = -1): DataFrame = {
+    require(k > 0 && rerank >= k && nprobe > 0)
+    val spark = model.encoded.sparkSession
+    import spark.implicits._
+    // routing runs IN-PLAN through the same expression that assigns base
+    // rows (ties: (s desc, cell desc)) — then one bounded collect of
+    // (qid, qv, cells) for the broadcast scan
+    val routed = queries.select(col(queryId).cast("long"),
+        col(queryVec).cast("array<float>").as("qv"),
+        graft.functions.cells.nearest_cells(
+          col(queryVec).cast("array<float>"), model.centroids, metric,
+          n = nprobe, tieCellDesc = true).as("cells"))
+      .as[(Long, Array[Float], Array[Int])].collect()
+    val qbits = routed.map { case (qid, qv, cells) =>
+      (qid, Bq.packBits(qv, model.thresholds), cells) }
+    val wanted = routed.flatMap(_._3).distinct.toSeq
+    val bcQ = spark.sparkContext.broadcast(qbits)
+    val r = rerank
+    val pruned = model.encoded.filter(col("cell").isin(wanted: _*))
+    val cands = pruned.as[(Int, Long, Array[Long])].mapPartitions { rows =>
+      val qs = bcQ.value
+      val heaps = Array.fill(qs.length)(
+        mutable.PriorityQueue.empty[(Int, Long)](Ordering.Tuple2[Int, Long]))
+      // chunked query-major scan (the [[Bq.knnJoin]] shape), plus the
+      // per-query probed-cell membership check
+      val chunk = 1024
+      val cellBuf = new Array[Int](chunk)
+      val idBuf = new Array[Long](chunk)
+      val bitBuf = new Array[Array[Long]](chunk)
+      def flush(nRows: Int): Unit = {
+        var q = 0
+        while (q < qs.length) {
+          val (_, qb, qcells) = qs(q)
+          val h = heaps(q)
+          var j = 0
+          while (j < nRows) {
+            val cell = cellBuf(j)
+            var probed = false
+            var c = 0
+            while (!probed && c < qcells.length) {
+              probed = qcells(c) == cell; c += 1
+            }
+            if (probed) {
+              val hd = Bq.hamming(qb, bitBuf(j))
+              val id = idBuf(j)
+              if (h.size < r) h.enqueue((hd, id))
+              else {
+                val top = h.head
+                if (hd < top._1 || (hd == top._1 && id < top._2)) {
+                  h.dequeue(); h.enqueue((hd, id))
+                }
+              }
+            }
+            j += 1
+          }
+          q += 1
+        }
+      }
+      var nBuf = 0
+      rows.foreach { case (cell, id, bits) =>
+        cellBuf(nBuf) = cell; idBuf(nBuf) = id; bitBuf(nBuf) = bits
+        nBuf += 1
+        if (nBuf == chunk) { flush(nBuf); nBuf = 0 }
+      }
+      if (nBuf > 0) flush(nBuf)
+      heaps.iterator.zipWithIndex.flatMap { case (h, q) =>
+        val qid = qs(q)._1
+        h.iterator.map { case (hd, id) => (qid, id, hd) }
+      }
+    }.toDF("query_id", "cand_id", "hamming")
+    val wr = Window.partitionBy("query_id")
+      .orderBy(col("hamming").asc, col("cand_id").asc)
+    val topCands = cands.withColumn("crank", row_number().over(wr))
+      .filter(col("crank") <= r)
+      .select("query_id", "cand_id")
+    val rawScore = similarity.cosine_sim(col("bvec"), col("qvec"))
+    val scoreCol =
+      if (scoreDigits >= 0) graft.Qutil.rnd(rawScore, scoreDigits) else rawScore
+    val scored = topCands
+      .join(base.select(col(idCol).cast("long").as("cand_id"),
+        col(vecCol).cast("array<float>").as("bvec")), Seq("cand_id"))
+      .join(broadcast(queries.select(col(queryId).cast("long").as("query_id"),
+        col(queryVec).cast("array<float>").as("qvec"))), Seq("query_id"))
+      .select(col("query_id"), col("cand_id").as("neighbor_id"),
+        scoreCol.as("score"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Large-probe-set variant: caps the per-batch collect/broadcast at
+    * ~batchRows probes (see [[ProbeBatch]]). */
+  def knnJoinBatched(model: Model, base: DataFrame, queries: DataFrame, k: Int,
+      nprobe: Int = 4, rerank: Int = 100, batchRows: Int = 100000,
+      queryId: String = "query_id", queryVec: String = "query_vec",
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      metric: String = "cosine", scoreDigits: Int = -1): DataFrame =
+    ProbeBatch.batched(queries, batchRows, queryId)(
+      knnJoin(model, base, _, k, nprobe, rerank, queryId, queryVec, idCol,
+        vecCol, metric, scoreDigits))
+
+  /** Composed DuckDB oracle from the trained centroid literals: the
+    * `knn_ivf_cosine` assignment/routing CTEs (NaN-guarded cosine, (s
+    * desc, cell desc) ties) × the [[Bq]] bits CTEs, hamming restricted
+    * to candidates in each query's probed cells, (hd, cand_id)
+    * top-`rerank`, rounded-cosine rerank → `ivfbq_topk`. */
+  def duckdbTopkCte(centroids: Array[(Int, Array[Float])], d: Int,
+      nprobe: Int, rerank: Int = 100, k: Int = 10,
+      nQueries: Int = 100): String = {
+    val rows = centroids.map { case (c, v) =>
+      s"($c, CAST([${v.map(_.toDouble.toString).mkString(", ")}] AS DOUBLE[]))"
+    }.mkString(",\n   ")
+    def guarded(a: String, b: String): String =
+      s"""CASE WHEN isnan(list_cosine_similarity($a, $b)) THEN -1.0
+         |        ELSE list_cosine_similarity($a, $b) END""".stripMargin
+    s"""WITH ivf_cents(cell, cvec) AS (VALUES
+       |   $rows),
+       | ivf_sim AS (
+       |  SELECT e.vec_id, c.cell,
+       |   ${guarded("CAST(e.embedding AS DOUBLE[])", "c.cvec")} AS s
+       |  FROM embeddings e CROSS JOIN ivf_cents c),
+       | ivf_assigned AS (
+       |  SELECT vec_id, cell FROM (
+       |   SELECT vec_id, cell,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell DESC) AS rn
+       |   FROM ivf_sim) WHERE rn = 1),
+       | ivf_q AS (SELECT vec_id AS query_id, embedding AS qv
+       |           FROM embeddings WHERE vec_id < $nQueries),
+       | ivf_qsim AS (
+       |  SELECT q.query_id, c.cell,
+       |   ${guarded("CAST(q.qv AS DOUBLE[])", "c.cvec")} AS s
+       |  FROM ivf_q q CROSS JOIN ivf_cents c),
+       | ivf_qcells AS (
+       |  SELECT query_id, cell FROM (
+       |   SELECT query_id, cell,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY s DESC, cell DESC) AS rn
+       |   FROM ivf_qsim) WHERE rn <= $nprobe),
+       | dims AS (SELECT CAST(unnest(range(1, ${d + 1})) AS INT) AS i),
+       | comps AS (SELECT e.vec_id, dm.i, CAST(e.embedding[dm.i] AS DOUBLE) AS x
+       |           FROM embeddings e CROSS JOIN dims dm),
+       | stats AS (SELECT i, (min(x) + max(x))/2.0 AS thr
+       |           FROM comps GROUP BY i),
+       | bits AS (SELECT c.vec_id, c.i,
+       |    CASE WHEN c.x > s.thr THEN 1 ELSE 0 END AS b
+       |   FROM comps c JOIN stats s USING (i)),
+       | ham AS (SELECT qc.query_id, a.vec_id AS cand_id,
+       |    CAST(sum(CASE WHEN b.b <> qb.b THEN 1 ELSE 0 END) AS BIGINT) AS hd
+       |   FROM ivf_qcells qc
+       |    JOIN ivf_assigned a USING (cell)
+       |    JOIN bits b ON b.vec_id = a.vec_id
+       |    JOIN bits qb ON qb.vec_id = qc.query_id AND qb.i = b.i
+       |   GROUP BY 1, 2),
+       | cand AS (SELECT query_id, cand_id FROM (
+       |    SELECT query_id, cand_id, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY hd, cand_id) AS cr FROM ham) WHERE cr <= $rerank),
+       | rer AS (SELECT c.query_id, c.cand_id AS neighbor_id,
+       |    floor((list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+       |      CAST(q.qv AS DOUBLE[])))*1e6 + 0.5)/1e6 AS score
+       |   FROM cand c JOIN embeddings e ON e.vec_id = c.cand_id
+       |    JOIN ivf_q q ON q.query_id = c.query_id),
+       | ivfbq_topk AS (SELECT query_id, neighbor_id, score, rank FROM (
+       |   SELECT *, row_number() OVER (PARTITION BY query_id
+       |     ORDER BY score DESC, neighbor_id) AS rank FROM rer)
+       |  WHERE rank <= $k)""".stripMargin
+  }
+}
