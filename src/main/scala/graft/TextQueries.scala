@@ -110,6 +110,22 @@ object TextQueries {
   private def shingles(d: DataFrame): DataFrame =
     withShingles(d).select(col("doc_id"), explode(col("shs")).as("shingle"))
 
+  /** MinHash band-bucket candidate pairs (8 bands × 2 rows): the bounded
+    * candidate generator shared by `minhash_lsh_pairs` and
+    * `fuzzy_dup_pairs`. */
+  private def lshCandidatePairs(d: DataFrame): DataFrame = {
+    val sig = minhashSig(d)
+    val buckets = sig
+      .groupBy(col("doc_id"), (col("j") / 2).cast("int").as("band"))
+      .agg(max(when(col("j") % 2 === 0, col("mh"))).as("mh0"),
+        max(when(col("j") % 2 === 1, col("mh"))).as("mh1"))
+    buckets.select(col("doc_id").as("id1"), col("band"), col("mh0"), col("mh1"))
+      .join(buckets.select(col("doc_id").as("id2"), col("band"), col("mh0"), col("mh1")),
+        Seq("band", "mh0", "mh1"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+  }
+
   /** MinHash signature rows (doc_id, j, mh), 16 permutations — fully
     * in-row: hash array + per-permutation array_min, then one posexplode.
     * No shuffle anywhere (the groupBy-free formulation of min-per-perm). */
@@ -221,17 +237,23 @@ object TextQueries {
     "minhash_sig" -> ((s, dir) => minhashSig(docs(s, dir))),
 
     // MinHash-LSH candidate pairs: 8 bands × 2 rows
-    "minhash_lsh_pairs" -> ((s, dir) => {
-      val sig = minhashSig(docs(s, dir))
-      val buckets = sig
-        .groupBy(col("doc_id"), (col("j") / 2).cast("int").as("band"))
-        .agg(max(when(col("j") % 2 === 0, col("mh"))).as("mh0"),
-          max(when(col("j") % 2 === 1, col("mh"))).as("mh1"))
-      buckets.select(col("doc_id").as("id1"), col("band"), col("mh0"), col("mh1"))
-        .join(buckets.select(col("doc_id").as("id2"), col("band"), col("mh0"), col("mh1")),
-          Seq("band", "mh0", "mh1"))
-        .filter(col("id1") < col("id2"))
-        .select("id1", "id2").distinct()
+    "minhash_lsh_pairs" -> ((s, dir) => lshCandidatePairs(docs(s, dir))),
+
+    // fuzzy near-dup confirm: exact Levenshtein over the bounded LSH
+    // candidate set only — the O(len²) DP runs per CANDIDATE pair, never
+    // per corpus pair, so cost scales with the LSH hit count at any
+    // corpus size. Integer distance + fixed-point relative distance keep
+    // the whole pipeline cross-engine exact.
+    "fuzzy_dup_pairs" -> ((s, dir) => {
+      val d = docs(s, dir)
+      lshCandidatePairs(d)
+        .join(d.select(col("doc_id").as("id1"), col("text").as("t1")), Seq("id1"))
+        .join(d.select(col("doc_id").as("id2"), col("text").as("t2")), Seq("id2"))
+        .withColumn("dist", levenshtein(col("t1"), col("t2")).cast("long"))
+        .withColumn("rel", rnd(col("dist").cast("double") /
+          greatest(length(col("t1")), length(col("t2"))).cast("double"), 6))
+        .filter(col("rel") <= 0.3)
+        .select("id1", "id2", "dist", "rel")
     }),
 
     // SimHash (32-bit) per document from token md5 hashes with
@@ -637,6 +659,35 @@ object TextQueries {
     })
   )
 
+  /** MinHash band-bucket candidate pairs, ending in CTE `lsh_pairs` —
+    * shared by `minhash_lsh_pairs` and the edit-distance-confirmed
+    * `fuzzy_dup_pairs`. */
+  private val lshPairsCte: String =
+    """WITH d AS (SELECT doc_id, string_split_regex(trim(text),'\s+') AS ts
+      |           FROM documents),
+      | toks AS (SELECT doc_id, unnest(ts) AS tok,
+      |          unnest(range(1, len(ts)+1)) AS pos FROM d),
+      | sh0 AS (SELECT doc_id, tok || ' ' || lead(tok,1) OVER w ||
+      |          ' ' || lead(tok,2) OVER w AS shingle
+      |         FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      | sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE shingle IS NOT NULL),
+      | hx AS (SELECT doc_id,
+      |        ('0x' || substr(md5(shingle),1,15))::BIGINT % 1000000007 AS x
+      |        FROM sh),
+      | pj AS (SELECT unnest(range(0,16)) AS j),
+      | sig AS (SELECT doc_id, j,
+      |   min(((400009*j + 100003)*x + (700001*j + 1)) % 1000000007) AS mh
+      |  FROM hx CROSS JOIN pj GROUP BY doc_id, j),
+      | buckets AS (SELECT doc_id, CAST(j // 2 AS INT) AS band,
+      |   max(CASE WHEN j % 2 = 0 THEN mh END) AS mh0,
+      |   max(CASE WHEN j % 2 = 1 THEN mh END) AS mh1
+      |  FROM sig GROUP BY 1, 2),
+      | lsh_pairs AS (
+      |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      |  FROM buckets a JOIN buckets b
+      |   ON a.band = b.band AND a.mh0 = b.mh0 AND a.mh1 = b.mh1
+      |    AND a.doc_id < b.doc_id)""".stripMargin
+
   /** Shared by `bm25_top_docs` and the index-served `bm25_indexed`. */
   private val bm25Sql: String =
     """WITH toks AS (SELECT doc_id,
@@ -908,29 +959,23 @@ object TextQueries {
         | min(((400009*j + 100003)*x + (700001*j + 1)) % 1000000007) AS mh
         |FROM hx CROSS JOIN pj GROUP BY doc_id, j""".stripMargin,
     "minhash_lsh_pairs" ->
-      """WITH d AS (SELECT doc_id, string_split_regex(trim(text),'\s+') AS ts
-        |           FROM documents),
-        | toks AS (SELECT doc_id, unnest(ts) AS tok,
-        |          unnest(range(1, len(ts)+1)) AS pos FROM d),
-        | sh0 AS (SELECT doc_id, tok || ' ' || lead(tok,1) OVER w
-        |          || ' ' || lead(tok,2) OVER w AS shingle
-        |         FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
-        | sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE shingle IS NOT NULL),
-        | hx AS (SELECT doc_id,
-        |        ('0x' || substr(md5(shingle),1,15))::BIGINT % 1000000007 AS x
-        |        FROM sh),
-        | pj AS (SELECT unnest(range(0,16)) AS j),
-        | sig AS (SELECT doc_id, j,
-        |   min(((400009*j + 100003)*x + (700001*j + 1)) % 1000000007) AS mh
-        |  FROM hx CROSS JOIN pj GROUP BY doc_id, j),
-        | buckets AS (SELECT doc_id, CAST(j // 2 AS INT) AS band,
-        |   max(CASE WHEN j % 2 = 0 THEN mh END) AS mh0,
-        |   max(CASE WHEN j % 2 = 1 THEN mh END) AS mh1
-        |  FROM sig GROUP BY 1, 2)
-        |SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-        |FROM buckets a JOIN buckets b
-        | ON a.band = b.band AND a.mh0 = b.mh0 AND a.mh1 = b.mh1
-        |  AND a.doc_id < b.doc_id""".stripMargin,
+      s"""$lshPairsCte
+         |SELECT id1, id2 FROM lsh_pairs""".stripMargin,
+    // exact edit-distance confirm over the SAME LSH candidate pairs —
+    // levenshtein is identical integer DP in both engines, the relative
+    // distance rounds with the shared fixed-point floor form
+    "fuzzy_dup_pairs" ->
+      s"""$lshPairsCte,
+         | conf AS (
+         |  SELECT p.id1, p.id2,
+         |   CAST(levenshtein(d1.text, d2.text) AS BIGINT) AS dist,
+         |   floor((CAST(levenshtein(d1.text, d2.text) AS DOUBLE)
+         |     / greatest(length(d1.text), length(d2.text)))*1e6 + 0.5)/1e6
+         |     AS rel
+         |  FROM lsh_pairs p
+         |   JOIN documents d1 ON d1.doc_id = p.id1
+         |   JOIN documents d2 ON d2.doc_id = p.id2)
+         |SELECT id1, id2, dist, rel FROM conf WHERE rel <= 0.3""".stripMargin,
     "simhash" ->
       """WITH toks AS (SELECT doc_id,
         |   unnest(string_split_regex(trim(text),'\s+')) AS tok FROM documents),

@@ -232,24 +232,60 @@ object IvfPq {
             }
           }
         })
-      val heaps = mutable.Map.empty[Long, mutable.PriorityQueue[(Double, Long)]]
-      rows.foreach { case (cell, id, codes) =>
+      // Row-chunked, QUERY-MAJOR scan (the [[Sq.knnJoin]] shape): the
+      // row-major loop paid a boxed Map lookup (qCells, heaps) per
+      // (row × query) and streamed every query's LUT past the core per
+      // row. Index-addressed per-query state + chunking keeps one
+      // (lut, heap) pair hot across 1024 rows; rows arrive cell-clustered
+      // (the code table is cell-partitioned), so the per-query last-cell
+      // LUT cache hits for whole runs. Per query the candidates arrive in
+      // the SAME row order as before ⇒ identical kept sets.
+      val heaps = Array.fill(qs.length)(
+        mutable.PriorityQueue.empty[(Double, Long)](Ordering.by(_._1)))
+      val probedCells = qs.map { case (qid, _) => qCells(qid) }
+      val chunk = 1024
+      val cellBuf = new Array[Int](chunk)
+      val idBuf = new Array[Long](chunk)
+      val codeBuf = new Array[Any](chunk)
+      def flush(nRows: Int): Unit = {
         var q = 0
         while (q < qs.length) {
           val (qid, qv) = qs(q)
-          if (qCells(qid).contains(cell)) {
-            val t = lut(qid, qv, cell)
-            var dist = 0.0; var s = 0
-            while (s < numSub) { dist += t(s)(codeAt(codes, s)); s += 1 }
-            val h = heaps.getOrElseUpdate(qid,
-              mutable.PriorityQueue.empty[(Double, Long)](Ordering.by(_._1)))
-            if (h.size < r) h.enqueue((dist, id))
-            else if (dist < h.head._1) { h.dequeue(); h.enqueue((dist, id)) }
+          val cellsQ = probedCells(q)
+          val h = heaps(q)
+          var lastCell = -1
+          var t: Array[Array[Double]] = null
+          var j = 0
+          while (j < nRows) {
+            val cell = cellBuf(j)
+            var probed = false
+            var c = 0
+            while (!probed && c < cellsQ.length) {
+              probed = cellsQ(c) == cell; c += 1
+            }
+            if (probed) {
+              if (cell != lastCell) { t = lut(qid, qv, cell); lastCell = cell }
+              val codes = codeBuf(j).asInstanceOf[C]
+              var dist = 0.0; var s = 0
+              while (s < numSub) { dist += t(s)(codeAt(codes, s)); s += 1 }
+              val id = idBuf(j)
+              if (h.size < r) h.enqueue((dist, id))
+              else if (dist < h.head._1) { h.dequeue(); h.enqueue((dist, id)) }
+            }
+            j += 1
           }
           q += 1
         }
       }
-      heaps.iterator.flatMap { case (qid, h) =>
+      var nBuf = 0
+      rows.foreach { case (cell, id, codes) =>
+        cellBuf(nBuf) = cell; idBuf(nBuf) = id; codeBuf(nBuf) = codes
+        nBuf += 1
+        if (nBuf == chunk) { flush(nBuf); nBuf = 0 }
+      }
+      if (nBuf > 0) flush(nBuf)
+      heaps.iterator.zipWithIndex.flatMap { case (h, q) =>
+        val qid = qs(q)._1
         h.iterator.map { case (dist, id) => (qid, id, dist) }
       }
     }

@@ -235,18 +235,39 @@ object Pq {
       }
       val heaps = Array.fill(qs.length)(
         mutable.PriorityQueue.empty[(Double, Long)](Ordering.by(_._1)))
-      rows.foreach { case (id, codes) =>
+      // Row-chunked, QUERY-MAJOR scan (the [[Sq.knnJoin]] shape): at many
+      // probes a row-major loop streams every query's LUT + heap head
+      // past the core per row; chunking keeps one (lut, heap) pair hot
+      // across 1024 rows. Per query the candidates arrive in the SAME
+      // row order as before, so the heap's kept set (and its
+      // order-dependent equal-dist behavior) is unchanged.
+      val chunk = 1024
+      val idBuf = new Array[Long](chunk)
+      val codeBuf = new Array[Any](chunk)
+      def flush(nRows: Int): Unit = {
         var q = 0
         while (q < qs.length) {
           val lut = luts(q)
-          var dist = 0.0; var s = 0
-          while (s < numSub) { dist += lut(s)(codeAt(codes, s)); s += 1 }
           val h = heaps(q)
-          if (h.size < r) h.enqueue((dist, id))
-          else if (dist < h.head._1) { h.dequeue(); h.enqueue((dist, id)) }
+          var j = 0
+          while (j < nRows) {
+            val codes = codeBuf(j).asInstanceOf[C]
+            var dist = 0.0; var s = 0
+            while (s < numSub) { dist += lut(s)(codeAt(codes, s)); s += 1 }
+            val id = idBuf(j)
+            if (h.size < r) h.enqueue((dist, id))
+            else if (dist < h.head._1) { h.dequeue(); h.enqueue((dist, id)) }
+            j += 1
+          }
           q += 1
         }
       }
+      var nBuf = 0
+      rows.foreach { case (id, codes) =>
+        idBuf(nBuf) = id; codeBuf(nBuf) = codes; nBuf += 1
+        if (nBuf == chunk) { flush(nBuf); nBuf = 0 }
+      }
+      if (nBuf > 0) flush(nBuf)
       heaps.iterator.zipWithIndex.flatMap { case (h, q) =>
         val qid = qs(q)._1
         h.iterator.map { case (dist, id) => (qid, id, dist) }
