@@ -344,6 +344,52 @@ object TextIndex {
       .select("qid", "rnk", "doc_id", "bm25")
   }
 
+  /** Build an EMPTY index (all three tables, mergeable stats) when
+    * `prefix` does not exist yet — the bootstrap for streaming ingest. */
+  def ensure(spark: SparkSession, prefix: String, numBuckets: Int = 32): Unit =
+    if (!spark.catalog.tableExists(postingsTable(prefix))) {
+      import spark.implicits._
+      build(Seq.empty[(Long, String)].toDF("doc_id", "text"), prefix,
+        numBuckets)
+      ()
+    }
+
+  /** Streaming ingest: every micro-batch of (doc_id, text) rows appends
+    * as one index epoch via [[append]] — so a stream-built index serves
+    * bit-identically to a batch build over the same docs (spec-pinned),
+    * the same stream-built/batch-served contract the vector side's
+    * `IncrementalIvfIndex.snapshot` keeps. Epochs accumulate one posting
+    * file set per batch; run [[compact]] on the usual epoch cadence.
+    * Caller owns the returned query's lifecycle (and the checkpoint via
+    * the usual writeStream options upstream). */
+  def streamingAppend(stream: DataFrame, prefix: String,
+      numBuckets: Int = 32): org.apache.spark.sql.streaming.StreamingQuery = {
+    val serveSession = stream.sparkSession
+    ensure(serveSession, prefix, numBuckets)
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // append() runs several actions over the batch (postings write,
+        // delta lexicon, stats) — persist so each sees the same rows
+        // instead of re-pulling the micro-batch source per action
+        val b = batch.persist()
+        try {
+          if (!b.isEmpty) {
+            append(b, prefix, numBuckets)
+            // foreachBatch runs in a CLONED session whose writes don't
+            // invalidate the serving session's relation cache (ensure()
+            // cached the postings relation while it was still empty) —
+            // refresh there so serves see each epoch immediately
+            Seq(postingsTable(prefix), lexiconTable(prefix),
+              statsTable(prefix))
+              .foreach(serveSession.catalog.refreshTable)
+          }
+        }
+        finally { b.unpersist(); () }
+      }
+      .start()
+  }
+
   /** Drop the persisted tables (store CRUD contract). */
   def drop(spark: SparkSession, prefix: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS ${postingsTable(prefix)}")

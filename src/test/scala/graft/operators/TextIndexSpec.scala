@@ -201,4 +201,33 @@ class TextIndexSpec extends AnyFunSuite {
     qt.unpersist()
     TextIndex.drop(spark, del); TextIndex.drop(spark, ref)
   }
+
+  test("streaming ingest: micro-batched epochs serve bit-identically to " +
+      "a batch build over the same docs") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val str = "graft_tix_stream"; val ref = "graft_tix_streamref"
+    TextIndex.drop(spark, str); TextIndex.drop(spark, ref)
+    val rows = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect()
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = TextIndex.streamingAppend(
+      mem.toDF().toDF("doc_id", "text"), str, numBuckets = 8)
+    try {
+      mem.addData(rows.take(200).toSeq)
+      q.processAllAvailable()
+      mem.addData(rows.drop(200).toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val stRef = TextIndex.build(docs, ref, numBuckets = 8)
+    assert(TextIndex.stats(spark, str) == stRef)
+    val qt = spark.table(s"${ref}_postings").filter(col("doc_id") < 20)
+      .select(col("doc_id").as("qid"), col("term")).cache()
+    qt.count()
+    assert(serve(str, qt) == serve(ref, qt),
+      "stream-built index must serve identically to the batch build")
+    qt.unpersist()
+    TextIndex.drop(spark, str); TextIndex.drop(spark, ref)
+  }
 }
