@@ -418,18 +418,20 @@ object VectorQueries {
 
     // IVF × BQ: the composition the round-8 compressed-scan ladder
     // measured its way to — cell-routed Hamming scan (scan AND candidate
-    // exchange both divided by nprobe/C) + exact cosine rerank. Composed
-    // from the battery's memoized IVF quantizer, so the whole trained
+    // exchange both divided by nprobe/C) + exact cosine rerank, with
+    // RESIDUAL sign codes (bits of v − centroid[cell]) so the code
+    // discriminates inside the cell the probe lands in. Composed from
+    // the battery's memoized IVF quantizer, so the whole trained
     // pipeline is cross-engine oracle-checked from centroid literals.
     "knn_ivfbq_cosine" -> ((s, dir) => {
-      val model = ModelMemo.get(s, s"ivfbq/c16/$dir")(
+      val model = ModelMemo.get(s, s"ivfbq/c16r/$dir")(
         graft.operators.IvfBq.fromIvf(ivfModel(s, dir)))
       graft.operators.IvfBq.knnJoin(model, emb(s, dir), probes(s, dir),
         k = 10, nprobe = 4, rerank = 100, scoreDigits = 6)
     }),
 
     "recall_ivfbq" -> ((s, dir) => {
-      val model = ModelMemo.get(s, s"ivfbq/c16/$dir")(
+      val model = ModelMemo.get(s, s"ivfbq/c16r/$dir")(
         graft.operators.IvfBq.fromIvf(ivfModel(s, dir)))
       val approx = graft.operators.IvfBq.knnJoin(model, emb(s, dir),
         probes(s, dir), k = 10, nprobe = 4, rerank = 100, scoreDigits = 6)
@@ -678,7 +680,7 @@ object VectorQueries {
     case Some(cents) =>
       val cte = graft.operators.IvfFlat.duckdbTopkCte(cents, nprobe = 4, k = 10)
       val bqCte = graft.operators.IvfBq.duckdbTopkCte(cents, d = 64,
-        nprobe = 4, rerank = 100, k = 10)
+        nprobe = 4, rerank = 100, k = 10, residual = true)
       Map(
         "knn_ivfbq_cosine" ->
           s"""$bqCte

@@ -38,6 +38,10 @@ object CompressedScanBenchMain {
     // scatter across cells — the r5 hybrid-index finding); "clustered" is
     // the corpus shape cell routing serves
     val corpus = if (args.length > 6) args(6) else "uniform"
+    // comma-set of ladder rungs to run (10M runs skip the flat scans)
+    val paths: Set[String] =
+      if (args.length > 7) args(7).split(",").map(_.trim).toSet
+      else Set("exact", "sq", "bq", "ivfbq")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -61,9 +65,13 @@ object CompressedScanBenchMain {
     val exactCos = KnnJoin.exactKnnJoin(base, anchor, k = 10,
       metric = "cosine").cache()
     exactCos.count()
-    val exactEuc = KnnJoin.exactKnnJoin(base, anchor, k = 10,
-      metric = "euclidean").cache()
-    exactEuc.count()
+    // the euclidean anchor is another full exact scan — only pay for it
+    // when the SQ rung (the euclidean-contract path) actually runs
+    lazy val exactEuc = {
+      val e = KnnJoin.exactKnnJoin(base, anchor, k = 10,
+        metric = "euclidean").cache()
+      e.count(); e
+    }
 
     def timed[T](f: => T): (T, Double) = {
       val t0 = System.nanoTime()
@@ -74,7 +82,7 @@ object CompressedScanBenchMain {
     // exact float32 scan (cosine): 4·d bytes/vector touched per query.
     // Probe ids disjoint from the anchor so the cached anchor plan can't
     // serve the timed run.
-    {
+    if (paths("exact")) {
       val q = base.filter(col("vec_id") >= 1000 &&
           col("vec_id") < 1000 + probesExact)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
@@ -87,7 +95,7 @@ object CompressedScanBenchMain {
     }
 
     // SQ8 ADC scan (euclidean contract): d bytes/vector
-    {
+    if (paths("sq")) {
       val (m, fitS) = timed(Sq.fit(base))
       val q = probeSet(probesSq).cache(); q.count()
       val (cnt, wall) = timed(
@@ -106,7 +114,7 @@ object CompressedScanBenchMain {
     // must scale with n to hold recall (d-bit codes rank ever-more
     // candidates into the same integer Hamming levels as the corpus
     // grows), so measure a rerank ladder at the same corpus.
-    {
+    if (paths("bq")) {
       val (m, fitS) = timed(Bq.fit(base))
       val q = probeSet(probesBq).cache(); q.count()
       val (cnt, wall) = timed(
@@ -136,8 +144,9 @@ object CompressedScanBenchMain {
     // IVF × BQ: the high-recall configuration — cells divide the Hamming
     // scan AND the candidate exchange by ~nprobe/C, so the big rerank
     // that standalone BQ can't afford becomes payable
-    {
-      val cells = 64
+    if (paths("ivfbq")) {
+      // the P-sizing rule: scale C with n to hold cell size constant
+      val cells = if (n >= 10000000L) 256 else 64
       val (m, fitS) = timed(IvfBq.fit(base, numCells = cells))
       val nq = probesBq / 5
       val q = probeSet(nq).cache(); q.count()

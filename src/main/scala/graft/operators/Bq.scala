@@ -56,15 +56,14 @@ object Bq {
     h
   }
 
-  /** Per-dimension min/max over the corpus (partition partials + driver
-    * combine — the [[Sq.fit]] pass shape), midrange thresholds, then one
-    * broadcast encode pass. Deterministic. */
-  def fit(base: DataFrame, idCol: String = "vec_id",
-      vecCol: String = "embedding"): Model = {
-    val spark = base.sparkSession
+  /** Per-dimension MIDRANGE thresholds `(min_i + max_i) / 2` from one
+    * no-shuffle partials pass over (id, vec) rows — exact
+    * order-independent double arithmetic (float in, double ops), so the
+    * DuckDB oracle reproduces every bit from the same aggregates. Shared
+    * by [[fit]] and [[IvfBq.fromIvf]]. */
+  private[operators] def fitThresholds(src: DataFrame): Array[Double] = {
+    val spark = src.sparkSession
     import spark.implicits._
-    val src = base.select(col(idCol).cast("long").as("id"),
-      col(vecCol).cast("array<float>").as("vec"))
     val partials = src.as[(Long, Array[Float])].mapPartitions { it =>
       var mins: Array[Float] = null
       var maxs: Array[Float] = null
@@ -87,10 +86,39 @@ object Bq {
       Array.tabulate(d)(i => math.min(a(i), b(i))) }
     val maxs = partials.map(_._2).reduce { (a, b) =>
       Array.tabulate(d)(i => math.max(a(i), b(i))) }
-    // midrange in double arithmetic (float in, double ops) so the DuckDB
-    // oracle reproduces every bit exactly from the same aggregates
-    val thr = Array.tabulate(d)(i => (mins(i).toDouble + maxs(i).toDouble) / 2.0)
+    Array.tabulate(d)(i => (mins(i).toDouble + maxs(i).toDouble) / 2.0)
+  }
 
+  /** Bounded exact top-k: rounded-cosine rerank of (query_id, cand_id)
+    * candidates on the original vectors (the battery score contract).
+    * Shared by [[knnJoin]], [[IvfBq.knnJoin]]. */
+  private[operators] def cosineRerank(topCands: DataFrame, base: DataFrame,
+      queries: DataFrame, k: Int, queryId: String, queryVec: String,
+      idCol: String, vecCol: String, scoreDigits: Int): DataFrame = {
+    val rawScore = similarity.cosine_sim(col("bvec"), col("qvec"))
+    val scoreCol =
+      if (scoreDigits >= 0) graft.Qutil.rnd(rawScore, scoreDigits) else rawScore
+    val scored = topCands
+      .join(base.select(col(idCol).cast("long").as("cand_id"),
+        col(vecCol).cast("array<float>").as("bvec")), Seq("cand_id"))
+      .join(broadcast(queries.select(col(queryId).cast("long").as("query_id"),
+        col(queryVec).cast("array<float>").as("qvec"))), Seq("query_id"))
+      .select(col("query_id"), col("cand_id").as("neighbor_id"),
+        scoreCol.as("score"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Midrange thresholds (partials pass, the [[Sq.fit]] shape), then one
+    * broadcast encode pass. Deterministic. */
+  def fit(base: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Model = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val src = base.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<float>").as("vec"))
+    val thr = fitThresholds(src)
     val bcT = spark.sparkContext.broadcast(thr)
     val encoded = src.as[(Long, Array[Float])].mapPartitions { rows =>
       val t = bcT.value
@@ -199,19 +227,8 @@ object Bq {
     val topCands = cands.withColumn("crank", row_number().over(wr))
       .filter(col("crank") <= r)
       .select("query_id", "cand_id")
-    val rawScore = similarity.cosine_sim(col("bvec"), col("qvec"))
-    val scoreCol =
-      if (scoreDigits >= 0) graft.Qutil.rnd(rawScore, scoreDigits) else rawScore
-    val scored = topCands
-      .join(base.select(col(idCol).cast("long").as("cand_id"),
-        col(vecCol).cast("array<float>").as("bvec")), Seq("cand_id"))
-      .join(broadcast(queries.select(col(queryId).cast("long").as("query_id"),
-        col(queryVec).cast("array<float>").as("qvec"))), Seq("query_id"))
-      .select(col("query_id"), col("cand_id").as("neighbor_id"),
-        scoreCol.as("score"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("score").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    cosineRerank(topCands, base, queries, k, queryId, queryVec, idCol, vecCol,
+      scoreDigits)
   }
 
   /** Large-probe-set variant: caps the per-batch collect/broadcast at

@@ -6,7 +6,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.similarity
 
 /** IVF × binary quantization: the composition the round-8 compressed-scan
   * ladder measured its way to. Standalone BQ needs rerank ∝ n to hold
@@ -28,59 +27,70 @@ import graft.functions.similarity
 object IvfBq {
 
   /** centroids = the coarse quantizer; thresholds = global per-dim
-    * midrange cut points; encoded = (cell, id, bits) — the
-    * cell-partitioned packed code table (8 bytes/vector at d=64). */
+    * midrange cut points (empty in residual mode); encoded = (cell, id,
+    * bits) — the cell-partitioned packed code table (8 bytes/vector at
+    * d=64). `residual = true` codes the SIGN OF THE RESIDUAL v −
+    * centroid[cell] per dimension instead of a global midrange cut. */
   case class Model(centroids: Array[(Int, Array[Float])],
-      thresholds: Array[Double], encoded: DataFrame)
+      thresholds: Array[Double], encoded: DataFrame,
+      residual: Boolean = false)
 
-  /** Fit = IVF coarse quantizer + BQ thresholds + one encode pass over
-    * the assigned rows. `metric` routes cells (the reranker is always
-    * cosine, matching [[Bq]]). */
+  /** bit j set iff v_j > cent_j — the residual-sign code in cell
+    * `cent`'s frame (exact double comparisons; float values compare
+    * identically after the lossless upcast, which is what makes the
+    * composed oracle exact). */
+  private[operators] def packResidualBits(v: Array[Float],
+      cent: Array[Float]): Array[Long] = {
+    val words = new Array[Long]((v.length + 63) / 64)
+    var j = 0
+    while (j < v.length) {
+      if (v(j).toDouble > cent(j).toDouble) words(j >> 6) |= (1L << (j & 63))
+      j += 1
+    }
+    words
+  }
+
+  /** Fit = IVF coarse quantizer + code pass over the assigned rows.
+    * `metric` routes cells (the reranker is always cosine, matching
+    * [[Bq]]). Residual mode (default) is the configuration for
+    * CLUSTERED corpora: inside a tight cluster every member sits on the
+    * same side of a GLOBAL midrange for most dimensions, so global sign
+    * codes cannot rank within the cluster (measured at 10M: recall
+    * pinned at rerank/cluster-size regardless of nprobe — BASELINE.md
+    * round-8); residual signs are centered per cell and discriminate
+    * exactly where the probe lands. */
   def fit(base: DataFrame, numCells: Int = 16, seed: Long = 42L,
       idCol: String = "vec_id", vecCol: String = "embedding",
       metric: String = "cosine", lloydSampleN: Int = 100000,
-      balanceSlack: Double = 0.0): Model =
+      balanceSlack: Double = 0.0, residual: Boolean = true): Model =
     fromIvf(IvfFlat.fit(base, numCells, seed, idCol, vecCol, metric,
-      lloydSampleN, balanceSlack))
+      lloydSampleN, balanceSlack), residual)
 
   /** Build from an already-fitted coarse quantizer (shares the battery's
     * memoized IVF model — same centroids, so oracle literals line up). */
-  def fromIvf(ivf: IvfFlat.Model): Model = {
+  def fromIvf(ivf: IvfFlat.Model, residual: Boolean = true): Model = {
     val spark = ivf.assigned.sparkSession
     import spark.implicits._
-    val src = ivf.assigned.select(col("id"), col("vec"))
-    val partials = src.as[(Long, Array[Float])].mapPartitions { it =>
-      var mins: Array[Float] = null
-      var maxs: Array[Float] = null
-      it.foreach { case (_, v) =>
-        if (mins == null) { mins = v.clone(); maxs = v.clone() }
-        else {
-          var i = 0
-          while (i < v.length) {
-            if (v(i) < mins(i)) mins(i) = v(i)
-            if (v(i) > maxs(i)) maxs(i) = v(i)
-            i += 1
-          }
-        }
-      }
-      if (mins == null) Iterator.empty else Iterator((mins, maxs))
-    }.collect()
-    require(partials.nonEmpty, "IvfBq fit over an empty corpus")
-    val d = partials.head._1.length
-    val mins = partials.map(_._1).reduce { (a, b) =>
-      Array.tabulate(d)(i => math.min(a(i), b(i))) }
-    val maxs = partials.map(_._2).reduce { (a, b) =>
-      Array.tabulate(d)(i => math.max(a(i), b(i))) }
-    val thr = Array.tabulate(d)(i => (mins(i).toDouble + maxs(i).toDouble) / 2.0)
+    val thr =
+      if (residual) Array.empty[Double]
+      else Bq.fitThresholds(ivf.assigned.select(col("id"), col("vec")))
     val bcT = spark.sparkContext.broadcast(thr)
+    val bcCents = spark.sparkContext.broadcast(
+      ivf.centroids.sortBy(_._1).map(_._2))
     val encoded = ivf.assigned
       .select(col("cell").cast("int"), col("id"), col("vec"))
       .as[(Int, Long, Array[Float])].mapPartitions { rows =>
         val t = bcT.value
-        rows.map { case (cell, id, v) => (cell, id, Bq.packBits(v, t)) }
+        val cents = bcCents.value
+        rows.map { case (cell, id, v) =>
+          val bits =
+            if (t.isEmpty) packResidualBits(v, cents(cell))
+            else Bq.packBits(v, t)
+          (cell, id, bits)
+        }
       }.toDF("cell", "id", "bits").persist()
     encoded.count()
-    Model(ivf.centroids, thr, encoded)
+    Model(ivf.centroids, thr, encoded, residual)
   }
 
   /** Cell-routed Hamming scan + exact cosine rerank: probes route to
@@ -105,8 +115,18 @@ object IvfBq {
           col(queryVec).cast("array<float>"), model.centroids, metric,
           n = nprobe, tieCellDesc = true).as("cells"))
       .as[(Long, Array[Float], Array[Int])].collect()
+    // residual mode: one code per PROBED CELL per query — candidates in
+    // cell c compare against the query's cell-c residual signs
+    val cents = model.centroids.sortBy(_._1).map(_._2)
     val qbits = routed.map { case (qid, qv, cells) =>
-      (qid, Bq.packBits(qv, model.thresholds), cells) }
+      val perCell: Array[Array[Long]] =
+        if (model.residual) cells.map(c => packResidualBits(qv, cents(c)))
+        else {
+          val b = Bq.packBits(qv, model.thresholds)
+          cells.map(_ => b)
+        }
+      (qid, perCell, cells)
+    }
     val wanted = routed.flatMap(_._3).distinct.toSeq
     val bcQ = spark.sparkContext.broadcast(qbits)
     val r = rerank
@@ -129,13 +149,14 @@ object IvfBq {
           var j = 0
           while (j < nRows) {
             val cell = cellBuf(j)
-            var probed = false
+            var cellIdx = -1
             var c = 0
-            while (!probed && c < qcells.length) {
-              probed = qcells(c) == cell; c += 1
+            while (cellIdx < 0 && c < qcells.length) {
+              if (qcells(c) == cell) cellIdx = c
+              c += 1
             }
-            if (probed) {
-              val hd = Bq.hamming(qb, bitBuf(j))
+            if (cellIdx >= 0) {
+              val hd = Bq.hamming(qb(cellIdx), bitBuf(j))
               val id = idBuf(j)
               if (h.size < r) h.enqueue((hd, id))
               else {
@@ -167,19 +188,8 @@ object IvfBq {
     val topCands = cands.withColumn("crank", row_number().over(wr))
       .filter(col("crank") <= r)
       .select("query_id", "cand_id")
-    val rawScore = similarity.cosine_sim(col("bvec"), col("qvec"))
-    val scoreCol =
-      if (scoreDigits >= 0) graft.Qutil.rnd(rawScore, scoreDigits) else rawScore
-    val scored = topCands
-      .join(base.select(col(idCol).cast("long").as("cand_id"),
-        col(vecCol).cast("array<float>").as("bvec")), Seq("cand_id"))
-      .join(broadcast(queries.select(col(queryId).cast("long").as("query_id"),
-        col(queryVec).cast("array<float>").as("qvec"))), Seq("query_id"))
-      .select(col("query_id"), col("cand_id").as("neighbor_id"),
-        scoreCol.as("score"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("score").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    Bq.cosineRerank(topCands, base, queries, k, queryId, queryVec, idCol,
+      vecCol, scoreDigits)
   }
 
   /** Large-probe-set variant: caps the per-batch collect/broadcast at
@@ -200,7 +210,7 @@ object IvfBq {
     * top-`rerank`, rounded-cosine rerank → `ivfbq_topk`. */
   def duckdbTopkCte(centroids: Array[(Int, Array[Float])], d: Int,
       nprobe: Int, rerank: Int = 100, k: Int = 10,
-      nQueries: Int = 100): String = {
+      nQueries: Int = 100, residual: Boolean = false): String = {
     val rows = centroids.map { case (c, v) =>
       s"($c, CAST([${v.map(_.toDouble.toString).mkString(", ")}] AS DOUBLE[]))"
     }.mkString(",\n   ")
@@ -229,7 +239,25 @@ object IvfBq {
        |   SELECT query_id, cell,
        |    row_number() OVER (PARTITION BY query_id ORDER BY s DESC, cell DESC) AS rn
        |   FROM ivf_qsim) WHERE rn <= $nprobe),
-       | dims AS (SELECT CAST(unnest(range(1, ${d + 1})) AS INT) AS i),
+       | dims AS (SELECT CAST(unnest(range(1, ${d + 1})) AS INT) AS i),${
+      if (residual)
+        s"""
+       | bits AS (SELECT a.vec_id, a.cell, dm.i,
+       |    CASE WHEN CAST(e.embedding[dm.i] AS DOUBLE) > c.cvec[dm.i]
+       |         THEN 1 ELSE 0 END AS b
+       |   FROM ivf_assigned a JOIN embeddings e ON e.vec_id = a.vec_id
+       |    JOIN ivf_cents c ON c.cell = a.cell CROSS JOIN dims dm),
+       | qbits AS (SELECT qc.query_id, qc.cell, dm.i,
+       |    CASE WHEN CAST(q.qv[dm.i] AS DOUBLE) > c.cvec[dm.i]
+       |         THEN 1 ELSE 0 END AS b
+       |   FROM ivf_qcells qc JOIN ivf_q q USING (query_id)
+       |    JOIN ivf_cents c ON c.cell = qc.cell CROSS JOIN dims dm),
+       | ham AS (SELECT qb.query_id, b.vec_id AS cand_id,
+       |    CAST(sum(CASE WHEN b.b <> qb.b THEN 1 ELSE 0 END) AS BIGINT) AS hd
+       |   FROM bits b JOIN qbits qb ON qb.cell = b.cell AND qb.i = b.i
+       |   GROUP BY 1, 2),"""
+      else
+        s"""
        | comps AS (SELECT e.vec_id, dm.i, CAST(e.embedding[dm.i] AS DOUBLE) AS x
        |           FROM embeddings e CROSS JOIN dims dm),
        | stats AS (SELECT i, (min(x) + max(x))/2.0 AS thr
@@ -243,7 +271,7 @@ object IvfBq {
        |    JOIN ivf_assigned a USING (cell)
        |    JOIN bits b ON b.vec_id = a.vec_id
        |    JOIN bits qb ON qb.vec_id = qc.query_id AND qb.i = b.i
-       |   GROUP BY 1, 2),
+       |   GROUP BY 1, 2),"""}
        | cand AS (SELECT query_id, cand_id FROM (
        |    SELECT query_id, cand_id, row_number() OVER (PARTITION BY query_id
        |      ORDER BY hd, cand_id) AS cr FROM ham) WHERE cr <= $rerank),

@@ -19,21 +19,50 @@ class IvfBqSpec extends AnyFunSuite {
     .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
 
   lazy val ivf: IvfFlat.Model = IvfFlat.fit(emb, numCells = 4)
-  lazy val model: IvfBq.Model = IvfBq.fromIvf(ivf)
+  lazy val model: IvfBq.Model = IvfBq.fromIvf(ivf) // residual (default)
+  lazy val global: IvfBq.Model = IvfBq.fromIvf(ivf, residual = false)
 
-  test("all-cells probing ≡ the flat BQ scan exactly (cell routing only " +
-      "prunes, never rescores)") {
+  test("global mode, all-cells probing ≡ the flat BQ scan exactly (cell " +
+      "routing only prunes, never rescores)") {
     val flat = Bq.knnJoin(Bq.fit(emb), emb, probes, k = 5, rerank = 50,
         scoreDigits = 6)
       .select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
-    val allCells = IvfBq.knnJoin(model, emb, probes, k = 5, nprobe = 4,
+    val allCells = IvfBq.knnJoin(global, emb, probes, k = 5, nprobe = 4,
         rerank = 50, scoreDigits = 6)
       .select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
     assert(allCells == flat)
   }
 
-  test("thresholds equal the flat BQ fit (same global midrange)") {
-    assert(model.thresholds.toSeq == Bq.fit(emb).thresholds.toSeq)
+  test("global-mode thresholds equal the flat BQ fit (same midrange)") {
+    assert(global.thresholds.toSeq == Bq.fit(emb).thresholds.toSeq)
+  }
+
+  test("residual bits: bit j per row equals sign(v_j - centroid[cell]_j)") {
+    val cents = ivf.centroids.sortBy(_._1).map(_._2)
+    val assigned = ivf.assigned.select("cell", "id", "vec").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Float](2).toArray))
+    val enc = model.encoded.collect()
+      .map(r => r.getLong(1) -> (r.getInt(0), r.getSeq[Long](2).toArray)).toMap
+    assigned.foreach { case (cell, id, v) =>
+      val (encCell, bits) = enc(id)
+      assert(encCell == cell)
+      (0 until v.length).foreach { j =>
+        val expected = v(j).toDouble > cents(cell)(j).toDouble
+        val got = ((bits(j >> 6) >>> (j & 63)) & 1L) == 1L
+        assert(got == expected, s"residual bit $j of vec $id (cell $cell)")
+      }
+    }
+  }
+
+  test("residual all-cells exhaustive rerank ≡ exact top-k") {
+    val n = emb.count().toInt
+    val exact = KnnJoin.exactKnnJoin(emb, probes, k = 10, metric = "cosine",
+        scoreDigits = 6)
+      .select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
+    val exhaustive = IvfBq.knnJoin(model, emb, probes, k = 10, nprobe = 4,
+        rerank = n, scoreDigits = 6)
+      .select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
+    assert(exhaustive == exact)
   }
 
   test("pruned probing: self-match first, decent recall, fewer rows scanned") {
