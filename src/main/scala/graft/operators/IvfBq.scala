@@ -33,7 +33,8 @@ object IvfBq {
     * centroid[cell] per dimension instead of a global midrange cut. */
   case class Model(centroids: Array[(Int, Array[Float])],
       thresholds: Array[Double], encoded: DataFrame,
-      residual: Boolean = false)
+      residual: Boolean = false,
+      cellCounts: Map[Int, Long] = Map.empty)
 
   /** bit j set iff v_j > cent_j — the residual-sign code in cell
     * `cent`'s frame (exact double comparisons; float values compare
@@ -90,7 +91,11 @@ object IvfBq {
         }
       }.toDF("cell", "id", "bits").persist()
     encoded.count()
-    Model(ivf.centroids, thr, encoded, residual)
+    // per-cell populations (C tiny rows) — the sizing input for
+    // [[knnJoinAdaptive]]'s per-query overfetch
+    val counts = encoded.groupBy("cell").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    Model(ivf.centroids, thr, encoded, residual, counts)
   }
 
   /** Cell-routed Hamming scan + exact cosine rerank: probes route to
@@ -103,7 +108,40 @@ object IvfBq {
       queryVec: String = "query_vec", idCol: String = "vec_id",
       vecCol: String = "embedding", metric: String = "cosine",
       scoreDigits: Int = -1): DataFrame = {
-    require(k > 0 && rerank >= k && nprobe > 0)
+    require(rerank >= k)
+    knnJoinWith(model, base, queries, k, nprobe, (_, _) => rerank,
+      queryId, queryVec, idCol, vecCol, metric, scoreDigits)
+  }
+
+  /** Per-query ADAPTIVE overfetch: the 10M study's law — recall is a
+    * function of rerank / probed-cell population — turned into the knob.
+    * Each query's rerank = max(`rerankMin`, ceil(`rerankFrac` × Σ
+    * population of its probed cells)), so recall holds as cells grow
+    * instead of silently decaying under one global rerank. `rerankFrac =
+    * 1` with all cells probed degenerates to exact (spec-pinned). */
+  def knnJoinAdaptive(model: Model, base: DataFrame, queries: DataFrame,
+      k: Int, nprobe: Int = 4, rerankFrac: Double = 0.1,
+      rerankMin: Int = 100, queryId: String = "query_id",
+      queryVec: String = "query_vec", idCol: String = "vec_id",
+      vecCol: String = "embedding", metric: String = "cosine",
+      scoreDigits: Int = -1): DataFrame = {
+    require(rerankFrac > 0.0 && rerankFrac <= 1.0 && rerankMin >= k)
+    require(model.cellCounts.nonEmpty,
+      "adaptive rerank needs the model's cellCounts (refit with this build)")
+    knnJoinWith(model, base, queries, k, nprobe,
+      (_, cells) => {
+        val pop = cells.map(c => model.cellCounts.getOrElse(c, 0L)).sum
+        math.max(rerankMin.toLong, math.ceil(rerankFrac * pop).toLong)
+          .min(Int.MaxValue).toInt
+      },
+      queryId, queryVec, idCol, vecCol, metric, scoreDigits)
+  }
+
+  private def knnJoinWith(model: Model, base: DataFrame, queries: DataFrame,
+      k: Int, nprobe: Int, rerankOf: (Long, Array[Int]) => Int,
+      queryId: String, queryVec: String, idCol: String,
+      vecCol: String, metric: String, scoreDigits: Int): DataFrame = {
+    require(k > 0 && nprobe > 0)
     val spark = model.encoded.sparkSession
     import spark.implicits._
     // routing runs IN-PLAN through the same expression that assigns base
@@ -125,11 +163,10 @@ object IvfBq {
           val b = Bq.packBits(qv, model.thresholds)
           cells.map(_ => b)
         }
-      (qid, perCell, cells)
+      (qid, perCell, cells, rerankOf(qid, cells))
     }
     val wanted = routed.flatMap(_._3).distinct.toSeq
     val bcQ = spark.sparkContext.broadcast(qbits)
-    val r = rerank
     val pruned = model.encoded.filter(col("cell").isin(wanted: _*))
     val cands = pruned.as[(Int, Long, Array[Long])].mapPartitions { rows =>
       val qs = bcQ.value
@@ -144,7 +181,7 @@ object IvfBq {
       def flush(nRows: Int): Unit = {
         var q = 0
         while (q < qs.length) {
-          val (_, qb, qcells) = qs(q)
+          val (_, qb, qcells, r) = qs(q)
           val h = heaps(q)
           var j = 0
           while (j < nRows) {
@@ -185,8 +222,12 @@ object IvfBq {
     }.toDF("query_id", "cand_id", "hamming")
     val wr = Window.partitionBy("query_id")
       .orderBy(col("hamming").asc, col("cand_id").asc)
+    // per-query candidate cut (tiny broadcast of (query_id, rq) — all
+    // equal under fixed rerank, cell-population-scaled under adaptive)
+    val rq = broadcast(qbits.map(t => (t._1, t._4)).toSeq.toDF("query_id", "rq"))
     val topCands = cands.withColumn("crank", row_number().over(wr))
-      .filter(col("crank") <= r)
+      .join(rq, Seq("query_id"))
+      .filter(col("crank") <= col("rq"))
       .select("query_id", "cand_id")
     Bq.cosineRerank(topCands, base, queries, k, queryId, queryVec, idCol,
       vecCol, scoreDigits)

@@ -79,6 +79,43 @@ class IvfBqSpec extends AnyFunSuite {
     assert(rec >= 0.4, s"ivfbq nprobe=2 recall@10 = $rec")
   }
 
+  test("adaptive rerank: frac=1 over all cells ≡ exact; per-query rerank " +
+      "equals the fixed-rerank run at each query's own cell population") {
+    val exact = KnnJoin.exactKnnJoin(emb, probes, k = 10, metric = "cosine",
+        scoreDigits = 6)
+      .select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
+    val full = IvfBq.knnJoinAdaptive(model, emb, probes, k = 10, nprobe = 4,
+        rerankFrac = 1.0, rerankMin = 10, scoreDigits = 6)
+      .select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
+    assert(full == exact)
+
+    // per-query equivalence: adaptive(frac) must reproduce, for every
+    // query, the fixed-rerank result at r_q = max(min, ceil(frac·pop))
+    val frac = 0.05
+    val adaptive = IvfBq.knnJoinAdaptive(model, emb, probes, k = 5,
+        nprobe = 2, rerankFrac = frac, rerankMin = 5, scoreDigits = 6)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .groupBy(_._1).map { case (q, rows) => q -> rows.toSet }
+    import spark.implicits._
+    adaptive.keys.toSeq.sorted.foreach { qid =>
+      val oneProbe = probes.filter(col("query_id") === qid)
+      // recover this query's probed cells via the SAME in-plan routing
+      // expression the operator uses (identical tie semantics)
+      val cells = oneProbe.select(graft.functions.cells.nearest_cells(
+          col("query_vec"), model.centroids, "cosine", n = 2,
+          tieCellDesc = true).as("cells"))
+        .first().getSeq[Int](0)
+      val pop = cells.map(c => model.cellCounts(c)).sum
+      val rq = math.max(5L, math.ceil(frac * pop).toLong).toInt
+      val fixed = IvfBq.knnJoin(model, emb, oneProbe, k = 5, nprobe = 2,
+          rerank = rq, scoreDigits = 6)
+        .select("query_id", "neighbor_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(adaptive(qid) == fixed, s"query $qid (rq=$rq)")
+    }
+  }
+
   test("batched probes ≡ whole probe set") {
     val whole = IvfBq.knnJoin(model, emb, probes, k = 5, nprobe = 2,
         rerank = 50)
