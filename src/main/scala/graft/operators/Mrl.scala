@@ -62,6 +62,58 @@ object Mrl {
     rer.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Write the MRL serving layout: the `prefixDims`-dim prefix as its
+    * OWN parquet column beside the full vector, so the candidate stage
+    * reads p/d of the vector bytes via plain column pruning (the
+    * `ReadSchema` shows only (id, prefix); nothing custom needed — this
+    * is exactly what Parquet columnar storage is for). */
+  def writePrefixLayout(base: DataFrame, path: String, prefixDims: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    require(prefixDims > 0)
+    base.select(col(idCol).cast("long").as("vec_id"),
+        slice(col(vecCol), 1, prefixDims).as("prefix"),
+        col(vecCol).cast("array<float>").as("embedding"))
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** [[knnJoinTruncated]] against a [[writePrefixLayout]] table: stage 1
+    * scans ONLY (vec_id, prefix); stage 2 reads full vectors for the
+    * bounded candidate set. Results are identical to slicing the full
+    * column in-flight (spec-pinned) — the layout changes bytes read, not
+    * semantics. */
+  def knnJoinPrefixLayout(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, k: Int, rerank: Int = 100,
+      queryId: String = "query_id", queryVec: String = "query_vec",
+      scoreDigits: Int = -1, candDigits: Int = 6): DataFrame = {
+    val layout = spark.read.parquet(path)
+    val prefixDims = layout.select(size(col("prefix"))).first().getInt(0)
+    require(k > 0 && rerank >= k)
+    val tRaw = similarity.cosine_sim(
+      col("prefix"), slice(col("qvec"), 1, prefixDims))
+    val tCol = if (candDigits >= 0) graft.Qutil.rnd(tRaw, candDigits) else tRaw
+    val scored = layout.select("vec_id", "prefix")
+      .join(broadcast(queries.select(col(queryId).cast("long").as("query_id"),
+        col(queryVec).cast("array<float>").as("qvec"))))
+      .select(col("query_id"), col("vec_id").as("cand_id"), tCol.as("tscore"))
+    val wc = Window.partitionBy("query_id")
+      .orderBy(col("tscore").desc, col("cand_id").asc)
+    val cands = scored.withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= rerank)
+      .select("query_id", "cand_id")
+    val rRaw = similarity.cosine_sim(col("bvec"), col("qvec"))
+    val rCol = if (scoreDigits >= 0) graft.Qutil.rnd(rRaw, scoreDigits) else rRaw
+    val rer = cands
+      .join(layout.select(col("vec_id").as("cand_id"),
+        col("embedding").as("bvec")), Seq("cand_id"))
+      .join(broadcast(queries.select(col(queryId).cast("long").as("query_id"),
+        col(queryVec).cast("array<float>").as("qvec"))), Seq("query_id"))
+      .select(col("query_id"), col("cand_id").as("neighbor_id"),
+        rCol.as("score"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    rer.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** DuckDB twin of [[knnJoinTruncated]] over the battery probe set:
     * same prefix slice, same rounded candidate order, same rounded
     * full-dim rerank, ending in CTE `mrl_topk`. */

@@ -59,6 +59,27 @@ class MrlSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("prefix-column layout: identical results to in-flight slicing; " +
+      "stage-1 ReadSchema carries only (vec_id, prefix)") {
+    val tmp = java.nio.file.Files.createTempDirectory("mrl").toString + "/t"
+    Mrl.writePrefixLayout(emb, tmp, prefixDims = 16)
+    val fromLayout = Mrl.knnJoinPrefixLayout(spark, tmp, probes, k = 5,
+        rerank = 30, scoreDigits = 6)
+      .select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
+    val inFlight = Mrl.knnJoinTruncated(emb, probes, k = 5, prefixDims = 16,
+        rerank = 30, scoreDigits = 6)
+      .select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
+    assert(fromLayout == inFlight)
+    // the candidate-stage scan must be column-pruned to the prefix
+    val plan = Mrl.knnJoinPrefixLayout(spark, tmp, probes, k = 5, rerank = 30)
+      .queryExecution.executedPlan.toString
+    val stage1Scan = plan.linesIterator
+      .filter(l => l.contains("ReadSchema") && l.contains("prefix")).toSeq
+    assert(stage1Scan.nonEmpty, plan)
+    assert(stage1Scan.exists(!_.contains("embedding")),
+      s"stage-1 scan must not read the full vector column:\n$plan")
+  }
+
   test("recall improves with prefix width; 16-dim prefix is usable") {
     val exact = KnnJoin.exactKnnJoin(emb, probes, k = 10, metric = "cosine")
     def rec(p: Int): Double =
