@@ -344,6 +344,39 @@ object TextQueries {
       graft.operators.TextIndex.bm25TopDocs(s, prefix, queryTerms, topk = 10)
     }),
 
+    // exact phrase search from the POSITIONAL inverted index: occurrence
+    // counts by positional intersection (every (term,doc,pos) row votes
+    // for start = pos - i; a start with all m votes is a hit). The scan
+    // reads only the phrase terms' posting lists (bucket/row-group
+    // pruned), so the rarest term bounds the work — the classic
+    // inverted-index phrase-query shape. Queries: the 3-token phrase at
+    // token offset 4 of each doc with id < 20 (guaranteed ≥ 1 self-hit).
+    "phrase_search" -> ((s, dir) => {
+      val prefix = TextMemo.get(s, s"textindexpos/$dir") {
+        val p = "graft_tixpos_" + java.security.MessageDigest.getInstance("MD5")
+          .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+        graft.operators.TextIndex.buildPositional(docs(s, dir), p,
+          numBuckets = 8)
+        p
+      }
+      val phr = docs(s, dir)
+        .filter(size(split(trim(col("text")), "\\s+")) >= 6)
+        .filter(col("doc_id") < 20)
+        .select(col("doc_id").as("qid"),
+          array_join(slice(split(trim(col("text")), "\\s+"), 4, 3), " ")
+            .as("phrase"))
+      graft.operators.TextIndex.phraseTopDocs(s, prefix, phr, topk = 10)
+    }),
+
+    // DSIR-style importance resampling (hashed unigram+bigram LM ratio
+    // vs a target corpus — here sources src0/src1): the published LLM
+    // data-selection method as one explode + two B-row model aggs + a
+    // broadcast join + an EXACT-INTEGER weighted sum (fixed-point λ), so
+    // the whole trained selection pipeline hash-matches cross-engine.
+    "dsir_select" -> ((s, dir) =>
+      graft.operators.Dsir.select(docs(s, dir),
+        col("source").isin("src0", "src1"), n = 100, buckets = 1024)),
+
     // corpus unigram language-model scoring: per-doc mean surprisal
     // -avg(ln p(token)) under the corpus unigram distribution — the
     // classic "how typical is this document" quality signal (high = rare
@@ -1005,6 +1038,55 @@ object TextQueries {
     // the indexed path must produce bit-identical results — same oracle
     "bm25_indexed" -> bm25Sql,
     "bm25_incremental" -> bm25Sql,
+    // positional-intersection phrase search — exact integer pipeline
+    "phrase_search" ->
+      """WITH toks AS (SELECT doc_id,
+        |   string_split_regex(trim(text),'\s+') AS tk FROM documents),
+        | pos AS (SELECT doc_id, tk[i] AS term, i AS pos FROM (
+        |   SELECT doc_id, tk, unnest(range(1, len(tk)+1)) AS i FROM toks)),
+        | phr AS (SELECT doc_id AS qid, list_slice(tk, 4, 6) AS ph FROM toks
+        |         WHERE len(tk) >= 6 AND doc_id < 20),
+        | pt AS (SELECT qid, ph[i] AS term, i - 1 AS off FROM (
+        |   SELECT qid, ph, unnest(range(1, 4)) AS i FROM phr)),
+        | votes AS (SELECT p.qid, s.doc_id, s.pos - p.off AS start
+        |           FROM pt p JOIN pos s ON s.term = p.term),
+        | occ AS (SELECT qid, doc_id, start FROM votes
+        |         GROUP BY qid, doc_id, start HAVING count(*) = 3),
+        | perdoc AS (SELECT qid, doc_id, CAST(count(*) AS BIGINT) AS n_hits
+        |            FROM occ GROUP BY 1, 2)
+        |SELECT qid, rnk, doc_id, n_hits FROM (
+        |  SELECT qid, doc_id, n_hits, row_number() OVER (PARTITION BY qid
+        |    ORDER BY n_hits DESC, doc_id) AS rnk FROM perdoc)
+        |WHERE rnk <= 10""".stripMargin,
+    // DSIR selection — hashed-ngram LM log-ratio, fixed-point λ, exact
+    // integer doc weights (addition-order-independent on both engines)
+    "dsir_select" ->
+      """WITH toks AS (SELECT doc_id,
+        |   string_split_regex(trim(text),'\s+') AS tk FROM documents),
+        | uni AS (SELECT doc_id, unnest(tk) AS g FROM toks),
+        | bi AS (SELECT doc_id, tk[i] || ' ' || tk[i+1] AS g FROM (
+        |   SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM toks
+        |   WHERE len(tk) >= 2)),
+        | grams AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+        | fb AS (SELECT doc_id,
+        |   ('0x' || substr(md5(g),1,15))::BIGINT % 1024 AS b FROM grams),
+        | db AS (SELECT doc_id, b, count(*) AS c FROM fb GROUP BY 1, 2),
+        | qcnt AS (SELECT b, sum(c) AS cq FROM db GROUP BY 1),
+        | tcnt AS (SELECT b, sum(c) AS ct FROM db JOIN documents USING (doc_id)
+        |          WHERE source IN ('src0','src1') GROUP BY 1),
+        | tot AS (SELECT (SELECT sum(cq) FROM qcnt) AS tq,
+        |                (SELECT coalesce(sum(ct), 0) FROM tcnt) AS tt),
+        | lam AS (SELECT q.b, CAST(floor(
+        |     (ln((coalesce(t.ct,0)+1.0)/(tot.tt+1024.0))
+        |      - ln((q.cq+1.0)/(tot.tq+1024.0)))*1e6 + 0.5) AS BIGINT) AS lam
+        |   FROM qcnt q LEFT JOIN tcnt t ON q.b = t.b CROSS JOIN tot),
+        | w AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+        |       CAST(sum(c*lam) AS BIGINT) AS dsir_w
+        |       FROM db JOIN lam USING (b) GROUP BY 1)
+        |SELECT rnk, doc_id, n_grams, dsir_w FROM (
+        |  SELECT doc_id, n_grams, dsir_w,
+        |    row_number() OVER (ORDER BY dsir_w DESC, doc_id) AS rnk FROM w)
+        |WHERE rnk <= 100""".stripMargin,
     "unigram_surprisal" ->
       """WITH toks AS (SELECT doc_id,
         |   unnest(string_split_regex(trim(text),'\s+')) AS term FROM documents),

@@ -59,6 +59,7 @@ object TextIndex {
   private def postingsTable(prefix: String) = s"${prefix}_postings"
   private def lexiconTable(prefix: String) = s"${prefix}_lexicon"
   private def deletesTable(prefix: String) = s"${prefix}_deletes"
+  private def positionsTable(prefix: String) = s"${prefix}_positions"
 
   /** Drop `table` from the catalog AND delete its default warehouse
     * location — a stale directory from a prior session (not in this
@@ -344,6 +345,76 @@ object TextIndex {
       .select("qid", "rnk", "doc_id", "bm25")
   }
 
+  /** Write the POSITIONAL posting table for `prefix`: one (term, doc_id,
+    * pos) row per token occurrence (pos = 1-based token ordinal within
+    * the doc), bucketed and sorted by term like the tf postings — so a
+    * phrase query's bounded term set prunes whole buckets and row
+    * groups exactly as BM25 serving does. The write is the same LINEAR
+    * plan shape as [[build]]: one tokenize pass (posexplode), zero
+    * joins. Positions are what [[build]]'s tf rows discard; keeping
+    * them costs O(total tokens) rows — the standard positional-index
+    * trade — and buys exact phrase queries ([[phraseTopDocs]]).
+    * Independent of the BM25 tables: build either or both under one
+    * prefix. */
+  def buildPositional(docs: DataFrame, prefix: String,
+      numBuckets: Int = 32): Unit = {
+    val spark = docs.sparkSession
+    clearTable(spark, positionsTable(prefix))
+    docs.select(col("doc_id"),
+        posexplode(split(trim(col("text")), "\\s+")).as(Seq("p0", "term")))
+      .select(col("term"), col("doc_id"), (col("p0") + 1).as("pos"))
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, "term").sortBy("term")
+      .format("parquet").saveAsTable(positionsTable(prefix))
+    ()
+  }
+
+  /** Exact phrase search served from the positional index: top-`topk`
+    * docs per query by number of phrase occurrences.
+    *
+    * `phrases` (qid, phrase) must be bounded (the probe contract).
+    * Each phrase tokenizes to terms t_0..t_{m-1}; an occurrence at
+    * start s means token s+i of the doc equals t_i for every i — the
+    * classic positional-intersection: every matching (term, doc, pos)
+    * row votes for start = pos - i, and a start with all m votes is a
+    * hit. Shapes for scale:
+    *  - the positions scan reads ONLY the phrase terms' posting lists
+    *    (IN-filter ⇒ bucket + row-group pruning on the sorted term
+    *    column) — the rarest term bounds the work, as in any inverted
+    *    index;
+    *  - one broadcast equi-join (bounded phrase-term side) + two
+    *    map-side-combined aggregations; no corpus scan, no cartesian.
+    *
+    * Occurrences can overlap (phrase "a a" hits "a a a" twice) —
+    * counted as such, matching the token-level definition. */
+  def phraseTopDocs(spark: SparkSession, prefix: String,
+      phrases: DataFrame, topk: Int): DataFrame = {
+    require(topk > 0, "topk must be positive")
+    val pt = phrases.select(col("qid"),
+        posexplode(split(trim(col("phrase")), "\\s+")).as(Seq("i", "term")))
+    val terms: Array[String] = pt.select("term").distinct()
+      .collect().map(_.getString(0))
+    import spark.implicits._
+    if (terms.isEmpty)
+      return Seq.empty[(Long, Int, Long, Long)]
+        .toDF("qid", "rnk", "doc_id", "n_hits")
+    val pos = spark.table(positionsTable(prefix))
+      .filter(col("term").isin(terms.toSeq: _*))
+    // phrase length per qid — a start needs all m positional votes
+    val mPer = pt.groupBy("qid").agg(count(lit(1)).as("m"))
+    val votes = broadcast(pt).join(pos, Seq("term"))
+      .select(col("qid"), col("doc_id"), (col("pos") - col("i")).as("start"))
+    val occ = votes.groupBy("qid", "doc_id", "start")
+      .agg(count(lit(1)).as("nvote"))
+      .join(broadcast(mPer), Seq("qid"))
+      .filter(col("nvote") === col("m"))
+    val perDoc = occ.groupBy("qid", "doc_id").agg(count(lit(1)).as("n_hits"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("n_hits").desc, col("doc_id").asc)
+    perDoc.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= topk)
+      .select("qid", "rnk", "doc_id", "n_hits")
+  }
+
   /** Build an EMPTY index (all three tables, mergeable stats) when
     * `prefix` does not exist yet — the bootstrap for streaming ingest. */
   def ensure(spark: SparkSession, prefix: String, numBuckets: Int = 32): Unit =
@@ -396,6 +467,7 @@ object TextIndex {
     spark.sql(s"DROP TABLE IF EXISTS ${lexiconTable(prefix)}")
     spark.sql(s"DROP TABLE IF EXISTS ${statsTable(prefix)}")
     spark.sql(s"DROP TABLE IF EXISTS ${deletesTable(prefix)}")
+    spark.sql(s"DROP TABLE IF EXISTS ${positionsTable(prefix)}")
     ()
   }
 }

@@ -202,6 +202,85 @@ class TextIndexSpec extends AnyFunSuite {
     TextIndex.drop(spark, del); TextIndex.drop(spark, ref)
   }
 
+  test("phrase search: hand-checked geometry (overlaps, repeated terms, " +
+      "ranking, tie-break)") {
+    import spark.implicits._
+    val p = "graft_tix_phrase"
+    TextIndex.drop(spark, p)
+    val corpus = Seq(
+      (0L, "a a a a"),        // "a a" occurs 3x (overlapping)
+      (1L, "a b a b a"),      // "a b a" occurs 2x (overlapping, repeated term)
+      (2L, "x a b y a b a"),  // "a b a" occurs 1x; "a b" occurs 2x
+      (3L, "b a b"),          // "a b" occurs 1x
+      (4L, "zz zz")           // no hits for any query
+    ).toDF("doc_id", "text")
+    TextIndex.buildPositional(corpus, p, numBuckets = 4)
+    val phrases = Seq((10L, "a a"), (11L, "a b a"), (12L, "a b"),
+      (13L, "missing phrase")).toDF("qid", "phrase")
+    val got = TextIndex.phraseTopDocs(spark, p, phrases, topk = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val want = Set(
+      (10L, 1, 0L, 3L),                 // overlapping occurrences count
+      (11L, 1, 1L, 2L), (11L, 2, 2L, 1L),
+      (12L, 1, 1L, 2L), (12L, 2, 2L, 2L), (12L, 3, 3L, 1L))
+      // doc_id tie-break: docs 1 and 2 both have 2 "a b" hits → 1 first
+    assert(got == want, s"got $got")
+    TextIndex.drop(spark, p)
+  }
+
+  test("phrase search equals a brute-force token-window scan on real docs") {
+    val p = "graft_tix_phrase_bf"
+    TextIndex.drop(spark, p)
+    TextIndex.buildPositional(docs, p, numBuckets = 8)
+    // the battery's phrase set: tokens 4..6 of each doc with id < 20
+    val phr = docs
+      .filter(size(split(trim(col("text")), "\\s+")) >= 6)
+      .filter(col("doc_id") < 20)
+      .select(col("doc_id").as("qid"),
+        array_join(slice(split(trim(col("text")), "\\s+"), 4, 3), " ")
+          .as("phrase"))
+    val got = TextIndex.phraseTopDocs(spark, p, phr, topk = 1000)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getLong(3))).toMap
+    // driver-side brute force over every (query, doc) pair
+    val toks = docs.select(col("doc_id"), split(trim(col("text")), "\\s+"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1).toArray)).toMap
+    val want = (for {
+      (qid, ph) <- phr.collect().map(r => (r.getLong(0), r.getString(1)))
+      pts = ph.split("\\s+")
+      (did, ts) <- toks
+      n = ts.indices.count(s => s + pts.length <= ts.length &&
+        pts.indices.forall(i => ts(s + i) == pts(i)))
+      if n > 0
+    } yield ((qid, did), n.toLong)).toMap
+    assert(got == want,
+      s"diff: ${(got.toSet diff want.toSet).take(3)} / " +
+        s"${(want.toSet diff got.toSet).take(3)}")
+    // every query self-hits at least once by construction
+    val qids = phr.collect().map(_.getLong(0))
+    assert(qids.forall(q => want.contains((q, q))))
+    TextIndex.drop(spark, p)
+  }
+
+  test("phrase probe prunes buckets at the positions scan; drop removes " +
+      "the positions table") {
+    import spark.implicits._
+    val p = "graft_tix_phrase_prune"
+    TextIndex.drop(spark, p)
+    TextIndex.buildPositional(docs, p, numBuckets = 8)
+    val term = spark.table(s"${p}_positions").select("term")
+      .first().getString(0)
+    val one = Seq((0L, term)).toDF("qid", "phrase")
+    val plan = TextIndex.phraseTopDocs(spark, p, one, topk = 10)
+      .queryExecution.executedPlan.toString
+    val ms = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findAllMatchIn(plan).toList
+    assert(ms.nonEmpty && ms.exists(g => g.group(1).toInt < g.group(2).toInt),
+      s"expected strict bucket-subset pruning on the positions scan:\n$plan")
+    TextIndex.drop(spark, p)
+    assert(!spark.catalog.tableExists(s"${p}_positions"))
+  }
+
   test("streaming ingest: micro-batched epochs serve bit-identically to " +
       "a batch build over the same docs") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
