@@ -126,6 +126,18 @@ object VectorQueries {
       KnnJoin.exactKnnJoin(emb(s, dir), probes(s, dir), k = 10,
         metric = "dot", scoreDigits = 6)),
 
+    // hard-negative mining for contrastive training: per anchor (first
+    // 50 vectors), the top-5 most-similar DIFFERENT-label vectors, with
+    // the anchor's hardest-positive similarity and the FaceNet semi-hard
+    // flag. Same no-base-shuffle broadcast shape as the exact kNN.
+    "hard_negatives" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val anchors = e.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_vec"), col("label").as("query_label"))
+      graft.operators.Mining.hardNegatives(e, anchors, k = 5)
+    }),
+
     // O1 kernel sanity: self dot product + L2 norm per vector
     "vec_norms" -> ((s, dir) =>
       emb(s, dir).select(col("vec_id"), col("label"),
@@ -1158,6 +1170,23 @@ object VectorQueries {
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |    ORDER BY score DESC, neighbor_id) AS rank FROM scored)
         |WHERE rank <= 10""".stripMargin,
+    // hard-negative mining — exact cosine, same float grain as knn_exact
+    "hard_negatives" ->
+      """WITH a AS (SELECT vec_id AS query_id, embedding AS qv,
+        |           label AS qlabel FROM embeddings WHERE vec_id < 50),
+        | scored AS (
+        |  SELECT a.query_id, a.qlabel, e.vec_id, e.label,
+        |   floor((list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(a.qv AS DOUBLE[])))*1e6 + 0.5)/1e6 AS score
+        |  FROM embeddings e, a WHERE e.vec_id <> a.query_id),
+        | pos AS (SELECT query_id, max(score) AS pos_score FROM scored
+        |         WHERE label = qlabel GROUP BY 1),
+        | top AS (SELECT query_id, vec_id, label, score,
+        |   row_number() OVER (PARTITION BY query_id
+        |     ORDER BY score DESC, vec_id) AS rnk
+        |  FROM scored WHERE label <> qlabel)
+        |SELECT t.query_id, t.rnk, t.vec_id AS neighbor_id, t.label,
+        |  t.score, p.pos_score, t.score < p.pos_score AS semi_hard
+        |FROM top t LEFT JOIN pos p USING (query_id) WHERE t.rnk <= 5""".stripMargin,
     "knn_exact_euclid" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
         |           FROM embeddings WHERE vec_id < 100),

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MiningSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  test("hand-checked geometry: hardest negatives, semi-hard flag, " +
+      "singleton-label null pos_score") {
+    import spark.implicits._
+    // unit circle in 2-d: cosine similarity = cos(angle difference)
+    def v(deg: Double) = Array(
+      math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat)
+    val base = Seq(
+      (0L, v(0), 0),    // anchor, label 0
+      (1L, v(10), 0),   // positive at 10°  (pos_score ≈ .985)
+      (2L, v(5), 1),    // negative at 5°   — HARDER than the positive
+      (3L, v(20), 1),   // negative at 20°  — semi-hard (inside positive)
+      (4L, v(90), 2),   // negative at 90°  — easy
+      (5L, v(180), 3)   // singleton-label anchor below
+    ).toDF("vec_id", "embedding", "label")
+    val anchors = base.filter(col("vec_id").isin(0L, 5L))
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("query_vec"), col("label").as("query_label"))
+    val got = Mining.hardNegatives(base, anchors, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        if (r.isNullAt(6)) None else Some(r.getBoolean(6)))).toSet
+    // anchor 0: negatives ranked 2 (5°) > 3 (20°) > 4 (90°); the 5° one
+    // is harder than the positive (not semi-hard), the others semi-hard
+    // anchor 5: label 3 has no other member → pos_score null → flag null
+    assert(got == Set(
+      (0L, 1, 2L, Some(false)), (0L, 2, 3L, Some(true)),
+      (0L, 3, 4L, Some(true)),
+      (5L, 1, 4L, None), (5L, 2, 3L, None), (5L, 3, 1L, None)),
+      s"got $got")
+  }
+
+  test("equals a driver-side brute force on real embeddings; never " +
+      "returns self or a same-label vector") {
+    val dir = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val anchors = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("query_vec"), col("label").as("query_label"))
+    val got = Mining.hardNegatives(e, anchors, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getInt(3), r.getDouble(4), r.getDouble(5), r.getBoolean(6)))
+    val rows = e.collect().map(r => (r.getLong(0),
+      r.getSeq[Float](1).toArray, r.getInt(2)))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val want = rows.filter(_._1 < 20).flatMap { case (qid, qv, ql) =>
+      val scored = rows.filter(_._1 != qid)
+        .map { case (id, v, l) => (id, l, r6(cos(v, qv))) }
+      val posScore = scored.filter(_._2 == ql).map(_._3).max
+      scored.filter(_._2 != ql).sortBy(t => (-t._3, t._1)).take(5)
+        .zipWithIndex.map { case ((id, l, s), i) =>
+          (qid, i + 1, id, l, s, posScore, s < posScore) }
+    }.toSet
+    assert(got.toSet == want,
+      s"diff: ${(got.toSet diff want).take(3)} / ${(want diff got.toSet).take(3)}")
+    val labelOf = rows.map(r => r._1 -> r._3).toMap
+    assert(got.forall { case (qid, _, nid, l, _, _, _) =>
+      nid != qid && l != labelOf(qid) })
+  }
+}
