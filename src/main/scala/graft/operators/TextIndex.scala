@@ -60,6 +60,7 @@ object TextIndex {
   private def lexiconTable(prefix: String) = s"${prefix}_lexicon"
   private def deletesTable(prefix: String) = s"${prefix}_deletes"
   private def positionsTable(prefix: String) = s"${prefix}_positions"
+  private def positions2Table(prefix: String) = s"${prefix}_positions2"
 
   /** Drop `table` from the catalog AND delete its default warehouse
     * location — a stale directory from a prior session (not in this
@@ -345,29 +346,60 @@ object TextIndex {
       .select("qid", "rnk", "doc_id", "bm25")
   }
 
-  /** Write the POSITIONAL posting table for `prefix`: one (term, doc_id,
-    * pos) row per token occurrence (pos = 1-based token ordinal within
-    * the doc), bucketed and sorted by term like the tf postings — so a
-    * phrase query's bounded term set prunes whole buckets and row
-    * groups exactly as BM25 serving does. The write is the same LINEAR
-    * plan shape as [[build]]: one tokenize pass (posexplode), zero
-    * joins. Positions are what [[build]]'s tf rows discard; keeping
-    * them costs O(total tokens) rows — the standard positional-index
-    * trade — and buys exact phrase queries ([[phraseTopDocs]]).
-    * Independent of the BM25 tables: build either or both under one
-    * prefix. */
+  /** Write the POSITIONAL posting tables for `prefix`: one (term,
+    * doc_id, pos) row per token occurrence (pos = 1-based token ordinal
+    * within the doc) PLUS the NEXTWORD table — one (bigram, doc_id,
+    * pos) row per adjacent token pair — both bucketed and sorted by
+    * term so a phrase query's bounded term set prunes whole buckets and
+    * row groups exactly as BM25 serving does. Each write is the same
+    * LINEAR plan shape as [[build]]: one tokenize pass (posexplode),
+    * zero joins. Positions are what [[build]]'s tf rows discard;
+    * keeping them costs O(total tokens) rows per table — the standard
+    * positional/nextword-index trade — and buys exact phrase queries
+    * ([[phraseTopDocs]]). The nextword table is what makes phrase
+    * serving fast on Zipf-shaped text (Williams et al., "What's next?
+    * Index structures for efficient phrase querying"): a head unigram's
+    * posting list is O(corpus), but a phrase's BIGRAM lists are sharply
+    * smaller, and serve cost is bounded by the probed lists (measured
+    * in `bench.PhraseScaleMain`). Independent of the BM25 tables: build
+    * either or both under one prefix. */
   def buildPositional(docs: DataFrame, prefix: String,
       numBuckets: Int = 32): Unit = {
     val spark = docs.sparkSession
     clearTable(spark, positionsTable(prefix))
-    docs.select(col("doc_id"),
-        posexplode(split(trim(col("text")), "\\s+")).as(Seq("p0", "term")))
-      .select(col("term"), col("doc_id"), (col("p0") + 1).as("pos"))
+    clearTable(spark, positions2Table(prefix))
+    tokenPositions(docs)
       .write.mode(SaveMode.Overwrite)
       .bucketBy(numBuckets, "term").sortBy("term")
       .format("parquet").saveAsTable(positionsTable(prefix))
+    bigramPositions(docs)
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, "term").sortBy("term")
+      .format("parquet").saveAsTable(positions2Table(prefix))
     ()
   }
+
+  /** (term, doc_id, pos) rows from a (doc_id, text) frame — the in-flight
+    * form of the positional posting table (pos = 1-based token ordinal). */
+  private def tokenPositions(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        posexplode(split(trim(col("text")), "\\s+")).as(Seq("p0", "term")))
+      .select(col("term"), col("doc_id"), (col("p0") + 1).as("pos"))
+
+  /** The NEXTWORD table: (bigram, doc_id, pos-of-first-token) rows — one
+    * per adjacent token pair. The explode(array(..)) wrapper is the
+    * usual materialization barrier: without it CollapseProject inlines
+    * the split into every transform-lambda element (O(len²) re-splits
+    * per doc). */
+  private def bigramPositions(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(array(split(trim(col("text")), "\\s+"))).as("t"))
+      .select(col("doc_id"), posexplode(expr(
+        """CASE WHEN size(t) >= 2
+          |  THEN transform(sequence(0, size(t)-2),
+          |                 j -> concat(t[j], ' ', t[j+1]))
+          |  ELSE array() END""".stripMargin)).as(Seq("p0", "term")))
+      .select(col("term"), col("doc_id"), (col("p0") + 1).as("pos"))
 
   /** Exact phrase search served from the positional index: top-`topk`
     * docs per query by number of phrase occurrences.
@@ -389,18 +421,64 @@ object TextIndex {
     * counted as such, matching the token-level definition. */
   def phraseTopDocs(spark: SparkSession, prefix: String,
       phrases: DataFrame, topk: Int): DataFrame = {
+    if (!spark.catalog.tableExists(positions2Table(prefix)))
+      // legacy index without the nextword table: unigram intersection
+      return phraseIntersect(spark.table(positionsTable(prefix)),
+        unigramConstraints(phrases), topk)
+    val m = size(split(trim(col("phrase")), "\\s+"))
+    // multi-token phrases intersect BIGRAM posting lists (far more
+    // selective than head unigrams — the nextword-index trade);
+    // single-token "phrases" probe the unigram table
+    val bi = phraseIntersect(spark.table(positions2Table(prefix)),
+      bigramConstraints(phrases.filter(m >= 2)), topk)
+    val uni = phraseIntersect(spark.table(positionsTable(prefix)),
+      unigramConstraints(phrases.filter(m <= 1)), topk)
+    bi.unionByName(uni)
+  }
+
+  /** Index-free phrase search: the same positional-intersection pipeline
+    * over an in-flight tokenization of `docs` — O(corpus tokenize) per
+    * call, the thing [[buildPositional]] exists to avoid. Bit-identical
+    * results (spec + scale bench pin that); useful for one-off queries
+    * and as the correctness twin. */
+  def phraseTopDocsTransient(docs: DataFrame, phrases: DataFrame,
+      topk: Int): DataFrame =
+    phraseIntersect(tokenPositions(docs), unigramConstraints(phrases), topk)
+
+  /** (qid, i, term) unigram constraints: token i of the phrase must sit
+    * at start + i. */
+  private def unigramConstraints(phrases: DataFrame): DataFrame =
+    phrases.select(col("qid"),
+      posexplode(split(trim(col("phrase")), "\\s+")).as(Seq("i", "term")))
+
+  /** (qid, i, bigram) constraints: adjacent pair i must sit at start + i.
+    * Matching every consecutive pair ⟺ matching every token, so the
+    * bigram intersection returns EXACTLY the unigram result — only the
+    * posting lists probed are the (much rarer) nextword entries.
+    * Callers must pre-filter to phrases of ≥ 2 tokens. */
+  private def bigramConstraints(phrases: DataFrame): DataFrame =
+    phrases.select(col("qid"),
+        explode(array(split(trim(col("phrase")), "\\s+"))).as("t"))
+      .select(col("qid"), posexplode(expr(
+        """transform(sequence(0, size(t)-2),
+          |          j -> concat(t[j], ' ', t[j+1]))""".stripMargin))
+        .as(Seq("i", "term")))
+
+  /** The positional-intersection engine: each (term, doc, pos) row of a
+    * probed posting list votes for start = pos − i; a start collecting
+    * one vote per constraint is an occurrence. */
+  private def phraseIntersect(positions: DataFrame,
+      pt: DataFrame, topk: Int): DataFrame = {
     require(topk > 0, "topk must be positive")
-    val pt = phrases.select(col("qid"),
-        posexplode(split(trim(col("phrase")), "\\s+")).as(Seq("i", "term")))
+    val spark = positions.sparkSession
     val terms: Array[String] = pt.select("term").distinct()
       .collect().map(_.getString(0))
     import spark.implicits._
     if (terms.isEmpty)
       return Seq.empty[(Long, Int, Long, Long)]
         .toDF("qid", "rnk", "doc_id", "n_hits")
-    val pos = spark.table(positionsTable(prefix))
-      .filter(col("term").isin(terms.toSeq: _*))
-    // phrase length per qid — a start needs all m positional votes
+    val pos = positions.filter(col("term").isin(terms.toSeq: _*))
+    // constraint count per qid — a start needs all m votes
     val mPer = pt.groupBy("qid").agg(count(lit(1)).as("m"))
     val votes = broadcast(pt).join(pos, Seq("term"))
       .select(col("qid"), col("doc_id"), (col("pos") - col("i")).as("start"))
@@ -468,6 +546,7 @@ object TextIndex {
     spark.sql(s"DROP TABLE IF EXISTS ${statsTable(prefix)}")
     spark.sql(s"DROP TABLE IF EXISTS ${deletesTable(prefix)}")
     spark.sql(s"DROP TABLE IF EXISTS ${positionsTable(prefix)}")
+    spark.sql(s"DROP TABLE IF EXISTS ${positions2Table(prefix)}")
     ()
   }
 }

@@ -262,23 +262,70 @@ class TextIndexSpec extends AnyFunSuite {
     TextIndex.drop(spark, p)
   }
 
-  test("phrase probe prunes buckets at the positions scan; drop removes " +
-      "the positions table") {
+  test("phrase probe prunes buckets at the positions scan (unigram AND " +
+      "nextword paths); drop removes both positional tables") {
     import spark.implicits._
     val p = "graft_tix_phrase_prune"
     TextIndex.drop(spark, p)
     TextIndex.buildPositional(docs, p, numBuckets = 8)
+    def strictSubset(plan: String): Boolean = {
+      val ms = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findAllMatchIn(plan).toList
+      ms.nonEmpty && ms.exists(g => g.group(1).toInt < g.group(2).toInt)
+    }
     val term = spark.table(s"${p}_positions").select("term")
       .first().getString(0)
-    val one = Seq((0L, term)).toDF("qid", "phrase")
-    val plan = TextIndex.phraseTopDocs(spark, p, one, topk = 10)
+    val uniPlan = TextIndex.phraseTopDocs(spark, p,
+        Seq((0L, term)).toDF("qid", "phrase"), topk = 10)
       .queryExecution.executedPlan.toString
-    val ms = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
-      .findAllMatchIn(plan).toList
-    assert(ms.nonEmpty && ms.exists(g => g.group(1).toInt < g.group(2).toInt),
-      s"expected strict bucket-subset pruning on the positions scan:\n$plan")
+    assert(strictSubset(uniPlan),
+      s"expected strict bucket-subset pruning on the positions scan:\n$uniPlan")
+    val bigram = spark.table(s"${p}_positions2").select("term")
+      .first().getString(0)
+    val biPlan = TextIndex.phraseTopDocs(spark, p,
+        Seq((0L, bigram)).toDF("qid", "phrase"), topk = 10)
+      .queryExecution.executedPlan.toString
+    assert(strictSubset(biPlan),
+      s"expected strict bucket-subset pruning on the nextword scan:\n$biPlan")
     TextIndex.drop(spark, p)
     assert(!spark.catalog.tableExists(s"${p}_positions"))
+    assert(!spark.catalog.tableExists(s"${p}_positions2"))
+  }
+
+  test("nextword serving ≡ unigram intersection ≡ transient, including " +
+      "single-token and mixed probe sets") {
+    import spark.implicits._
+    val p = "graft_tix_phrase_nw"
+    TextIndex.drop(spark, p)
+    TextIndex.buildPositional(docs, p, numBuckets = 8)
+    def collectSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // mixed probe set: 3-token battery phrases + single tokens + a
+    // 2-token phrase
+    val multi = docs.filter(size(split(trim(col("text")), "\\s+")) >= 6)
+      .filter(col("doc_id") < 10)
+      .select(col("doc_id").as("qid"),
+        array_join(slice(split(trim(col("text")), "\\s+"), 4, 3), " ")
+          .as("phrase"))
+    val two = docs.filter(size(split(trim(col("text")), "\\s+")) >= 6)
+      .filter(col("doc_id") < 10)
+      .select((col("doc_id") + 100).as("qid"),
+        array_join(slice(split(trim(col("text")), "\\s+"), 2, 2), " ")
+          .as("phrase"))
+    val single = docs.filter(col("doc_id") < 5)
+      .select((col("doc_id") + 200).as("qid"),
+        element_at(split(trim(col("text")), "\\s+"), 1).as("phrase"))
+    val probe = multi.unionByName(two).unionByName(single)
+    val served = collectSet(TextIndex.phraseTopDocs(spark, p, probe, 1000))
+    val transient = collectSet(
+      TextIndex.phraseTopDocsTransient(docs, probe, 1000))
+    assert(served == transient,
+      s"diff: ${(served diff transient).take(3)} / " +
+        s"${(transient diff served).take(3)}")
+    assert(served.exists(_._1 >= 200), "single-token probes must resolve")
+    assert(served.exists(_._1 < 100), "multi-token probes must resolve")
+    TextIndex.drop(spark, p)
   }
 
   test("streaming ingest: micro-batched epochs serve bit-identically to " +
