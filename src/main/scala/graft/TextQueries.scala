@@ -148,6 +148,12 @@ object TextQueries {
     "dup_ngram_spans" -> ((s, dir) =>
       graft.operators.NgramDup.dupNgramStats(docs(s, dir), w = 8, minCount = 2)),
 
+    // the REWRITE step of exact-substring dedup (Lee et al.): keep the
+    // first occurrence of each duplicated 8-token window, drop tokens
+    // covered by every other occurrence, rebuild the document
+    "dedup_trim" -> ((s, dir) =>
+      graft.operators.NgramDup.trimDuplicates(docs(s, dir), w = 8, minCount = 2)),
+
     // token counting: whitespace tokens + BPE-ish regex token count
     "token_stats" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
@@ -747,6 +753,7 @@ object TextQueries {
 
   val oracle: Map[String, String] = Map(
     "dup_ngram_spans" -> graft.operators.NgramDup.duckdbSql(w = 8, minCount = 2),
+    "dedup_trim" -> graft.operators.NgramDup.trimDuckdbSql(w = 8, minCount = 2),
     "dataset_mix" ->
       """WITH b AS (SELECT doc_id, source,
         |  ('0x' || substr(md5('mix:' || doc_id), 1, 15))::BIGINT % 1000000 AS bucket,

@@ -84,6 +84,21 @@ object NgramDupScaleMain {
       .filter(a("dup_windows") =!= b("dup_windows") ||
         a("dup_tokens") =!= b("dup_tokens")).count()
     println(s"NGDUP per-doc disagreements=$diff")
+
+    // the trim (rewrite) step at the same scale: wall + how much of the
+    // corpus the keep-first rule removes; the planted span makes the
+    // expected shape known — ~1/10 of docs carry it, exactly one keeps it
+    shuffleW.set(0L)
+    val t1 = System.nanoTime()
+    val tr = NgramDup.trimDuplicates(docs, w = w)
+      .agg(sum("n_tokens"), sum("n_kept"),
+        sum(when(col("n_kept") < col("n_tokens"), 1L).otherwise(0L)))
+      .first()
+    val wallT = (System.nanoTime() - t1) / 1e9
+    val (nTok, nKept, nTrimmed) = (tr.getLong(0), tr.getLong(1), tr.getLong(2))
+    println(f"NGDUP trim wall=$wallT%.1fs shuffleMB=${shuffleW.get() / 1e6}%.0f " +
+      f"tokens=$nTok kept=$nKept removed_frac=${1.0 - nKept.toDouble / nTok}%.4f " +
+      f"docs_trimmed=$nTrimmed")
     spark.stop()
   }
 }

@@ -81,6 +81,102 @@ object NgramDup {
           col("n_tokens").cast("double"), 6).as("dup_frac"))
   }
 
+  /** Exact-substring dedup TRIMMING — the rewrite step of Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better": keep
+    * the FIRST occurrence of every duplicated `w`-token window and drop
+    * the tokens covered by every other occurrence, rebuilding each
+    * document from its surviving tokens.
+    *
+    * Canonical occurrence per window string = min (doc_id, start) —
+    * computed as a map-side-combinable `min(struct(...))` aggregation,
+    * NOT a per-window rank window (a Zipf-popular window at corpus
+    * scale would funnel millions of occurrences through one window
+    * partition; the group-by min has no such skew). A token is dropped
+    * iff some NON-canonical duplicated-window occurrence covers it, so
+    * overlapping duplicate spans union exactly as in [[dupNgramStats]].
+    * Rebuild is one ordered in-row array fold per doc (sort_array of
+    * (pos, token) structs), no extra shuffle beyond the token group-by.
+    *
+    * Returns (doc_id, n_tokens, n_kept, trim_frac, clean_text) for
+    * EVERY doc (docs with no duplicated coverage keep their exact
+    * token sequence; text is re-joined with single spaces). Exact
+    * integer pipeline — cross-engine oracle-checkable via
+    * [[trimDuckdbSql]]. */
+  def trimDuplicates(docs: DataFrame, w: Int = 8, minCount: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(w >= 1 && minCount >= 2)
+    val toks = docs.select(col(idCol).as("doc_id"),
+      split(trim(col(textCol)), "\\s+").as("ts"))
+    val winExpr =
+      s"transform(sequence(1, size(ts) - ${w} + 1), i -> array_join(slice(ts, i, $w), ' '))"
+    val wins = toks.filter(size(col("ts")) >= w)
+      .select(col("doc_id"), posexplode(expr(winExpr)).as(Seq("i0", "win")))
+      .select(col("doc_id"), (col("i0") + 1).cast("long").as("i"), col("win"))
+    val dupKeys = wins.groupBy("win")
+      .agg(count(lit(1)).as("c")).filter(col("c") >= minCount)
+      .select("win")
+    val occ = wins.join(dupKeys, Seq("win"))
+    val canon = occ.groupBy("win")
+      .agg(min(struct(col("doc_id"), col("i"))).as("cn"))
+    val nonCanon = occ.join(canon, Seq("win"))
+      .filter(col("doc_id") =!= col("cn.doc_id") || col("i") =!= col("cn.i"))
+    val drops = nonCanon
+      .select(col("doc_id"),
+        explode(sequence(col("i"), col("i") + (w - 1))).as("p"))
+      .distinct()
+    val tokRows = toks
+      .select(col("doc_id"), posexplode(col("ts")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("p"), col("tok"))
+    val rebuilt = tokRows.join(drops, Seq("doc_id", "p"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(expr(
+          "transform(array_sort(collect_list(struct(p, tok))), x -> x.tok)"),
+          " ").as("clean_text"))
+    toks.select(col("doc_id"), size(col("ts")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        rnd(lit(1.0) - coalesce(col("n_kept"), lit(0L)).cast("double") /
+          col("n_tokens").cast("double"), 6).as("trim_frac"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** DuckDB twin of [[trimDuplicates]]: same windows, same ≥`minCount`
+    * cut, canonical = lexicographic-min (doc_id, start) via struct min,
+    * same span union, rebuild by `string_agg(... ORDER BY p)`. */
+  def trimDuckdbSql(w: Int = 8, minCount: Int = 2): String =
+    s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts
+       |              FROM documents),
+       | wins AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+       |    array_to_string(ts[i:i+${w - 1}], ' ') AS win
+       |   FROM toks, LATERAL unnest(range(1, len(ts) - ${w} + 2)) AS t(i)
+       |   WHERE len(ts) >= $w),
+       | dupkeys AS (SELECT win FROM (SELECT win, count(*) AS c FROM wins
+       |    GROUP BY win) WHERE c >= $minCount),
+       | occ AS (SELECT w.doc_id, w.i, w.win FROM wins w JOIN dupkeys USING (win)),
+       | canon AS (SELECT win,
+       |    min(struct_pack(d := doc_id, i := i)) AS cn FROM occ GROUP BY win),
+       | noncanon AS (SELECT o.doc_id, o.i FROM occ o JOIN canon USING (win)
+       |   WHERE o.doc_id <> cn.d OR o.i <> cn.i),
+       | drops AS (SELECT DISTINCT doc_id, p
+       |   FROM noncanon, LATERAL unnest(range(i, i + $w)) AS u(p)),
+       | tokrows AS (SELECT doc_id, CAST(p AS BIGINT) AS p, ts[p] AS tok
+       |   FROM toks, LATERAL unnest(range(1, len(ts) + 1)) AS t(p)),
+       | kept AS (SELECT t.doc_id, t.p, t.tok FROM tokrows t
+       |   LEFT JOIN drops d ON t.doc_id = d.doc_id AND t.p = d.p
+       |   WHERE d.doc_id IS NULL),
+       | rebuilt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+       |    string_agg(tok, ' ' ORDER BY p) AS clean_text
+       |   FROM kept GROUP BY doc_id),
+       | perdoc AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens FROM toks)
+       |SELECT p.doc_id, p.n_tokens,
+       |  coalesce(r.n_kept, 0) AS n_kept,
+       |  floor((1.0 - coalesce(r.n_kept, 0)*CAST(1 AS DOUBLE)/p.n_tokens)*1e6 + 0.5)/1e6
+       |    AS trim_frac,
+       |  coalesce(r.clean_text, '') AS clean_text
+       |FROM perdoc p LEFT JOIN rebuilt r USING (doc_id)""".stripMargin
+
   /** DuckDB twin of [[dupNgramStats]] (hashKey = false): same tokenizer
     * (`string_split_regex(trim(text),'\s+')`), same 1-based window
     * positions, same ≥`minCount` corpus-wide cut, same span-union

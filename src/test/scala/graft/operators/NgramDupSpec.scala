@@ -68,4 +68,54 @@ class NgramDupSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  private def trim(rows: Seq[(Long, String)], w: Int) =
+    NgramDup.trimDuplicates(rows.toDF("doc_id", "text"), w = w)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4)))
+      .toMap
+
+  test("trim: hand-checked keep-first geometry (cross-doc, whole-doc " +
+      "drop, within-doc repeat, untouched docs)") {
+    val got = trim(Seq(
+      0L -> "a b c d",   // canonical "a b" occurrence — untouched
+      1L -> "x a b y",   // non-canonical "a b" at p2 → drop p2,p3
+      2L -> "a b a b",   // both "a b" occs non-canonical → everything dropped
+      3L -> "q r",       // no duplicated window — untouched
+      4L -> "t t t"      // within-doc repeat: keep first "t t", drop p2,p3
+    ), w = 2)
+    assert(got == Map(
+      0L -> (4L, 4L, 0.0, "a b c d"),
+      1L -> (4L, 2L, 0.5, "x y"),
+      2L -> (4L, 0L, 1.0, ""),
+      3L -> (2L, 2L, 0.0, "q r"),
+      4L -> (3L, 1L, 0.666667, "t")), s"got $got")
+  }
+
+  test("trim agrees with dupNgramStats coverage on real docs: dropped " +
+      "tokens never exceed duplicated coverage; exactly one canonical " +
+      "copy of every duplicated window survives corpus-wide") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val w = 8
+    val st = NgramDup.dupNgramStats(docs, w = w).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(4))).toMap
+    val tr = NgramDup.trimDuplicates(docs, w = w).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(4)))
+    assert(tr.map(_._1).toSet == st.keySet)
+    tr.foreach { case (id, nTok, nKept, clean) =>
+      val (nTokS, dupTok) = st(id)
+      assert(nTok == nTokS)
+      assert(nTok - nKept <= dupTok,
+        s"doc $id dropped ${nTok - nKept} > coverage $dupTok")
+      val cleanToks = if (clean.isEmpty) 0 else clean.split(" ").length
+      assert(cleanToks == nKept, s"doc $id clean token count mismatch")
+      if (dupTok == 0)
+        assert(nKept == nTok, s"doc $id trimmed without duplicated coverage")
+    }
+    // something actually trims at sf0.001 (the fixture has planted dups)
+    assert(tr.exists(t => t._3 < t._2), "fixture should trim something")
+  }
 }
