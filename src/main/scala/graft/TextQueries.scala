@@ -695,7 +695,19 @@ object TextQueries {
       keyed.withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 25)
         .select("source", "doc_id", "h", "rk")
-    })
+    }),
+
+    // weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-Res):
+    // per-item key ln(u)/w with u drawn from the portable md5 hash;
+    // the top-n by key is a weight-proportional sample without
+    // replacement — the one-pass distributed reservoir form, made
+    // deterministic (seeded u ⇒ reproducible on any engine or
+    // partitioning; selection is invariant to weight rescaling, which
+    // the spec pins). Top-n is a distributed TakeOrderedAndProject; the
+    // rank window runs over the already-bounded n rows.
+    "sample_weighted" -> ((s, dir) =>
+      graft.operators.Sampling.weightedTopN(docs(s, dir),
+        col("n_chars").cast("long"), n = 100))
   )
 
   /** MinHash band-bucket candidate pairs, ending in CTE `lsh_pairs` —
@@ -868,6 +880,16 @@ object TextQueries {
         |   AS INT) AS rk
         |FROM k
         |QUALIFY rk <= 25""".stripMargin,
+    // A-Res weighted sampling — same portable u, same fixed-point key
+    "sample_weighted" ->
+      """WITH k AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+        |   floor((ln((('0x' || substr(md5('wsample:' || doc_id), 1, 15))::BIGINT + 0.5)
+        |     / 1152921504606846976.0) / n_chars)*1e12 + 0.5)/1e12 AS skey
+        |  FROM documents WHERE n_chars > 0)
+        |SELECT rnk, doc_id, weight, skey FROM (
+        |  SELECT doc_id, weight, skey,
+        |    row_number() OVER (ORDER BY skey DESC, doc_id) AS rnk FROM k)
+        |WHERE rnk <= 100""".stripMargin,
     "repetition_stats" ->
       """WITH d AS (SELECT doc_id, string_split_regex(trim(text),'\s+') AS ts
         |           FROM documents),

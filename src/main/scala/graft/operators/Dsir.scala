@@ -47,45 +47,62 @@ object Dsir {
   private def mat(df: DataFrame, c: Column, name: String): DataFrame =
     df.withColumn(name, explode(array(c)))
 
-  /** (doc_id, b) one row per unigram+bigram occurrence, b in [0, buckets). */
-  private def gramBuckets(docs: DataFrame, buckets: Int): DataFrame = {
-    val toks = mat(docs.select(col("doc_id"), col("text")),
+  /** (doc_id, tgt, bs) — the doc's gram-bucket MULTISET as an in-row
+    * array (one element per unigram/bigram occurrence). Keeping the
+    * histogram in-row is what removes every doc-keyed shuffle from the
+    * pipeline: the model side explodes it straight into a map-side-
+    * combined B-row aggregation, and the score side never leaves the
+    * row at all. */
+  private def gramBucketArr(docs: DataFrame, isTarget: Column,
+      buckets: Int): DataFrame = {
+    val toks = mat(docs.select(col("doc_id"), col("text"),
+        isTarget.as("tgt")),
       split(trim(col("text")), "\\s+"), "toks")
     val grams = mat(toks, expr(
         """concat(toks, CASE WHEN size(toks) >= 2
           |  THEN transform(sequence(0, size(toks)-2),
           |                 i -> concat(toks[i], ' ', toks[i+1]))
           |  ELSE array() END)""".stripMargin), "grams")
-      .select(col("doc_id"), explode(col("grams")).as("g"))
-    grams.select(col("doc_id"), pmod(md5Long(col("g")), lit(buckets)).as("b"))
+    mat(grams, expr(
+        s"""transform(grams, g ->
+           |  pmod(cast(conv(substring(md5(g),1,15),16,10) as bigint),
+           |       ${buckets}L))""".stripMargin), "bs")
+      .select(col("doc_id"), col("tgt"), col("bs"))
   }
 
   /** Per-doc fixed-point importance weights: (doc_id, n_grams, dsir_w)
     * for EVERY doc in `docs` (docs whose text yields no grams get no
     * row — join back if zero-feature docs must appear). `isTarget`
     * marks the target-corpus rows inside `docs` (boolean column
-    * expression over its columns). */
+    * expression over its columns).
+    *
+    * Train/score structure like every fitted pipeline here: the TRAIN
+    * pass feeds both bucket LMs through one conditional B-row
+    * aggregation (map-side combined — the only shuffle in the whole
+    * operator, B rows per partition); λ then becomes a LITERAL map
+    * (B entries, the trained-parameters-as-literals pattern the ANN
+    * fits use), so the SCORE pass is a pure projection — an in-row
+    * integer fold per doc, zero shuffle at any corpus size. Every
+    * bucket observed in a doc is observed in the corpus, so the map
+    * lookup never misses. */
   def importanceWeights(docs: DataFrame, isTarget: Column,
       buckets: Int = 1024): DataFrame = {
-    val db = gramBuckets(docs, buckets)
-      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
-    val targetIds = docs.filter(isTarget).select("doc_id")
-    // raw model over everything, target model over the target subset —
-    // both are B-row tables; totals ride along via 1-row cross joins
-    val qcnt = db.groupBy("b").agg(sum("c").as("cq"))
-    val tcnt = db.join(broadcast(targetIds), Seq("doc_id"))
-      .groupBy("b").agg(sum("c").as("ct"))
-    val tq = qcnt.agg(sum("cq").as("tq"))
-    val tt = tcnt.agg(coalesce(sum("ct"), lit(0L)).as("tt"))
-    val lam = qcnt.join(tcnt, Seq("b"), "left")
-      .crossJoin(broadcast(tq)).crossJoin(broadcast(tt))
+    val g = gramBucketArr(docs, isTarget, buckets)
+    val cnt = g.select(col("tgt"), explode(col("bs")).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("cq"),
+        sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"))
+    val tot = cnt.agg(sum("cq").as("tq"), sum("ct").as("tt"))
+    val lamRows = cnt.crossJoin(broadcast(tot))
       .select(col("b"), floor(
-        (log((coalesce(col("ct"), lit(0L)) + 1.0) / (col("tt") + buckets.toDouble)) -
+        (log((col("ct") + 1.0) / (col("tt") + buckets.toDouble)) -
          log((col("cq") + 1.0) / (col("tq") + buckets.toDouble))) * 1e6 + 0.5)
         .cast("long").as("lam"))
-    db.join(broadcast(lam), Seq("b"))
-      .groupBy("doc_id")
-      .agg(sum("c").as("n_grams"), sum(col("c") * col("lam")).as("dsir_w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val lam = typedLit(lamRows.toMap)
+    g.select(col("doc_id"),
+        size(col("bs")).cast("long").as("n_grams"),
+        aggregate(col("bs"), lit(0L),
+          (acc, b) => acc + element_at(lam, b)).as("dsir_w"))
   }
 
   /** Top-`n` raw docs by target-likeness: (rnk, doc_id, n_grams,
