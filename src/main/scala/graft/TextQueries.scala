@@ -383,6 +383,19 @@ object TextQueries {
       graft.operators.Dsir.select(docs(s, dir),
         col("source").isin("src0", "src1"), n = 100, buckets = 1024)),
 
+    // BPE tokenizer TRAINING + application: 100 merges learned from the
+    // corpus word-count table (one distributed pass; the merge loop runs
+    // on the bounded word-TYPE table — see operators.Bpe), then per-doc
+    // token counts under the trained tokenizer. Iterative training is
+    // not SQL-expressible → rows-only by nature; the spec pins
+    // hand-computed merge sequences and train/apply consistency.
+    "bpe_token_stats" -> ((s, dir) => {
+      val model = TextMemo.get(s, s"bpe/$dir") {
+        graft.operators.Bpe.train(docs(s, dir), numMerges = 100)
+      }
+      graft.operators.Bpe.tokenStats(docs(s, dir), model)
+    }),
+
     // corpus unigram language-model scoring: per-doc mean surprisal
     // -avg(ln p(token)) under the corpus unigram distribution — the
     // classic "how typical is this document" quality signal (high = rare
