@@ -182,6 +182,9 @@ object TextIndex {
     val spark = newDocs.sparkSession
     require(spark.catalog.tableExists(postingsTable(prefix)),
       s"index '$prefix' does not exist — call build first")
+    // positional tables, when present, take the same epoch append
+    if (spark.catalog.tableExists(positionsTable(prefix)))
+      appendPositional(newDocs, prefix, numBuckets)
     val delta = postingsFor(newDocs)
     delta.write.mode(SaveMode.Append)
       .bucketBy(numBuckets, "term").sortBy("term")
@@ -267,6 +270,30 @@ object TextIndex {
     Seq((st.n, ndl, sumdl)).toDF("n", "ndl", "sumdl")
       .write.mode(SaveMode.Overwrite)
       .format("parquet").saveAsTable(statsTable(prefix))
+    // positional tables, when present, fold the delete vector the same
+    // way (phrase serving then needs no anti-join until the next remove)
+    if (spark.catalog.tableExists(positionsTable(prefix))) {
+      for (tbl <- Seq(positionsTable(prefix), positions2Table(prefix))
+           if spark.catalog.tableExists(tbl)) {
+        val ptmp = s"${tbl}_compact_tmp"
+        clearTable(spark, ptmp)
+        val surv =
+          if (deletesExist(spark, prefix))
+            spark.table(tbl).join(
+              broadcast(spark.table(deletesTable(prefix)).select("doc_id")),
+              Seq("doc_id"), "left_anti")
+          else spark.table(tbl)
+        surv.select("term", "doc_id", "pos")
+          .write.mode(SaveMode.Overwrite)
+          .bucketBy(numBuckets, "term").sortBy("term")
+          .format("parquet").saveAsTable(ptmp)
+        clearTable(spark, tbl)
+        spark.table(ptmp).write.mode(SaveMode.Overwrite)
+          .bucketBy(numBuckets, "term").sortBy("term")
+          .format("parquet").saveAsTable(tbl)
+        clearTable(spark, ptmp)
+      }
+    }
     spark.sql(s"DROP TABLE IF EXISTS ${deletesTable(prefix)}")
     Stats(st.n, avgdlOf(ndl, sumdl))
   }
@@ -379,6 +406,26 @@ object TextIndex {
     ()
   }
 
+  /** Epoch-append a NEW doc batch to the positional tables only (for
+    * positional-only indexes; [[append]] calls this automatically when
+    * the BM25 tables are co-maintained). Positions are doc-absolute, so
+    * new-doc rows cannot perturb existing ones: append ≡ rebuild holds
+    * for phrase serving exactly as it does for BM25 (spec-pinned).
+    * Same contract as [[append]]: ids must be new. */
+  def appendPositional(newDocs: DataFrame, prefix: String,
+      numBuckets: Int = 32): Unit = {
+    val spark = newDocs.sparkSession
+    require(spark.catalog.tableExists(positionsTable(prefix)),
+      s"positional index '$prefix' does not exist — call buildPositional")
+    tokenPositions(newDocs).write.mode(SaveMode.Append)
+      .bucketBy(numBuckets, "term").sortBy("term")
+      .format("parquet").saveAsTable(positionsTable(prefix))
+    bigramPositions(newDocs).write.mode(SaveMode.Append)
+      .bucketBy(numBuckets, "term").sortBy("term")
+      .format("parquet").saveAsTable(positions2Table(prefix))
+    ()
+  }
+
   /** (term, doc_id, pos) rows from a (doc_id, text) frame — the in-flight
     * form of the positional posting table (pos = 1-based token ordinal). */
   private def tokenPositions(docs: DataFrame): DataFrame =
@@ -421,17 +468,24 @@ object TextIndex {
     * counted as such, matching the token-level definition. */
   def phraseTopDocs(spark: SparkSession, prefix: String,
       phrases: DataFrame, topk: Int): DataFrame = {
+    // honor the index's delete vector (docs removed via [[remove]] must
+    // not surface from ANY serving path, lexical or positional)
+    val antiDel = (p: DataFrame) =>
+      if (deletesExist(spark, prefix))
+        p.join(broadcast(spark.table(deletesTable(prefix))
+          .select("doc_id")), Seq("doc_id"), "left_anti")
+      else p
     if (!spark.catalog.tableExists(positions2Table(prefix)))
       // legacy index without the nextword table: unigram intersection
-      return phraseIntersect(spark.table(positionsTable(prefix)),
+      return phraseIntersect(antiDel(spark.table(positionsTable(prefix))),
         unigramConstraints(phrases), topk)
     val m = size(split(trim(col("phrase")), "\\s+"))
     // multi-token phrases intersect BIGRAM posting lists (far more
     // selective than head unigrams — the nextword-index trade);
     // single-token "phrases" probe the unigram table
-    val bi = phraseIntersect(spark.table(positions2Table(prefix)),
+    val bi = phraseIntersect(antiDel(spark.table(positions2Table(prefix))),
       bigramConstraints(phrases.filter(m >= 2)), topk)
-    val uni = phraseIntersect(spark.table(positionsTable(prefix)),
+    val uni = phraseIntersect(antiDel(spark.table(positionsTable(prefix))),
       unigramConstraints(phrases.filter(m <= 1)), topk)
     bi.unionByName(uni)
   }

@@ -328,6 +328,52 @@ class TextIndexSpec extends AnyFunSuite {
     TextIndex.drop(spark, p)
   }
 
+  test("positional epochs: append ≡ rebuild for phrase serving; remove " +
+      "is honored by the phrase path; compact folds and preserves") {
+    import spark.implicits._
+    val inc = "graft_tix_posinc"; val full = "graft_tix_posfull"
+    TextIndex.drop(spark, inc); TextIndex.drop(spark, full)
+    def phrasesOf(d: org.apache.spark.sql.DataFrame) = d
+      .filter(size(split(trim(col("text")), "\\s+")) >= 6)
+      .filter(col("doc_id") < 15)
+      .select(col("doc_id").as("qid"),
+        array_join(slice(split(trim(col("text")), "\\s+"), 4, 3), " ")
+          .as("phrase"))
+    def serveP(pre: String, phr: org.apache.spark.sql.DataFrame) =
+      TextIndex.phraseTopDocs(spark, pre, phr, topk = 1000)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getLong(3))).toSet
+    // build half + append half on the BM25+positional pair; compare to
+    // a one-shot full build
+    TextIndex.build(docs.filter(col("doc_id") < 250), inc, numBuckets = 8)
+    TextIndex.buildPositional(docs.filter(col("doc_id") < 250), inc,
+      numBuckets = 8)
+    TextIndex.append(docs.filter(col("doc_id") >= 250), inc, numBuckets = 8)
+    TextIndex.build(docs, full, numBuckets = 8)
+    TextIndex.buildPositional(docs, full, numBuckets = 8)
+    val phr = phrasesOf(docs).cache(); phr.count()
+    assert(serveP(inc, phr) == serveP(full, phr),
+      "positional append must serve identically to a full rebuild")
+    // remove: deleted docs vanish from phrase results too
+    TextIndex.remove((0L until 5L).toDF("doc_id"), inc)
+    val afterRm = serveP(inc, phr)
+    assert(afterRm.forall(_._3 >= 5), "removed docs surfaced from phrases")
+    val ref = "graft_tix_posref"
+    TextIndex.drop(spark, ref)
+    TextIndex.buildPositional(docs.filter(col("doc_id") >= 5), ref,
+      numBuckets = 8)
+    assert(afterRm == serveP(ref, phr),
+      "delete-vector phrase serving must equal rebuild-without")
+    // compact folds the delete vector into the positional tables
+    TextIndex.compact(spark, inc, numBuckets = 8)
+    assert(!spark.catalog.tableExists(s"${inc}_deletes"))
+    assert(serveP(inc, phr) == afterRm,
+      "compaction must not change phrase results")
+    phr.unpersist()
+    TextIndex.drop(spark, inc); TextIndex.drop(spark, full)
+    TextIndex.drop(spark, ref)
+  }
+
   test("streaming ingest: micro-batched epochs serve bit-identically to " +
       "a batch build over the same docs") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
