@@ -70,40 +70,60 @@ object Dsir {
       .select(col("doc_id"), col("tgt"), col("bs"))
   }
 
-  /** Per-doc fixed-point importance weights: (doc_id, n_grams, dsir_w)
-    * for EVERY doc in `docs` (docs whose text yields no grams get no
-    * row — join back if zero-feature docs must appear). `isTarget`
-    * marks the target-corpus rows inside `docs` (boolean column
-    * expression over its columns).
-    *
-    * Train/score structure like every fitted pipeline here: the TRAIN
-    * pass feeds both bucket LMs through one conditional B-row
-    * aggregation (map-side combined — the only shuffle in the whole
-    * operator, B rows per partition); λ then becomes a LITERAL map
-    * (B entries, the trained-parameters-as-literals pattern the ANN
-    * fits use), so the SCORE pass is a pure projection — an in-row
-    * integer fold per doc, zero shuffle at any corpus size. Every
-    * bucket observed in a doc is observed in the corpus, so the map
-    * lookup never misses. */
-  def importanceWeights(docs: DataFrame, isTarget: Column,
-      buckets: Int = 1024): DataFrame = {
-    val g = gramBucketArr(docs, isTarget, buckets)
+  /** A fitted DSIR model: the fixed-point λ log-ratio per observed
+    * bucket, plus the smoothed zero-count λ for buckets the fit corpus
+    * never produced (only reachable when scoring a DIFFERENT corpus —
+    * the deployment shape: fit on a sample, score everything). */
+  case class DsirModel(lam: Map[Long, Long], lamDefault: Long, buckets: Int)
+
+  /** TRAIN: both bucket LMs through one conditional map-side-combined
+    * B-row aggregation (the only shuffle in the operator), λ collected
+    * as fixed-point literals — computed in-engine with the same
+    * arithmetic the oracle mirrors. `sample` should contain the target
+    * rows (marked by `isTarget`) and a representative raw slice. */
+  def fit(sample: DataFrame, isTarget: Column,
+      buckets: Int = 1024): DsirModel = {
+    val g = gramBucketArr(sample, isTarget, buckets)
     val cnt = g.select(col("tgt"), explode(col("bs")).as("b"))
       .groupBy("b").agg(count(lit(1)).as("cq"),
         sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"))
     val tot = cnt.agg(sum("cq").as("tq"), sum("ct").as("tt"))
+    def lamExpr(cq: Column, ct: Column) = floor(
+      (log((ct + 1.0) / (col("tt") + buckets.toDouble)) -
+       log((cq + 1.0) / (col("tq") + buckets.toDouble))) * 1e6 + 0.5)
+      .cast("long")
     val lamRows = cnt.crossJoin(broadcast(tot))
-      .select(col("b"), floor(
-        (log((col("ct") + 1.0) / (col("tt") + buckets.toDouble)) -
-         log((col("cq") + 1.0) / (col("tq") + buckets.toDouble))) * 1e6 + 0.5)
-        .cast("long").as("lam"))
+      .select(col("b"), lamExpr(col("cq"), col("ct")).as("lam"))
       .collect().map(r => r.getLong(0) -> r.getLong(1))
-    val lam = typedLit(lamRows.toMap)
-    g.select(col("doc_id"),
-        size(col("bs")).cast("long").as("n_grams"),
-        aggregate(col("bs"), lit(0L),
-          (acc, b) => acc + element_at(lam, b)).as("dsir_w"))
+    val lamDefault = tot
+      .select(lamExpr(lit(0L), lit(0L)).as("lam")).first().getLong(0)
+    DsirModel(lamRows.toMap, lamDefault, buckets)
   }
+
+  /** SCORE: a pure projection — per-doc weight is an in-row integer
+    * fold of λ over the doc's gram buckets (zero shuffle at any corpus
+    * size; runs unchanged on a STREAMING frame). Buckets unseen at fit
+    * time take the smoothed zero-count λ. */
+  def score(docs: DataFrame, model: DsirModel): DataFrame = {
+    val lam = typedLit(model.lam)
+    gramBucketArr(docs, lit(false), model.buckets)
+      .select(col("doc_id"),
+        size(col("bs")).cast("long").as("n_grams"),
+        aggregate(col("bs"), lit(0L), (acc, b) =>
+          acc + coalesce(element_at(lam, b), lit(model.lamDefault)))
+          .as("dsir_w"))
+  }
+
+  /** Per-doc fixed-point importance weights: (doc_id, n_grams, dsir_w)
+    * for EVERY doc in `docs` (docs whose text yields no grams get no
+    * row — join back if zero-feature docs must appear). `isTarget`
+    * marks the target-corpus rows inside `docs` (boolean column
+    * expression over its columns). Fit-then-score over the same frame;
+    * for the sample-fit deployment shape call [[fit]]/[[score]]
+    * directly. */
+  def importanceWeights(docs: DataFrame, isTarget: Column,
+      buckets: Int = 1024): DataFrame =
+    score(docs, fit(docs, isTarget, buckets))
 
   /** Top-`n` raw docs by target-likeness: (rnk, doc_id, n_grams,
     * dsir_w), rank by (dsir_w desc, doc_id asc). The top-n is a

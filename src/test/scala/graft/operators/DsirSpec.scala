@@ -107,4 +107,47 @@ class DsirSpec extends AnyFunSuite {
       .collect().map(_.getInt(0)).toSeq.sorted
     assert(sel == Seq(1, 2))
   }
+
+  test("fit on a sample scores a disjoint corpus (unseen buckets take " +
+      "the smoothed default); scoring runs unchanged on a stream") {
+    import spark.implicits._
+    val model = Dsir.fit(corpus, col("kind") === "target", buckets = 128)
+    // driver-side expected weight for an arbitrary doc under the model
+    def md5Long60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    def wOf(text: String): Long = {
+      val t = text.trim.split("\\s+").toSeq
+      val grams = t ++ t.sliding(2).filter(_.length == 2).map(_.mkString(" "))
+      grams.map(g => model.lam.getOrElse(md5Long60(g) % 128,
+        model.lamDefault)).sum
+    }
+    val novel = Seq((999L, "zzz qqq ppp"), (1000L, "quantum physics lab"))
+      .toDF("doc_id", "text")
+    val got = Dsir.score(novel, model).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == Map(999L -> wOf("zzz qqq ppp"),
+      1000L -> wOf("quantum physics lab")), s"got $got")
+
+    // streaming: the same score projection over a MemoryStream emits
+    // identical rows to the batch path
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = Dsir.score(mem.toDF().toDF("doc_id", "text"), model)
+      .writeStream.format("memory").queryName("dsir_stream_scores")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, "quantum physics theory"), (2L, "buy cheap zz"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("dsir_stream_scores").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = Dsir.score(Seq((1L, "quantum physics theory"),
+        (2L, "buy cheap zz")).toDF("doc_id", "text"), model)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+  }
 }
