@@ -527,6 +527,25 @@ object TextQueries {
     // fixed-width chunking: 256-char windows per doc (the embedding /
     // context-window preprocessing step) — in-row sequence + explode, so
     // chunking is a pure projection that scales with the scan
+    // overlapping TOKEN-window chunking (window 64, stride 48 — 16-token
+    // overlap): the retrieval-embedding preprocessing shape (overlap
+    // keeps boundary-spanning context retrievable); in-row transform +
+    // explode, a pure projection at any scale. Final short chunk kept,
+    // every token covered, starts deterministic.
+    "doc_chunks_overlap" -> ((s, dir) =>
+      mat(docs(s, dir).select(col("doc_id"), col("text")),
+          split(trim(col("text")), "\\s+"), "ts")
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(0,
+            |    cast(ceil(greatest(size(ts) - 64, 0) / 48.0) as int)),
+            |  i -> struct(cast(i as bigint) AS chunk_ix,
+            |              cast(i*48 + 1 as bigint) AS start_tok,
+            |              slice(ts, i*48 + 1, 64) AS toks))"""
+            .stripMargin)).as("c"))
+        .select(col("doc_id"), col("c.chunk_ix"), col("c.start_tok"),
+          size(col("c.toks")).cast("long").as("n_tok"),
+          md5(array_join(col("c.toks"), " ")).as("chunk_hash"))),
+
     "doc_chunks" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
           explode(expr(
@@ -988,6 +1007,20 @@ object TextQueries {
         |  + len(regexp_extract_all(text, 'https?://[^\s]+'))
         |  + len(regexp_extract_all(text, '[0-9]{6,}')) > 0 AS has_pii
         |FROM documents""".stripMargin,
+    "doc_chunks_overlap" ->
+      """WITH d AS (SELECT doc_id,
+        |   string_split_regex(trim(text),'\s+') AS ts FROM documents),
+        | c0 AS (SELECT doc_id, ts,
+        |   unnest(range(0, CAST(ceil(greatest(len(ts) - 64, 0) / 48.0)
+        |     AS BIGINT) + 1)) AS chunk_ix
+        |  FROM d),
+        | c AS (SELECT doc_id, chunk_ix, chunk_ix*48 + 1 AS start_tok,
+        |   ts[chunk_ix*48 + 1 : chunk_ix*48 + 64] AS toks FROM c0)
+        |SELECT doc_id, CAST(chunk_ix AS BIGINT) AS chunk_ix,
+        | CAST(start_tok AS BIGINT) AS start_tok,
+        | CAST(len(toks) AS BIGINT) AS n_tok,
+        | md5(array_to_string(toks, ' ')) AS chunk_hash
+        |FROM c""".stripMargin,
     "doc_chunks" ->
       """WITH c0 AS (
         | SELECT doc_id, text,
