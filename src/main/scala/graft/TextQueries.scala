@@ -41,8 +41,7 @@ object TextQueries {
     s.read.parquet(s"$dir/documents.parquet")
 
   /** md5-derived 60-bit integer hash of a string column (portable). */
-  private def md5Long(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  private def md5Long(c: Column): Column = Qutil.md5Long60(c)
 
   /** Okapi BM25 (k1=1.2, b=0.75) top-`topk` docs per query doc, query side
     * = the distinct terms of docs with id < `nq`, probed as an

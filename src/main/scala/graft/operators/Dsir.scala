@@ -37,10 +37,6 @@ import org.apache.spark.sql.functions._
   */
 object Dsir {
 
-  /** Portable md5-derived 60-bit hash (same form as the text battery). */
-  private def md5Long(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
-
   /** Materialization barrier (see TextQueries.mat): keeps CollapseProject
     * from inlining the token-array split into every transform-lambda
     * element, which would re-run the split per token. */
@@ -55,8 +51,9 @@ object Dsir {
     * row at all. */
   private def gramBucketArr(docs: DataFrame, isTarget: Column,
       buckets: Int): DataFrame = {
-    val toks = mat(docs.select(col("doc_id"), col("text"),
-        isTarget.as("tgt")),
+    // null texts carry no signal and would propagate null weights
+    val toks = mat(docs.filter(col("text").isNotNull)
+        .select(col("doc_id"), col("text"), isTarget.as("tgt")),
       split(trim(col("text")), "\\s+"), "toks")
     val grams = mat(toks, expr(
         """concat(toks, CASE WHEN size(toks) >= 2
@@ -84,20 +81,25 @@ object Dsir {
   def fit(sample: DataFrame, isTarget: Column,
       buckets: Int = 1024): DsirModel = {
     val g = gramBucketArr(sample, isTarget, buckets)
+    // persist the B-row model table so the corpus aggregation runs ONCE:
+    // λ rows, totals, and the zero-count default all derive from it
     val cnt = g.select(col("tgt"), explode(col("bs")).as("b"))
       .groupBy("b").agg(count(lit(1)).as("cq"),
         sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"))
-    val tot = cnt.agg(sum("cq").as("tq"), sum("ct").as("tt"))
-    def lamExpr(cq: Column, ct: Column) = floor(
-      (log((ct + 1.0) / (col("tt") + buckets.toDouble)) -
-       log((cq + 1.0) / (col("tq") + buckets.toDouble))) * 1e6 + 0.5)
-      .cast("long")
-    val lamRows = cnt.crossJoin(broadcast(tot))
-      .select(col("b"), lamExpr(col("cq"), col("ct")).as("lam"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1))
-    val lamDefault = tot
-      .select(lamExpr(lit(0L), lit(0L)).as("lam")).first().getLong(0)
-    DsirModel(lamRows.toMap, lamDefault, buckets)
+      .persist()
+    try {
+      val tot = cnt.agg(sum("cq").as("tq"), sum("ct").as("tt"))
+      def lamExpr(cq: Column, ct: Column) = floor(
+        (log((ct + 1.0) / (col("tt") + buckets.toDouble)) -
+         log((cq + 1.0) / (col("tq") + buckets.toDouble))) * 1e6 + 0.5)
+        .cast("long")
+      val lamRows = cnt.crossJoin(broadcast(tot))
+        .select(col("b"), lamExpr(col("cq"), col("ct")).as("lam"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+      val lamDefault = tot
+        .select(lamExpr(lit(0L), lit(0L)).as("lam")).first().getLong(0)
+      DsirModel(lamRows.toMap, lamDefault, buckets)
+    } finally { cnt.unpersist(); () }
   }
 
   /** SCORE: a pure projection — per-doc weight is an in-row integer
@@ -115,12 +117,12 @@ object Dsir {
   }
 
   /** Per-doc fixed-point importance weights: (doc_id, n_grams, dsir_w)
-    * for EVERY doc in `docs` (docs whose text yields no grams get no
-    * row — join back if zero-feature docs must appear). `isTarget`
-    * marks the target-corpus rows inside `docs` (boolean column
-    * expression over its columns). Fit-then-score over the same frame;
-    * for the sample-fit deployment shape call [[fit]]/[[score]]
-    * directly. */
+    * for every doc with non-null text (a whitespace-only text still
+    * yields the single empty-string gram and scores by its bucket;
+    * null-text docs are dropped). `isTarget` marks the target-corpus
+    * rows inside `docs` (boolean column expression over its columns).
+    * Fit-then-score over the same frame; for the sample-fit deployment
+    * shape call [[fit]]/[[score]] directly. */
   def importanceWeights(docs: DataFrame, isTarget: Column,
       buckets: Int = 1024): DataFrame =
     score(docs, fit(docs, isTarget, buckets))

@@ -44,24 +44,36 @@ object NgramDup {
     * 100 TB configuration; the default keeps exact strings so the result
     * is collision-free and cross-engine oracle-checkable.
     */
+  /** (doc_id, ts) token arrays and (doc_id, i, win) window rows — the
+    * shared front of detection and trim (1-based starts; window i
+    * covers tokens i..i+w-1), so the tokenizer/window definition cannot
+    * drift between the two. */
+  private def windowRows(docs: DataFrame, w: Int, idCol: String,
+      textCol: String): (DataFrame, DataFrame) = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      split(trim(col(textCol)), "\\s+").as("ts"))
+    val winExpr =
+      s"transform(sequence(1, size(ts) - ${w} + 1), i -> array_join(slice(ts, i, $w), ' '))"
+    val wins = toks.filter(size(col("ts")) >= w)
+      .select(col("doc_id"), posexplode(expr(winExpr)).as(Seq("i0", "win")))
+      .select(col("doc_id"), (col("i0") + 1).cast("long").as("i"), col("win"))
+    (toks, wins)
+  }
+
+  /** Window keys occurring ≥ `minCount` times corpus-wide. */
+  private def dupKeysOf(wins: DataFrame, minCount: Int): DataFrame =
+    wins.groupBy("win").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount).select("win")
+
   def dupNgramStats(docs: DataFrame, w: Int = 8, minCount: Int = 2,
       idCol: String = "doc_id", textCol: String = "text",
       hashKey: Boolean = false): DataFrame = {
     require(w >= 1 && minCount >= 2)
-    val toks = docs.select(col(idCol).as("doc_id"),
-      split(trim(col(textCol)), "\\s+").as("ts"))
-    // 1-based window start positions; window i covers tokens i..i+w-1
-    val winExpr =
-      s"transform(sequence(1, size(ts) - ${w} + 1), i -> array_join(slice(ts, i, $w), ' '))"
-    val wins0 = toks.filter(size(col("ts")) >= w)
-      .select(col("doc_id"), posexplode(expr(winExpr)).as(Seq("i0", "win")))
-      .select(col("doc_id"), (col("i0") + 1).cast("long").as("i"), col("win"))
+    val (toks, wins0) = windowRows(docs, w, idCol, textCol)
     val wins =
       if (hashKey) wins0.select(col("doc_id"), col("i"), xxhash64(col("win")).as("win"))
       else wins0
-    val dupKeys = wins.groupBy("win")
-      .agg(count(lit(1)).as("c")).filter(col("c") >= minCount)
-      .select("win")
+    val dupKeys = dupKeysOf(wins, minCount)
     val dupw = wins.join(dupKeys, Seq("win")).select("doc_id", "i")
     val dcount = dupw.groupBy("doc_id")
       .agg(count(lit(1)).as("dup_windows"))
@@ -105,16 +117,8 @@ object NgramDup {
   def trimDuplicates(docs: DataFrame, w: Int = 8, minCount: Int = 2,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(w >= 1 && minCount >= 2)
-    val toks = docs.select(col(idCol).as("doc_id"),
-      split(trim(col(textCol)), "\\s+").as("ts"))
-    val winExpr =
-      s"transform(sequence(1, size(ts) - ${w} + 1), i -> array_join(slice(ts, i, $w), ' '))"
-    val wins = toks.filter(size(col("ts")) >= w)
-      .select(col("doc_id"), posexplode(expr(winExpr)).as(Seq("i0", "win")))
-      .select(col("doc_id"), (col("i0") + 1).cast("long").as("i"), col("win"))
-    val dupKeys = wins.groupBy("win")
-      .agg(count(lit(1)).as("c")).filter(col("c") >= minCount)
-      .select("win")
+    val (toks, wins) = windowRows(docs, w, idCol, textCol)
+    val dupKeys = dupKeysOf(wins, minCount)
     val occ = wins.join(dupKeys, Seq("win"))
     val canon = occ.groupBy("win")
       .agg(min(struct(col("doc_id"), col("i"))).as("cn"))

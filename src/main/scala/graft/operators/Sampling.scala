@@ -22,9 +22,6 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  private def md5Long(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
-
   /** Top-`n` rows of `df` by the A-Res key; rows with weight ≤ 0 are
     * excluded (they can never be sampled). Returns (rnk, idCol, weight,
     * skey) ranked by (skey desc, id asc); `weight` keeps `weightCol`'s
@@ -33,7 +30,8 @@ object Sampling {
   def weightedTopN(df: DataFrame, weightCol: Column, n: Int,
       idCol: String = "doc_id", salt: String = "wsample:"): DataFrame = {
     require(n > 0, "n must be positive")
-    val u = (md5Long(concat(lit(salt), col(idCol))).cast("double") + 0.5) /
+    val u = (graft.Qutil.md5Long60(concat(lit(salt), col(idCol)))
+      .cast("double") + 0.5) /
       1.152921504606846976e18
     val keyed = df.filter(weightCol > 0)
       .select(col(idCol), weightCol.as("weight"),

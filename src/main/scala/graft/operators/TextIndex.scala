@@ -176,12 +176,22 @@ object TextIndex {
     * sumdl) epoch row appends to the stats table. All three are exact
     * integer merges, so serving after append is BIT-IDENTICAL to a full
     * rebuild over the union — the spec pins that. Contract: `newDocs`
-    * ids must not already be in the index (use [[remove]] + append, or
-    * [[compact]], for replacement). */
+    * ids must not already be in the index NOR in the delete vector
+    * (replacement = remove + [[compact]] + append: the vector filters
+    * by doc_id alone, so re-appending a removed id before compaction
+    * would hide the NEW rows too — guarded loudly below). */
   def append(newDocs: DataFrame, prefix: String, numBuckets: Int = 32): Stats = {
     val spark = newDocs.sparkSession
     require(spark.catalog.tableExists(postingsTable(prefix)),
       s"index '$prefix' does not exist — call build first")
+    if (deletesExist(spark, prefix)) {
+      val clash = newDocs.select(col("doc_id"))
+        .join(broadcast(spark.table(deletesTable(prefix)).select("doc_id")),
+          Seq("doc_id"), "left_semi").limit(1).count()
+      require(clash == 0,
+        s"append to '$prefix' includes ids in the delete vector — " +
+          "run compact() first (replacement = remove + compact + append)")
+    }
     // positional tables, when present, take the same epoch append
     if (spark.catalog.tableExists(positionsTable(prefix)))
       appendPositional(newDocs, prefix, numBuckets)
@@ -217,13 +227,22 @@ object TextIndex {
     * be distinct, present, and not previously removed. */
   def remove(docIds: DataFrame, prefix: String): Unit = {
     val spark = docIds.sparkSession
-    require(spark.table(statsTable(prefix)).columns.contains("sumdl"),
-      s"index '$prefix' predates the mergeable stats format — rebuild it")
+    val hasBm25 = spark.catalog.tableExists(postingsTable(prefix))
+    require(hasBm25 || spark.catalog.tableExists(positionsTable(prefix)),
+      s"index '$prefix' does not exist")
     val ids = docIds.select(col("doc_id").cast("long").as("doc_id"))
-    val dls = spark.table(postingsTable(prefix))
-      .select(col("doc_id"), col("dl")).distinct()
-    ids.join(dls, Seq("doc_id"), "left")
-      .write.mode(SaveMode.Append)
+    val rows =
+      if (hasBm25) {
+        require(spark.table(statsTable(prefix)).columns.contains("sumdl"),
+          s"index '$prefix' predates the mergeable stats format — rebuild it")
+        val dls = spark.table(postingsTable(prefix))
+          .select(col("doc_id"), col("dl")).distinct()
+        ids.join(dls, Seq("doc_id"), "left")
+      } else
+        // positional-only index: no dl to record (dl only feeds the
+        // BM25 stats adjustment); phrase serving anti-joins by doc_id
+        ids.withColumn("dl", lit(null).cast("long"))
+    rows.write.mode(SaveMode.Append)
       .format("parquet").saveAsTable(deletesTable(prefix))
     ()
   }
@@ -234,42 +253,50 @@ object TextIndex {
     * compacted postings, consolidate stats to one row, drop the delete
     * vector. Serving before and after compact is bit-identical; compact
     * restores the stopword-cut skip-read (maxDfFrac) that the delete
-    * path suspends. */
+    * path suspends. Works on positional-only indexes too (no BM25
+    * tables): only the positional fold runs and the returned Stats is
+    * the zero value (stats are a BM25-side concept). */
   def compact(spark: SparkSession, prefix: String, numBuckets: Int = 32): Stats = {
-    val st = stats(spark, prefix) // pre-compute the post-delete stats
-    val tmp = s"${prefix}_compact_tmp"
-    clearTable(spark, tmp)
-    val survivors =
-      if (deletesExist(spark, prefix))
-        spark.table(postingsTable(prefix)).join(
-          broadcast(spark.table(deletesTable(prefix)).select("doc_id")),
-          Seq("doc_id"), "left_anti")
-      else spark.table(postingsTable(prefix))
-    survivors.select("term", "doc_id", "tf", "dl")
-      .write.mode(SaveMode.Overwrite)
-      .bucketBy(numBuckets, "term").sortBy("term")
-      .format("parquet").saveAsTable(tmp)
-    clearTable(spark, postingsTable(prefix))
-    spark.table(tmp).write.mode(SaveMode.Overwrite)
-      .bucketBy(numBuckets, "term").sortBy("term")
-      .format("parquet").saveAsTable(postingsTable(prefix))
-    clearTable(spark, tmp)
-    clearTable(spark, lexiconTable(prefix))
-    spark.table(postingsTable(prefix))
-      .groupBy("term").agg(count(lit(1)).as("df"))
-      .write.mode(SaveMode.Overwrite)
-      .bucketBy(numBuckets, "term").sortBy("term")
-      .format("parquet").saveAsTable(lexiconTable(prefix))
-    val dld = spark.table(postingsTable(prefix))
-      .select(col("doc_id"), col("dl")).distinct()
-      .agg(count(lit(1)).as("ndl"), sum("dl").as("sumdl")).first()
-    val ndl = dld.getLong(0)
-    val sumdl = if (dld.isNullAt(1)) 0L else dld.getLong(1)
-    import spark.implicits._
-    clearTable(spark, statsTable(prefix))
-    Seq((st.n, ndl, sumdl)).toDF("n", "ndl", "sumdl")
-      .write.mode(SaveMode.Overwrite)
-      .format("parquet").saveAsTable(statsTable(prefix))
+    val hasBm25 = spark.catalog.tableExists(postingsTable(prefix))
+    require(hasBm25 || spark.catalog.tableExists(positionsTable(prefix)),
+      s"index '$prefix' does not exist")
+    val out = if (hasBm25) {
+      val st = stats(spark, prefix) // pre-compute the post-delete stats
+      val tmp = s"${prefix}_compact_tmp"
+      clearTable(spark, tmp)
+      val survivors =
+        if (deletesExist(spark, prefix))
+          spark.table(postingsTable(prefix)).join(
+            broadcast(spark.table(deletesTable(prefix)).select("doc_id")),
+            Seq("doc_id"), "left_anti")
+        else spark.table(postingsTable(prefix))
+      survivors.select("term", "doc_id", "tf", "dl")
+        .write.mode(SaveMode.Overwrite)
+        .bucketBy(numBuckets, "term").sortBy("term")
+        .format("parquet").saveAsTable(tmp)
+      clearTable(spark, postingsTable(prefix))
+      spark.table(tmp).write.mode(SaveMode.Overwrite)
+        .bucketBy(numBuckets, "term").sortBy("term")
+        .format("parquet").saveAsTable(postingsTable(prefix))
+      clearTable(spark, tmp)
+      clearTable(spark, lexiconTable(prefix))
+      spark.table(postingsTable(prefix))
+        .groupBy("term").agg(count(lit(1)).as("df"))
+        .write.mode(SaveMode.Overwrite)
+        .bucketBy(numBuckets, "term").sortBy("term")
+        .format("parquet").saveAsTable(lexiconTable(prefix))
+      val dld = spark.table(postingsTable(prefix))
+        .select(col("doc_id"), col("dl")).distinct()
+        .agg(count(lit(1)).as("ndl"), sum("dl").as("sumdl")).first()
+      val ndl = dld.getLong(0)
+      val sumdl = if (dld.isNullAt(1)) 0L else dld.getLong(1)
+      import spark.implicits._
+      clearTable(spark, statsTable(prefix))
+      Seq((st.n, ndl, sumdl)).toDF("n", "ndl", "sumdl")
+        .write.mode(SaveMode.Overwrite)
+        .format("parquet").saveAsTable(statsTable(prefix))
+      Stats(st.n, avgdlOf(ndl, sumdl))
+    } else Stats(0L, 0.0)
     // positional tables, when present, fold the delete vector the same
     // way (phrase serving then needs no anti-join until the next remove)
     if (spark.catalog.tableExists(positionsTable(prefix))) {
@@ -295,7 +322,7 @@ object TextIndex {
       }
     }
     spark.sql(s"DROP TABLE IF EXISTS ${deletesTable(prefix)}")
-    Stats(st.n, avgdlOf(ndl, sumdl))
+    out
   }
 
   /** Okapi BM25 top-`topk` docs per query, served from the persisted
@@ -420,9 +447,16 @@ object TextIndex {
     tokenPositions(newDocs).write.mode(SaveMode.Append)
       .bucketBy(numBuckets, "term").sortBy("term")
       .format("parquet").saveAsTable(positionsTable(prefix))
-    bigramPositions(newDocs).write.mode(SaveMode.Append)
-      .bucketBy(numBuckets, "term").sortBy("term")
-      .format("parquet").saveAsTable(positions2Table(prefix))
+    // a LEGACY index (built before the nextword table existed) stays in
+    // its unigram-only shape: creating positions2 here would hold only
+    // this batch's bigrams, and phraseTopDocs would then route every
+    // multi-token phrase through a table that misses all earlier docs —
+    // silent wrong results. The unigram fallback keeps append ≡ rebuild
+    // for the legacy layout; rebuild with buildPositional to upgrade.
+    if (spark.catalog.tableExists(positions2Table(prefix)))
+      bigramPositions(newDocs).write.mode(SaveMode.Append)
+        .bucketBy(numBuckets, "term").sortBy("term")
+        .format("parquet").saveAsTable(positions2Table(prefix))
     ()
   }
 
@@ -475,19 +509,41 @@ object TextIndex {
         p.join(broadcast(spark.table(deletesTable(prefix))
           .select("doc_id")), Seq("doc_id"), "left_anti")
       else p
-    if (!spark.catalog.tableExists(positions2Table(prefix)))
-      // legacy index without the nextword table: unigram intersection
-      return phraseIntersect(antiDel(spark.table(positionsTable(prefix))),
-        unigramConstraints(phrases), topk)
-    val m = size(split(trim(col("phrase")), "\\s+"))
+    // the probe set is bounded by contract — ONE collect tokenizes it
+    // driver-side (same \s+ split as the tables), so constraint frames
+    // are local literals, terms need no extra jobs, and statically
+    // empty branches dispatch nothing
+    val toks: Array[(Long, Array[String])] = phrases
+      .select(col("qid").cast("long"), col("phrase")).collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).trim.split("\\s+").filter(_.nonEmpty)))
+    import spark.implicits._
+    def constraints(rows: Array[(Long, Int, String)]): DataFrame =
+      rows.toSeq.toDF("qid", "i", "term")
+    val hasNextword = spark.catalog.tableExists(positions2Table(prefix))
     // multi-token phrases intersect BIGRAM posting lists (far more
     // selective than head unigrams — the nextword-index trade);
-    // single-token "phrases" probe the unigram table
-    val bi = phraseIntersect(antiDel(spark.table(positions2Table(prefix))),
-      bigramConstraints(phrases.filter(m >= 2)), topk)
-    val uni = phraseIntersect(antiDel(spark.table(positionsTable(prefix))),
-      unigramConstraints(phrases.filter(m <= 1)), topk)
-    bi.unionByName(uni)
+    // single-token phrases (and every phrase on a LEGACY index without
+    // the nextword table) probe the unigram table
+    val biRows =
+      if (hasNextword)
+        toks.filter(_._2.length >= 2).flatMap { case (q, ts) =>
+          ts.indices.init.map(i => (q, i, ts(i) + " " + ts(i + 1)))
+        }
+      else Array.empty[(Long, Int, String)]
+    val uniRows = (if (hasNextword) toks.filter(_._2.length <= 1)
+                   else toks)
+      .flatMap { case (q, ts) => ts.indices.map(i => (q, i, ts(i))) }
+    val parts = Seq(
+      (biRows, positions2Table(prefix)),
+      (uniRows, positionsTable(prefix))
+    ).collect { case (rows, tbl) if rows.nonEmpty =>
+      phraseIntersect(antiDel(spark.table(tbl)), constraints(rows),
+        rows.map(_._3).distinct, topk)
+    }
+    if (parts.isEmpty)
+      Seq.empty[(Long, Int, Long, Long)].toDF("qid", "rnk", "doc_id", "n_hits")
+    else parts.reduce(_ unionByName _)
   }
 
   /** Index-free phrase search: the same positional-intersection pipeline
@@ -496,42 +552,30 @@ object TextIndex {
     * results (spec + scale bench pin that); useful for one-off queries
     * and as the correctness twin. */
   def phraseTopDocsTransient(docs: DataFrame, phrases: DataFrame,
-      topk: Int): DataFrame =
-    phraseIntersect(tokenPositions(docs), unigramConstraints(phrases), topk)
-
-  /** (qid, i, term) unigram constraints: token i of the phrase must sit
-    * at start + i. */
-  private def unigramConstraints(phrases: DataFrame): DataFrame =
-    phrases.select(col("qid"),
-      posexplode(split(trim(col("phrase")), "\\s+")).as(Seq("i", "term")))
-
-  /** (qid, i, bigram) constraints: adjacent pair i must sit at start + i.
-    * Matching every consecutive pair ⟺ matching every token, so the
-    * bigram intersection returns EXACTLY the unigram result — only the
-    * posting lists probed are the (much rarer) nextword entries.
-    * Callers must pre-filter to phrases of ≥ 2 tokens. */
-  private def bigramConstraints(phrases: DataFrame): DataFrame =
-    phrases.select(col("qid"),
-        explode(array(split(trim(col("phrase")), "\\s+"))).as("t"))
-      .select(col("qid"), posexplode(expr(
-        """transform(sequence(0, size(t)-2),
-          |          j -> concat(t[j], ' ', t[j+1]))""".stripMargin))
-        .as(Seq("i", "term")))
+      topk: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val rows = phrases.select(col("qid").cast("long"), col("phrase"))
+      .collect()
+      .flatMap { r =>
+        r.getString(1).trim.split("\\s+").filter(_.nonEmpty)
+          .zipWithIndex.map { case (t, i) => (r.getLong(0), i, t) }
+      }
+    import spark.implicits._
+    if (rows.isEmpty)
+      Seq.empty[(Long, Int, Long, Long)].toDF("qid", "rnk", "doc_id", "n_hits")
+    else phraseIntersect(tokenPositions(docs),
+      rows.toSeq.toDF("qid", "i", "term"), rows.map(_._3).distinct, topk)
+  }
 
   /** The positional-intersection engine: each (term, doc, pos) row of a
     * probed posting list votes for start = pos − i; a start collecting
-    * one vote per constraint is an occurrence. */
-  private def phraseIntersect(positions: DataFrame,
-      pt: DataFrame, topk: Int): DataFrame = {
+    * one vote per constraint is an occurrence. `pt` is the bounded
+    * (qid, i, term) constraint frame and `terms` its distinct term set
+    * (already driver-resident — the probe contract). */
+  private def phraseIntersect(positions: DataFrame, pt: DataFrame,
+      terms: Seq[String], topk: Int): DataFrame = {
     require(topk > 0, "topk must be positive")
-    val spark = positions.sparkSession
-    val terms: Array[String] = pt.select("term").distinct()
-      .collect().map(_.getString(0))
-    import spark.implicits._
-    if (terms.isEmpty)
-      return Seq.empty[(Long, Int, Long, Long)]
-        .toDF("qid", "rnk", "doc_id", "n_hits")
-    val pos = positions.filter(col("term").isin(terms.toSeq: _*))
+    val pos = positions.filter(col("term").isin(terms: _*))
     // constraint count per qid — a start needs all m votes
     val mPer = pt.groupBy("qid").agg(count(lit(1)).as("m"))
     val votes = broadcast(pt).join(pos, Seq("term"))

@@ -374,6 +374,84 @@ class TextIndexSpec extends AnyFunSuite {
     TextIndex.drop(spark, ref)
   }
 
+  test("legacy unigram-only index: append keeps the legacy shape (no " +
+      "delta-only nextword table, which would silently lose pre-append " +
+      "phrase hits)") {
+    val p = "graft_tix_legacy"
+    TextIndex.drop(spark, p)
+    TextIndex.buildPositional(docs.filter(col("doc_id") < 250), p,
+      numBuckets = 8)
+    spark.sql(s"DROP TABLE IF EXISTS ${p}_positions2") // the legacy layout
+    TextIndex.appendPositional(docs.filter(col("doc_id") >= 250), p,
+      numBuckets = 8)
+    assert(!spark.catalog.tableExists(s"${p}_positions2"),
+      "append must not create a delta-only nextword table on a legacy index")
+    val phr = docs.filter(size(split(trim(col("text")), "\\s+")) >= 6)
+      .filter(col("doc_id") < 10)
+      .select(col("doc_id").as("qid"),
+        array_join(slice(split(trim(col("text")), "\\s+"), 4, 3), " ")
+          .as("phrase"))
+    def coll(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(coll(TextIndex.phraseTopDocs(spark, p, phr, 1000)) ==
+      coll(TextIndex.phraseTopDocsTransient(docs, phr, 1000)),
+      "legacy unigram fallback must still serve every doc")
+    TextIndex.drop(spark, p)
+  }
+
+  test("append refuses ids in the delete vector (replacement = remove + " +
+      "compact + append); the full workflow then serves the new text") {
+    import spark.implicits._
+    val p = "graft_tix_replace"
+    TextIndex.drop(spark, p)
+    TextIndex.build(docs, p, numBuckets = 8)
+    TextIndex.remove((0L until 3L).toDF("doc_id"), p)
+    val ex = intercept[IllegalArgumentException] {
+      TextIndex.append(docs.filter(col("doc_id") < 3), p, numBuckets = 8)
+    }
+    assert(ex.getMessage.contains("delete vector"))
+    // the documented workflow: compact folds the deletion, then append
+    TextIndex.compact(spark, p, numBuckets = 8)
+    TextIndex.append(docs.filter(col("doc_id") < 3), p, numBuckets = 8)
+    val qt = spark.table(s"${p}_postings").filter(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"), col("term"))
+    val served = TextIndex.bm25TopDocs(spark, p, qt, topk = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val ref = "graft_tix_replace_ref"
+    TextIndex.drop(spark, ref)
+    TextIndex.build(docs, ref, numBuckets = 8)
+    val want = TextIndex.bm25TopDocs(spark, ref, qt, topk = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(served == want,
+      "remove + compact + append must serve identically to a rebuild")
+    TextIndex.drop(spark, p); TextIndex.drop(spark, ref)
+  }
+
+  test("positional-only index: remove and compact work without the BM25 " +
+      "tables") {
+    import spark.implicits._
+    val p = "graft_tix_posonly"
+    TextIndex.drop(spark, p)
+    TextIndex.buildPositional(docs, p, numBuckets = 8)
+    val phr = docs.filter(size(split(trim(col("text")), "\\s+")) >= 6)
+      .filter(col("doc_id") < 10)
+      .select(col("doc_id").as("qid"),
+        array_join(slice(split(trim(col("text")), "\\s+"), 4, 3), " ")
+          .as("phrase"))
+    def coll(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    TextIndex.remove((0L until 5L).toDF("doc_id"), p)
+    val afterRm = coll(TextIndex.phraseTopDocs(spark, p, phr, 1000))
+    assert(afterRm.nonEmpty && afterRm.forall(_._2 >= 5))
+    TextIndex.compact(spark, p, numBuckets = 8)
+    assert(!spark.catalog.tableExists(s"${p}_deletes"))
+    assert(coll(TextIndex.phraseTopDocs(spark, p, phr, 1000)) == afterRm)
+    TextIndex.drop(spark, p)
+  }
+
   test("streaming ingest: micro-batched epochs serve bit-identically to " +
       "a batch build over the same docs") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
