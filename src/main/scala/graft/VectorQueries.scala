@@ -138,6 +138,20 @@ object VectorQueries {
       graft.operators.Mining.hardNegatives(e, anchors, k = 5)
     }),
 
+    // IVF-gated hard negatives — the SCALE path of hard_negatives:
+    // candidates from each anchor's 4 nearest cells of the battery's
+    // memoized IVF quantizer (~nprobe/C of the corpus per anchor),
+    // escalating to wider probes for under-filled anchors. Oracle
+    // composed from the same centroid literals as knn_ivf_cosine.
+    "hard_negatives_ivf" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val anchors = e.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_vec"), col("label").as("query_label"))
+      graft.operators.Mining.hardNegativesIvf(e, ivfModel(s, dir), anchors,
+        k = 5, nprobe = 4)
+    }),
+
     // O1 kernel sanity: self dot product + L2 norm per vector
     "vec_norms" -> ((s, dir) =>
       emb(s, dir).select(col("vec_id"), col("label"),
@@ -693,7 +707,35 @@ object VectorQueries {
       val cte = graft.operators.IvfFlat.duckdbTopkCte(cents, nprobe = 4, k = 10)
       val bqCte = graft.operators.IvfBq.duckdbTopkCte(cents, d = 64,
         nprobe = 4, rerank = 100, k = 10, residual = true)
+      val hnCte = graft.operators.IvfFlat.duckdbTopkCte(cents, nprobe = 4,
+        k = 10, probeFilter = "vec_id < 50")
       Map(
+        // IVF-gated hard-negative mining from the SAME centroid
+        // literals: probed cells → candidates (self excluded) → labels
+        // joined → negative top-5 / hardest-positive / semi-hard flag.
+        // The oracle is the single-round form; the Spark side only
+        // escalates when a probed set under-fills, which the battery
+        // parameters never trigger (a mismatch here would flag it).
+        "hard_negatives_ivf" ->
+          s"""$hnCte,
+             | hn_cand AS (
+             |  SELECT qc.query_id, ql.label AS qlabel, a.vec_id, al.label,
+             |   floor((CASE WHEN isnan(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(qc.qv AS DOUBLE[]))) THEN -1.0
+             |          ELSE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(qc.qv AS DOUBLE[])) END)*1e6 + 0.5)/1e6 AS score
+             |  FROM ivf_qcells qc
+             |   JOIN ivf_assigned a ON a.cell = qc.cell AND a.vec_id <> qc.query_id
+             |   JOIN embeddings ql ON ql.vec_id = qc.query_id
+             |   JOIN embeddings al ON al.vec_id = a.vec_id),
+             | hn_pos AS (SELECT query_id, max(score) AS pos_score FROM hn_cand
+             |            WHERE label = qlabel GROUP BY 1),
+             | hn_top AS (SELECT query_id, vec_id, label, score,
+             |   row_number() OVER (PARTITION BY query_id
+             |     ORDER BY score DESC, vec_id) AS rnk
+             |  FROM hn_cand WHERE label <> qlabel)
+             |SELECT t.query_id, t.rnk, t.vec_id AS neighbor_id, t.label,
+             | t.score, p.pos_score, t.score < p.pos_score AS semi_hard
+             |FROM hn_top t LEFT JOIN hn_pos p USING (query_id)
+             |WHERE t.rnk <= 5""".stripMargin,
         "knn_ivfbq_cosine" ->
           s"""$bqCte
              |SELECT query_id, neighbor_id, score, rank FROM ivfbq_topk""".stripMargin,

@@ -35,6 +35,75 @@ object Mining {
     *         anchor's hardest same-label (non-self) similarity and the
     *         semi-hard flag; pos_score/semi_hard are null when the
     *         anchor's label has no other member. */
+  /** IVF-gated hard-negative mining — the SCALE path: candidates come
+    * from each anchor's `nprobe` nearest IVF cells (~nprobe/C of the
+    * corpus per anchor instead of a full scan), with the same
+    * negative/positive split and ranking as [[hardNegatives]]. Anchors
+    * whose probed cells yield fewer than k negatives ESCALATE (nprobe
+    * ×4 per round, capped at all-cells — at which point the result IS
+    * the exact one), so the returned cardinality matches the exact
+    * operator's. At nprobe = numCells the whole result is bit-identical
+    * to [[hardNegatives]] (spec-pinned). pos_score is the hardest
+    * positive among the PROBED candidates (the exact twin scans
+    * everything) — null when the probed cells hold no same-label
+    * vector. `base` supplies labels by id; at 100 TB materialize the
+    * label-joined assignment once instead of re-joining per call. */
+  def hardNegativesIvf(base: DataFrame, model: IvfFlat.Model,
+      anchors: DataFrame, k: Int, nprobe: Int = 4,
+      scoreDigits: Int = 6): DataFrame = {
+    require(k > 0 && nprobe > 0)
+    val numCells = model.centroids.length
+    val labeled = model.assigned.select(col("id"), col("cell"))
+      .join(base.select(col("vec_id").as("id"), col("embedding"),
+        col("label")), Seq("id"))
+
+    def mine(pend: DataFrame, np: Int): DataFrame = {
+      val probes = pend
+        .withColumn("cells", graft.functions.cells.nearest_cells(
+          col("query_vec"), model.centroids, "cosine",
+          n = math.min(np, numCells), tieCellDesc = true))
+        .select(col("query_id"), col("query_vec"), col("query_label"),
+          explode(col("cells")).as("cell"))
+      val raw = nanvl(
+        similarity.sim("cosine")(col("embedding"), col("query_vec")),
+        lit(-1.0))
+      val sc =
+        if (scoreDigits >= 0) graft.Qutil.rnd(raw, scoreDigits) else raw
+      val cand = labeled.join(probes, Seq("cell"))
+        .filter(col("id") =!= col("query_id"))
+        .select(col("query_id"), col("query_label"),
+          col("id"), col("label"), sc.as("score"))
+      val pos = cand.filter(col("label") === col("query_label"))
+        .groupBy("query_id").agg(max("score").as("pos_score"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("score").desc, col("id").asc)
+      cand.filter(col("label") =!= col("query_label"))
+        .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+        .join(broadcast(pos), Seq("query_id"), "left")
+        .select(col("query_id"), col("rnk"), col("id").as("neighbor_id"),
+          col("label"), col("score"), col("pos_score"),
+          (col("score") < col("pos_score")).as("semi_hard"))
+    }
+
+    var np = math.min(nprobe, numCells)
+    var pending = anchors
+    var acc: List[DataFrame] = Nil
+    var done = false
+    while (!done) {
+      val r = mine(pending, np)
+      if (np >= numCells) { acc ::= r; done = true }
+      else {
+        val sat = r.groupBy("query_id").agg(count(lit(1)).as("n"))
+          .filter(col("n") === k).select("query_id")
+        acc ::= r.join(broadcast(sat), Seq("query_id"), "left_semi")
+        pending = pending.join(broadcast(sat), Seq("query_id"), "left_anti")
+        if (pending.limit(1).count() == 0) done = true
+        else np = math.min(np * 4, numCells)
+      }
+    }
+    acc.reduce(_ unionByName _)
+  }
+
   def hardNegatives(base: DataFrame, anchors: DataFrame, k: Int,
       metric: String = "cosine", scoreDigits: Int = 6): DataFrame = {
     require(k > 0, "k must be positive")

@@ -44,6 +44,53 @@ class MiningSpec extends AnyFunSuite {
       s"got $got")
   }
 
+  test("IVF-gated mining at all-cells is bit-identical to the exact " +
+      "operator; pruned probes return full rows and never a same-label") {
+    val dir = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val model = IvfFlat.fit(e, numCells = 8)
+    val anchors = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("query_vec"), col("label").as("query_label"))
+    def coll(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getInt(3), r.getDouble(4), r.getDouble(5), r.getBoolean(6))).toSet
+    val exact = coll(Mining.hardNegatives(e, anchors, k = 5))
+    val allCells = coll(Mining.hardNegativesIvf(e, model, anchors, k = 5,
+      nprobe = 8))
+    assert(allCells == exact,
+      s"diff: ${(allCells diff exact).take(3)} / ${(exact diff allCells).take(3)}")
+    val pruned = Mining.hardNegativesIvf(e, model, anchors, k = 5,
+        nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getInt(3)))
+    val labelOf = e.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(pruned.groupBy(_._1).forall(_._2.length == 5),
+      "every anchor must fill k (escalating if its probes under-fill)")
+    assert(pruned.forall { case (q, n, l) => n != q && l != labelOf(q) })
+  }
+
+  test("escalation: an anchor whose nearest cell is all same-label " +
+      "still fills k negatives") {
+    import spark.implicits._
+    // three tight, well-separated clusters; label == cluster — any
+    // anchor's nprobe=1 probe set holds ONLY its own label
+    val base = (0 until 30).map { i =>
+      val cl = i % 3
+      val ang = math.toRadians(cl * 120.0 + (i / 3) * 0.5)
+      (i.toLong, Array(math.cos(ang).toFloat, math.sin(ang).toFloat), cl)
+    }.toDF("vec_id", "embedding", "label")
+    val model = IvfFlat.fit(base, numCells = 3)
+    val anchors = base.filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("query_vec"), col("label").as("query_label"))
+    val got = Mining.hardNegativesIvf(base, model, anchors, k = 4,
+        nprobe = 1)
+      .collect().map(r => (r.getLong(2), r.getInt(3)))
+    assert(got.length == 4, s"expected 4 negatives, got ${got.toSeq}")
+    assert(got.forall(_._2 != 0))
+  }
+
   test("equals a driver-side brute force on real embeddings; never " +
       "returns self or a same-label vector") {
     val dir = "/root/testdata/sf0.001"
