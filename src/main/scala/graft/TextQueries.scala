@@ -329,6 +329,38 @@ object TextQueries {
       graft.operators.TextIndex.bm25TopDocs(s, prefix, queryTerms, topk = 10)
     }),
 
+    // BM25 ⊕ exact-phrase boost: the classic "exact-match bonus"
+    // retrieval composition — the BM25 top-20 head re-ranked after
+    // adding 0.5 per occurrence of the query's 3-token phrase (served
+    // from the battery's positional/nextword index). Both legs are
+    // bounded heads, so the fusion is one small join + window.
+    "bm25_phrase_boost" -> ((s, dir) => {
+      val lex = bm25Ranked(s, dir, nq = 10, topk = 20)
+      val prefix = TextMemo.get(s, s"textindexpos/$dir") {
+        val p = "graft_tixpos_" + java.security.MessageDigest.getInstance("MD5")
+          .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+        graft.operators.TextIndex.buildPositional(docs(s, dir), p,
+          numBuckets = 8)
+        p
+      }
+      val phr = docs(s, dir)
+        .filter(size(split(trim(col("text")), "\\s+")) >= 6)
+        .filter(col("doc_id") < 10)
+        .select(col("doc_id").as("qid"),
+          array_join(slice(split(trim(col("text")), "\\s+"), 4, 3), " ")
+            .as("phrase"))
+      val hits = graft.operators.TextIndex
+        .phraseTopDocs(s, prefix, phr, topk = 1000)
+        .select(col("qid"), col("doc_id"), col("n_hits"))
+      val w = Window.partitionBy("qid")
+        .orderBy(col("boosted").desc, col("doc_id").asc)
+      lex.join(hits, Seq("qid", "doc_id"), "left")
+        .withColumn("boosted",
+          rnd(col("bm25") + lit(0.5) * coalesce(col("n_hits"), lit(0L)), 4))
+        .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 10)
+        .select("qid", "rnk", "doc_id", "boosted")
+    }),
+
     // incremental maintenance of the same index: build on half the
     // corpus, APPEND the other half as a new epoch (df/avgdl merge by
     // exact integer sums), serve — hash-matches the SAME oracle as the
@@ -1112,6 +1144,51 @@ object TextQueries {
     // the indexed path must produce bit-identical results — same oracle
     "bm25_indexed" -> bm25Sql,
     "bm25_incremental" -> bm25Sql,
+    // BM25 head + exact-phrase occurrence bonus, re-ranked — both legs
+    // are the already-oracled pipelines, composed
+    "bm25_phrase_boost" ->
+      """WITH toks AS (SELECT doc_id,
+        |   unnest(string_split_regex(trim(text),'\s+')) AS term FROM documents),
+        | tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        | dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        | stats AS (SELECT avg(dl) AS avgdl FROM dl),
+        | dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        | n AS (SELECT count(*) AS n FROM documents),
+        | qt AS (SELECT DISTINCT doc_id AS qid, term FROM tf WHERE doc_id < 10),
+        | sc AS (SELECT qt.qid, tf.doc_id,
+        |   floor((sum(ln(1.0 + (n.n - dft.df + 0.5)/(dft.df + 0.5))
+        |     * tf.tf * 2.2
+        |     / (tf.tf + 1.2*(1.0 - 0.75 + 0.75*dl.dl/stats.avgdl))))*1e4
+        |     + 0.5)/1e4 AS bm25
+        |  FROM qt JOIN tf USING (term) JOIN dft USING (term)
+        |    JOIN dl ON dl.doc_id = tf.doc_id
+        |    CROSS JOIN n CROSS JOIN stats
+        |  GROUP BY 1, 2),
+        | bm AS (SELECT qid, doc_id, bm25 FROM (
+        |   SELECT *, row_number() OVER (PARTITION BY qid
+        |     ORDER BY bm25 DESC, doc_id) AS rnk FROM sc) WHERE rnk <= 20),
+        | ptk AS (SELECT doc_id,
+        |   string_split_regex(trim(text),'\s+') AS tk FROM documents),
+        | pos AS (SELECT doc_id, tk[i] AS term, i AS pos FROM (
+        |   SELECT doc_id, tk, unnest(range(1, len(tk)+1)) AS i FROM ptk)),
+        | phq AS (SELECT doc_id AS qid, list_slice(tk, 4, 6) AS ph FROM ptk
+        |         WHERE len(tk) >= 6 AND doc_id < 10),
+        | pt AS (SELECT qid, ph[i] AS term, i - 1 AS off FROM (
+        |   SELECT qid, ph, unnest(range(1, 4)) AS i FROM phq)),
+        | votes AS (SELECT p.qid, s.doc_id, s.pos - p.off AS start
+        |           FROM pt p JOIN pos s ON s.term = p.term),
+        | occ AS (SELECT qid, doc_id, start FROM votes
+        |         GROUP BY qid, doc_id, start HAVING count(*) = 3),
+        | perdoc AS (SELECT qid, doc_id, CAST(count(*) AS BIGINT) AS n_hits
+        |            FROM occ GROUP BY 1, 2)
+        |SELECT qid, rnk, doc_id, boosted FROM (
+        |  SELECT b.qid, b.doc_id,
+        |    floor((b.bm25 + 0.5*coalesce(p.n_hits, 0))*1e4 + 0.5)/1e4 AS boosted,
+        |    row_number() OVER (PARTITION BY b.qid ORDER BY
+        |      floor((b.bm25 + 0.5*coalesce(p.n_hits, 0))*1e4 + 0.5)/1e4 DESC,
+        |      b.doc_id) AS rnk
+        |  FROM bm b LEFT JOIN perdoc p ON p.qid = b.qid AND p.doc_id = b.doc_id)
+        |WHERE rnk <= 10""".stripMargin,
     // positional-intersection phrase search — exact integer pipeline
     "phrase_search" ->
       """WITH toks AS (SELECT doc_id,
