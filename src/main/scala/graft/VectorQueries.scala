@@ -152,6 +152,17 @@ object VectorQueries {
         k = 5, nprobe = 4)
     }),
 
+    // contrastive training triplets: hardest positive + top-3 hardest
+    // negatives per anchor with the (pos − neg) margin — the data
+    // product a metric-learning run consumes
+    "training_triplets" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val anchors = e.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_vec"), col("label").as("query_label"))
+      graft.operators.Mining.trainingTriplets(e, anchors, negK = 3)
+    }),
+
     // O1 kernel sanity: self dot product + L2 norm per vector
     "vec_norms" -> ((s, dir) =>
       emb(s, dir).select(col("vec_id"), col("label"),
@@ -1212,6 +1223,27 @@ object VectorQueries {
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |    ORDER BY score DESC, neighbor_id) AS rank FROM scored)
         |WHERE rank <= 10""".stripMargin,
+    // contrastive triplets — hardest positive × top-3 negatives, margins
+    "training_triplets" ->
+      """WITH a AS (SELECT vec_id AS query_id, embedding AS qv,
+        |           label AS qlabel FROM embeddings WHERE vec_id < 50),
+        | scored AS (
+        |  SELECT a.query_id, a.qlabel, e.vec_id, e.label,
+        |   floor((list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(a.qv AS DOUBLE[])))*1e6 + 0.5)/1e6 AS score
+        |  FROM embeddings e, a WHERE e.vec_id <> a.query_id),
+        | pos AS (SELECT query_id, vec_id AS pos_id, score AS pos_score FROM (
+        |   SELECT query_id, vec_id, score, row_number() OVER (
+        |     PARTITION BY query_id ORDER BY score DESC, vec_id) AS prn
+        |   FROM scored WHERE label = qlabel) WHERE prn = 1),
+        | negs AS (SELECT query_id, rnk, vec_id AS neg_id,
+        |   score AS neg_score FROM (
+        |   SELECT query_id, vec_id, score, row_number() OVER (
+        |     PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk
+        |   FROM scored WHERE label <> qlabel) WHERE rnk <= 3)
+        |SELECT n.query_id, n.rnk, p.pos_id, n.neg_id, p.pos_score,
+        | n.neg_score,
+        | floor((p.pos_score - n.neg_score)*1e6 + 0.5)/1e6 AS margin
+        |FROM negs n JOIN pos p USING (query_id)""".stripMargin,
     // hard-negative mining — exact cosine, same float grain as knn_exact
     "hard_negatives" ->
       """WITH a AS (SELECT vec_id AS query_id, embedding AS qv,

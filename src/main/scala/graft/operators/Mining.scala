@@ -35,6 +35,39 @@ object Mining {
     *         anchor's hardest same-label (non-self) similarity and the
     *         semi-hard flag; pos_score/semi_hard are null when the
     *         anchor's label has no other member. */
+  /** Contrastive TRAINING TRIPLETS — the data product a contrastive /
+    * metric-learning run actually consumes: per anchor, the hardest
+    * positive (most-similar same-label vector, the hard-positive
+    * convention) paired with the top-`negK` hardest negatives, each row
+    * carrying the (pos − neg) similarity margin the loss sees. Same
+    * broadcast no-base-shuffle shape as [[hardNegatives]]; anchors with
+    * no same-label partner yield no triplet (no positive exists). */
+  def trainingTriplets(base: DataFrame, anchors: DataFrame, negK: Int,
+      metric: String = "cosine", scoreDigits: Int = 6): DataFrame = {
+    require(negK > 0, "negK must be positive")
+    val sim = graft.Qutil.rnd(
+      similarity.sim(metric)(col("embedding"), col("query_vec")), scoreDigits)
+    val scored = base.join(broadcast(anchors))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("query_label"),
+        col("vec_id"), col("label"), sim.as("score"))
+    val wp = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("vec_id").asc)
+    val pos = scored.filter(col("label") === col("query_label"))
+      .withColumn("prn", row_number().over(wp)).filter(col("prn") === 1)
+      .select(col("query_id"), col("vec_id").as("pos_id"),
+        col("score").as("pos_score"))
+    val negs = scored.filter(col("label") =!= col("query_label"))
+      .withColumn("rnk", row_number().over(wp)).filter(col("rnk") <= negK)
+      .select(col("query_id"), col("rnk"), col("vec_id").as("neg_id"),
+        col("score").as("neg_score"))
+    negs.join(broadcast(pos), Seq("query_id"))
+      .select(col("query_id"), col("rnk"), col("pos_id"), col("neg_id"),
+        col("pos_score"), col("neg_score"),
+        graft.Qutil.rnd(col("pos_score") - col("neg_score"), scoreDigits)
+          .as("margin"))
+  }
+
   /** IVF-gated hard-negative mining — the SCALE path: candidates come
     * from each anchor's `nprobe` nearest IVF cells (~nprobe/C of the
     * corpus per anchor instead of a full scan), with the same

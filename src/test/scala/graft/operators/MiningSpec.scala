@@ -44,6 +44,36 @@ class MiningSpec extends AnyFunSuite {
       s"got $got")
   }
 
+  test("training triplets: hardest positive pairs with top-k negatives, " +
+      "margins consistent; anchors without a positive yield no triplet") {
+    import spark.implicits._
+    def v(deg: Double) = Array(
+      math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat)
+    val base = Seq(
+      (0L, v(0), 0), (1L, v(10), 0),            // anchor + its positive
+      (2L, v(5), 1), (3L, v(20), 1), (4L, v(90), 2),
+      (5L, v(180), 3)                            // singleton label
+    ).toDF("vec_id", "embedding", "label")
+    val anchors = base.filter(col("vec_id").isin(0L, 5L))
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("query_vec"), col("label").as("query_label"))
+    val got = Mining.trainingTriplets(base, anchors, negK = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    // anchor 5 has no same-label partner → no triplets at all
+    assert(got.forall(_._1 == 0L))
+    assert(got.map(t => (t._2, t._3, t._4)).toSet ==
+      Set((1, 1L, 2L), (2, 1L, 3L), (3, 1L, 4L)))
+    // margin is exactly the rounded difference of the returned scores
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    got.foreach { case (_, rnk, _, _, ps, ns, m) =>
+      assert(m == r6(ps - ns))
+      // the 5-degree negative is harder than the positive → margin < 0
+      if (rnk == 1) assert(m < 0) else assert(m > 0)
+    }
+  }
+
   test("IVF-gated mining at all-cells is bit-identical to the exact " +
       "operator; pruned probes return full rows and never a same-label") {
     val dir = "/root/testdata/sf0.001"
