@@ -427,6 +427,27 @@ object TextQueries {
       graft.operators.Bpe.tokenStats(docs(s, dir), model)
     }),
 
+    // T5-style span-corruption masks (denoising-objective preprocessing):
+    // one 3-token masked span per 20-token block (= 15% noise density,
+    // mean span 3 — the T5 defaults), span starts drawn deterministically
+    // from the portable md5 hash of (doc_id, block) so the mask is
+    // reproducible on any engine/partitioning. Pure projection + explode;
+    // blocks shorter than the span emit nothing.
+    "span_corruption" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+        .select(col("doc_id"), col("n_tokens"),
+          explode(expr("sequence(0, cast((n_tokens - 1) div 20 as int))"))
+            .as("b"))
+        .withColumn("blen", least(col("n_tokens") - col("b") * 20, lit(20L)))
+        .filter(col("blen") >= 3)
+        .withColumn("off",
+          pmod(md5Long(concat(col("doc_id"), lit(":"), col("b"))),
+            col("blen") - 2))
+        .select(col("doc_id"), col("b").cast("long").as("span_ix"),
+          (col("b") * 20 + 1 + col("off")).cast("long").as("start_tok"),
+          lit(3L).as("span_len"), col("n_tokens"))),
+
     // corpus unigram language-model scoring: per-doc mean surprisal
     // -avg(ln p(token)) under the corpus unigram distribution — the
     // classic "how typical is this document" quality signal (high = rare
@@ -1189,6 +1210,23 @@ object TextQueries {
         |      b.doc_id) AS rnk
         |  FROM bm b LEFT JOIN perdoc p ON p.qid = b.qid AND p.doc_id = b.doc_id)
         |WHERE rnk <= 10""".stripMargin,
+    // span-corruption masks — exact integer pipeline, hash-seeded starts
+    "span_corruption" ->
+      """WITH d AS (SELECT doc_id,
+        |   CAST(len(string_split_regex(trim(text),'\s+')) AS BIGINT)
+        |     AS n_tokens FROM documents),
+        | blocks AS (SELECT doc_id, n_tokens,
+        |   unnest(range(0, (n_tokens - 1)//20 + 1)) AS b FROM d),
+        | sp AS (SELECT doc_id, n_tokens, b,
+        |   least(n_tokens - b*20, 20) AS blen FROM blocks),
+        | ok AS (SELECT *,
+        |   ('0x' || substr(md5(doc_id || ':' || b), 1, 15))::BIGINT
+        |     % (blen - 2) AS off
+        |  FROM sp WHERE blen >= 3)
+        |SELECT doc_id, CAST(b AS BIGINT) AS span_ix,
+        | CAST(b*20 + 1 + off AS BIGINT) AS start_tok,
+        | CAST(3 AS BIGINT) AS span_len, n_tokens
+        |FROM ok""".stripMargin,
     // positional-intersection phrase search — exact integer pipeline
     "phrase_search" ->
       """WITH toks AS (SELECT doc_id,
