@@ -78,7 +78,12 @@ class PropertiesSpec extends AnyFunSuite {
       assert(ids.toSet.subsetOf(data.map(_._1).toSet))
       assert(ids.length >= math.max(1, (vecs.length * 3) / 4),
         s"coverage ${ids.length}/${vecs.length}")
-      assert(res.map(_._2).toSeq == res.map(_._2).sortBy(-(_: Double)).toSeq)
+      // descending-score order, NaN-tolerant: ScalaCheck's zero bias can
+      // generate the all-zero vector, whose cosine scores are all NaN —
+      // and NaN != NaN made the plain seq-equality form flake. The
+      // meaningful property is that the comparable scores never increase.
+      val scores = res.map(_._2).filterNot(_.isNaN)
+      assert(scores.zip(scores.drop(1)).forall { case (a, b) => a >= b })
       idx.nodes.foreach { case (_, node) =>
         node.neighbors.foreach(nbrs => assert(nbrs.length <= idx.M))
       }
