@@ -117,7 +117,8 @@ object Bench {
       "bm25_top_docs", "rrf_fusion_bm25",
       "knn_bq_cosine", "knn_mrl_cosine", "dup_ngram_spans",
       "phrase_search", "dsir_select", "dedup_trim", "hard_negatives",
-      "bpe_token_stats", "sample_weighted")
+      "bpe_token_stats", "sample_weighted",
+      "knn_pca_cosine", "ppl_filter", "prune_prototypes")
     // failed queries surface on stdout (negated time), but capped: the
     // headline set plus at most 12 extra failures keeps the worst case
     // (every query failing) inside the tail window

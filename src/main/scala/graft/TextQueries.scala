@@ -109,6 +109,68 @@ object TextQueries {
   private def shingles(d: DataFrame): DataFrame =
     withShingles(d).select(col("doc_id"), explode(col("shs")).as("shingle"))
 
+  /** Shared DuckDB core of the near-dup cluster oracle: MinHash sigs →
+    * LSH band buckets → candidate pairs → transitive closure (`reach`).
+    * Ends inside the WITH RECURSIVE list so consumers append CTEs or a
+    * final SELECT. */
+  private val dedupClustersCore: String =
+    """WITH RECURSIVE d AS (SELECT doc_id, string_split_regex(trim(text),'\s+') AS ts
+      |           FROM documents),
+      | toks AS (SELECT doc_id, unnest(ts) AS tok,
+      |          unnest(range(1, len(ts)+1)) AS pos FROM d),
+      | sh0 AS (SELECT doc_id, tok || ' ' || lead(tok,1) OVER w
+      |          || ' ' || lead(tok,2) OVER w AS shingle
+      |         FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      | sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE shingle IS NOT NULL),
+      | hx AS (SELECT doc_id,
+      |        ('0x' || substr(md5(shingle),1,15))::BIGINT % 1000000007 AS x
+      |        FROM sh),
+      | pj AS (SELECT unnest(range(0,16)) AS j),
+      | sig AS (SELECT doc_id, j,
+      |   min(((400009*j + 100003)*x + (700001*j + 1)) % 1000000007) AS mh
+      |  FROM hx CROSS JOIN pj GROUP BY doc_id, j),
+      | buckets AS (SELECT doc_id, CAST(j // 2 AS INT) AS band,
+      |   max(CASE WHEN j % 2 = 0 THEN mh END) AS mh0,
+      |   max(CASE WHEN j % 2 = 1 THEN mh END) AS mh1
+      |  FROM sig GROUP BY 1, 2),
+      | pairs AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      |  FROM buckets a JOIN buckets b
+      |   ON a.band = b.band AND a.mh0 = b.mh0 AND a.mh1 = b.mh1
+      |    AND a.doc_id < b.doc_id),
+      | edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+      |           UNION SELECT id2, id1 FROM pairs),
+      | reach AS (SELECT a AS src, b AS dst FROM edges
+      |           UNION
+      |           SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)""".stripMargin
+
+  /** Final SELECT of the cluster oracle: every doc with its cluster id
+    * (= min doc_id of its component) and the keep-first canonical flag. */
+  private val dedupClustersSelect: String =
+    """SELECT doc.doc_id,
+      | least(doc.doc_id, coalesce(min(r.dst), doc.doc_id)) AS cluster_id,
+      | doc.doc_id = least(doc.doc_id, coalesce(min(r.dst), doc.doc_id)) AS is_canonical
+      |FROM documents doc LEFT JOIN reach r ON r.src = doc.doc_id
+      |GROUP BY doc.doc_id""".stripMargin
+
+  /** Near-dup cluster assignment: connected components over the
+    * MinHash-LSH candidate pairs (adaptive union-find / pointer-jumping —
+    * see graft.operators.Dedup). Shared by `dedup_clusters` and
+    * `dedup_keep_best`. */
+  private def nearDupClusters(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val sig = minhashSig(d)
+    val buckets = sig
+      .groupBy(col("doc_id"), (col("j") / 2).cast("int").as("band"))
+      .agg(max(when(col("j") % 2 === 0, col("mh"))).as("mh0"),
+        max(when(col("j") % 2 === 1, col("mh"))).as("mh1"))
+    val pairs = buckets.select(col("doc_id").as("id1"), col("band"), col("mh0"), col("mh1"))
+      .join(buckets.select(col("doc_id").as("id2"), col("band"), col("mh0"), col("mh1")),
+        Seq("band", "mh0", "mh1"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    graft.operators.Dedup.connectedComponents(d.select("doc_id"), pairs)
+  }
+
   /** MinHash band-bucket candidate pairs (8 bands × 2 rows): the bounded
     * candidate generator shared by `minhash_lsh_pairs` and
     * `fuzzy_dup_pairs`. */
@@ -414,6 +476,16 @@ object TextQueries {
       graft.operators.Dsir.select(docs(s, dir),
         col("source").isin("src0", "src1"), n = 100, buckets = 1024)),
 
+    // CCNet-style perplexity filter: hashed unigram+bigram LM trained on
+    // the target sources, per-gram cross-entropy as EXACT fixed-point
+    // integers, head/middle/tail cut at tertile thresholds from a
+    // bounded md5-ordered sample. Scoring + bucketing are pure
+    // projections (stream-capable); the whole trained pipeline
+    // hash-matches cross-engine like dsir_select.
+    "ppl_filter" -> ((s, dir) =>
+      graft.operators.PplFilter.filter(docs(s, dir),
+        col("source").isin("src0", "src1"), buckets = 1024, sampleN = 200)),
+
     // BPE tokenizer TRAINING + application: 100 merges learned from the
     // corpus word-count table (one distributed pass; the merge loop runs
     // on the bounded word-TYPE table — see operators.Bpe), then per-doc
@@ -506,19 +578,25 @@ object TextQueries {
     // its component; singletons are their own cluster. This is the "keep
     // one copy per near-dup cluster" step of a training-data dedup
     // pipeline.
-    "dedup_clusters" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val sig = minhashSig(d)
-      val buckets = sig
-        .groupBy(col("doc_id"), (col("j") / 2).cast("int").as("band"))
-        .agg(max(when(col("j") % 2 === 0, col("mh"))).as("mh0"),
-          max(when(col("j") % 2 === 1, col("mh"))).as("mh1"))
-      val pairs = buckets.select(col("doc_id").as("id1"), col("band"), col("mh0"), col("mh1"))
-        .join(buckets.select(col("doc_id").as("id2"), col("band"), col("mh0"), col("mh1")),
-          Seq("band", "mh0", "mh1"))
-        .filter(col("id1") < col("id2"))
-        .select("id1", "id2").distinct()
-      graft.operators.Dedup.connectedComponents(d.select("doc_id"), pairs)
+    "dedup_clusters" -> ((s, dir) => nearDupClusters(s, dir)),
+
+    // near-dup canonicalization with a SOURCE-PRIORITY keep rule: within
+    // each cluster keep the doc from the highest-priority source
+    // (priority = the source's numeric rank — the "prefer curated over
+    // crawled" rule real dedup pipelines apply), ties broken by longer
+    // doc then smaller id. One window per cluster on top of the cluster
+    // assignment — the clusters themselves come from the same bounded
+    // LSH pipeline as dedup_clusters.
+    "dedup_keep_best" -> ((s, dir) => {
+      val pri = docs(s, dir).select(col("doc_id"),
+        expr("cast(substring(source, 4, 10) as bigint)").as("priority"),
+        col("n_chars"))
+      val w = Window.partitionBy("cluster_id")
+        .orderBy(col("priority").asc, col("n_chars").desc, col("doc_id").asc)
+      nearDupClusters(s, dir).join(pri, Seq("doc_id"))
+        .withColumn("rnk", row_number().over(w))
+        .select(col("doc_id"), col("cluster_id"), col("priority"),
+          (col("rnk") === 1).as("kept"))
     }),
 
     // document fingerprinting: winnowing (k=8 char-grams, window w=4),
@@ -1276,6 +1354,46 @@ object TextQueries {
         |  SELECT doc_id, n_grams, dsir_w,
         |    row_number() OVER (ORDER BY dsir_w DESC, doc_id) AS rnk FROM w)
         |WHERE rnk <= 100""".stripMargin,
+    // CCNet-style perplexity filter — target-LM fixed-point log-probs,
+    // exact integer per-doc totals, integer-division per-gram cross
+    // entropy, tertile cut from the md5-ordered 200-doc sample
+    "ppl_filter" ->
+      """WITH toks AS (SELECT doc_id,
+        |   string_split_regex(trim(text),'\s+') AS tk FROM documents
+        |   WHERE text IS NOT NULL),
+        | uni AS (SELECT doc_id, unnest(tk) AS g FROM toks),
+        | bi AS (SELECT doc_id, tk[i] || ' ' || tk[i+1] AS g FROM (
+        |   SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM toks
+        |   WHERE len(tk) >= 2)),
+        | grams AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+        | fb AS (SELECT doc_id,
+        |   ('0x' || substr(md5(g),1,15))::BIGINT % 1024 AS b FROM grams),
+        | db AS (SELECT doc_id, b, count(*) AS c FROM fb GROUP BY 1, 2),
+        | tcnt AS (SELECT b, sum(c) AS ct FROM db JOIN documents USING (doc_id)
+        |          WHERE source IN ('src0','src1') GROUP BY 1),
+        | tot AS (SELECT coalesce((SELECT sum(ct) FROM tcnt), 0) AS tt),
+        | lp AS (SELECT d.b, CAST(floor(
+        |     ln((coalesce(t.ct,0)+1.0)/(tot.tt+1024.0))*1e6 + 0.5) AS BIGINT) AS lp
+        |   FROM (SELECT DISTINCT b FROM db) d
+        |   LEFT JOIN tcnt t ON d.b = t.b CROSS JOIN tot),
+        | sc AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+        |     (-CAST(sum(c*lp) AS BIGINT)) // CAST(sum(c) AS BIGINT) AS ce_fp
+        |   FROM db JOIN lp USING (b) GROUP BY 1),
+        | samp AS (SELECT ce_fp, doc_id FROM sc
+        |   ORDER BY ('0x' || substr(md5('pplsamp:' || CAST(doc_id AS VARCHAR)),1,15))::BIGINT ASC,
+        |     doc_id ASC LIMIT 200),
+        | ranked AS (SELECT ce_fp,
+        |     row_number() OVER (ORDER BY ce_fp ASC, doc_id ASC) AS r,
+        |     count(*) OVER () AS m FROM samp),
+        | thr AS (SELECT
+        |     max(CASE WHEN r = CAST(ceil(m/3.0) AS BIGINT) THEN ce_fp END) AS t1,
+        |     max(CASE WHEN r = CAST(ceil(2*m/3.0) AS BIGINT) THEN ce_fp END) AS t2
+        |   FROM ranked)
+        |SELECT doc_id, n_grams, ce_fp,
+        | CASE WHEN ce_fp <= thr.t1 THEN 'head'
+        |      WHEN ce_fp <= thr.t2 THEN 'middle' ELSE 'tail' END AS bucket,
+        | (ce_fp <= thr.t2) AS kept
+        |FROM sc CROSS JOIN thr""".stripMargin,
     "unigram_surprisal" ->
       """WITH toks AS (SELECT doc_id,
         |   unnest(string_split_regex(trim(text),'\s+')) AS term FROM documents),
@@ -1306,40 +1424,21 @@ object TextQueries {
         |   ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
         |SELECT id1, id2, CAST(bit_count(xor(sh1, sh2)) AS BIGINT) AS hamming
         |FROM cand WHERE bit_count(xor(sh1, sh2)) <= 3""".stripMargin,
-    "dedup_clusters" ->
-      """WITH RECURSIVE d AS (SELECT doc_id, string_split_regex(trim(text),'\s+') AS ts
-        |           FROM documents),
-        | toks AS (SELECT doc_id, unnest(ts) AS tok,
-        |          unnest(range(1, len(ts)+1)) AS pos FROM d),
-        | sh0 AS (SELECT doc_id, tok || ' ' || lead(tok,1) OVER w
-        |          || ' ' || lead(tok,2) OVER w AS shingle
-        |         FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
-        | sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE shingle IS NOT NULL),
-        | hx AS (SELECT doc_id,
-        |        ('0x' || substr(md5(shingle),1,15))::BIGINT % 1000000007 AS x
-        |        FROM sh),
-        | pj AS (SELECT unnest(range(0,16)) AS j),
-        | sig AS (SELECT doc_id, j,
-        |   min(((400009*j + 100003)*x + (700001*j + 1)) % 1000000007) AS mh
-        |  FROM hx CROSS JOIN pj GROUP BY doc_id, j),
-        | buckets AS (SELECT doc_id, CAST(j // 2 AS INT) AS band,
-        |   max(CASE WHEN j % 2 = 0 THEN mh END) AS mh0,
-        |   max(CASE WHEN j % 2 = 1 THEN mh END) AS mh1
-        |  FROM sig GROUP BY 1, 2),
-        | pairs AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-        |  FROM buckets a JOIN buckets b
-        |   ON a.band = b.band AND a.mh0 = b.mh0 AND a.mh1 = b.mh1
-        |    AND a.doc_id < b.doc_id),
-        | edges AS (SELECT id1 AS a, id2 AS b FROM pairs
-        |           UNION SELECT id2, id1 FROM pairs),
-        | reach AS (SELECT a AS src, b AS dst FROM edges
-        |           UNION
-        |           SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
-        |SELECT doc.doc_id,
-        | least(doc.doc_id, coalesce(min(r.dst), doc.doc_id)) AS cluster_id,
-        | doc.doc_id = least(doc.doc_id, coalesce(min(r.dst), doc.doc_id)) AS is_canonical
-        |FROM documents doc LEFT JOIN reach r ON r.src = doc.doc_id
-        |GROUP BY doc.doc_id""".stripMargin,
+    "dedup_clusters" -> s"$dedupClustersCore\n$dedupClustersSelect",
+    // keep-best canonicalization: cluster assignment from the SAME
+    // pipeline, then one priority window per cluster
+    // NOTE: concatenation, not interpolation-under-stripMargin — the
+    // core SQL contains `||` operators that an outer stripMargin would
+    // mangle into margins.
+    "dedup_keep_best" ->
+      (s"$dedupClustersCore,\n cl AS (\n$dedupClustersSelect),\n" +
+        """ pri AS (SELECT doc_id, CAST(substr(source, 4) AS BIGINT) AS priority,
+          |         n_chars FROM documents)
+          |SELECT doc_id, cluster_id, priority, (rnk = 1) AS kept FROM (
+          |  SELECT c.doc_id, c.cluster_id, p.priority,
+          |   row_number() OVER (PARTITION BY c.cluster_id
+          |     ORDER BY p.priority ASC, p.n_chars DESC, c.doc_id ASC) AS rnk
+          |  FROM cl c JOIN pri p USING (doc_id))""".stripMargin),
     "doc_fingerprint" ->
       """WITH pos AS (SELECT doc_id, text,
         |   unnest(range(1, greatest(length(text)-7,1)+1)) AS i FROM documents),

@@ -89,6 +89,17 @@ object VectorQueries {
     m
   }
 
+  /** The battery's PCA model — records (mean, weights) for the
+    * literal-emission oracle, same contract as [[pqModel]]. */
+  @volatile private var pcaForOracle:
+    Option[(Array[Double], Array[Array[Double]])] = None
+  private def pcaModel(s: SparkSession, dir: String): graft.operators.Pca.Model = {
+    val m = ModelMemo.get(s, s"pca/p16/$dir")(
+      graft.operators.Pca.fit(emb(s, dir), p = 16))
+    pcaForOracle = Some((m.mean, m.weights))
+    m
+  }
+
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
@@ -226,6 +237,14 @@ object VectorQueries {
     // only pairwise work is a cell equi-join (PlanSpec no-cartesian).
     "semdedup_embeddings" -> ((s, dir) =>
       graft.operators.SemDedup.dedup(ivfModel(s, dir), threshold = 0.8)),
+
+    // SSL-prototype data pruning (Sorscher et al. shape): keep the
+    // hardest half of each coarse cluster, prune the most prototypical
+    // examples. Pure projection + one cell-partitioned window — no
+    // pairwise work; oracle-checked from the same trained centroid
+    // literals as knn_ivf.
+    "prune_prototypes" -> ((s, dir) =>
+      graft.operators.Prune.prototypes(ivfModel(s, dir), keepFrac = 0.5)),
 
     // IVF-Flat ANN (coarse-quantized scale path). Oracle-checked like
     // LSH/SQ8: the trained centroids are emitted as DuckDB literals at
@@ -488,6 +507,24 @@ object VectorQueries {
     "recall_mrl" -> ((s, dir) => {
       val approx = graft.operators.Mrl.knnJoinTruncated(emb(s, dir),
         probes(s, dir), k = 10, prefixDims = 16, rerank = 100, scoreDigits = 6)
+      val exact = KnnJoin.exactKnnJoin(emb(s, dir), probes(s, dir), k = 10,
+        metric = "cosine", scoreDigits = 6)
+      Recall.microAvgRecall(approx, exact)
+    }),
+
+    // PCA-projected retrieval (trained dimensionality reduction): top-16
+    // principal components learned from a seeded sample, candidates by
+    // cosine in the projected space, exact full-dim rerank. The trained
+    // (mean, weights) are emitted as DuckDB literals at Verify-dump time,
+    // so the WHOLE pipeline hash-matches cross-engine — the learned twin
+    // of knn_mrl_cosine for embeddings without matryoshka training.
+    "knn_pca_cosine" -> ((s, dir) =>
+      graft.operators.Pca.knnJoin(pcaModel(s, dir), emb(s, dir),
+        probes(s, dir), k = 10, rerank = 100, scoreDigits = 6)),
+
+    "recall_pca" -> ((s, dir) => {
+      val approx = graft.operators.Pca.knnJoin(pcaModel(s, dir), emb(s, dir),
+        probes(s, dir), k = 10, rerank = 100, scoreDigits = 6)
       val exact = KnnJoin.exactKnnJoin(emb(s, dir), probes(s, dir), k = 10,
         metric = "cosine", scoreDigits = 6)
       Recall.microAvgRecall(approx, exact)
@@ -773,6 +810,8 @@ object VectorQueries {
              |FROM per_q""".stripMargin,
         "semdedup_embeddings" ->
           graft.operators.SemDedup.duckdbSql(cents, threshold = 0.8),
+        "prune_prototypes" ->
+          graft.operators.Prune.duckdbSql(cents, keepFrac = 0.5),
         "knn_ivf_cosine" ->
           s"""$cte
              |SELECT query_id, neighbor_id, score, rank FROM ivf_topk""".stripMargin,
@@ -883,6 +922,40 @@ object VectorQueries {
              |FROM per_q""".stripMargin)
   }
 
+  /** PCA oracle entries exist only after a battery fit recorded the
+    * trained mean + weights (same contract as [[pqOracle]]). */
+  private def pcaOracle: Map[String, String] = pcaForOracle match {
+    case None => Map.empty
+    case Some((mean, weights)) =>
+      val cte = graft.operators.Pca.duckdbTopkCte(mean, weights,
+        nQueries = 100, rerank = 100, k = 10)
+      Map(
+        "knn_pca_cosine" ->
+          s"""$cte
+             |SELECT query_id, neighbor_id, score, rank FROM pca_topk""".stripMargin,
+        "recall_pca" ->
+          s"""$cte,
+             | exact_scored AS (
+             |  SELECT q.query_id, e.vec_id AS neighbor_id,
+             |   floor((list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])))*1e6 + 0.5)/1e6 AS score
+             |  FROM embeddings e, pca_q q),
+             | exact_topk AS (
+             |  SELECT query_id, neighbor_id FROM (
+             |   SELECT *, row_number() OVER (PARTITION BY query_id
+             |     ORDER BY score DESC, neighbor_id) AS rank FROM exact_scored)
+             |  WHERE rank <= 10),
+             | per_q AS (SELECT x.query_id, count(*) AS total,
+             |    CAST(sum(CASE WHEN s.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS hits
+             |   FROM exact_topk x LEFT JOIN pca_topk s
+             |    ON s.query_id = x.query_id AND s.neighbor_id = x.neighbor_id
+             |   GROUP BY x.query_id)
+             |SELECT count(*) AS n_queries, CAST(sum(hits) AS BIGINT) AS hits,
+             | CAST(sum(total) AS BIGINT) AS total,
+             | sum(hits)*1.0/sum(total) AS recall
+             |FROM per_q""".stripMargin)
+  }
+
   /** OPQ oracle entries exist only after a battery fit recorded the
     * trained rotation + codebooks (same contract as [[pqOracle]]). */
   private def opqOracle: Map[String, String] = opqForOracle match {
@@ -946,7 +1019,8 @@ object VectorQueries {
   }
 
   def oracle: Map[String, String] =
-    staticOracle ++ ivfOracle ++ pqOracle ++ opqOracle ++ ivfpqOracle
+    staticOracle ++ ivfOracle ++ pqOracle ++ pcaOracle ++ opqOracle ++
+      ivfpqOracle
 
   private val staticOracle: Map[String, String] = Map(
     // RRF twin: same lexical inverted-index overlap ranking, same rounded

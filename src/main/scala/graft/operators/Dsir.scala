@@ -49,7 +49,7 @@ object Dsir {
     * pipeline: the model side explodes it straight into a map-side-
     * combined B-row aggregation, and the score side never leaves the
     * row at all. */
-  private def gramBucketArr(docs: DataFrame, isTarget: Column,
+  private[operators] def gramBucketArr(docs: DataFrame, isTarget: Column,
       buckets: Int): DataFrame = {
     // null texts carry no signal and would propagate null weights
     val toks = mat(docs.filter(col("text").isNotNull)

@@ -48,6 +48,31 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_keep_best keeps exactly the best (priority, length, id) doc " +
+      "per near-dup cluster") {
+    val rows = SparkEntry.queries("dedup_keep_best")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"),
+        r.getAs[Long]("priority"), r.getAs[Boolean]("kept")))
+    val clusters = SparkEntry.queries("dedup_clusters")(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(rows.length == clusters.size)
+    rows.foreach { case (id, cl, _, _) => assert(clusters(id) == cl) }
+    val meta = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id", "cast(substring(source, 4, 10) as bigint) priority",
+        "n_chars")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rows.groupBy(_._2).foreach { case (cl, members) =>
+      val kept = members.filter(_._4)
+      assert(kept.length == 1, s"cluster $cl kept ${kept.length}")
+      val want = members.map { case (id, _, _, _) =>
+        val (p, nc) = meta(id); (p, -nc, id)
+      }.min._3
+      assert(kept.head._1 == want,
+        s"cluster $cl kept ${kept.head._1}, want $want")
+      members.foreach { case (id, _, p, _) => assert(p == meta(id)._1) }
+    }
+  }
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name executes at sf0.001") {
       val df = fn(spark, dir)
