@@ -109,6 +109,46 @@ object TextQueries {
   private def shingles(d: DataFrame): DataFrame =
     withShingles(d).select(col("doc_id"), explode(col("shs")).as("shingle"))
 
+  /** Feature-hashing doc embedding: `dim` md5-hashed bag-of-words
+    * buckets, L2-normalized to 1e-6 fixed point — one in-row projection
+    * (tokens → bucket counts → normalize), no shuffle at any scale. The
+    * norm is an EXACT integer sum of squares on both engines, and every
+    * component is the same double division rounded the same way, so the
+    * embedding is bit-portable. */
+  private def hashedBowEmbed(d: DataFrame, dim: Int = 64): DataFrame =
+    mat(mat(d.filter(col("text").isNotNull)
+          .select(col("doc_id"), col("text")),
+        expr(s"""transform(split(trim(text), '\\\\s+'), t ->
+          |  cast(conv(substring(md5(t),1,15),16,10) as bigint) % ${dim}L)"""
+          .stripMargin), "bs"),
+      expr(s"transform(sequence(0, ${dim - 1}), " +
+        "j -> size(filter(bs, b -> b = j)))"), "cnts")
+      .transform(df => mat(df, // barrier: nrm referenced per lambda element
+        sqrt(expr("aggregate(cnts, cast(0 as bigint), " +
+          "(acc, x) -> acc + cast(x as bigint)*x)").cast("double")), "nrm"))
+      .select(col("doc_id"), expr(
+        "transform(cnts, c -> floor((cast(c as double)/nrm)*1e6 + 0.5)/1e6)")
+        .as("embedding"))
+
+  /** DuckDB twin of [[hashedBowEmbed]], ending in CTE `hb_emb`. */
+  private val hashedBowEmbedCte: String =
+    """WITH hb_toks AS (SELECT doc_id,
+      |   unnest(string_split_regex(trim(text),'\s+')) AS tok
+      |  FROM documents WHERE text IS NOT NULL),
+      | hb_cnt AS (SELECT doc_id,
+      |   ('0x' || substr(md5(tok),1,15))::BIGINT % 64 AS b, count(*) AS c
+      |  FROM hb_toks GROUP BY 1, 2),
+      | hb_grid AS (SELECT doc_id, unnest(range(0, 64)) AS j
+      |  FROM (SELECT DISTINCT doc_id FROM hb_toks)),
+      | hb_dense AS (SELECT g.doc_id, g.j, coalesce(c.c, 0) AS c
+      |  FROM hb_grid g LEFT JOIN hb_cnt c ON c.doc_id = g.doc_id AND c.b = g.j),
+      | hb_nrm AS (SELECT doc_id, sqrt(CAST(sum(c*c) AS DOUBLE)) AS nrm
+      |  FROM hb_dense GROUP BY 1),
+      | hb_emb AS (SELECT d.doc_id,
+      |   list(floor((CAST(d.c AS DOUBLE)/n.nrm)*1e6 + 0.5)/1e6 ORDER BY d.j)
+      |     AS embedding
+      |  FROM hb_dense d JOIN hb_nrm n USING (doc_id) GROUP BY d.doc_id)""".stripMargin
+
   /** Shared DuckDB core of the near-dup cluster oracle: MinHash sigs →
     * LSH band buckets → candidate pairs → transitive closure (`reach`).
     * Ends inside the WITH RECURSIVE list so consumers append CTEs or a
@@ -337,6 +377,29 @@ object TextQueries {
             |      (a2, x) -> a2 + (shiftright(x, b) % 2L)*2L - 1L) > 0
             |    THEN shiftleft(cast(1 as bigint), b) ELSE 0L END)"""
             .stripMargin).as("simhash"))),
+
+    // Feature-hashing doc embedding (Weinberger et al. shape): dense
+    // `dim`-bucket hashed bag-of-words counts, L2-normalized, 1e-6
+    // fixed-point — a pure in-row projection (zero shuffles at any
+    // corpus size) that BRIDGES text to the entire vector stack: any
+    // ANN/dedup/pruning operator here runs on documents with no
+    // embedding model in the loop.
+    "doc_embed_hash" -> ((s, dir) => hashedBowEmbed(docs(s, dir))),
+
+    // ...and the bridge composed: doc-to-doc cosine kNN over the hashed
+    // embeddings via the battery's exact kNN operator (first 20 docs as
+    // probes). The whole text→vector→top-k pipeline hash-matches
+    // cross-engine.
+    "knn_docs_hashbow" -> ((s, dir) => {
+      val e = hashedBowEmbed(docs(s, dir))
+        .select(col("doc_id").as("vec_id"),
+          col("embedding").cast("array<float>").as("embedding"))
+      val probes = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_vec"))
+      graft.operators.KnnJoin.exactKnnJoin(e, probes, k = 10,
+        metric = "cosine", scoreDigits = 6)
+    }),
 
     // TF-IDF top terms: classic relevance ranking per document. Shape at
     // scale: one explode → two hash aggs (both partial-agg friendly) → a
@@ -1226,6 +1289,22 @@ object TextQueries {
         |SELECT doc_id,
         | CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
         |FROM agg GROUP BY doc_id""".stripMargin,
+    // feature-hashing doc embedding — exact integer counts, exact
+    // integer sum-of-squares norm, identical double division + rounding
+    "doc_embed_hash" -> s"$hashedBowEmbedCte\nSELECT doc_id, embedding FROM hb_emb",
+    "knn_docs_hashbow" ->
+      (s"$hashedBowEmbedCte,\n" +
+        """ hb_femb AS (SELECT doc_id, CAST(embedding AS REAL[]) AS fe FROM hb_emb),
+          | hb_q AS (SELECT doc_id AS query_id, fe AS qv FROM hb_femb
+          |          WHERE doc_id < 20),
+          | hb_scored AS (SELECT q.query_id, e.doc_id AS neighbor_id,
+          |    floor((list_cosine_similarity(CAST(e.fe AS DOUBLE[]),
+          |      CAST(q.qv AS DOUBLE[])))*1e6 + 0.5)/1e6 AS score
+          |   FROM hb_femb e, hb_q q)
+          |SELECT query_id, neighbor_id, score, rank FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY query_id
+          |    ORDER BY score DESC, neighbor_id) AS rank FROM hb_scored)
+          |WHERE rank <= 10""".stripMargin),
     "tfidf_top_terms" ->
       """WITH toks AS (SELECT doc_id,
         |   unnest(string_split_regex(trim(text),'\s+')) AS term FROM documents),

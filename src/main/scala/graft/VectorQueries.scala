@@ -246,6 +246,14 @@ object VectorQueries {
     "prune_prototypes" -> ((s, dir) =>
       graft.operators.Prune.prototypes(ivfModel(s, dir), keepFrac = 0.5)),
 
+    // external clustering quality of the trained quantizer vs labels:
+    // purity + NMI from the exact contingency table — one corpus pass,
+    // all log arithmetic over the C×L table; oracle-checked from the
+    // same trained centroid literals as knn_ivf.
+    "cluster_eval" -> ((s, dir) =>
+      graft.operators.ClusterEval.eval(ivfModel(s, dir),
+        emb(s, dir).select("vec_id", "label"))),
+
     // IVF-Flat ANN (coarse-quantized scale path). Oracle-checked like
     // LSH/SQ8: the trained centroids are emitted as DuckDB literals at
     // Verify-dump time ([[ivfModel]] records them), so the WHOLE
@@ -812,6 +820,8 @@ object VectorQueries {
           graft.operators.SemDedup.duckdbSql(cents, threshold = 0.8),
         "prune_prototypes" ->
           graft.operators.Prune.duckdbSql(cents, keepFrac = 0.5),
+        "cluster_eval" ->
+          graft.operators.ClusterEval.duckdbSql(cents),
         "knn_ivf_cosine" ->
           s"""$cte
              |SELECT query_id, neighbor_id, score, rank FROM ivf_topk""".stripMargin,

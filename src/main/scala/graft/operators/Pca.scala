@@ -190,6 +190,43 @@ object Pca {
       knnJoin(model, base, _, k, rerank, queryId, queryVec, idCol, vecCol,
         scoreDigits, candDigits))
 
+  /** Store CRUD (the battery's model-store contract): projected corpus
+    * + trained params as parquet. */
+  def save(model: Model, path: String): Unit = {
+    val spark = model.projected.sparkSession
+    import spark.implicits._
+    model.projected.write.mode("overwrite").parquet(s"$path/projected")
+    val d = model.d; val p = model.p
+    val rows =
+      (0 until d).map(i => ("mean", i, model.mean(i))) ++
+      (for (i <- 0 until d; j <- 0 until p)
+        yield ("w", i * p + j, model.weights(i)(j))) ++
+      (0 until p).map(j => ("eig", j, model.eigenvalues(j))) ++
+      Seq(("dim", 0, d.toDouble), ("p", 1, p.toDouble))
+    rows.toDF("kind", "i", "v").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  /** Load-missing → None (store contract). */
+  def load(spark: SparkSession, path: String): Option[Model] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/params"))) return None
+    import spark.implicits._
+    val rows = spark.read.parquet(s"$path/params")
+      .as[(String, Int, Double)].collect()
+    val byKind = rows.groupBy(_._1)
+    val dims = byKind("dim").head._3.toInt
+    val p = byKind("p").head._3.toInt
+    val mean = byKind("mean").sortBy(_._2).map(_._3)
+    val flat = byKind("w").sortBy(_._2).map(_._3)
+    val weights = Array.tabulate(dims, p)((i, j) => flat(i * p + j))
+    val eig = byKind("eig").sortBy(_._2).map(_._3)
+    Some(Model(mean, weights, eig, spark.read.parquet(s"$path/projected")))
+  }
+
+  def delete(spark: SparkSession, path: String): Unit = Pq.delete(spark, path)
+
   /** One explicit left-associative projection expression per output
     * component, each CAST to REAL — the identical IEEE double sequence
     * and float truncation as [[project]]'s ascending-i loop. `srcVec` is

@@ -46,6 +46,9 @@ object PplFilter {
       .groupBy("b").agg(count(lit(1)).as("ct"))
       .persist()
     try {
+      require(!cnt.isEmpty,
+        "perplexity-filter target corpus produced no grams — empty or " +
+          "all-null-text target")
       val tot = cnt.agg(sum("ct").as("tt"))
       def lpExpr(ct: Column) = floor(
         log((ct + 1.0) / (col("tt") + buckets.toDouble)) * 1e6 + 0.5)

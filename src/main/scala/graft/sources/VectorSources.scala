@@ -204,6 +204,73 @@ object VectorSources {
     }.toDF("vec_id", "embedding", "cluster_id")
   }
 
+  /** B1 variant: seeded ANISOTROPIC gaussians — latent coordinate i has
+    * stddev `decay`^i, then a fixed seeded random rotation mixes every
+    * raw coordinate. This is the spectrum shape real embedding models
+    * emit (variance concentrated in a few principal directions, at an
+    * arbitrary orientation): a raw dimension PREFIX sees only a 1/d
+    * slice of every principal axis, while PCA recovers the axes — the
+    * corpus shape trained dimensionality reduction is FOR.
+    * Partition-independent like [[synthetic]]. */
+  def syntheticAnisotropic(spark: SparkSession, count: Long, dimension: Int,
+      decay: Double = 0.92, seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    require(decay > 0.0 && decay <= 1.0)
+    // seeded rotation: Gram-Schmidt over seeded gaussian rows — tiny
+    // (d × d), computed once on the driver, closure-captured like the
+    // cluster centers above
+    val rot = Array.tabulate(dimension) { r =>
+      Array.tabulate(dimension) { j =>
+        val u1 = unitRandom(seed ^ 0x207A7E5EL, r.toLong, 2 * j)
+        val u2 = unitRandom(seed ^ 0x207A7E5EL, r.toLong, 2 * j + 1)
+        math.sqrt(-2.0 * math.log(math.max(u1, 1e-12))) *
+          math.cos(2.0 * math.Pi * u2)
+      }
+    }
+    var r = 0
+    while (r < dimension) {
+      var p = 0
+      while (p < r) {
+        var dot = 0.0
+        var j = 0
+        while (j < dimension) { dot += rot(r)(j) * rot(p)(j); j += 1 }
+        j = 0
+        while (j < dimension) { rot(r)(j) -= dot * rot(p)(j); j += 1 }
+        p += 1
+      }
+      var nrm = 0.0
+      var j = 0
+      while (j < dimension) { nrm += rot(r)(j) * rot(r)(j); j += 1 }
+      nrm = math.sqrt(nrm)
+      require(nrm > 1e-9, "degenerate rotation draw")
+      j = 0
+      while (j < dimension) { rot(r)(j) /= nrm; j += 1 }
+      r += 1
+    }
+    val scales = Array.tabulate(dimension)(i => math.pow(decay, i))
+    spark.range(0, count).as[Long].map { id =>
+      val z = new Array[Double](dimension)
+      var j = 0
+      while (j < dimension) {
+        val u1 = unitRandom(seed, id, 2 * j)
+        val u2 = unitRandom(seed, id, 2 * j + 1)
+        z(j) = scales(j) * math.sqrt(-2.0 * math.log(math.max(u1, 1e-12))) *
+          math.cos(2.0 * math.Pi * u2)
+        j += 1
+      }
+      val arr = new Array[Float](dimension)
+      var o = 0
+      while (o < dimension) {
+        var s = 0.0
+        var i = 0
+        while (i < dimension) { s += rot(i)(o) * z(i); i += 1 }
+        arr(o) = s.toFloat
+        o += 1
+      }
+      (id, arr)
+    }.toDF("vec_id", "embedding")
+  }
+
   /** splitmix64-mixed uniform in [0,1), pure in (seed, id, k). */
   private def unitRandom(seed: Long, id: Long, k: Int): Double = {
     var z = seed ^ (id * 0x9E3779B97F4A7C15L) ^ (k.toLong * 0xC2B2AE3D27D4EB4FL)

@@ -112,6 +112,25 @@ class PcaSpec extends AnyFunSuite {
     assert(batched == whole)
   }
 
+  test("save/load round-trip: params bit-equal, loaded model serves " +
+      "identical results; load-missing is None") {
+    val tmp = java.nio.file.Files.createTempDirectory("pcastore").toString
+    Pca.save(model, s"$tmp/m")
+    val loaded = Pca.load(spark, s"$tmp/m").get
+    assert(loaded.mean.sameElements(model.mean))
+    assert((0 until model.d).forall(i =>
+      loaded.weights(i).sameElements(model.weights(i))))
+    assert(loaded.eigenvalues.sameElements(model.eigenvalues))
+    val a = Pca.knnJoin(model, emb, probes, k = 5, rerank = 30,
+      scoreDigits = 6).collect().map(_.toSeq).toSet
+    val b = Pca.knnJoin(loaded, emb, probes, k = 5, rerank = 30,
+      scoreDigits = 6).collect().map(_.toSeq).toSet
+    assert(a == b)
+    assert(Pca.load(spark, s"$tmp/absent").isEmpty)
+    Pca.delete(spark, s"$tmp/m")
+    assert(Pca.load(spark, s"$tmp/m").isEmpty)
+  }
+
   test("16-dim projected recall beats a 16-dim naive prefix at equal " +
       "rerank when variance is spread across dims") {
     // On the battery embeddings the learned subspace should do at least

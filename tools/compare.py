@@ -6,6 +6,9 @@ import json, math, sys
 import duckdb
 
 def norm(v):
+    # array columns (embeddings, array_agg results): element-wise
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return "[" + ",".join(norm(x) for x in v) + "]"
     if hasattr(v, "item"):
         v = v.item()
     if isinstance(v, float):
