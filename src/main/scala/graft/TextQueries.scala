@@ -130,15 +130,16 @@ object TextQueries {
         "transform(cnts, c -> floor((cast(c as double)/nrm)*1e6 + 0.5)/1e6)")
         .as("embedding"))
 
-  /** DuckDB twin of [[hashedBowEmbed]], ending in CTE `hb_emb`. */
-  private val hashedBowEmbedCte: String =
-    """WITH hb_toks AS (SELECT doc_id,
-      |   unnest(string_split_regex(trim(text),'\s+')) AS tok
+  /** DuckDB twin of [[hashedBowEmbed]] at the same `dim`, ending in CTE
+    * `hb_emb`. */
+  private def hashedBowEmbedCte(dim: Int = 64): String =
+    s"""WITH hb_toks AS (SELECT doc_id,
+      |   unnest(string_split_regex(trim(text),'\\s+')) AS tok
       |  FROM documents WHERE text IS NOT NULL),
       | hb_cnt AS (SELECT doc_id,
-      |   ('0x' || substr(md5(tok),1,15))::BIGINT % 64 AS b, count(*) AS c
+      |   ('0x' || substr(md5(tok),1,15))::BIGINT % $dim AS b, count(*) AS c
       |  FROM hb_toks GROUP BY 1, 2),
-      | hb_grid AS (SELECT doc_id, unnest(range(0, 64)) AS j
+      | hb_grid AS (SELECT doc_id, unnest(range(0, $dim)) AS j
       |  FROM (SELECT DISTINCT doc_id FROM hb_toks)),
       | hb_dense AS (SELECT g.doc_id, g.j, coalesce(c.c, 0) AS c
       |  FROM hb_grid g LEFT JOIN hb_cnt c ON c.doc_id = g.doc_id AND c.b = g.j),
@@ -198,17 +199,8 @@ object TextQueries {
     * `dedup_keep_best`. */
   private def nearDupClusters(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val sig = minhashSig(d)
-    val buckets = sig
-      .groupBy(col("doc_id"), (col("j") / 2).cast("int").as("band"))
-      .agg(max(when(col("j") % 2 === 0, col("mh"))).as("mh0"),
-        max(when(col("j") % 2 === 1, col("mh"))).as("mh1"))
-    val pairs = buckets.select(col("doc_id").as("id1"), col("band"), col("mh0"), col("mh1"))
-      .join(buckets.select(col("doc_id").as("id2"), col("band"), col("mh0"), col("mh1")),
-        Seq("band", "mh0", "mh1"))
-      .filter(col("id1") < col("id2"))
-      .select("id1", "id2").distinct()
-    graft.operators.Dedup.connectedComponents(d.select("doc_id"), pairs)
+    graft.operators.Dedup.connectedComponents(d.select("doc_id"),
+      lshCandidatePairs(d))
   }
 
   /** MinHash band-bucket candidate pairs (8 bands × 2 rows): the bounded
@@ -1291,9 +1283,10 @@ object TextQueries {
         |FROM agg GROUP BY doc_id""".stripMargin,
     // feature-hashing doc embedding — exact integer counts, exact
     // integer sum-of-squares norm, identical double division + rounding
-    "doc_embed_hash" -> s"$hashedBowEmbedCte\nSELECT doc_id, embedding FROM hb_emb",
+    "doc_embed_hash" ->
+      s"${hashedBowEmbedCte()}\nSELECT doc_id, embedding FROM hb_emb",
     "knn_docs_hashbow" ->
-      (s"$hashedBowEmbedCte,\n" +
+      (s"${hashedBowEmbedCte()},\n" +
         """ hb_femb AS (SELECT doc_id, CAST(embedding AS REAL[]) AS fe FROM hb_emb),
           | hb_q AS (SELECT doc_id AS query_id, fe AS qv FROM hb_femb
           |          WHERE doc_id < 20),

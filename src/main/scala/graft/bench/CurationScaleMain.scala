@@ -8,11 +8,14 @@ import graft.sources.VectorSources
 
 /** Scale points for the round-8 curation operators (1M default):
   *
-  *  1. PCA vs MRL-prefix retrieval ladder on a CLUSTERED corpus: at
-  *     equal projected dimension p and equal rerank, the trained
-  *     projection should recover recall the raw prefix cannot — the
-  *     cluster structure spreads across all dims, so `embedding[1:p]`
-  *     discards it while PCA concentrates it.
+  *  1. PCA vs MRL-prefix retrieval ladder on an ANISOTROPIC ROTATED
+  *     corpus (decaying latent spectrum under a seeded rotation — the
+  *     generic-embedding shape): at equal projected dimension p and
+  *     equal rerank, the trained projection recovers recall the raw
+  *     prefix cannot, because each raw coordinate mixes every
+  *     principal axis. (On an isotropic clustered corpus the two tie —
+  *     measured 0.610 vs 0.596 at p=16/100k — there is no privileged
+  *     subspace to learn.)
   *  2. CCNet perplexity filter over the Zipf corpus with planted topical
   *     twins (the DsirScaleMain construction): fit on target slots,
   *     score 1M docs, tertile cut — content twins must land in

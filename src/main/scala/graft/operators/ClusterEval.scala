@@ -74,22 +74,9 @@ object ClusterEval {
     * and the same 1e-6 rounding. */
   def duckdbSql(centroids: Array[(Int, Array[Float])],
       digits: Int = 6): String = {
-    val rows = centroids.map { case (c, v) =>
-      s"($c, CAST([${v.map(_.toDouble.toString).mkString(", ")}] AS DOUBLE[]))"
-    }.mkString(",\n   ")
     val p = s"1e$digits"
-    s"""WITH ce_cents(cell, cvec) AS (VALUES
-       |   $rows),
-       | ce_sim AS (
-       |  SELECT e.vec_id, e.label, c.cell,
-       |   CASE WHEN isnan(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec)) THEN -1.0
-       |        ELSE list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec) END AS s
-       |  FROM embeddings e CROSS JOIN ce_cents c),
-       | ce_assigned AS (
-       |  SELECT vec_id, CAST(label AS BIGINT) AS label, cell FROM (
-       |   SELECT vec_id, label, cell,
-       |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell DESC) AS rn
-       |   FROM ce_sim) WHERE rn = 1),
+    s"""${IvfFlat.duckdbAssignCte("ce_", centroids,
+            extraSim = Seq(("CAST(e.label AS BIGINT)", "label")))},
        | cont AS (SELECT cell, label, count(*) AS c FROM ce_assigned
        |          GROUP BY 1, 2),
        | a AS (SELECT cell, CAST(sum(c) AS BIGINT) AS a FROM cont GROUP BY 1),

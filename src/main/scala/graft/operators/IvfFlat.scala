@@ -182,6 +182,45 @@ object IvfFlat {
     * greatest(struct) tie order), probe = top-nprobe cells by the same
     * order (reverse(array_sort) semantics), rerank = cosine rounded 1e-6
     * with neighbor-id tie-break. Ends with CTE `ivf_topk`. */
+  /** NaN-guarded DuckDB cosine (NaN → -1.0) — the literal twin of the
+    * engine's `nanvl(cosine_sim(...), -1.0)` assignment scoring. */
+  private[operators] def duckdbGuardedCosine(a: String, b: String): String =
+    s"""CASE WHEN isnan(list_cosine_similarity($a, $b)) THEN -1.0
+       |        ELSE list_cosine_similarity($a, $b) END""".stripMargin
+
+  /** Shared oracle fragment for every trained-centroid consumer
+    * (SemDeDup / prototype pruning / cluster eval): centroid VALUES +
+    * guarded-cosine scoring + argmax assignment with the load-bearing
+    * `(s DESC, cell DESC)` tie order, emitted once so the assignment
+    * contract cannot drift between oracles. Produces CTEs
+    * `<p>cents(cell, cvec)`, `<p>sim`, `<p>assigned`; starts with
+    * `WITH`. `extraSim` rides extra columns through sim → assigned as
+    * (selectExpr over `e`, output name); `keepCvec` carries the
+    * assigned cell's centroid vector along. */
+  private[operators] def duckdbAssignCte(prefix: String,
+      centroids: Array[(Int, Array[Float])],
+      extraSim: Seq[(String, String)] = Nil,
+      keepCvec: Boolean = false): String = {
+    val rows = centroids.map { case (c, v) =>
+      s"($c, CAST([${v.map(_.toDouble.toString).mkString(", ")}] AS DOUBLE[]))"
+    }.mkString(",\n   ")
+    val simExtra = extraSim.map { case (e, n) => s"$e AS $n, " }.mkString
+    val names = extraSim.map { case (_, n) => s"$n, " }.mkString
+    val cvecSim = if (keepCvec) ", c.cvec" else ""
+    val cvecName = if (keepCvec) ", cvec" else ""
+    s"""WITH ${prefix}cents(cell, cvec) AS (VALUES
+       |   $rows),
+       | ${prefix}sim AS (
+       |  SELECT e.vec_id, ${simExtra}c.cell$cvecSim,
+       |   ${duckdbGuardedCosine("CAST(e.embedding AS DOUBLE[])", "c.cvec")} AS s
+       |  FROM embeddings e CROSS JOIN ${prefix}cents c),
+       | ${prefix}assigned AS (
+       |  SELECT vec_id, ${names}cell$cvecName FROM (
+       |   SELECT vec_id, ${names}cell$cvecName,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell DESC) AS rn
+       |   FROM ${prefix}sim) WHERE rn = 1)""".stripMargin
+  }
+
   def duckdbTopkCte(centroids: Array[(Int, Array[Float])], nprobe: Int, k: Int,
       probeFilter: String = "vec_id < 100"): String = {
     val rows = centroids.map { case (c, v) =>

@@ -56,4 +56,33 @@ object KnnJoin {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** Shared serving tail of the cosine candidate-generation paths
+    * ([[Mrl]], [[Pca]]): cut candidates at `rerank` per query in
+    * (tscore DESC, cand_id ASC) order, then exact full-vector cosine
+    * top-k with the battery's (score DESC, neighbor_id ASC) contract —
+    * factored so the tie orders and rounding live in ONE place.
+    * `scored` must carry (query_id, cand_id, tscore). */
+  private[operators] def cosineCandidateRerank(scored: DataFrame,
+      base: DataFrame, queries: DataFrame, k: Int, rerank: Int,
+      queryId: String, queryVec: String, idCol: String, vecCol: String,
+      scoreDigits: Int): DataFrame = {
+    val wc = Window.partitionBy("query_id")
+      .orderBy(col("tscore").desc, col("cand_id").asc)
+    val cands = scored.withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= rerank)
+      .select("query_id", "cand_id")
+    val rRaw = similarity.cosine_sim(col("bvec"), col("qvec"))
+    val rCol = if (scoreDigits >= 0) graft.Qutil.rnd(rRaw, scoreDigits) else rRaw
+    val rer = cands
+      .join(base.select(col(idCol).cast("long").as("cand_id"),
+        col(vecCol).cast("array<float>").as("bvec")), Seq("cand_id"))
+      .join(broadcast(queries.select(col(queryId).cast("long").as("query_id"),
+        col(queryVec).cast("array<float>").as("qvec"))), Seq("query_id"))
+      .select(col("query_id"), col("cand_id").as("neighbor_id"),
+        rCol.as("score"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    rer.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
 }

@@ -43,23 +43,8 @@ object Mrl {
         col(queryVec).cast("array<float>").as("qvec"))))
       .select(col("query_id"), col(idCol).cast("long").as("cand_id"),
         tCol.as("tscore"))
-    val wc = Window.partitionBy("query_id")
-      .orderBy(col("tscore").desc, col("cand_id").asc)
-    val cands = scored.withColumn("crank", row_number().over(wc))
-      .filter(col("crank") <= rerank)
-      .select("query_id", "cand_id")
-    val rRaw = similarity.cosine_sim(col("bvec"), col("qvec"))
-    val rCol = if (scoreDigits >= 0) graft.Qutil.rnd(rRaw, scoreDigits) else rRaw
-    val rer = cands
-      .join(base.select(col(idCol).cast("long").as("cand_id"),
-        col(vecCol).cast("array<float>").as("bvec")), Seq("cand_id"))
-      .join(broadcast(queries.select(col(queryId).cast("long").as("query_id"),
-        col(queryVec).cast("array<float>").as("qvec"))), Seq("query_id"))
-      .select(col("query_id"), col("cand_id").as("neighbor_id"),
-        rCol.as("score"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("score").desc, col("neighbor_id").asc)
-    rer.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    KnnJoin.cosineCandidateRerank(scored, base, queries, k, rerank,
+      queryId, queryVec, idCol, vecCol, scoreDigits)
   }
 
   /** Write the MRL serving layout: the `prefixDims`-dim prefix as its
@@ -95,23 +80,8 @@ object Mrl {
       .join(broadcast(queries.select(col(queryId).cast("long").as("query_id"),
         col(queryVec).cast("array<float>").as("qvec"))))
       .select(col("query_id"), col("vec_id").as("cand_id"), tCol.as("tscore"))
-    val wc = Window.partitionBy("query_id")
-      .orderBy(col("tscore").desc, col("cand_id").asc)
-    val cands = scored.withColumn("crank", row_number().over(wc))
-      .filter(col("crank") <= rerank)
-      .select("query_id", "cand_id")
-    val rRaw = similarity.cosine_sim(col("bvec"), col("qvec"))
-    val rCol = if (scoreDigits >= 0) graft.Qutil.rnd(rRaw, scoreDigits) else rRaw
-    val rer = cands
-      .join(layout.select(col("vec_id").as("cand_id"),
-        col("embedding").as("bvec")), Seq("cand_id"))
-      .join(broadcast(queries.select(col(queryId).cast("long").as("query_id"),
-        col(queryVec).cast("array<float>").as("qvec"))), Seq("query_id"))
-      .select(col("query_id"), col("cand_id").as("neighbor_id"),
-        rCol.as("score"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("score").desc, col("neighbor_id").asc)
-    rer.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    KnnJoin.cosineCandidateRerank(scored, layout, queries, k, rerank,
+      queryId, queryVec, "vec_id", "embedding", scoreDigits)
   }
 
   /** DuckDB twin of [[knnJoinTruncated]] over the battery probe set:

@@ -75,8 +75,11 @@ object Pca {
     import spark.implicits._
     val src = base.select(col(idCol).cast("long").as("id"),
       col(vecCol).cast("array<float>").as("vec"))
+    // id tiebreak keeps the sample order total even on hash collisions —
+    // the covariance accumulation is FP-order-sensitive, so fit
+    // determinism needs a total order, not just a near-unique one
     val sample = src.withColumn("h", xxhash64(col("id"), lit(seed)))
-      .orderBy("h").limit(sampleN)
+      .orderBy(col("h"), col("id")).limit(sampleN)
       .select("vec").as[Array[Float]].collect()
     require(sample.nonEmpty, "PCA training sample is empty")
     val d = sample.head.length
@@ -160,23 +163,8 @@ object Pca {
     val tCol = if (candDigits >= 0) graft.Qutil.rnd(tRaw, candDigits) else tRaw
     val scored = model.projected.join(broadcast(probeDf))
       .select(col("query_id"), col("id").as("cand_id"), tCol.as("tscore"))
-    val wc = Window.partitionBy("query_id")
-      .orderBy(col("tscore").desc, col("cand_id").asc)
-    val cands = scored.withColumn("crank", row_number().over(wc))
-      .filter(col("crank") <= rerank)
-      .select("query_id", "cand_id")
-    val rRaw = similarity.cosine_sim(col("bvec"), col("qvec"))
-    val rCol = if (scoreDigits >= 0) graft.Qutil.rnd(rRaw, scoreDigits) else rRaw
-    val rer = cands
-      .join(base.select(col(idCol).cast("long").as("cand_id"),
-        col(vecCol).cast("array<float>").as("bvec")), Seq("cand_id"))
-      .join(broadcast(queries.select(col(queryId).cast("long").as("query_id"),
-        col(queryVec).cast("array<float>").as("qvec"))), Seq("query_id"))
-      .select(col("query_id"), col("cand_id").as("neighbor_id"),
-        rCol.as("score"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("score").desc, col("neighbor_id").asc)
-    rer.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    KnnJoin.cosineCandidateRerank(scored, base, queries, k, rerank,
+      queryId, queryVec, idCol, vecCol, scoreDigits)
   }
 
   /** Large-probe-set variant: caps the per-batch collect/broadcast at

@@ -107,12 +107,15 @@ object PplFilter {
         .otherwise("tail").as("bucket"),
       (col("ce_fp") <= t2).as("kept"))
 
-  /** The composed battery pipeline: fit on `isTarget` docs, score all
-    * docs, tertile-cut by the deterministic sample thresholds. */
+  /** The composed batch pipeline: fit on `isTarget` docs, score all
+    * docs, tertile-cut by the deterministic sample thresholds. The
+    * scored frame is persisted (scoring is the dominant cost, and both
+    * the threshold pass and the returned cut consume it) — it stays
+    * cached for the consumer, like the fitted-model tables. */
   def filter(docs: DataFrame, isTarget: Column, buckets: Int = 1024,
       sampleN: Int = 200): DataFrame = {
     val model = fit(docs.filter(isTarget), buckets)
-    val scored = score(docs, model)
+    val scored = score(docs, model).persist()
     val (t1, t2) = sampleThresholds(scored, sampleN)
     cut(scored, t1, t2)
   }

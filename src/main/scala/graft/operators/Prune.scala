@@ -63,24 +63,11 @@ object Prune {
     * vec_id ties, keep = rank <= ceil(keepFrac · cell size). */
   def duckdbSql(centroids: Array[(Int, Array[Float])], keepFrac: Double,
       scoreDigits: Int = 6): String = {
-    val rows = centroids.map { case (c, v) =>
-      s"($c, CAST([${v.map(_.toDouble.toString).mkString(", ")}] AS DOUBLE[]))"
-    }.mkString(",\n   ")
     def guarded(a: String, b: String): String =
-      s"""CASE WHEN isnan(list_cosine_similarity($a, $b)) THEN -1.0
-         |        ELSE list_cosine_similarity($a, $b) END""".stripMargin
+      IvfFlat.duckdbGuardedCosine(a, b)
     val p = s"1e$scoreDigits"
-    s"""WITH pr_cents(cell, cvec) AS (VALUES
-       |   $rows),
-       | pr_sim AS (
-       |  SELECT e.vec_id, e.embedding, c.cell, c.cvec,
-       |   ${guarded("CAST(e.embedding AS DOUBLE[])", "c.cvec")} AS s
-       |  FROM embeddings e CROSS JOIN pr_cents c),
-       | pr_assigned AS (
-       |  SELECT vec_id, embedding, cell, cvec FROM (
-       |   SELECT vec_id, embedding, cell, cvec,
-       |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell DESC) AS rn
-       |   FROM pr_sim) WHERE rn = 1),
+    s"""${IvfFlat.duckdbAssignCte("pr_", centroids,
+            extraSim = Seq(("e.embedding", "embedding")), keepCvec = true)},
        | pr_scored AS (
        |  SELECT vec_id, cell,
        |   floor((${guarded("CAST(embedding AS DOUBLE[])", "cvec")})*$p + 0.5)/$p AS proto_sim

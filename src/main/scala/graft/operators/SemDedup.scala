@@ -48,24 +48,11 @@ object SemDedup {
     * keep-first on vec_id. */
   def duckdbSql(centroids: Array[(Int, Array[Float])], threshold: Double,
       scoreDigits: Int = 6): String = {
-    val rows = centroids.map { case (c, v) =>
-      s"($c, CAST([${v.map(_.toDouble.toString).mkString(", ")}] AS DOUBLE[]))"
-    }.mkString(",\n   ")
     def guarded(a: String, b: String): String =
-      s"""CASE WHEN isnan(list_cosine_similarity($a, $b)) THEN -1.0
-         |        ELSE list_cosine_similarity($a, $b) END""".stripMargin
+      IvfFlat.duckdbGuardedCosine(a, b)
     val p = s"1e$scoreDigits"
-    s"""WITH sd_cents(cell, cvec) AS (VALUES
-       |   $rows),
-       | sd_sim AS (
-       |  SELECT e.vec_id, e.embedding, c.cell,
-       |   ${guarded("CAST(e.embedding AS DOUBLE[])", "c.cvec")} AS s
-       |  FROM embeddings e CROSS JOIN sd_cents c),
-       | sd_assigned AS (
-       |  SELECT vec_id, embedding, cell FROM (
-       |   SELECT vec_id, embedding, cell,
-       |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell DESC) AS rn
-       |   FROM sd_sim) WHERE rn = 1),
+    s"""${IvfFlat.duckdbAssignCte("sd_", centroids,
+            extraSim = Seq(("e.embedding", "embedding")))},
        | sd_dom AS (
        |  SELECT DISTINCT a.vec_id
        |  FROM sd_assigned a JOIN sd_assigned b USING (cell)
