@@ -684,6 +684,43 @@ object TextQueries {
             .when(col("bucket") === 8, "val")
             .otherwise("test"))),
 
+    // TRAINED quality classifier (the GPT-3/LLaMA curation recipe):
+    // logistic regression from the portable content features — driver
+    // IRLS on a bounded md5-ordered sample, scoring as a literal-weight
+    // pure projection. NOTE: the synthetic corpus text is label-free by
+    // construction (measured: en vs non-en stopword ratios are equal),
+    // so the battery entry gates the trained MACHINERY — the oracle
+    // hash-matches the whole fit→score pipeline, and the spec's
+    // separable fixture shows real classification. The compared output
+    // is the LOGIT (no transcendental), exact cross-engine.
+    "quality_classifier" -> ((s, dir) =>
+      graft.operators.QualityLr.score(docs(s, dir), qualityLrModel(s, dir))),
+
+    // DEDUP-AWARE split (leakage-proof): hash the near-dup CLUSTER id,
+    // not the doc id, so whole clusters land in one split — a naive
+    // per-doc split leaks near-duplicates of training docs into eval
+    // (the train/test contamination mode exact-match decontamination
+    // cannot see). `cluster_leaky` flags clusters the naive split
+    // would have severed; the fraction of flagged docs is the measured
+    // leakage the cluster-aware split eliminates.
+    "dedup_aware_split" -> ((s, dir) => {
+      val naive = (md5Long(concat(lit("split:"), col("doc_id"))) % 10)
+        .as("nb")
+      val cl = nearDupClusters(s, dir).select("doc_id", "cluster_id")
+      def name(b: Column) = when(b < 8, "train")
+        .when(b === 8, "val").otherwise("test")
+      val withSplits = cl
+        .withColumn("cb",
+          md5Long(concat(lit("split:"), col("cluster_id"))) % 10)
+        .withColumn("nb", naive)
+      val leaky = withSplits.groupBy("cluster_id")
+        .agg((countDistinct(name(col("nb"))) > 1).as("cluster_leaky"))
+      withSplits.join(leaky, Seq("cluster_id"))
+        .select(col("doc_id"), col("cluster_id"),
+          name(col("cb")).as("split"), name(col("nb")).as("naive_split"),
+          col("cluster_leaky"))
+    }),
+
     // context-length histogram: token-count buckets (width 64) per
     // language — the sizing input for context packing / batch shaping
     "q_length_buckets" -> ((s, dir) => {
@@ -980,7 +1017,29 @@ object TextQueries {
       |    ORDER BY bm25 DESC, doc_id) AS rnk FROM sc)
       |WHERE rnk <= 10""".stripMargin
 
-  val oracle: Map[String, String] = Map(
+  /** The trained quality-classifier weights, recorded at fit time so
+    * [[oracle]] can emit the literal-weight DuckDB twin when Verify
+    * dumps oracle_sql.json AFTER the query ran (the VectorQueries
+    * trained-literal contract). */
+  @volatile private var qualityLrForOracle:
+    Option[graft.operators.QualityLr.Model] = None
+  private def qualityLrModel(s: SparkSession, dir: String)
+      : graft.operators.QualityLr.Model = {
+    val m = TextMemo.get(s, s"qlr/$dir") {
+      graft.operators.QualityLr.fit(docs(s, dir), col("lang") === "en")
+    }
+    qualityLrForOracle = Some(m)
+    m
+  }
+
+  def oracle: Map[String, String] = staticOracle ++
+    (qualityLrForOracle match {
+      case None => Map.empty[String, String]
+      case Some(m) =>
+        Map("quality_classifier" -> graft.operators.QualityLr.duckdbSql(m))
+    })
+
+  private val staticOracle: Map[String, String] = Map(
     "dup_ngram_spans" -> graft.operators.NgramDup.duckdbSql(w = 8, minCount = 2),
     "dedup_trim" -> graft.operators.NgramDup.trimDuckdbSql(w = 8, minCount = 2),
     "dataset_mix" ->
@@ -1298,6 +1357,25 @@ object TextQueries {
           |  SELECT *, row_number() OVER (PARTITION BY query_id
           |    ORDER BY score DESC, neighbor_id) AS rank FROM hb_scored)
           |WHERE rank <= 10""".stripMargin),
+    // dedup-aware split — cluster-hash assignment + naive-split leakage
+    // flag, from the shared cluster CTE
+    "dedup_aware_split" ->
+      (s"$dedupClustersCore,\n cl AS (\n$dedupClustersSelect),\n" +
+        """ sp AS (SELECT doc_id, cluster_id,
+          |   ('0x' || substr(md5('split:' || cluster_id), 1, 15))::BIGINT % 10 AS cb,
+          |   ('0x' || substr(md5('split:' || doc_id), 1, 15))::BIGINT % 10 AS nb
+          |  FROM cl),
+          | nm AS (SELECT doc_id, cluster_id,
+          |   CASE WHEN cb < 8 THEN 'train' WHEN cb = 8 THEN 'val'
+          |        ELSE 'test' END AS split,
+          |   CASE WHEN nb < 8 THEN 'train' WHEN nb = 8 THEN 'val'
+          |        ELSE 'test' END AS naive_split
+          |  FROM sp),
+          | lk AS (SELECT cluster_id,
+          |   (count(DISTINCT naive_split) > 1) AS cluster_leaky
+          |  FROM nm GROUP BY 1)
+          |SELECT doc_id, cluster_id, split, naive_split, cluster_leaky
+          |FROM nm JOIN lk USING (cluster_id)""".stripMargin),
     "tfidf_top_terms" ->
       """WITH toks AS (SELECT doc_id,
         |   unnest(string_split_regex(trim(text),'\s+')) AS term FROM documents),

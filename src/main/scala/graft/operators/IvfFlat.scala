@@ -68,7 +68,12 @@ object IvfFlat {
           base.count().toDouble / numCells * (1.0 + balanceSlack)).toLong
         assignBalanced(src, finalCentroids, metric, cap)
       }
-    Model(finalCentroids, assigned.repartition(col("cell")))
+    // persist: the assignment is O(n·C·d) — at 10M/C=1024 a single
+    // recompute costs ~200 s, and every consumer action (knn, SemDeDup,
+    // pruning, cluster eval) would otherwise re-pay it. Lazy persist:
+    // the first consumer materializes, the rest hit cache (the
+    // Pq/Bq encoded-table contract).
+    Model(finalCentroids, assigned.repartition(col("cell")).persist())
   }
 
   /** argmax-similarity cell assignment against the centroid matrix.

@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.bench.GridBench
-import graft.operators.{AnnLsh, KnnJoin, Multimodal, Recall}
+import graft.operators.{AnnLsh, KnnJoin, Multimodal, Pca, Recall}
 import graft.sources.VectorSources
 import graft.streaming.EventPipeline
 
@@ -329,6 +329,39 @@ class OperatorsSpec extends AnyFunSuite {
     val wAvg = within.map(_._1).sum / within.size
     val cAvg = cross.map(_._1).sum / cross.size
     assert(wAvg * 3 < cAvg, s"within=$wAvg cross=$cAvg")
+  }
+
+  test("anisotropic synthetic source: seeded, partition-independent, " +
+      "rotated decaying spectrum") {
+    val a = VectorSources.syntheticAnisotropic(spark, 500, 16, decay = 0.8,
+        seed = 7)
+      .repartition(7).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toMap
+    val b = VectorSources.syntheticAnisotropic(spark, 500, 16, decay = 0.8,
+        seed = 7)
+      .repartition(2).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toMap
+    assert(a.keySet == b.keySet)
+    a.foreach { case (id, v) => assert(v.sameElements(b(id))) }
+    // the ROTATION hides the spectrum from raw coordinates: per-raw-dim
+    // variances must be far more uniform than the latent decay profile
+    // (no raw coordinate owns a principal axis)...
+    val d = 16
+    val vars = (0 until d).map { j =>
+      val xs = a.values.map(_(j).toDouble)
+      val m = xs.sum / xs.size
+      xs.map(x => (x - m) * (x - m)).sum / xs.size
+    }
+    assert(vars.max / vars.min < math.pow(1 / 0.8, 2 * (d - 1)) / 8,
+      s"raw variances look unrotated: $vars")
+    // ...while PCA recovers it: the trained eigen-spectrum must decay
+    // like decay^2i (top eigenvalue far above the smallest retained)
+    import spark.implicits._
+    val df = a.toSeq.map { case (id, v) => (id, v) }
+      .toDF("vec_id", "embedding")
+    val model = Pca.fit(df, p = 8, sampleN = 500)
+    assert(model.eigenvalues.head / model.eigenvalues.last > 4.0,
+      s"eigen-spectrum not decaying: ${model.eigenvalues.toSeq}")
   }
 
   test("LSH ANN recall@10 >= 0.4 vs exact with 1-bit multiprobe (scale path)") {

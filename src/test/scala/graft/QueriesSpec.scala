@@ -73,6 +73,27 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_aware_split: one split per cluster, leak flag matches the " +
+      "naive split's cluster spread, singletons agree with the naive split") {
+    val rows = SparkEntry.queries("dedup_aware_split")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"),
+        r.getAs[String]("split"), r.getAs[String]("naive_split"),
+        r.getAs[Boolean]("cluster_leaky")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (cl, members) =>
+      assert(members.map(_._3).distinct.length == 1,
+        s"cluster $cl severed by the cluster-aware split")
+      val wantLeaky = members.map(_._4).distinct.length > 1
+      members.foreach { case (id, _, _, _, leaky) =>
+        assert(leaky == wantLeaky, s"doc $id leak flag")
+      }
+      if (members.length == 1) {
+        // singleton: cluster_id = doc_id, so both hashes agree
+        assert(members.head._3 == members.head._4)
+      }
+    }
+  }
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name executes at sf0.001") {
       val df = fn(spark, dir)
