@@ -39,7 +39,7 @@ object Bq {
     * per row, dimension j → word j/64 bit j%64. */
   case class Model(thresholds: Array[Double], encoded: DataFrame)
 
-  private[operators] def packBits(v: Array[Float], thr: Array[Double]): Array[Long] = {
+  private[graft] def packBits(v: Array[Float], thr: Array[Double]): Array[Long] = {
     val words = new Array[Long]((v.length + 63) / 64)
     var j = 0
     while (j < v.length) {

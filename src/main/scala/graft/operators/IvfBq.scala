@@ -40,7 +40,7 @@ object IvfBq {
     * `cent`'s frame (exact double comparisons; float values compare
     * identically after the lossless upcast, which is what makes the
     * composed oracle exact). */
-  private[operators] def packResidualBits(v: Array[Float],
+  private[graft] def packResidualBits(v: Array[Float],
       cent: Array[Float]): Array[Long] = {
     val words = new Array[Long]((v.length + 63) / 64)
     var j = 0

@@ -83,7 +83,7 @@ object IvfFlat {
     * object expression, so codegen cost is O(1) in C instead of the
     * O(C·d) generated source that cost ~100 s of Janino/JIT per plan at
     * C=128 (SemDedupScaleMain, round 8). */
-  private def assign(df: DataFrame, centroids: Array[(Int, Array[Float])],
+  private[graft] def assign(df: DataFrame, centroids: Array[(Int, Array[Float])],
       metric: String = "cosine"): DataFrame =
     df.withColumn("cell", element_at(
       graft.functions.cells.nearest_cells(col("vec"), centroids, metric,

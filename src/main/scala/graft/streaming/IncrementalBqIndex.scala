@@ -1,0 +1,248 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.{Bq, IvfBq, IvfFlat}
+
+/** Incrementally maintained COMPRESSED vector index: the round-8 batch
+  * `IvfBq` (cell-routed residual sign codes, 32× smaller than float32)
+  * behind the text-index EPOCH-HANDOFF contract — the roadmap item
+  * "residual binary codes in the streaming maintainers".
+  *
+  * Layout at `path` (all plain parquet):
+  *   - `centroids/`, `meta/` — the FROZEN coarse quantizer + mode/
+  *     thresholds (trained once at [[build]]; appends never move it —
+  *     the [[IncrementalIvfIndex]] frozen-quantizer contract, same
+  *     growth/compaction story)
+  *   - `codes/` — (cell, id, bits) packed code rows, one file set
+  *     appended per epoch
+  *   - `vectors/` — (vec_id, embedding) originals for the exact rerank,
+  *     appended in step
+  *   - `deletes/` — (vec_id) delete vector; serving anti-joins it
+  *
+  * Unlike the pinned-shard [[IncrementalIvfIndex]] (executor-resident
+  * mutable HNSW graphs — lowest query latency, but state lives and dies
+  * with the executors), this maintainer is STORAGE-BACKED: every append
+  * is durable parquet, any session serves it cold via the unchanged
+  * batch [[IvfBq.knnJoin]], and a lost executor costs nothing. The
+  * trade: no graph traversal — serving is the compressed Hamming scan
+  * of the probed cells. Batch-built and stream-built indexes are
+  * bit-identical (spec-pinned), exactly like `TextIndex.streamingAppend`.
+  */
+object IncrementalBqIndex {
+
+  private def dir(path: String, part: String) = s"$path/$part"
+
+  private def fs(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def exists(spark: SparkSession, path: String): Boolean =
+    fs(spark, path).exists(new org.apache.hadoop.fs.Path(path))
+
+  /** Fit the quantizer + codes on the initial corpus and write the full
+    * layout. `numCells` scales with the expected corpus (the P-sizing
+    * rule); `residual = true` is the clustered-corpus configuration. */
+  def build(base: DataFrame, path: String, numCells: Int = 16,
+      residual: Boolean = true, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val model = IvfBq.fit(base, numCells, seed, idCol, vecCol,
+      residual = residual)
+    val fitN = model.encoded.count()
+    model.centroids.toSeq.toDF("cell", "cvec")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(dir(path, "centroids"))
+    // sentinel row keeps the parquet readable in residual mode, where
+    // thresholds are empty by design (filtered out on load)
+    (Seq((-1, 0.0)) ++
+        model.thresholds.zipWithIndex.map { case (t, i) => (i, t) })
+      .toDF("i", "thr").coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(dir(path, "thresholds"))
+    Seq((residual, fitN)).toDF("residual", "fit_n")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(dir(path, "meta"))
+    model.encoded.write.mode(SaveMode.Overwrite).parquet(dir(path, "codes"))
+    base.select(col(idCol).cast("long").as("vec_id"),
+        col(vecCol).cast("array<float>").as("embedding"))
+      .write.mode(SaveMode.Overwrite).parquet(dir(path, "vectors"))
+    model.encoded.unpersist()
+    ()
+  }
+
+  private def loadParams(spark: SparkSession, path: String)
+      : (Array[(Int, Array[Float])], Boolean, Array[Double], Long) = {
+    import spark.implicits._
+    require(exists(spark, dir(path, "meta")),
+      s"no incremental BQ index at $path — run build() first")
+    val cents = spark.read.parquet(dir(path, "centroids"))
+      .as[(Int, Array[Float])].collect().sortBy(_._1)
+    val (residual, fitN) = spark.read.parquet(dir(path, "meta"))
+      .as[(Boolean, Long)].first()
+    val thr = spark.read.parquet(dir(path, "thresholds"))
+      .as[(Int, Double)].collect().filter(_._1 >= 0).sortBy(_._1).map(_._2)
+    (cents, residual, thr, fitN)
+  }
+
+  /** Append a batch as one index EPOCH: assign with the frozen
+    * centroids, pack codes, append new parquet files — existing files
+    * are never rewritten (the exact TextIndex.append contract). */
+  def append(batch: DataFrame, path: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val (cents, residual, thr, _) = loadParams(spark, path)
+    val src = batch.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<float>").as("vec"))
+    val bcC = spark.sparkContext.broadcast(cents.map(_._2))
+    val bcT = spark.sparkContext.broadcast(thr)
+    val assigned = IvfFlat.assign(src, cents, "cosine")
+      .select(col("cell").cast("int"), col("id"), col("vec"))
+      .as[(Int, Long, Array[Float])]
+    val encoded = assigned.mapPartitions { rows =>
+      val cs = bcC.value; val t = bcT.value
+      rows.map { case (cell, id, v) =>
+        val bits =
+          if (residual) IvfBq.packResidualBits(v, cs(cell))
+          else Bq.packBits(v, t)
+        (cell, id, bits)
+      }
+    }.toDF("cell", "id", "bits").persist()
+    encoded.write.mode(SaveMode.Append).parquet(dir(path, "codes"))
+    src.select(col("id").as("vec_id"), col("vec").as("embedding"))
+      .write.mode(SaveMode.Append).parquet(dir(path, "vectors"))
+    encoded.unpersist()
+    ()
+  }
+
+  /** Record deletions (bounded id rows); every serving path anti-joins
+    * the delete vector until [[compact]] folds it away. */
+  def remove(ids: DataFrame, path: String, idCol: String = "vec_id"): Unit = {
+    ids.select(col(idCol).cast("long").as("vec_id")).distinct()
+      .write.mode(SaveMode.Append).parquet(dir(path, "deletes"))
+  }
+
+  private def minusDeletes(spark: SparkSession, path: String,
+      df: DataFrame, on: String): DataFrame =
+    if (exists(spark, dir(path, "deletes")))
+      df.join(broadcast(spark.read.parquet(dir(path, "deletes"))
+          .select(col("vec_id").as(on)).distinct()), Seq(on), "left_anti")
+        // the join moves the key column first — restore the layout order
+        // (IvfBq reads its code table positionally)
+        .select(df.columns.map(col).toIndexedSeq: _*)
+    else df
+
+  /** The current serving model: frozen quantizer + the union of all
+    * code epochs minus deletes. `cellCounts` recomputed from the live
+    * rows (C tiny rows) so adaptive rerank stays correct as the index
+    * grows. */
+  def model(spark: SparkSession, path: String): IvfBq.Model = {
+    val (cents, residual, thr, _) = loadParams(spark, path)
+    val codes = minusDeletes(spark, path,
+      spark.read.parquet(dir(path, "codes")), "id")
+    val counts = codes.groupBy("cell").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    IvfBq.Model(cents, thr, codes, residual, counts)
+  }
+
+  /** Originals for the rerank stage (minus deletes). */
+  def vectors(spark: SparkSession, path: String): DataFrame =
+    minusDeletes(spark, path,
+      spark.read.parquet(dir(path, "vectors")), "vec_id")
+
+  /** Serve with the UNCHANGED batch operator over the epoch union —
+    * stream-built, batch-served. */
+  def knnJoin(spark: SparkSession, path: String, queries: DataFrame,
+      k: Int, nprobe: Int = 4, rerank: Int = 100,
+      scoreDigits: Int = -1): DataFrame =
+    IvfBq.knnJoin(model(spark, path), vectors(spark, path), queries, k,
+      nprobe, rerank, scoreDigits = scoreDigits)
+
+  /** Live row count (codes minus deletes). */
+  def indexedCount(spark: SparkSession, path: String): Long =
+    minusDeletes(spark, path,
+      spark.read.parquet(dir(path, "codes")), "id").count()
+
+  /** Indexed-corpus growth past the frozen quantizer's fit corpus — the
+    * compaction trigger (the round-6 drift measurement: recall decline
+    * is growth-driven; refit must SCALE C with growth). */
+  def growthSinceFit(spark: SparkSession, path: String): Double = {
+    val (_, _, _, fitN) = loadParams(spark, path)
+    if (fitN <= 0) Double.PositiveInfinity
+    else indexedCount(spark, path).toDouble / fitN
+  }
+
+  def needsCompaction(spark: SparkSession, path: String,
+      factor: Double = 2.0): Boolean =
+    growthSinceFit(spark, path) >= factor
+
+  /** COMPACTION. `refit = false` folds epochs + deletes into a fresh
+    * single-epoch layout under the SAME quantizer (serving bit-identical
+    * before/after — spec-pinned). `refit = true` retrains the quantizer
+    * over everything currently indexed (pass `numCells` scaled by
+    * growth — the recovery path for growth-driven recall decline).
+    * Both write to a temp layout first (the source cannot be
+    * overwritten while read), then swap directories. */
+  def compact(spark: SparkSession, path: String, refit: Boolean = false,
+      numCells: Int = -1): Unit = {
+    val (cents, residual, _, _) = loadParams(spark, path)
+    val tmp = dir(path, ".compact")
+    val live = vectors(spark, path)
+    if (refit) {
+      val c = if (numCells > 0) numCells else cents.length
+      build(live, tmp, c, residual)
+    } else {
+      // same quantizer: rewrite codes/vectors minus deletes, keep params
+      minusDeletes(spark, path,
+          spark.read.parquet(dir(path, "codes")), "id")
+        .write.mode(SaveMode.Overwrite).parquet(dir(tmp, "codes"))
+      live.write.mode(SaveMode.Overwrite).parquet(dir(tmp, "vectors"))
+      spark.read.parquet(dir(path, "centroids"))
+        .write.mode(SaveMode.Overwrite).parquet(dir(tmp, "centroids"))
+      spark.read.parquet(dir(path, "thresholds"))
+        .write.mode(SaveMode.Overwrite).parquet(dir(tmp, "thresholds"))
+      import spark.implicits._
+      // fold-only compaction keeps the SAME quantizer — fit_n must keep
+      // the original fit-corpus size or growthSinceFit would hide the
+      // very growth the compaction trigger watches
+      val (_, _, _, fitN0) = loadParams(spark, path)
+      Seq((residual, fitN0)).toDF("residual", "fit_n")
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(dir(tmp, "meta"))
+    }
+    val f = fs(spark, path)
+    Seq("codes", "vectors", "centroids", "thresholds", "meta").foreach { p =>
+      val dst = new org.apache.hadoop.fs.Path(dir(path, p))
+      f.delete(dst, true)
+      f.rename(new org.apache.hadoop.fs.Path(dir(tmp, p)), dst)
+      ()
+    }
+    f.delete(new org.apache.hadoop.fs.Path(dir(path, "deletes")), true)
+    f.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    ()
+  }
+
+  /** Drop the whole index. */
+  def drop(spark: SparkSession, path: String): Unit = {
+    fs(spark, path).delete(new org.apache.hadoop.fs.Path(path), true)
+    ()
+  }
+
+  /** foreachBatch → one [[append]] epoch per micro-batch (the
+    * TextIndex.streamingAppend shape): stream-built, batch-served,
+    * durable parquet per batch. The index must exist ([[build]] on the
+    * bootstrap corpus — the quantizer needs training data). */
+  def streamingAppend(stream: DataFrame, path: String,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : StreamingQuery = {
+    require(exists(stream.sparkSession, dir(path, "meta")),
+      s"no incremental BQ index at $path — build() on a bootstrap corpus first")
+    stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.persist()
+        try { if (!b.isEmpty) append(b, path, idCol, vecCol) }
+        finally { b.unpersist(); () }
+      }.start()
+  }
+}

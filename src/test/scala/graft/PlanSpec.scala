@@ -62,6 +62,24 @@ class PlanSpec extends AnyFunSuite {
       s"rank filter should plan bounded group limits:\n$p")
   }
 
+  test("projected-candidate paths (PCA, MRL) keep BOTH rank cuts as " +
+      "WindowGroupLimit — the candidate stage scores n·q rows, so a full " +
+      "sort there is the 10M regression") {
+    Seq("knn_pca_cosine", "knn_mrl_cosine").foreach { q =>
+      val p = plan(q)
+      // candidate cut (crank <= rerank, partial+final around the
+      // exchange) AND final cut (rank <= k; final-only — the rerank
+      // join's output is already query-partitioned)
+      assert(p.sliding("WindowGroupLimit".length)
+        .count(_ == "WindowGroupLimit") >= 3,
+        s"$q: candidate/final rank cuts should plan bounded group limits:\n$p")
+      assert(p.contains("Partial"),
+        s"$q: the n·q-row candidate side needs a PARTIAL group limit " +
+          s"before the exchange:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q: unexpected cartesian")
+    }
+  }
+
   test("simhash_near_dup: band self-join computes the simhash stage once") {
     val p = plan("simhash_near_dup")
     assert(p.contains("ReusedExchange"),

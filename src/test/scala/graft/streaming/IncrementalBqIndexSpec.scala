@@ -1,0 +1,145 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{IvfBq, IvfFlat}
+
+class IncrementalBqIndexSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  val dir = "/root/testdata/sf0.001"
+  def emb: DataFrame = spark.read.parquet(s"$dir/embeddings.parquet")
+  def probes: DataFrame = emb.filter(col("vec_id") < 10)
+    .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+
+  private def tmpPath(): String =
+    java.nio.file.Files.createTempDirectory("incbq").toString + "/idx"
+
+  private def serve(path: String): Set[Seq[Any]] =
+    IncrementalBqIndex.knnJoin(spark, path, probes, k = 5, nprobe = 4,
+        rerank = 20, scoreDigits = 6)
+      .select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
+
+  /** Batch twin under the SAME frozen quantizer (trained on `fitBase`,
+    * serving `corpus`). */
+  private def twin(fitBase: DataFrame, corpus: DataFrame): Set[Seq[Any]] = {
+    val ivf = IvfFlat.fit(fitBase, numCells = 4)
+    val assigned = IvfFlat.assign(
+      corpus.select(col("vec_id").cast("long").as("id"),
+        col("embedding").cast("array<float>").as("vec")),
+      ivf.centroids, "cosine")
+    val m = IvfBq.fromIvf(IvfFlat.Model(ivf.centroids, assigned))
+    IvfBq.knnJoin(m, corpus, probes, k = 5, nprobe = 4, rerank = 20,
+        scoreDigits = 6)
+      .select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
+  }
+
+  test("build + serve equals the direct batch IvfBq pipeline") {
+    val path = tmpPath()
+    IncrementalBqIndex.build(emb, path, numCells = 4)
+    val direct = IvfBq.knnJoin(IvfBq.fit(emb, numCells = 4), emb, probes,
+        k = 5, nprobe = 4, rerank = 20, scoreDigits = 6)
+      .select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
+    assert(serve(path) == direct)
+    IncrementalBqIndex.drop(spark, path)
+  }
+
+  test("epoch appends serve bit-identically to a frozen-quantizer batch " +
+      "build over the union") {
+    val path = tmpPath()
+    val a = emb.filter(col("vec_id") % 2 === 0)
+    val b1 = emb.filter(col("vec_id") % 4 === 1)
+    val b2 = emb.filter(col("vec_id") % 4 === 3)
+    IncrementalBqIndex.build(a, path, numCells = 4)
+    IncrementalBqIndex.append(b1, path)
+    IncrementalBqIndex.append(b2, path)
+    assert(IncrementalBqIndex.indexedCount(spark, path) == emb.count())
+    assert(serve(path) == twin(a, emb))
+    IncrementalBqIndex.drop(spark, path)
+  }
+
+  test("remove drops ids from every serving surface; results equal the " +
+      "twin without them") {
+    val path = tmpPath()
+    val a = emb.filter(col("vec_id") % 2 === 0)
+    IncrementalBqIndex.build(a, path, numCells = 4)
+    IncrementalBqIndex.append(emb.filter(col("vec_id") % 2 === 1), path)
+    import spark.implicits._
+    val gone = Seq(12L, 13L, 14L).toDF("vec_id")
+    IncrementalBqIndex.remove(gone, path)
+    val survivors = emb.filter(!col("vec_id").isin(12L, 13L, 14L))
+    assert(IncrementalBqIndex.indexedCount(spark, path) == survivors.count())
+    assert(serve(path) == twin(a, survivors))
+    IncrementalBqIndex.drop(spark, path)
+  }
+
+  test("fold compaction: serving identical before/after, delete vector " +
+      "dropped, growth counter NOT reset") {
+    val path = tmpPath()
+    val a = emb.filter(col("vec_id") < 20)
+    IncrementalBqIndex.build(a, path, numCells = 4)
+    IncrementalBqIndex.append(emb.filter(col("vec_id") >= 20), path)
+    import spark.implicits._
+    IncrementalBqIndex.remove(Seq(30L, 31L).toDF("vec_id"), path)
+    val before = serve(path)
+    val growthBefore = IncrementalBqIndex.growthSinceFit(spark, path)
+    IncrementalBqIndex.compact(spark, path, refit = false)
+    assert(serve(path) == before)
+    assert(IncrementalBqIndex.growthSinceFit(spark, path) == growthBefore)
+    // deletes folded in: removing the dir means indexedCount is pure codes
+    assert(IncrementalBqIndex.indexedCount(spark, path) ==
+      emb.count() - 20 /* appended rows */ + 20 - 2)
+    IncrementalBqIndex.drop(spark, path)
+  }
+
+  test("refit compaction: serving equals a fresh build on the live " +
+      "corpus; growth resets") {
+    val path = tmpPath()
+    val a = emb.filter(col("vec_id") < 20)
+    IncrementalBqIndex.build(a, path, numCells = 4)
+    IncrementalBqIndex.append(emb.filter(col("vec_id") >= 20), path)
+    assert(IncrementalBqIndex.needsCompaction(spark, path, factor = 2.0))
+    IncrementalBqIndex.compact(spark, path, refit = true)
+    assert(IncrementalBqIndex.growthSinceFit(spark, path) == 1.0)
+    val fresh = tmpPath()
+    IncrementalBqIndex.build(emb, fresh, numCells = 4)
+    assert(serve(path) == serve(fresh))
+    IncrementalBqIndex.drop(spark, path)
+    IncrementalBqIndex.drop(spark, fresh)
+  }
+
+  test("streamingAppend: two micro-batches serve bit-identically to the " +
+      "same appends run in batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val a = emb.filter(col("vec_id") % 2 === 0)
+    val rest = emb.filter(col("vec_id") % 2 === 1)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val streamed = tmpPath(); val batch = tmpPath()
+    IncrementalBqIndex.build(a, streamed, numCells = 4)
+    IncrementalBqIndex.build(a, batch, numCells = 4)
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = IncrementalBqIndex.streamingAppend(
+      mem.toDF.toDF("vec_id", "embedding"), streamed)
+    val (h1, h2) = rest.splitAt(rest.length / 2)
+    mem.addData(h1.toSeq); q.processAllAvailable()
+    mem.addData(h2.toSeq); q.processAllAvailable()
+    q.stop()
+    IncrementalBqIndex.append(h1.toSeq.toDF("vec_id", "embedding"), batch)
+    IncrementalBqIndex.append(h2.toSeq.toDF("vec_id", "embedding"), batch)
+    assert(serve(streamed) == serve(batch))
+    assert(IncrementalBqIndex.indexedCount(spark, streamed) == emb.count())
+    IncrementalBqIndex.drop(spark, streamed)
+    IncrementalBqIndex.drop(spark, batch)
+  }
+}
