@@ -160,6 +160,17 @@ object IncrementalBqIndex {
     IvfBq.knnJoin(model(spark, path), vectors(spark, path), queries, k,
       nprobe, rerank, scoreDigits = scoreDigits)
 
+  /** Adaptive-overfetch serving: per-query rerank sized from the probed
+    * cells' LIVE populations (recomputed per call in [[model]]) — the
+    * right knob here, because epochs grow cells continuously and
+    * residual hammings only rank within a cell, so a fixed global
+    * rerank decays exactly the way the 10M study measured. */
+  def knnJoinAdaptive(spark: SparkSession, path: String, queries: DataFrame,
+      k: Int, nprobe: Int = 4, rerankFrac: Double = 0.1,
+      rerankMin: Int = 100, scoreDigits: Int = -1): DataFrame =
+    IvfBq.knnJoinAdaptive(model(spark, path), vectors(spark, path), queries,
+      k, nprobe, rerankFrac, rerankMin, scoreDigits = scoreDigits)
+
   /** Live row count (codes minus deletes). */
   def indexedCount(spark: SparkSession, path: String): Long =
     minusDeletes(spark, path,

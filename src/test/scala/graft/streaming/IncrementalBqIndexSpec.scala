@@ -49,6 +49,16 @@ class IncrementalBqIndexSpec extends AnyFunSuite {
         k = 5, nprobe = 4, rerank = 20, scoreDigits = 6)
       .select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
     assert(serve(path) == direct)
+    // the adaptive wrapper routes through the same live model
+    val adWrap = IncrementalBqIndex.knnJoinAdaptive(spark, path, probes,
+        k = 5, nprobe = 4, rerankFrac = 0.5, rerankMin = 5, scoreDigits = 6)
+      .select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
+    val adDirect = IvfBq.knnJoinAdaptive(
+        IncrementalBqIndex.model(spark, path),
+        IncrementalBqIndex.vectors(spark, path), probes,
+        k = 5, nprobe = 4, rerankFrac = 0.5, rerankMin = 5, scoreDigits = 6)
+      .select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
+    assert(adWrap == adDirect)
     IncrementalBqIndex.drop(spark, path)
   }
 
