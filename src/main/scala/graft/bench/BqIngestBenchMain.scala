@@ -66,7 +66,8 @@ object BqIngestBenchMain {
     println(f"BQ-INGEST total appended=${n - bootN} wall=$appendWall%.1fs " +
       f"(${(n - bootN) / appendWall}%.0f rows/s)")
 
-    def measure(tag: String, nprobe: Int, rerank: Int = 400): Unit = {
+    def measure(tag: String, nprobe: Int, growth: Double,
+        rerank: Int = 400): Unit = {
       val ts = System.nanoTime()
       val approx = IncrementalBqIndex.knnJoin(spark, path, probes, k = 10,
         nprobe = nprobe, rerank = rerank, scoreDigits = 6).persist()
@@ -76,13 +77,13 @@ object BqIngestBenchMain {
         .select("recall").first().getDouble(0)
       approx.unpersist()
       println(f"BQ-INGEST serve[$tag] nprobe=$nprobe rerank=$rerank " +
-        f"rows=$rows wall=$wall%.1fs recall@10=$r%.3f " +
-        f"growth=${IncrementalBqIndex.growthSinceFit(spark, path)}%.1fx")
+        f"rows=$rows wall=$wall%.1fs recall@10=$r%.3f growth=$growth%.1fx")
     }
-    measure("frozen-quantizer", 4)
-    measure("frozen-quantizer", 8)
-
+    // growth costs a full codes scan — compute once per phase, not per
+    // measurement (this binary's purpose is timing)
     val growth = IncrementalBqIndex.growthSinceFit(spark, path)
+    measure("frozen-quantizer", 4, growth)
+    measure("frozen-quantizer", 8, growth)
     val cScaled = math.max(c, (c * growth).toInt)
     val tc = System.nanoTime()
     IncrementalBqIndex.compact(spark, path, refit = true, numCells = cScaled)
@@ -91,8 +92,10 @@ object BqIngestBenchMain {
     // constant touched fraction: nprobe scales with C. NOTE: residual
     // hammings are comparable only within a cell, so the cross-cell
     // candidate cut needs rerank to scale WITH nprobe — measured both.
-    measure("refit", 4 * cScaled / c)
-    measure("refit rerank-scaled", 4 * cScaled / c, 400 * cScaled / c)
+    val growth2 = IncrementalBqIndex.growthSinceFit(spark, path)
+    measure("refit", 4 * cScaled / c, growth2)
+    measure("refit rerank-scaled", 4 * cScaled / c, growth2,
+      400 * cScaled / c)
     spark.stop()
   }
 }

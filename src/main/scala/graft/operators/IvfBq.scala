@@ -63,9 +63,17 @@ object IvfBq {
   def fit(base: DataFrame, numCells: Int = 16, seed: Long = 42L,
       idCol: String = "vec_id", vecCol: String = "embedding",
       metric: String = "cosine", lloydSampleN: Int = 100000,
-      balanceSlack: Double = 0.0, residual: Boolean = true): Model =
-    fromIvf(IvfFlat.fit(base, numCells, seed, idCol, vecCol, metric,
-      lloydSampleN, balanceSlack), residual)
+      balanceSlack: Double = 0.0, residual: Boolean = true): Model = {
+    val ivf = IvfFlat.fit(base, numCells, seed, idCol, vecCol, metric,
+      lloydSampleN, balanceSlack)
+    val m = fromIvf(ivf, residual)
+    // the transient quantizer's persisted assignment is fully consumed
+    // by the (already materialized) code table — release it here, or
+    // every fit leaks an n-row cache entry nothing can reach
+    // (callers who want a shared quantizer use fromIvf directly)
+    ivf.assigned.unpersist()
+    m
+  }
 
   /** Build from an already-fitted coarse quantizer (shares the battery's
     * memoized IVF model — same centroids, so oracle literals line up). */

@@ -43,7 +43,10 @@ object QualityLr {
       .cast("double")
     val stops = regexp_count(col("text"),
       lit("\\b(the|a|of|and|in|to|is)\\b")).cast("double")
-    docs.filter(col("text").isNotNull).select(col("doc_id"),
+    // empty text makes f_punct a 0/0 NULL that would NPE the training
+    // collect — no features to learn from either way, so drop the row
+    docs.filter(col("text").isNotNull && length(col("text")) > 0)
+      .select(col("doc_id"),
       graft.Qutil.rnd(least(lit(1.0), nTok / 100.0), 6).as("f_len"),
       graft.Qutil.rnd(punct / nCh, 6).as("f_punct"),
       graft.Qutil.rnd(stops / nTok, 6).as("f_stop"),
@@ -156,7 +159,7 @@ object QualityLr {
        |  floor((len(regexp_extract_all(text,'\\b(the|a|of|and|in|to|is)\\b'))*1.0
        |    / len(string_split_regex(trim(text),'\\s+')))*1e6 + 0.5)/1e6 AS f_stop,
        |  floor((length(text)*1.0/len(string_split_regex(trim(text),'\\s+')))*1e6 + 0.5)/1e6 AS f_wlen
-       | FROM documents WHERE text IS NOT NULL),
+       | FROM documents WHERE text IS NOT NULL AND length(text) > 0),
        | qz AS (SELECT doc_id, f_len, f_punct, f_stop, f_wlen,
        |   ($b) + ($wl)*f_len + ($wp)*f_punct + ($ws)*f_stop + ($ww)*f_wlen AS z
        |  FROM qf)

@@ -12,14 +12,17 @@ import graft.operators.{Bq, IvfBq, IvfFlat}
   * "residual binary codes in the streaming maintainers".
   *
   * Layout at `path` (all plain parquet):
-  *   - `centroids/`, `meta/` — the FROZEN coarse quantizer + mode/
-  *     thresholds (trained once at [[build]]; appends never move it —
+  *   - `centroids/`, `thresholds/`, `meta/` — the FROZEN coarse
+  *     quantizer (trained once at [[build]]; appends never move it —
   *     the [[IncrementalIvfIndex]] frozen-quantizer contract, same
   *     growth/compaction story)
-  *   - `codes/` — (cell, id, bits) packed code rows, one file set
-  *     appended per epoch
-  *   - `vectors/` — (vec_id, embedding) originals for the exact rerank,
-  *     appended in step
+  *   - `codes/epoch=<tag>/` — (cell, id, bits) packed code rows, one
+  *     partition directory per epoch. The epoch tag makes appends
+  *     IDEMPOTENT: re-running an epoch (a Structured Streaming
+  *     micro-batch retry replays its batchId) OVERWRITES the same
+  *     directory instead of appending duplicate rows.
+  *   - `vectors/epoch=<tag>/` — (vec_id, embedding) originals for the
+  *     exact rerank, appended in step
   *   - `deletes/` — (vec_id) delete vector; serving anti-joins it
   *
   * Unlike the pinned-shard [[IncrementalIvfIndex]] (executor-resident
@@ -64,10 +67,12 @@ object IncrementalBqIndex {
       .parquet(dir(path, "thresholds"))
     Seq((residual, fitN)).toDF("residual", "fit_n")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(dir(path, "meta"))
-    model.encoded.write.mode(SaveMode.Overwrite).parquet(dir(path, "codes"))
+    model.encoded.write.mode(SaveMode.Overwrite)
+      .parquet(dir(path, "codes/epoch=bootstrap"))
     base.select(col(idCol).cast("long").as("vec_id"),
         col(vecCol).cast("array<float>").as("embedding"))
-      .write.mode(SaveMode.Overwrite).parquet(dir(path, "vectors"))
+      .write.mode(SaveMode.Overwrite)
+      .parquet(dir(path, "vectors/epoch=bootstrap"))
     model.encoded.unpersist()
     ()
   }
@@ -87,15 +92,33 @@ object IncrementalBqIndex {
   }
 
   /** Append a batch as one index EPOCH: assign with the frozen
-    * centroids, pack codes, append new parquet files — existing files
-    * are never rewritten (the exact TextIndex.append contract). */
+    * centroids, pack codes, write the epoch's own directory — existing
+    * epochs are never rewritten, and re-running the SAME `epochTag`
+    * overwrites its directory (idempotent retries). Like
+    * `TextIndex.append`, re-adding an id that sits in the delete vector
+    * fails loudly — run [[compact]] first (the delete would silently
+    * swallow the new row and the next compaction would drop it for
+    * good). */
   def append(batch: DataFrame, path: String,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      epochTag: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
     val (cents, residual, thr, _) = loadParams(spark, path)
     val src = batch.select(col(idCol).cast("long").as("id"),
       col(vecCol).cast("array<float>").as("vec"))
+    if (exists(spark, dir(path, "deletes"))) {
+      val shadowed = src.join(
+        broadcast(spark.read.parquet(dir(path, "deletes"))
+          .select(col("vec_id").as("id")).distinct()),
+        Seq("id"), "left_semi").limit(1).count()
+      require(shadowed == 0,
+        s"append to $path includes ids in the delete vector — run " +
+          "compact() first, or the re-added rows would be silently " +
+          "hidden and dropped at the next compaction")
+    }
+    val tag = epochTag.getOrElse(
+      java.util.UUID.randomUUID().toString.take(12))
     val bcC = spark.sparkContext.broadcast(cents.map(_._2))
     val bcT = spark.sparkContext.broadcast(thr)
     val assigned = IvfFlat.assign(src, cents, "cosine")
@@ -110,9 +133,11 @@ object IncrementalBqIndex {
         (cell, id, bits)
       }
     }.toDF("cell", "id", "bits").persist()
-    encoded.write.mode(SaveMode.Append).parquet(dir(path, "codes"))
+    encoded.write.mode(SaveMode.Overwrite)
+      .parquet(dir(path, s"codes/epoch=$tag"))
     src.select(col("id").as("vec_id"), col("vec").as("embedding"))
-      .write.mode(SaveMode.Append).parquet(dir(path, "vectors"))
+      .write.mode(SaveMode.Overwrite)
+      .parquet(dir(path, s"vectors/epoch=$tag"))
     encoded.unpersist()
     ()
   }
@@ -134,23 +159,33 @@ object IncrementalBqIndex {
         .select(df.columns.map(col).toIndexedSeq: _*)
     else df
 
+  /** All live code rows (epoch partition column dropped, layout order). */
+  private def liveCodes(spark: SparkSession, path: String): DataFrame =
+    minusDeletes(spark, path,
+      spark.read.parquet(dir(path, "codes"))
+        .select("cell", "id", "bits"), "id")
+
   /** The current serving model: frozen quantizer + the union of all
-    * code epochs minus deletes. `cellCounts` recomputed from the live
-    * rows (C tiny rows) so adaptive rerank stays correct as the index
-    * grows. */
-  def model(spark: SparkSession, path: String): IvfBq.Model = {
+    * code epochs minus deletes. `withCounts` additionally scans the
+    * live rows for per-cell populations — only [[knnJoinAdaptive]]
+    * needs them, so the fixed-rerank path skips that O(n) pass. */
+  def model(spark: SparkSession, path: String,
+      withCounts: Boolean = false): IvfBq.Model = {
     val (cents, residual, thr, _) = loadParams(spark, path)
-    val codes = minusDeletes(spark, path,
-      spark.read.parquet(dir(path, "codes")), "id")
-    val counts = codes.groupBy("cell").count()
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val codes = liveCodes(spark, path)
+    val counts =
+      if (withCounts)
+        codes.groupBy("cell").count()
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      else Map.empty[Int, Long]
     IvfBq.Model(cents, thr, codes, residual, counts)
   }
 
   /** Originals for the rerank stage (minus deletes). */
   def vectors(spark: SparkSession, path: String): DataFrame =
     minusDeletes(spark, path,
-      spark.read.parquet(dir(path, "vectors")), "vec_id")
+      spark.read.parquet(dir(path, "vectors"))
+        .select("vec_id", "embedding"), "vec_id")
 
   /** Serve with the UNCHANGED batch operator over the epoch union —
     * stream-built, batch-served. */
@@ -161,20 +196,20 @@ object IncrementalBqIndex {
       nprobe, rerank, scoreDigits = scoreDigits)
 
   /** Adaptive-overfetch serving: per-query rerank sized from the probed
-    * cells' LIVE populations (recomputed per call in [[model]]) — the
-    * right knob here, because epochs grow cells continuously and
-    * residual hammings only rank within a cell, so a fixed global
-    * rerank decays exactly the way the 10M study measured. */
+    * cells' LIVE populations (recomputed per call) — the right knob
+    * here, because epochs grow cells continuously and residual hammings
+    * only rank within a cell, so a fixed global rerank decays exactly
+    * the way the 10M study measured. */
   def knnJoinAdaptive(spark: SparkSession, path: String, queries: DataFrame,
       k: Int, nprobe: Int = 4, rerankFrac: Double = 0.1,
       rerankMin: Int = 100, scoreDigits: Int = -1): DataFrame =
-    IvfBq.knnJoinAdaptive(model(spark, path), vectors(spark, path), queries,
+    IvfBq.knnJoinAdaptive(model(spark, path, withCounts = true),
+      vectors(spark, path), queries,
       k, nprobe, rerankFrac, rerankMin, scoreDigits = scoreDigits)
 
   /** Live row count (codes minus deletes). */
   def indexedCount(spark: SparkSession, path: String): Long =
-    minusDeletes(spark, path,
-      spark.read.parquet(dir(path, "codes")), "id").count()
+    liveCodes(spark, path).count()
 
   /** Indexed-corpus growth past the frozen quantizer's fit corpus — the
     * compaction trigger (the round-6 drift measurement: recall decline
@@ -194,11 +229,15 @@ object IncrementalBqIndex {
     * before/after — spec-pinned). `refit = true` retrains the quantizer
     * over everything currently indexed (pass `numCells` scaled by
     * growth — the recovery path for growth-driven recall decline).
-    * Both write to a temp layout first (the source cannot be
-    * overwritten while read), then swap directories. */
+    *
+    * Crash safety: the replacement layout is fully written to a temp
+    * dir first, then the live parts move ASIDE (rename, checked) before
+    * the replacements move in, and the aside copy is only deleted after
+    * every move succeeded — a failure at any point leaves either the
+    * old layout live or both copies on disk, never neither. */
   def compact(spark: SparkSession, path: String, refit: Boolean = false,
       numCells: Int = -1): Unit = {
-    val (cents, residual, _, _) = loadParams(spark, path)
+    val (cents, residual, _, fitN0) = loadParams(spark, path)
     val tmp = dir(path, ".compact")
     val live = vectors(spark, path)
     if (refit) {
@@ -206,10 +245,11 @@ object IncrementalBqIndex {
       build(live, tmp, c, residual)
     } else {
       // same quantizer: rewrite codes/vectors minus deletes, keep params
-      minusDeletes(spark, path,
-          spark.read.parquet(dir(path, "codes")), "id")
-        .write.mode(SaveMode.Overwrite).parquet(dir(tmp, "codes"))
-      live.write.mode(SaveMode.Overwrite).parquet(dir(tmp, "vectors"))
+      liveCodes(spark, path)
+        .write.mode(SaveMode.Overwrite)
+        .parquet(dir(tmp, "codes/epoch=compacted"))
+      live.write.mode(SaveMode.Overwrite)
+        .parquet(dir(tmp, "vectors/epoch=compacted"))
       spark.read.parquet(dir(path, "centroids"))
         .write.mode(SaveMode.Overwrite).parquet(dir(tmp, "centroids"))
       spark.read.parquet(dir(path, "thresholds"))
@@ -218,18 +258,25 @@ object IncrementalBqIndex {
       // fold-only compaction keeps the SAME quantizer — fit_n must keep
       // the original fit-corpus size or growthSinceFit would hide the
       // very growth the compaction trigger watches
-      val (_, _, _, fitN0) = loadParams(spark, path)
       Seq((residual, fitN0)).toDF("residual", "fit_n")
         .coalesce(1).write.mode(SaveMode.Overwrite).parquet(dir(tmp, "meta"))
     }
     val f = fs(spark, path)
-    Seq("codes", "vectors", "centroids", "thresholds", "meta").foreach { p =>
-      val dst = new org.apache.hadoop.fs.Path(dir(path, p))
-      f.delete(dst, true)
-      f.rename(new org.apache.hadoop.fs.Path(dir(tmp, p)), dst)
-      ()
+    def mv(from: String, to: String): Unit = {
+      val src = new org.apache.hadoop.fs.Path(from)
+      if (f.exists(src)) {
+        require(f.rename(src, new org.apache.hadoop.fs.Path(to)),
+          s"compact: rename $from -> $to failed; index left intact " +
+            s"(old layout still live, replacement under $tmp)")
+      }
     }
+    val aside = dir(path, ".compact-old")
+    f.mkdirs(new org.apache.hadoop.fs.Path(aside))
+    val parts = Seq("codes", "vectors", "centroids", "thresholds", "meta")
+    parts.foreach(p => mv(dir(path, p), s"$aside/$p"))
+    parts.foreach(p => mv(dir(tmp, p), dir(path, p)))
     f.delete(new org.apache.hadoop.fs.Path(dir(path, "deletes")), true)
+    f.delete(new org.apache.hadoop.fs.Path(aside), true)
     f.delete(new org.apache.hadoop.fs.Path(tmp), true)
     ()
   }
@@ -240,19 +287,22 @@ object IncrementalBqIndex {
     ()
   }
 
-  /** foreachBatch → one [[append]] epoch per micro-batch (the
-    * TextIndex.streamingAppend shape): stream-built, batch-served,
-    * durable parquet per batch. The index must exist ([[build]] on the
-    * bootstrap corpus — the quantizer needs training data). */
+  /** foreachBatch → one [[append]] epoch per micro-batch, tagged by the
+    * micro-batch id — an at-least-once RETRY of a batch overwrites its
+    * own epoch directory instead of appending duplicates, so the
+    * stream-built ≡ batch-built identity survives replays. The index
+    * must exist ([[build]] on the bootstrap corpus — the quantizer
+    * needs training data). */
   def streamingAppend(stream: DataFrame, path: String,
       idCol: String = "vec_id", vecCol: String = "embedding")
       : StreamingQuery = {
     require(exists(stream.sparkSession, dir(path, "meta")),
       s"no incremental BQ index at $path — build() on a bootstrap corpus first")
     stream.writeStream.outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val b = batch.persist()
-        try { if (!b.isEmpty) append(b, path, idCol, vecCol) }
+        try { if (!b.isEmpty) append(b, path, idCol, vecCol,
+          epochTag = Some(s"b$batchId")) }
         finally { b.unpersist(); () }
       }.start()
   }

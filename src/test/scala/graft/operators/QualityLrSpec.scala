@@ -73,7 +73,7 @@ class QualityLrSpec extends AnyFunSuite {
     assert(model.weights.forall(w => !w.isNaN && !w.isInfinite))
     val scored = QualityLr.score(docs, model).collect()
     assert(scored.length ==
-      docs.filter(col("text").isNotNull).count())
+      docs.filter(col("text").isNotNull && length(col("text")) > 0).count())
     assert(scored.map(_.getLong(0)).distinct.length == scored.length)
     scored.foreach { r =>
       assert(!r.getDouble(5).isNaN, s"NaN logit at doc ${r.getLong(0)}")

@@ -54,7 +54,7 @@ class IncrementalBqIndexSpec extends AnyFunSuite {
         k = 5, nprobe = 4, rerankFrac = 0.5, rerankMin = 5, scoreDigits = 6)
       .select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
     val adDirect = IvfBq.knnJoinAdaptive(
-        IncrementalBqIndex.model(spark, path),
+        IncrementalBqIndex.model(spark, path, withCounts = true),
         IncrementalBqIndex.vectors(spark, path), probes,
         k = 5, nprobe = 4, rerankFrac = 0.5, rerankMin = 5, scoreDigits = 6)
       .select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
@@ -124,6 +124,30 @@ class IncrementalBqIndexSpec extends AnyFunSuite {
     assert(serve(path) == serve(fresh))
     IncrementalBqIndex.drop(spark, path)
     IncrementalBqIndex.drop(spark, fresh)
+  }
+
+  test("re-appending a deleted id fails loudly (run compact first); " +
+      "replaying the SAME epoch tag is idempotent") {
+    val path = tmpPath()
+    val a = emb.filter(col("vec_id") % 2 === 0)
+    IncrementalBqIndex.build(a, path, numCells = 4)
+    import spark.implicits._
+    IncrementalBqIndex.remove(Seq(0L).toDF("vec_id"), path)
+    intercept[IllegalArgumentException] {
+      IncrementalBqIndex.append(
+        emb.filter(col("vec_id") < 3), path)
+    }
+    IncrementalBqIndex.compact(spark, path, refit = false)
+    // retry semantics: same tag overwrites its epoch dir, not append
+    val b = emb.filter(col("vec_id") % 2 === 1)
+    IncrementalBqIndex.append(b, path, epochTag = Some("b7"))
+    val once = serve(path)
+    val n1 = IncrementalBqIndex.indexedCount(spark, path)
+    IncrementalBqIndex.append(b, path, epochTag = Some("b7")) // replay
+    assert(IncrementalBqIndex.indexedCount(spark, path) == n1,
+      "epoch replay must not duplicate rows")
+    assert(serve(path) == once)
+    IncrementalBqIndex.drop(spark, path)
   }
 
   test("streamingAppend: two micro-batches serve bit-identically to the " +
