@@ -3,7 +3,7 @@ package graft.bench
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.operators.{IvfFlat, KnnJoin, Mrl, Pca, PplFilter, Prune, Recall}
+import graft.operators.{ClusterEval, IvfFlat, KnnJoin, Mrl, Pca, PplFilter, Prune, Recall}
 import graft.sources.VectorSources
 
 /** Scale points for the round-8 curation operators (1M default):
@@ -80,10 +80,10 @@ object CurationScaleMain {
 
     // ---- 3. prototype pruning (clustered corpus — the data shape the
     // prototype score presumes) ---------------------------------------
-    val clustered = VectorSources.syntheticClustered(spark, n, dim,
-        numClusters = 128, spread = 0.15)
-      .select("vec_id", "embedding").persist()
-    clustered.count()
+    val clusteredAll = VectorSources.syntheticClustered(spark, n, dim,
+        numClusters = 128, spread = 0.15).persist()
+    val clustered = clusteredAll.select("vec_id", "embedding")
+    clusteredAll.count()
     val tp0 = System.nanoTime()
     val ivf = IvfFlat.fit(clustered, numCells = 1024)
     val tp1 = System.nanoTime()
@@ -95,7 +95,18 @@ object CurationScaleMain {
     println(f"PRUNE-SCALE n=$n C=1024 fit=${(tp1 - tp0) / 1e9}%.1fs " +
       f"prune=${(tp2 - tp1) / 1e9}%.1fs kept=$keptN/$totalN " +
       f"(${keptN.toDouble / totalN}%.4f)")
-    clustered.unpersist()
+    // a SECOND consumer of the same fitted quantizer: the O(n·C·d)
+    // assignment persisted at fit, so cluster eval pays only its own
+    // contingency pass (the shared-model contract the 10M run motivated)
+    val tp3 = System.nanoTime()
+    val ce = ClusterEval.eval(ivf,
+      clusteredAll.select(col("vec_id"), col("cluster_id").as("label")))
+      .collect().head
+    println(f"PRUNE-SCALE cluster_eval (shared quantizer, cached " +
+      f"assignment) wall=${(System.nanoTime() - tp3) / 1e9}%.1fs " +
+      f"purity=${ce.getAs[Double]("purity")}%.3f " +
+      f"nmi=${ce.getAs[Double]("nmi")}%.3f")
+    clusteredAll.unpersist()
 
     // ---- 2. perplexity filter at 1M docs ----------------------------
     val len = 80; val vocab = 50000
