@@ -16,6 +16,13 @@ for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
 
 def canon(df):
     df = df[sorted(df.columns)]
+    # array columns (numpy ndarrays / lists) are unhashable+unsortable in
+    # sort_values — stringify them first (same norm as tools/compare.py)
+    for c in df.columns:
+        if df[c].map(lambda v: isinstance(v, (list, tuple))
+                     or type(v).__name__ == "ndarray").any():
+            df[c] = df[c].map(lambda v: "[" + ",".join(
+                repr(float(x)) for x in v) + "]" if v is not None else None)
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     return df
 

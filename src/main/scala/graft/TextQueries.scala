@@ -375,8 +375,14 @@ object TextQueries {
     // fixed-point — a pure in-row projection (zero shuffles at any
     // corpus size) that BRIDGES text to the entire vector stack: any
     // ANN/dedup/pruning operator here runs on documents with no
-    // embedding model in the loop.
-    "doc_embed_hash" -> ((s, dir) => hashedBowEmbed(docs(s, dir))),
+    // embedding model in the loop. Battery shape: posexploded to scalar
+    // (doc_id, bucket, weight) rows so the driver comparator (which
+    // sorts scalar columns) can hash-gate it; consumers of the array
+    // form use hashedBowEmbed directly (knn_docs_hashbow below).
+    "doc_embed_hash" -> ((s, dir) =>
+      hashedBowEmbed(docs(s, dir))
+        .select(col("doc_id"), posexplode(col("embedding")))
+        .toDF("doc_id", "bucket", "weight")),
 
     // ...and the bridge composed: doc-to-doc cosine kNN over the hashed
     // embeddings via the battery's exact kNN operator (first 20 docs as
@@ -537,9 +543,14 @@ object TextQueries {
     // bounded md5-ordered sample. Scoring + bucketing are pure
     // projections (stream-capable); the whole trained pipeline
     // hash-matches cross-engine like dsir_select.
+    // memoized like the fitted-model tables: battery/verify call each
+    // query fn repeatedly in one session — without the memo every call
+    // would persist a fresh n-row scored cache nothing releases.
     "ppl_filter" -> ((s, dir) =>
-      graft.operators.PplFilter.filter(docs(s, dir),
-        col("source").isin("src0", "src1"), buckets = 1024, sampleN = 200)),
+      TextMemo.get(s, s"pplfilter/$dir") {
+        graft.operators.PplFilter.filter(docs(s, dir),
+          col("source").isin("src0", "src1"), buckets = 1024, sampleN = 200)
+      }),
 
     // BPE tokenizer TRAINING + application: 100 merges learned from the
     // corpus word-count table (one distributed pass; the merge loop runs
@@ -643,8 +654,13 @@ object TextQueries {
     // assignment — the clusters themselves come from the same bounded
     // LSH pipeline as dedup_clusters.
     "dedup_keep_best" -> ((s, dir) => {
+      // NULL-proof priority: a non-'srcN' source casts to NULL, and Spark
+      // orders NULLS FIRST on ASC while DuckDB orders NULLS LAST — pin
+      // unknown sources to lowest priority (Long.MaxValue) on BOTH engines
+      // so the kept doc never diverges cross-engine.
       val pri = docs(s, dir).select(col("doc_id"),
-        expr("cast(substring(source, 4, 10) as bigint)").as("priority"),
+        expr("coalesce(cast(substring(source, 4, 10) as bigint), " +
+          "9223372036854775807L)").as("priority"),
         col("n_chars"))
       val w = Window.partitionBy("cluster_id")
         .orderBy(col("priority").asc, col("n_chars").desc, col("doc_id").asc)
@@ -1341,9 +1357,14 @@ object TextQueries {
         | CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
         |FROM agg GROUP BY doc_id""".stripMargin,
     // feature-hashing doc embedding — exact integer counts, exact
-    // integer sum-of-squares norm, identical double division + rounding
+    // integer sum-of-squares norm, identical double division + rounding.
+    // Scalar (doc_id, bucket, weight) rows straight off the dense grid —
+    // same values the list in hb_emb would hold, comparator-friendly.
     "doc_embed_hash" ->
-      s"${hashedBowEmbedCte()}\nSELECT doc_id, embedding FROM hb_emb",
+      (s"${hashedBowEmbedCte()}\n" +
+        """SELECT d.doc_id, CAST(d.j AS INT) AS bucket,
+          | floor((CAST(d.c AS DOUBLE)/n.nrm)*1e6 + 0.5)/1e6 AS weight
+          |FROM hb_dense d JOIN hb_nrm n USING (doc_id)""".stripMargin),
     "knn_docs_hashbow" ->
       (s"${hashedBowEmbedCte()},\n" +
         """ hb_femb AS (SELECT doc_id, CAST(embedding AS REAL[]) AS fe FROM hb_emb),
@@ -1582,7 +1603,9 @@ object TextQueries {
     // mangle into margins.
     "dedup_keep_best" ->
       (s"$dedupClustersCore,\n cl AS (\n$dedupClustersSelect),\n" +
-        """ pri AS (SELECT doc_id, CAST(substr(source, 4) AS BIGINT) AS priority,
+        """ pri AS (SELECT doc_id,
+          |   coalesce(TRY_CAST(substr(source, 4) AS BIGINT),
+          |     9223372036854775807) AS priority,
           |         n_chars FROM documents)
           |SELECT doc_id, cluster_id, priority, (rnk = 1) AS kept FROM (
           |  SELECT c.doc_id, c.cluster_id, p.priority,

@@ -106,6 +106,7 @@ object CurationScaleMain {
       f"assignment) wall=${(System.nanoTime() - tp3) / 1e9}%.1fs " +
       f"purity=${ce.getAs[Double]("purity")}%.3f " +
       f"nmi=${ce.getAs[Double]("nmi")}%.3f")
+    ivf.release()
     clusteredAll.unpersist()
 
     // ---- 2. perplexity filter at 1M docs ----------------------------

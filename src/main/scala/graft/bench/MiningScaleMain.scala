@@ -62,6 +62,7 @@ object MiningScaleMain {
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val gatedS = (System.nanoTime() - t1) / 1e9
+    model.release()
 
     val recall = gated.intersect(exact).size.toDouble / exact.size
     println(f"MINING-SCALE n=$n anchors=$nAnchors k=$k cells=$cells " +

@@ -53,6 +53,7 @@ object SemDedupScaleMain {
       val total = verdicts.count()
       val t2 = System.nanoTime()
       verdicts.unpersist()
+      model.release() // one fit per C — drop each round's assignment cache
       require(total == n, s"verdict rows $total != corpus $n")
       println(f"$c%6d ${(t1 - t0) / 1e9}%8.1f ${(t2 - t1) / 1e9}%9.1f " +
         f"$kept%12d ${kept.toDouble / n}%10.4f $maxCell%9d")

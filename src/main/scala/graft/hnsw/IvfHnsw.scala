@@ -101,6 +101,9 @@ object IvfHnsw {
       }
     val persisted = graph.persist()
     persisted.count()
+    // quantizer assignment fully consumed by the materialized graph —
+    // release its cache (IvfPq/IvfBq.fit do the same)
+    ivf.release()
     Model(ivf.centroids, new HnswModel(spark, p, persisted))
   }
 

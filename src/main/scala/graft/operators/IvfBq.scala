@@ -71,7 +71,7 @@ object IvfBq {
     // by the (already materialized) code table — release it here, or
     // every fit leaks an n-row cache entry nothing can reach
     // (callers who want a shared quantizer use fromIvf directly)
-    ivf.assigned.unpersist()
+    ivf.release()
     m
   }
 

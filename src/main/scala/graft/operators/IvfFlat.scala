@@ -18,7 +18,15 @@ import graft.functions.similarity
   */
 object IvfFlat {
 
-  case class Model(centroids: Array[(Int, Array[Float])], assigned: DataFrame)
+  case class Model(centroids: Array[(Int, Array[Float])], assigned: DataFrame) {
+    /** Drop the persisted assignment cache. [[fit]] persists `assigned`
+      * (every consumer action would otherwise re-pay the O(n·C·d)
+      * assignment scan); callers that fit REPEATEDLY in one session —
+      * specs, sweep mains — must release each model or the cache entries
+      * accumulate unreachably. Memoized holders (the battery's ivfModel)
+      * keep theirs for the session, like the other model tables. */
+    def release(): Unit = { assigned.unpersist(); () }
+  }
 
   /** Deterministic training: initial centroids = the C vectors with the
     * smallest mixed hash of their id, refined by one Lloyd iteration over

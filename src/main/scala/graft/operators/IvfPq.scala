@@ -111,6 +111,10 @@ object IvfPq {
           .toDF("cell", "id", "codes"))
       .repartition(col("cell")).persist()
     encoded.count()
+    // the transient coarse quantizer's persisted assignment is fully
+    // consumed by the (just materialized) code table — release it, or
+    // every fit leaks an n-row cache entry nothing can reach
+    ivf.release()
     Model(numCells, numSub, subDim, centroids, codebooks, encoded, rotation,
       packed)
   }

@@ -111,12 +111,23 @@ object PplFilter {
     * docs, tertile-cut by the deterministic sample thresholds. The
     * scored frame is persisted (scoring is the dominant cost, and both
     * the threshold pass and the returned cut consume it) — it stays
-    * cached for the consumer, like the fitted-model tables. */
-  def filter(docs: DataFrame, isTarget: Column, buckets: Int = 1024,
-      sampleN: Int = 200): DataFrame = {
+    * cached for the consumer, like the fitted-model tables.
+    *
+    * Returns the cut frame plus a release thunk that unpersists the
+    * backing scored cache — call it when done with the result (specs
+    * and bench mains that fit repeatedly must, or each fit leaks one
+    * n-row cache entry for the session). */
+  def filterReleasable(docs: DataFrame, isTarget: Column,
+      buckets: Int = 1024, sampleN: Int = 200): (DataFrame, () => Unit) = {
     val model = fit(docs.filter(isTarget), buckets)
     val scored = score(docs, model).persist()
     val (t1, t2) = sampleThresholds(scored, sampleN)
-    cut(scored, t1, t2)
+    (cut(scored, t1, t2), () => { scored.unpersist(); () })
   }
+
+  /** [[filterReleasable]] without the handle — for callers that keep the
+    * cache for the session (the memoized battery entry). */
+  def filter(docs: DataFrame, isTarget: Column, buckets: Int = 1024,
+      sampleN: Int = 200): DataFrame =
+    filterReleasable(docs, isTarget, buckets, sampleN)._1
 }

@@ -133,11 +133,19 @@ object IncrementalBqIndex {
         (cell, id, bits)
       }
     }.toDF("cell", "id", "bits").persist()
-    encoded.write.mode(SaveMode.Overwrite)
-      .parquet(dir(path, s"codes/epoch=$tag"))
+    // COMMIT ORDER: vectors first, codes last. Serving starts from the
+    // code rows and reranks via an inner join to vectors, so the codes
+    // write is the epoch's commit point — a crash between the two writes
+    // leaves an orphan vectors/epoch (invisible to serving, superseded on
+    // the idempotent retry) instead of code rows whose originals are
+    // missing (which the rerank join would drop SILENTLY — quiet recall
+    // loss nothing detects). compact() anchors its live set on committed
+    // codes for the same reason.
     src.select(col("id").as("vec_id"), col("vec").as("embedding"))
       .write.mode(SaveMode.Overwrite)
       .parquet(dir(path, s"vectors/epoch=$tag"))
+    encoded.write.mode(SaveMode.Overwrite)
+      .parquet(dir(path, s"codes/epoch=$tag"))
     encoded.unpersist()
     ()
   }
@@ -239,7 +247,12 @@ object IncrementalBqIndex {
       numCells: Int = -1): Unit = {
     val (cents, residual, _, fitN0) = loadParams(spark, path)
     val tmp = dir(path, ".compact")
-    val live = vectors(spark, path)
+    // live set anchored on COMMITTED codes: an orphan vectors/epoch left
+    // by a crash mid-append (vectors land before codes — see append) was
+    // never acknowledged and must not resurrect here
+    val live = vectors(spark, path).join(
+      liveCodes(spark, path).select(col("id").as("vec_id")),
+      Seq("vec_id"), "left_semi")
     if (refit) {
       val c = if (numCells > 0) numCells else cents.length
       build(live, tmp, c, residual)

@@ -262,7 +262,11 @@ class OperatorsSpec extends AnyFunSuite {
       expr("CAST(vec_id DIV 8 AS BIGINT)").as("query_id"),
       expr("CAST(vec_id % 8 AS INT)").as("vec_no"),
       col("embedding").as("query_vec"))
-    val cents = IvfFlat.fit(emb, numCells = 8).centroids
+    val cents = {
+      val m = IvfFlat.fit(emb, numCells = 8)
+      m.release() // only the centroids are used below
+      m.centroids
+    }
     val exact = MaxSim.maxSimJoin(dv, qv, k = 10, scoreDigits = 6)
     // nprobe = C: every cell probed, so candidates = all pairs and the
     // gated scorer must reproduce brute force EXACTLY (same rounding/ties)
@@ -724,6 +728,7 @@ class OperatorsSpec extends AnyFunSuite {
     val full = IvfFlat.knnJoin(m1, probes, k = 10, nprobe = 16)
     val r2 = Recall.microAvgRecall(full, exact).select("recall").first().getDouble(0)
     assert(r2 == 1.0, s"exhaustive ivf recall = $r2")
+    m1.release(); m2.release()
   }
 
   test("salted join and two-phase agg match unsalted results on skewed keys") {
@@ -961,6 +966,7 @@ class OperatorsSpec extends AnyFunSuite {
     assert(after == before)
     IvfFlat.delete(spark, tmp)
     assert(IvfFlat.load(spark, tmp).isEmpty)
+    m.release()
   }
 
   test("PQ/OPQ/SQ save/load round-trips; load missing path is None") {
@@ -1210,6 +1216,7 @@ class OperatorsSpec extends AnyFunSuite {
     val a1 = m.assigned.select("id", "cell").collect().map(_.toSeq).toSet
     val a2 = m2.assigned.select("id", "cell").collect().map(_.toSeq).toSet
     assert(a1 == a2)
+    m.release(); greedy.release(); m2.release()
   }
 
   test("two-phase ordinal: dense, order-consistent, no single-partition window") {

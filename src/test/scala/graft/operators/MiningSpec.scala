@@ -98,6 +98,7 @@ class MiningSpec extends AnyFunSuite {
     assert(pruned.groupBy(_._1).forall(_._2.length == 5),
       "every anchor must fill k (escalating if its probes under-fill)")
     assert(pruned.forall { case (q, n, l) => n != q && l != labelOf(q) })
+    model.release()
   }
 
   test("escalation: an anchor whose nearest cell is all same-label " +
@@ -119,6 +120,7 @@ class MiningSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(2), r.getInt(3)))
     assert(got.length == 4, s"expected 4 negatives, got ${got.toSeq}")
     assert(got.forall(_._2 != 0))
+    model.release()
   }
 
   test("equals a driver-side brute force on real embeddings; never " +

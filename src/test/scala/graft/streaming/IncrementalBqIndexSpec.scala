@@ -37,9 +37,11 @@ class IncrementalBqIndexSpec extends AnyFunSuite {
         col("embedding").cast("array<float>").as("vec")),
       ivf.centroids, "cosine")
     val m = IvfBq.fromIvf(IvfFlat.Model(ivf.centroids, assigned))
-    IvfBq.knnJoin(m, corpus, probes, k = 5, nprobe = 4, rerank = 20,
+    val out = IvfBq.knnJoin(m, corpus, probes, k = 5, nprobe = 4, rerank = 20,
         scoreDigits = 6)
       .select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
+    m.encoded.unpersist(); ivf.release()
+    out
   }
 
   test("build + serve equals the direct batch IvfBq pipeline") {
