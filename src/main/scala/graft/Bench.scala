@@ -118,7 +118,8 @@ object Bench {
       "knn_bq_cosine", "knn_mrl_cosine", "dup_ngram_spans",
       "phrase_search", "dsir_select", "dedup_trim", "hard_negatives",
       "bpe_token_stats", "sample_weighted",
-      "knn_pca_cosine", "ppl_filter", "prune_prototypes")
+      "knn_pca_cosine", "ppl_filter", "prune_prototypes",
+      "media_image_features", "media_audio_features")
     // failed queries surface on stdout (negated time), but capped: the
     // headline set plus at most 12 extra failures keeps the worst case
     // (every query failing) inside the tail window

@@ -107,6 +107,34 @@ object VectorQueries {
     emb(s, dir).filter(col("vec_id") < n)
       .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
 
+  /** Synthetic media table with REAL payloads: each embedding quantized
+    * to 0..255 and encoded as an actual 8x8 grayscale BMP by the JDK
+    * codec. Stands in for a `binaryFile` scan of an image corpus — the
+    * downstream decode/pool/knn operators are the real kernels. */
+  private def mediaBmp(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    emb(s, dir).select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        (id, "image", graft.operators.Multimodal.encodeGray(
+          graft.operators.Multimodal.quantize255(v), 8, 8), 8, 8)
+      }
+      .toDF("media_id", "media_type", "content", "width", "height")
+  }
+
+  /** Synthetic media table with REAL audio payloads: each embedding
+    * quantized to PCM16 and wrapped in an actual RIFF/WAVE file. */
+  private def mediaWav(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    emb(s, dir).select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        (id, "audio", graft.operators.Multimodal.encodePcm16Wav(
+          graft.operators.Multimodal.quantizePcm16(v), 8000))
+      }
+      .toDF("media_id", "media_type", "content")
+  }
+
   /** BM25 top-20 lexical leg fused with exact-cosine top-20 by RRF —
     * shared by the `rrf_fusion_bm25` entry and the `rank_quality` eval. */
   private def rrfBm25Fused(s: SparkSession, dir: String): DataFrame = {
@@ -576,22 +604,45 @@ object VectorQueries {
           rnd(element_at(col("pcts"), 4), 3).as("p99_ms"))
     }),
 
+    // REAL image pipeline, fully oracle-gated: each embedding rendered
+    // as an actual 8x8 grayscale BMP (JDK ImageIO codec), decoded back
+    // through the real decoder, 2x2-average-pooled to 16 luma features.
+    // BMP is lossless and the quantization arithmetic is explicit-
+    // parenthesized double math, so DuckDB reproduces every feature
+    // bit-for-bit STRAIGHT FROM THE EMBEDDING — the oracle covers
+    // encode, the codec round-trip, luma, and pooling end to end.
+    "media_image_features" -> ((s, dir) =>
+      graft.operators.Multimodal.decodeImagePooled(mediaBmp(s, dir), grid = 4)
+        .select(col("media_id"), col("img_w"), col("img_h"),
+          posexplode(col("feature")))
+        .toDF("media_id", "img_w", "img_h", "block", "luma")),
+
+    // REAL audio pipeline, fully oracle-gated: embeddings as PCM16
+    // waveforms in actual RIFF/WAVE payloads (canonical 44-byte header),
+    // decoded by the chunk-walking parser; per-window RMS + whole-signal
+    // zero-crossing count — integer sums, double sqrt, 1e-6 fixed point.
+    "media_audio_features" -> ((s, dir) =>
+      graft.operators.Multimodal.decodeWavFeatures(
+        mediaWav(s, dir), windows = 8)),
+
     // multimodal features feed straight into the similarity operators —
-    // the media→embedding→retrieval composition (stub codec, real plan)
+    // the media→embedding→retrieval composition, now REAL end to end:
+    // BMP bytes → real decode → pooled luma features → exact cosine
+    // top-k, hash-matched cross-engine like knn_docs_hashbow.
     "multimodal_knn" -> ((s, dir) => {
-      val media = s.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id").as("media_id"), lit("text").as("media_type"),
-          encode(col("text"), "utf-8").as("content"),
-          lit(640).as("width"), lit(480).as("height"))
-      val feats = graft.operators.Multimodal.decodeFeaturesStub(media, featureDim = 8)
-        .select(col("media_id").as("vec_id"), col("feature").as("embedding"))
+      val feats = graft.operators.Multimodal
+        .decodeImagePooled(mediaBmp(s, dir), grid = 4)
+        .select(col("media_id").as("vec_id"),
+          col("feature").cast("array<float>").as("embedding"))
       val mprobes = feats.filter(col("vec_id") < 20)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
       KnnJoin.exactKnnJoin(feats, mprobes, k = 5, metric = "cosine", scoreDigits = 6)
     }),
 
-    // multimodal plumbing smoke: media rows (utf-8 bytes of documents as
-    // stand-in payloads) → stub feature extraction → per-media summary
+    // VIDEO-shape plumbing smoke (rows-only by nature): the one remaining
+    // STUB kernel — the JDK has no video codec — exercising the batched
+    // per-partition decode shape on opaque payloads (utf-8 document bytes
+    // as stand-ins). Image and audio are REAL + oracled above.
     "multimodal_features" -> ((s, dir) => {
       val media = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id").as("media_id"), lit("text").as("media_type"),
@@ -1032,7 +1083,91 @@ object VectorQueries {
     staticOracle ++ ivfOracle ++ pqOracle ++ pcaOracle ++ opqOracle ++
       ivfpqOracle
 
+  /** Shared DuckDB CTE prefix for the real-media oracles: re-derives the
+    * quantized pixels/samples straight from the embeddings with the SAME
+    * explicit-parenthesized double arithmetic as Multimodal.quantize255 /
+    * quantizePcm16 — the BMP/WAV codec round-trip is lossless, so the
+    * features must match bit-for-bit. Ends with CTE `mm_px` (pixels) and
+    * `mm_sm` (PCM samples), both (vec_id, idx, value). */
+  private val mediaQuantCte: String =
+    """WITH mm_e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings),
+      | mm_mm AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx
+      |  FROM mm_e),
+      | mm_j AS (SELECT unnest(range(1, 65)) AS j),
+      | mm_px AS (SELECT vec_id, CAST(j - 1 AS INT) AS idx,
+      |   CASE WHEN mx = mn THEN 0
+      |     ELSE CAST(floor(((v[j] - mn) / (mx - mn)) * 255.0 + 0.5) AS INT)
+      |   END AS p
+      |  FROM mm_mm CROSS JOIN mm_j),
+      | mm_sm AS (SELECT vec_id, CAST(j - 1 AS INT) AS idx,
+      |   CASE WHEN mx = mn THEN 0
+      |     ELSE CAST(floor(((v[j] - mn) / (mx - mn)) * 65535.0 + 0.5) AS INT)
+      |       - 32768
+      |   END AS s
+      |  FROM mm_mm CROSS JOIN mm_j)""".stripMargin
+
+  /** The 4x4 pooled-luma feature CTE on top of [[mediaQuantCte]] (block =
+    * adaptive-pool bin of an 8x8 image; gray pixel ⇒ integer luma = p).
+    * Ends with `mm_feat(media_id, block, luma)`. */
+  private val mediaImageFeatCte: String =
+    """ mm_blk AS (SELECT vec_id,
+      |   CAST(((idx // 8) * 4 // 8) * 4 + ((idx % 8) * 4 // 8) AS INT)
+      |     AS block, p
+      |  FROM mm_px),
+      | mm_feat AS (SELECT vec_id AS media_id, block,
+      |   floor(CAST(sum(p) AS DOUBLE) / (count(*) * 255.0) * 1e6 + 0.5)/1e6
+      |     AS luma
+      |  FROM mm_blk GROUP BY 1, 2)""".stripMargin
+
   private val staticOracle: Map[String, String] = Map(
+    // real image pipeline: quantize → (lossless BMP round-trip) → integer
+    // luma → adaptive 2x2 pooling → 1e-6 fixed point, all re-derived here
+    "media_image_features" ->
+      (s"$mediaQuantCte,\n$mediaImageFeatCte\n" +
+        """SELECT media_id, CAST(8 AS INT) AS img_w, CAST(8 AS INT) AS img_h,
+          | block, luma
+          |FROM mm_feat""".stripMargin),
+    // real audio pipeline: PCM16 quantization → (lossless WAV round-trip)
+    // → per-window RMS (integer sum of squares, double sqrt) + whole-
+    // signal zero-crossing count
+    "media_audio_features" ->
+      (s"$mediaQuantCte,\n" +
+        """ mm_zf AS (SELECT vec_id, idx, s,
+          |   CASE WHEN lag(s) OVER w IS NULL THEN 0
+          |        WHEN (lag(s) OVER w < 0) != (s < 0) THEN 1
+          |        ELSE 0 END AS zf
+          |  FROM mm_sm WINDOW w AS (PARTITION BY vec_id ORDER BY idx)),
+          | mm_z AS (SELECT vec_id, CAST(sum(zf) AS BIGINT) AS zcr
+          |  FROM mm_zf GROUP BY 1),
+          | mm_w AS (SELECT vec_id, CAST(idx * 8 // 64 AS INT) AS "window",
+          |   CAST(s AS BIGINT) * s AS sq
+          |  FROM mm_sm),
+          | mm_r AS (SELECT vec_id, "window",
+          |   floor(sqrt(CAST(sum(sq) AS DOUBLE) / count(*)) * 1e6 + 0.5)/1e6
+          |     AS rms
+          |  FROM mm_w GROUP BY 1, 2)
+          |SELECT r.vec_id AS media_id, CAST(8000 AS INT) AS sample_rate,
+          | CAST(64 AS BIGINT) AS n_samples, z.zcr, r."window", r.rms
+          |FROM mm_r r JOIN mm_z z ON z.vec_id = r.vec_id""".stripMargin),
+    // the media→embedding→retrieval composition: pooled luma features
+    // float-cast (the engine scores array<float> widened to double — the
+    // knn_docs_hashbow parity pattern), exact cosine top-5
+    "multimodal_knn" ->
+      (s"$mediaQuantCte,\n$mediaImageFeatCte,\n" +
+        """ mm_femb AS (SELECT media_id AS vec_id,
+          |   CAST(list(luma ORDER BY block) AS REAL[]) AS fe
+          |  FROM mm_feat GROUP BY 1),
+          | mm_q AS (SELECT vec_id AS query_id, fe AS qv FROM mm_femb
+          |          WHERE vec_id < 20),
+          | mm_scored AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+          |    floor((list_cosine_similarity(CAST(e.fe AS DOUBLE[]),
+          |      CAST(q.qv AS DOUBLE[])))*1e6 + 0.5)/1e6 AS score
+          |   FROM mm_femb e, mm_q q)
+          |SELECT query_id, neighbor_id, score, rank FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY query_id
+          |    ORDER BY score DESC, neighbor_id) AS rank FROM mm_scored)
+          |WHERE rank <= 5""".stripMargin),
     // RRF twin: same lexical inverted-index overlap ranking, same rounded
     // exact-cosine ranking, same two-term reciprocal sum (written order
     // lexical-then-vector, CAST(1 AS DOUBLE) so the division is IEEE
