@@ -625,6 +625,38 @@ object VectorQueries {
       graft.operators.Multimodal.decodeWavFeatures(
         mediaWav(s, dir), windows = 8)),
 
+    // perceptual image hashing (aHash): real decode → 8x8 integer luma
+    // grid → 64-bit mean-threshold signature as 4x16-bit bands. Exact
+    // integer arithmetic end to end — oracled from the pixel values.
+    "media_ahash" -> ((s, dir) =>
+      graft.operators.ImageDup.aHashBands(
+        graft.operators.Multimodal.decodeImagePooledRaw(
+          mediaBmp(s, dir), grid = 8))),
+
+    // image near-dup pairs: band-equality LSH candidates + exact 64-bit
+    // Hamming confirm — the multimodal leg of the dedup family, same
+    // banded never-all-pairs shape as simhash_near_dup. The corpus gets
+    // PNG RE-ENCODED twins of the first 20 images (id + 1000000): the
+    // codec-invariance that makes a perceptual hash a dedup signal —
+    // every twin must pair with its original at Hamming 0, through two
+    // genuinely different codecs' bytes.
+    "media_phash_pairs" -> ((s, dir) => {
+      import s.implicits._
+      val twins = emb(s, dir).filter(col("vec_id") < 20)
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])]
+        .map { case (id, v) =>
+          (id + 1000000L, "image", graft.operators.Multimodal.encodeGray(
+            graft.operators.Multimodal.quantize255(v), 8, 8, "png"), 8, 8)
+        }
+        .toDF("media_id", "media_type", "content", "width", "height")
+      graft.operators.ImageDup.nearDupPairs(
+        graft.operators.ImageDup.aHashBands(
+          graft.operators.Multimodal.decodeImagePooledRaw(
+            mediaBmp(s, dir).unionByName(twins), grid = 8)),
+        maxHamming = 10)
+    }),
+
     // multimodal features feed straight into the similarity operators —
     // the media→embedding→retrieval composition, now REAL end to end:
     // BMP bytes → real decode → pooled luma features → exact cosine
@@ -1120,7 +1152,50 @@ object VectorQueries {
       |     AS luma
       |  FROM mm_blk GROUP BY 1, 2)""".stripMargin
 
+  /** aHash band CTE on top of [[mediaQuantCte]]: for the 8x8 inputs at
+    * grid 8 every pooled cell is one pixel (psum = p, pcnt = 1, total
+    * count 64), so the operator's cross-multiplied mean comparison is
+    * `p * 64 > sum(p)`. Ends with `mm_band(vec_id, band, val)`. */
+  private val mediaAHashCte: String =
+    """ mm_ts AS (SELECT vec_id, CAST(sum(p) AS BIGINT) AS ts
+      |  FROM mm_px GROUP BY 1),
+      | mm_bit AS (SELECT x.vec_id, CAST(x.idx // 16 AS INT) AS band,
+      |   x.idx % 16 AS j,
+      |   CASE WHEN CAST(x.p AS BIGINT) * 64 > t.ts THEN 1 ELSE 0 END AS bit
+      |  FROM mm_px x JOIN mm_ts t ON t.vec_id = x.vec_id),
+      | mm_band AS (SELECT vec_id, band,
+      |   CAST(sum(CASE WHEN bit = 1 THEN (1::BIGINT << j) ELSE 0 END)
+      |     AS BIGINT) AS val
+      |  FROM mm_bit GROUP BY 1, 2)""".stripMargin
+
   private val staticOracle: Map[String, String] = Map(
+    // perceptual hash: integer mean-threshold bits from the same pixels
+    "media_ahash" ->
+      (s"$mediaQuantCte,\n$mediaAHashCte\n" +
+        "SELECT vec_id AS media_id, band, val FROM mm_band"),
+    // banded candidates + exact Hamming confirm, mirroring nearDupPairs;
+    // the PNG twins decode to the SAME pixels (both codecs lossless), so
+    // their band rows are the originals' rows under the offset id
+    "media_phash_pairs" ->
+      (s"$mediaQuantCte,\n$mediaAHashCte,\n" +
+        """ mm_band2 AS (SELECT vec_id, band, val FROM mm_band
+          |  UNION ALL
+          |  SELECT vec_id + 1000000, band, val FROM mm_band
+          |  WHERE vec_id < 20),
+          | mm_cand AS (SELECT DISTINCT a.vec_id AS id1, c.vec_id AS id2
+          |  FROM mm_band2 a JOIN mm_band2 c
+          |    ON a.band = c.band AND a.val = c.val AND a.vec_id < c.vec_id),
+          | mm_wide AS (SELECT vec_id, list(val ORDER BY band) AS vs
+          |  FROM mm_band2 GROUP BY 1)
+          |SELECT id1, id2, hamming FROM (
+          |  SELECT cd.id1, cd.id2,
+          |    CAST(bit_count(xor(w1.vs[1], w2.vs[1]))
+          |       + bit_count(xor(w1.vs[2], w2.vs[2]))
+          |       + bit_count(xor(w1.vs[3], w2.vs[3]))
+          |       + bit_count(xor(w1.vs[4], w2.vs[4])) AS BIGINT) AS hamming
+          |  FROM mm_cand cd JOIN mm_wide w1 ON w1.vec_id = cd.id1
+          |    JOIN mm_wide w2 ON w2.vec_id = cd.id2)
+          |WHERE hamming <= 10""".stripMargin),
     // real image pipeline: quantize → (lossless BMP round-trip) → integer
     // luma → adaptive 2x2 pooling → 1e-6 fixed point, all re-derived here
     "media_image_features" ->

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Perceptual image near-duplicate detection — the multimodal leg of the
+  * dedup family, on top of the REAL image codec ([[Multimodal]]).
+  *
+  * Classic average-hash (aHash) from the public pHash family: downscale
+  * to an 8x8 grayscale grid (the real ImageIO decode + adaptive pooling
+  * kernel), set bit b iff cell b's mean luma exceeds the whole-image
+  * mean, giving a 64-bit signature that is stable under re-encoding,
+  * resizing, and small noise. Near-duplicates are then found the same
+  * way the text stack's SimHash path works at 100 TB: the 64-bit hash is
+  * cut into 4 x 16-bit BANDS, candidates are the pairs that agree
+  * exactly on at least one band (an equi-join — never all-pairs), and
+  * each candidate is confirmed by full Hamming distance <= `maxHamming`.
+  * A pair at Hamming distance d survives banding with certainty when
+  * d < 4 (pigeonhole: some band is untouched) and with high probability
+  * for d near the default threshold.
+  *
+  * Everything after the decode is EXACT integer arithmetic (cell-mean
+  * comparison by cross-multiplication — no float means), so the whole
+  * pipeline is cross-engine oracle-checkable from the pixel values.
+  */
+object ImageDup {
+
+  /** 64-bit aHash as 4 x 16-bit band values, one row per band:
+    * (media_id, band, val). Input is [[Multimodal.decodeImagePooledRaw]]
+    * at grid 8 (64 cells). Bit b of the hash is cell-mean > image-mean,
+    * compared exactly: psum[b] * totalCnt > totalSum * pcnt[b]. In-row
+    * projection — zero shuffles at any corpus size. */
+  def aHashBands(pooled: DataFrame): DataFrame =
+    pooled
+      .withColumn("ts", expr("aggregate(psum, CAST(0 AS BIGINT), (a, x) -> a + x)"))
+      .withColumn("tc", expr("aggregate(pcnt, CAST(0 AS BIGINT), (a, x) -> a + x)"))
+      .select(col("media_id"), explode(expr(
+        """transform(sequence(0, 3), k -> struct(
+          |  k AS band,
+          |  aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, j) ->
+          |    acc + IF(psum[k*16 + j] * tc > ts * pcnt[k*16 + j],
+          |             shiftleft(CAST(1 AS BIGINT), j),
+          |             CAST(0 AS BIGINT))) AS val))"""
+          .stripMargin)).as("bv"))
+      .select(col("media_id"), col("bv.band").cast("int").as("band"),
+        col("bv.val").as("val"))
+
+  /** Near-duplicate pairs from banded hashes: band-equality equi-join
+    * for candidates (the SimHash/MinHash banding shape — a hot identical
+    * image cluster is the only skew source, and it is REAL duplication
+    * the downstream canonicalizer collapses), then the exact 64-bit
+    * Hamming confirm over the 4 band values.
+    * Output: (id1, id2, hamming) with id1 < id2, hamming <= maxHamming. */
+  def nearDupPairs(bands: DataFrame, maxHamming: Int = 10): DataFrame = {
+    val cand = bands.as("a").join(bands.as("c"),
+        col("a.band") === col("c.band") && col("a.val") === col("c.val") &&
+          col("a.media_id") < col("c.media_id"))
+      .select(col("a.media_id").as("id1"), col("c.media_id").as("id2"))
+      .distinct()
+    val wide = bands.groupBy("media_id")
+      .agg(expr("transform(array_sort(collect_list(struct(band, val))), " +
+        "x -> x.val)").as("vs"))
+    cand
+      .join(wide.select(col("media_id").as("id1"), col("vs").as("v1")), Seq("id1"))
+      .join(wide.select(col("media_id").as("id2"), col("vs").as("v2")), Seq("id2"))
+      .withColumn("hamming", expr(
+        "aggregate(sequence(0, 3), CAST(0 AS BIGINT), " +
+          "(acc, k) -> acc + bit_count(v1[k] ^ v2[k]))"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id1", "id2", "hamming")
+  }
+}

@@ -147,6 +147,33 @@ object Multimodal {
   def decodeImagePooled(media: DataFrame, grid: Int = 4): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
+    decodePooledRows(media, grid)
+      .map { case (id, w, h, sum, cnt) =>
+        val feat = Array.tabulate(grid * grid) { b =>
+          if (cnt(b) == 0) 0.0
+          else math.floor(sum(b).toDouble / (cnt(b) * 255.0) * 1e6 + 0.5) / 1e6
+        }
+        (id, w, h, feat)
+      }
+      .toDF("media_id", "img_w", "img_h", "feature")
+  }
+
+  /** [[decodeImagePooled]] before the fixed-point division: raw integer
+    * luma sums + pixel counts per grid cell. The EXACT-ARITHMETIC form —
+    * consumers like the perceptual hash ([[ImageDup]]) compare cell
+    * means by cross-multiplication and never touch a float.
+    * Output: (media_id, img_w, img_h, psum array<long>, pcnt array<long>). */
+  def decodeImagePooledRaw(media: DataFrame, grid: Int = 8): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    decodePooledRows(media, grid)
+      .toDF("media_id", "img_w", "img_h", "psum", "pcnt")
+  }
+
+  private def decodePooledRows(media: DataFrame, grid: Int)
+      : Dataset[(Long, Int, Int, Array[Long], Array[Long])] = {
+    val spark = media.sparkSession
+    import spark.implicits._
     media.select(col("media_id").cast("long"), col("content"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
@@ -171,15 +198,10 @@ object Multimodal {
               }
               y += 1
             }
-            val feat = Array.tabulate(grid * grid) { b =>
-              if (cnt(b) == 0) 0.0
-              else math.floor(sum(b).toDouble / (cnt(b) * 255.0) * 1e6 + 0.5) / 1e6
-            }
-            Iterator.single((id, w, h, feat))
+            Iterator.single((id, w, h, sum, cnt))
           }
         }
       }
-      .toDF("media_id", "img_w", "img_h", "feature")
   }
 
   /** REAL pixel resize: ImageIO decode, area-ish bilinear resample via

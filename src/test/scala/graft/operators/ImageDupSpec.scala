@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Perceptual-hash image dedup: hand-computed aHash bits, banding
+  * guarantees, Hamming confirm, and robustness to re-encoding — the
+  * property that makes aHash a dedup signal at all. */
+class ImageDupSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private def mediaOf(rows: Seq[(Long, Array[Byte])]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("media_id", "content")
+  }
+
+  private def bandsOf(rows: Seq[(Long, Array[Byte])]): DataFrame =
+    ImageDup.aHashBands(
+      Multimodal.decodeImagePooledRaw(mediaOf(rows), grid = 8))
+
+  private def hashOf(rows: Seq[(Long, Array[Byte])]): Map[Long, Seq[Long]] =
+    bandsOf(rows).collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) =>
+        id -> rs.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+      }
+
+  // an 8x8 image whose left half is dark (0) and right half bright (200):
+  // mean = 100, so bit(y,x) = x >= 4 — each 16-bit band (2 pixel rows)
+  // is 0xF0F0
+  private def halfBright(): Array[Byte] =
+    Multimodal.encodeGray(
+      Array.tabulate(64)(i => if (i % 8 >= 4) 200 else 0), 8, 8)
+
+  test("aHash bits match the hand-computed mean threshold") {
+    val h = hashOf(Seq((1L, halfBright())))(1L)
+    assert(h == Seq(0xF0F0L, 0xF0F0L, 0xF0F0L, 0xF0F0L))
+  }
+
+  test("constant image hashes to all-zero (no cell exceeds the mean)") {
+    val h = hashOf(Seq((1L, Multimodal.encodeGray(Array.fill(64)(99), 8, 8))))(1L)
+    assert(h == Seq(0L, 0L, 0L, 0L))
+  }
+
+  test("identical content under different codecs: Hamming 0 pair found") {
+    val px = Array.tabulate(64)(i => (i * 7) % 256)
+    val rows = Seq(
+      (1L, Multimodal.encodeGray(px, 8, 8, "bmp")),
+      (2L, Multimodal.encodeGray(px, 8, 8, "png")))
+    val pairs = ImageDup.nearDupPairs(bandsOf(rows), maxHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 0L)))
+  }
+
+  test("small perturbation survives banding; unrelated image does not pair") {
+    val base = Array.tabulate(64)(i => if (i % 8 >= 4) 200 else 0)
+    // flip 2 cells hard: from dark to far above the mean — <= 2 hash bits
+    // move, at least one band untouched (pigeonhole), pair must survive
+    val near = base.clone(); near(0) = 255; near(63 - 8) = 0
+    val far = Array.tabulate(64)(i => if ((i / 8) % 2 == 0) 220 else 0)
+    val rows = Seq(
+      (1L, Multimodal.encodeGray(base, 8, 8)),
+      (2L, Multimodal.encodeGray(near, 8, 8)),
+      (3L, Multimodal.encodeGray(far, 8, 8)))
+    val pairs = ImageDup.nearDupPairs(bandsOf(rows), maxHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("resized copy keeps a low Hamming distance (the aHash invariance)") {
+    // a smooth 16x16 gradient downscaled to 8x8 by the REAL resizer
+    // still hashes close to the original's hash
+    val px = Array.tabulate(256)(i => ((i % 16) * 16) % 256)
+    val big = Multimodal.encodeGray(px, 16, 16)
+    val small = Multimodal.resizeImage(mediaOf(Seq((9L, big))), maxSide = 8)
+      .collect().head.getAs[Array[Byte]]("content")
+    val pairs = ImageDup.nearDupPairs(
+        bandsOf(Seq((1L, big), (2L, small))), maxHamming = 10)
+      .collect()
+    assert(pairs.length == 1, "resized copy must be caught as a near-dup")
+    assert(pairs.head.getLong(2) <= 4)
+  }
+
+  test("hamming arithmetic: a one-band difference is counted exactly") {
+    import spark.implicits._
+    // synthetic band rows: ids share band 0 value (candidate), differ in
+    // band 3 by bits 0 and 5 -> hamming 2
+    val bands = Seq(
+      (1L, 0, 7L), (1L, 1, 0L), (1L, 2, 1L), (1L, 3, 32L),
+      (2L, 0, 7L), (2L, 1, 0L), (2L, 2, 1L), (2L, 3, 1L))
+      .toDF("media_id", "band", "val")
+    val out = ImageDup.nearDupPairs(bands, maxHamming = 10).collect()
+    assert(out.length == 1 && out.head.getLong(2) == 2L)
+    // ...and a tight threshold rejects it
+    assert(ImageDup.nearDupPairs(bands, maxHamming = 1).count() == 0)
+  }
+}
