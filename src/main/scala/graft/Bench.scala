@@ -123,7 +123,9 @@ object Bench {
     // failed queries surface on stdout (negated time), but capped: the
     // headline set plus at most 12 extra failures keeps the worst case
     // (every query failing) inside the tail window
-    val extraFail = failing.map(_._1).filterNot(headline).take(12).toSet
+    // 9 (was 12) since the two media_* headline entries ate ~60 chars of
+    // the worst-case budget
+    val extraFail = failing.map(_._1).filterNot(headline).take(9).toSet
     val sub = results.filter { case (k, _, e) =>
       headline(k) || (e.isDefined && extraFail(k)) }
     val stdoutLine =

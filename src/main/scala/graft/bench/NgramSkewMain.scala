@@ -1,5 +1,6 @@
 package graft.bench
 
+import java.util.concurrent.ConcurrentHashMap
 import java.util.concurrent.ConcurrentLinkedQueue
 
 import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
@@ -55,10 +56,18 @@ object NgramSkewMain {
     spark.sparkContext.setLogLevel("WARN")
 
     val taskMs = new ConcurrentLinkedQueue[Long]()
+    // per-stage attribution: (tasks, sumMs, maxMs, shuffleReadMB) — the
+    // straggler has to be PLACED before it can be blamed on the join
+    val stage = new ConcurrentHashMap[Int, (Long, Long, Long, Long)]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
-        if (t.taskMetrics != null)
-          taskMs.add(t.taskMetrics.executorRunTime)
+        if (t.taskMetrics != null) {
+          val ms = t.taskMetrics.executorRunTime
+          taskMs.add(ms)
+          val rd = t.taskMetrics.shuffleReadMetrics.totalBytesRead
+          stage.merge(t.stageId, (1L, ms, ms, rd), (a, b) =>
+            (a._1 + b._1, a._2 + b._2, math.max(a._3, b._3), a._4 + b._4))
+        }
     })
 
     // stop-phrase corpus: `reps` copies of ONE w-token phrase per doc,
@@ -69,8 +78,8 @@ object NgramSkewMain {
     val docs = spark.range(nDocs).toDF("doc_id")
       .withColumn("toks", expr(
         s"""transform(sequence(1, $avgTok), i ->
-           |  concat('t', CAST(pmod(xxhash64(doc_id * 1000003 + i), 200) *
-           |                   pmod(xxhash64(doc_id + i * 7919), 250) AS STRING)))"""
+           |  concat('t', CAST(pmod(xxhash64(doc_id * 1000003 + i), 2000) *
+           |                   pmod(xxhash64(doc_id + i * 7919), 2500) AS STRING)))"""
           .stripMargin))
       .withColumn("text", expr(
         s"""array_join(transform(sequence(0, ${reps - 1}), s ->
@@ -87,12 +96,19 @@ object NgramSkewMain {
 
     def run(skewJoin: Boolean): (Double, Long, Long, Long, Long) = {
       spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skewJoin)
-      taskMs.clear()
+      taskMs.clear(); stage.clear()
       val t0 = System.nanoTime()
       val res = NgramDup.dupNgramStats(docs, w = w, hashKey = true)
         .agg(sum("dup_windows"), sum("dup_tokens")).first()
       val wall = (System.nanoTime() - t0) / 1e9
       val ts = taskMs.toArray(Array.empty[java.lang.Long]).map(_.longValue).sorted
+      import scala.jdk.CollectionConverters._
+      stage.asScala.toSeq.sortBy(-_._2._3).take(5).foreach {
+        case (id, (n, sum, max, rd)) =>
+          println(f"NGSKEW   stage=$id%4d tasks=$n%4d sum=${sum / 1000.0}%7.1fs " +
+            f"max=${max}ms avg=${sum / math.max(n, 1)}ms " +
+            f"shufRead=${rd / 1e6}%.0fMB")
+      }
       (wall, pct(ts, 0.5), pct(ts, 0.95), ts.lastOption.getOrElse(0L),
         res.getLong(0))
     }

@@ -38,11 +38,13 @@ object NgramDup {
     * = dup_tokens / n_tokens rounded to 1e-6. Every document gets a row
     * (docs shorter than `w` tokens have zero windows).
     *
-    * `hashKey = true` swaps the shuffle key from the window STRING to its
-    * xxhash64 — identical results modulo 64-bit collisions (~n²/2⁶⁴), at
-    * 8 bytes of shuffle per window instead of the full text. That is the
-    * 100 TB configuration; the default keeps exact strings so the result
-    * is collision-free and cross-engine oracle-checkable.
+    * `hashKey = true` swaps the shuffle key from the window STRING to a
+    * chained 64-bit token hash emitted by a typed kernel
+    * ([[hashedWindowRows]]) — identical results modulo 64-bit collisions
+    * (~n²/2⁶⁴), at 8 bytes of shuffle per window instead of the full
+    * text AND ~7x less map CPU (measured, NgramSkewMain round 9). That
+    * is the 100 TB configuration; the default keeps exact strings so the
+    * result is collision-free and cross-engine oracle-checkable.
     */
   /** (doc_id, ts) token arrays and (doc_id, i, win) window rows — the
     * shared front of detection and trim (1-based starts; window i
@@ -60,7 +62,82 @@ object NgramDup {
     (toks, wins)
   }
 
-  /** Window keys occurring ≥ `minCount` times corpus-wide. */
+  /** [[windowRows]] with TOKEN-HASH window keys from a TYPED KERNEL (the
+    * `hashKey = true` path): tokenize, hash each token once (XXH64 —
+    * Spark's own shuffle-hash primitive), chain-combine the w token
+    * hashes per window in a tight JVM loop — the window STRING is never
+    * built and no expression lambda runs. Measured motivation
+    * (NgramSkewMain, round 9): the declarative explode path costs ~9 µs
+    * per window REGARDLESS of key type — string building vs
+    * lambda-chained hashing was a wash because the interpreted
+    * higher-order-function machinery dominates, so the hot O(total
+    * tokens) map work gets the mapPartitions tier (SURVEY §7.3 order:
+    * compose → Expression → kernel, with the kernel justified by the
+    * measurement). Collisions: windows differing in any token differ in
+    * their token-hash sequence; the chained combine keeps the n²/2⁶⁴
+    * pair bound of hashing the string.
+    *
+    * Tokenization is SQL-PARITY by construction: trim() strips U+0020
+    * only and split keeps empty trailing tokens (Java limit -1), so
+    * (doc_id, i) positions line up exactly with the `toks` array the
+    * stats/trim consumers index into. */
+  private def hashedWindowRows(docs: DataFrame, w: Int, idCol: String,
+      textCol: String): (DataFrame, DataFrame) = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      split(trim(col(textCol)), "\\s+").as("ts"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wins = docs
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val pat = java.util.regex.Pattern.compile("\\s+")
+        it.flatMap { case (id, text) =>
+          if (text == null) Iterator.empty
+          else {
+            var b = 0; var e = text.length
+            while (b < e && text.charAt(b) == ' ') b += 1
+            while (e > b && text.charAt(e - 1) == ' ') e -= 1
+            val ts = pat.split(text.substring(b, e), -1)
+            val n = ts.length
+            if (n < w) Iterator.empty
+            else {
+              val hs = new Array[Long](n)
+              var j = 0
+              while (j < n) {
+                val bs = ts(j).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+                hs(j) = org.apache.spark.sql.catalyst.expressions.XXH64
+                  .hashUnsafeBytes(bs,
+                    org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+                    bs.length, 42L)
+                j += 1
+              }
+              (1 to n - w + 1).iterator.map { i =>
+                var acc = 42L
+                var k = i - 1
+                while (k < i - 1 + w) {
+                  acc = org.apache.spark.sql.catalyst.expressions.XXH64
+                    .hashLong(hs(k), acc)
+                  k += 1
+                }
+                (id, i.toLong, acc)
+              }
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "i", "win")
+    (toks, wins)
+  }
+
+  /** Window keys occurring ≥ `minCount` times corpus-wide. Partial-agg
+    * shape: the map-side combine caps ANY key — including a corpus-wide
+    * stop-phrase — at one row per map task through the exchange, so the
+    * count never skews. (Sharing the probe's full-row exchange instead
+    * was tried and measured WORSE: Catalyst prunes the count's input to
+    * `win` only, so the exchange child can never canonically match the
+    * probe's and the explode runs twice either way — at least this shape
+    * ships combined counts, not every occurrence row.) */
   private def dupKeysOf(wins: DataFrame, minCount: Int): DataFrame =
     wins.groupBy("win").agg(count(lit(1)).as("c"))
       .filter(col("c") >= minCount).select("win")
@@ -69,23 +146,28 @@ object NgramDup {
       idCol: String = "doc_id", textCol: String = "text",
       hashKey: Boolean = false): DataFrame = {
     require(w >= 1 && minCount >= 2)
-    val (toks, wins0) = windowRows(docs, w, idCol, textCol)
-    val wins =
-      if (hashKey) wins0.select(col("doc_id"), col("i"), xxhash64(col("win")).as("win"))
-      else wins0
+    val (toks, wins) =
+      if (hashKey) hashedWindowRows(docs, w, idCol, textCol)
+      else windowRows(docs, w, idCol, textCol)
     val dupKeys = dupKeysOf(wins, minCount)
     val dupw = wins.join(dupKeys, Seq("win")).select("doc_id", "i")
-    val dcount = dupw.groupBy("doc_id")
-      .agg(count(lit(1)).as("dup_windows"))
-    val cover = dupw
-      .select(col("doc_id"), explode(sequence(col("i"), col("i") + (w - 1))).as("p"))
-      .groupBy("doc_id").agg(countDistinct(col("p")).as("dup_tokens"))
+    // dup_windows + dup_tokens in ONE doc-keyed pass: the union size of
+    // sorted spans [s, s+w) is sum(min(w, next-s)) + w in-row — replaces
+    // the w-times position explode + countDistinct shuffle (8x row
+    // amplification, and the HOT window's rows amplified with it)
+    val perDocDup = dupw.groupBy("doc_id")
+      .agg(count(lit(1)).as("dup_windows"),
+        sort_array(collect_list(col("i"))).as("ss"))
+      .select(col("doc_id"), col("dup_windows"), expr(
+        s"""aggregate(sequence(0, size(ss) - 1), CAST(0 AS BIGINT),
+           |  (acc, j) -> acc + IF(j = size(ss) - 1, CAST($w AS BIGINT),
+           |    least(CAST($w AS BIGINT), ss[j + 1] - ss[j])))"""
+          .stripMargin).as("dup_tokens"))
     val perdoc = toks.select(col("doc_id"),
       size(col("ts")).cast("long").as("n_tokens"),
       greatest(size(col("ts")) - (w - 1), lit(0)).cast("long").as("n_windows"))
     perdoc
-      .join(dcount, Seq("doc_id"), "left")
-      .join(cover, Seq("doc_id"), "left")
+      .join(perDocDup, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"), col("n_windows"),
         coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
         coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
@@ -115,9 +197,14 @@ object NgramDup {
     * integer pipeline — cross-engine oracle-checkable via
     * [[trimDuckdbSql]]. */
   def trimDuplicates(docs: DataFrame, w: Int = 8, minCount: Int = 2,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      hashKey: Boolean = false): DataFrame = {
     require(w >= 1 && minCount >= 2)
-    val (toks, wins) = windowRows(docs, w, idCol, textCol)
+    // hashKey: the 100 TB configuration, exactly as in dupNgramStats —
+    // the canonical-occurrence min(struct(doc_id, i)) is key-agnostic
+    val (toks, wins) =
+      if (hashKey) hashedWindowRows(docs, w, idCol, textCol)
+      else windowRows(docs, w, idCol, textCol)
     val dupKeys = dupKeysOf(wins, minCount)
     val occ = wins.join(dupKeys, Seq("win"))
     val canon = occ.groupBy("win")

@@ -118,4 +118,16 @@ class NgramDupSpec extends AnyFunSuite {
     // something actually trims at sf0.001 (the fixture has planted dups)
     assert(tr.exists(t => t._3 < t._2), "fixture should trim something")
   }
+
+  test("trim hashKey=true (token-hash windows, no strings built) " +
+      "matches exact strings") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val exact = NgramDup.trimDuplicates(docs, w = 8)
+      .collect().map(_.toSeq).toSet
+    val hashed = NgramDup.trimDuplicates(docs, w = 8, hashKey = true)
+      .collect().map(_.toSeq).toSet
+    assert(exact == hashed)
+  }
 }
