@@ -69,4 +69,26 @@ object ImageDup {
       .filter(col("hamming") <= maxHamming)
       .select("id1", "id2", "hamming")
   }
+
+  /** Streaming ingest: decode + hash each micro-batch of media rows and
+    * append its band rows as ONE epoch directory — the engine's
+    * epoch-handoff contract (TextIndex.append / IncrementalBqIndex): an
+    * at-least-once retry of a micro-batch OVERWRITES its own epoch
+    * instead of appending duplicates, so stream-built bands are
+    * bit-identical to batch-built ones (spec-pinned). Serving is the
+    * unchanged batch [[nearDupPairs]] over [[bands]]. */
+  def streamingHashAppend(stream: DataFrame, path: String,
+      grid: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        aHashBands(Multimodal.decodeImagePooledRaw(batch, grid))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$path/bands/epoch=$batchId")
+        ()
+      }
+      .start()
+
+  /** All band rows ingested so far (epoch column dropped). */
+  def bands(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/bands").select("media_id", "band", "val")
 }

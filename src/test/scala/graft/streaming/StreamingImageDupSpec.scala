@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{ImageDup, Multimodal}
+
+/** The real image codec under Structured Streaming: media payloads
+  * arrive as micro-batches, each batch is decoded + perceptually hashed
+  * through the SAME kernels as the batch path, and appended as one
+  * idempotent epoch — stream-built bands must be bit-identical to
+  * batch-built ones, and serving (nearDupPairs) runs unchanged over the
+  * epoch union. */
+class StreamingImageDupSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private def tmpPath(): String =
+    java.nio.file.Files.createTempDirectory("imgstream").toString + "/idx"
+
+  private def img(id: Long, seed: Int, format: String = "bmp"): (Long, Array[Byte]) =
+    (id, Multimodal.encodeGray(
+      Array.tabulate(64)(i => (i * seed + seed) % 256), 8, 8, format))
+
+  test("stream-built bands == batch-built; twin lands across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val path = tmpPath()
+    // batch 1: three distinct images; batch 2: two more + a PNG twin of
+    // image 1 (same pixels, different codec) under id 100
+    val b1 = Seq(img(1L, 7), img(2L, 11), img(3L, 13))
+    val b2 = Seq(img(4L, 17), img(5L, 19),
+      (100L, Multimodal.encodeGray(
+        Array.tabulate(64)(i => (i * 7 + 7) % 256), 8, 8, "png")))
+    val all = b1 ++ b2
+
+    val source = MemoryStream[(Long, Array[Byte])]
+    val q = ImageDup.streamingHashAppend(
+      source.toDF().toDF("media_id", "content"), path)
+    source.addData(b1: _*); q.processAllAvailable()
+    source.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+
+    val streamed = ImageDup.bands(spark, path)
+      .collect().map(_.toSeq).toSet
+    val direct = ImageDup.aHashBands(Multimodal.decodeImagePooledRaw(
+        all.toDF("media_id", "content"), grid = 8))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == direct, "stream-built must equal batch-built")
+
+    // serving over the epoch union finds the cross-batch, cross-codec twin
+    val pairs = ImageDup.nearDupPairs(
+        ImageDup.bands(spark, path), maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.contains((1L, 100L, 0L)),
+      s"twin pair missing from ${pairs.toSeq}")
+  }
+
+  test("micro-batch replay overwrites its epoch — no duplicate bands") {
+    import spark.implicits._
+    val path = tmpPath()
+    val rows = Seq(img(1L, 7), img(2L, 11)).toDF("media_id", "content")
+    // simulate an at-least-once retry: the same batchId lands twice
+    ImageDup.aHashBands(Multimodal.decodeImagePooledRaw(rows, 8))
+      .write.mode("overwrite").parquet(s"$path/bands/epoch=0")
+    ImageDup.aHashBands(Multimodal.decodeImagePooledRaw(rows, 8))
+      .write.mode("overwrite").parquet(s"$path/bands/epoch=0")
+    assert(ImageDup.bands(spark, path).count() == 8) // 2 images x 4 bands
+  }
+}
