@@ -135,6 +135,22 @@ object VectorQueries {
       .toDF("media_id", "media_type", "content")
   }
 
+  /** Synthetic media table with REAL video payloads: each embedding cut
+    * into four 16-dim slices, each slice a 4x4 grayscale frame of an
+    * actual ANIMATED GIF (the JDK's native multi-frame container). */
+  private def mediaGif(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    emb(s, dir).select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val frames = (0 until 4).map(f =>
+          graft.operators.Multimodal.quantize255(v.slice(f * 16, f * 16 + 16)))
+        (id, "video",
+          graft.operators.Multimodal.encodeGrayGifFrames(frames, 4, 4))
+      }
+      .toDF("media_id", "media_type", "content")
+  }
+
   /** BM25 top-20 lexical leg fused with exact-cosine top-20 by RRF —
     * shared by the `rrf_fusion_bm25` entry and the `rank_quality` eval. */
   private def rrfBm25Fused(s: SparkSession, dir: String): DataFrame = {
@@ -625,6 +641,18 @@ object VectorQueries {
       graft.operators.Multimodal.decodeWavFeatures(
         mediaWav(s, dir), windows = 8)),
 
+    // REAL video pipeline, fully oracle-gated: embeddings as 4-frame
+    // animated GIFs (the JDK's multi-frame codec), frames iterated by
+    // the real ImageReader, each pooled to luma features — GIF is
+    // lossless for grayscale, so DuckDB re-derives every frame's
+    // features straight from the embedding slices.
+    "media_video_frames" -> ((s, dir) =>
+      graft.operators.Multimodal.decodeVideoFramesPooled(
+          mediaGif(s, dir), grid = 4)
+        .select(col("media_id"), col("frame_no"), col("n_frames"),
+          posexplode(col("feature")))
+        .toDF("media_id", "frame_no", "n_frames", "block", "luma")),
+
     // perceptual image hashing (aHash): real decode → 8x8 integer luma
     // grid → 64-bit mean-threshold signature as 4x16-bit bands. Exact
     // integer arithmetic end to end — oracled from the pixel values.
@@ -671,10 +699,12 @@ object VectorQueries {
       KnnJoin.exactKnnJoin(feats, mprobes, k = 5, metric = "cosine", scoreDigits = 6)
     }),
 
-    // VIDEO-shape plumbing smoke (rows-only by nature): the one remaining
-    // STUB kernel — the JDK has no video codec — exercising the batched
-    // per-partition decode shape on opaque payloads (utf-8 document bytes
-    // as stand-ins). Image and audio are REAL + oracled above.
+    // FALLBACK-shape plumbing smoke (rows-only by nature): the
+    // clearly-marked stub kernel that stands in for codecs the JDK
+    // lacks (MP4/H.264 ...), exercising the batched per-partition
+    // decode shape on opaque payloads (utf-8 document bytes as
+    // stand-ins). Image, audio, AND video (animated GIF) are REAL +
+    // oracled above — this entry pins the swap-in contract, not a codec.
     "multimodal_features" -> ((s, dir) => {
       val media = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id").as("media_id"), lit("text").as("media_type"),
@@ -1169,6 +1199,27 @@ object VectorQueries {
       |  FROM mm_bit GROUP BY 1, 2)""".stripMargin
 
   private val staticOracle: Map[String, String] = Map(
+    // real video pipeline: per-frame quantization of embedding slices →
+    // (lossless animated-GIF round-trip) → per-frame pooled luma; at a
+    // 4x4 frame with grid 4 each pooled cell is one pixel (cnt = 1)
+    "media_video_frames" ->
+      """WITH mv_e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        | mv_f AS (SELECT unnest(range(0, 4)) AS f),
+        | mv_sl AS (SELECT vec_id, f, v[(f*16 + 1):(f*16 + 16)] AS sv
+        |  FROM mv_e CROSS JOIN mv_f),
+        | mv_mm AS (SELECT vec_id, f, sv, list_min(sv) AS mn,
+        |   list_max(sv) AS mx FROM mv_sl),
+        | mv_j AS (SELECT unnest(range(1, 17)) AS j),
+        | mv_px AS (SELECT vec_id, f, CAST(j - 1 AS INT) AS idx,
+        |   CASE WHEN mx = mn THEN 0
+        |     ELSE CAST(floor(((sv[j] - mn) / (mx - mn)) * 255.0 + 0.5) AS INT)
+        |   END AS p
+        |  FROM mv_mm CROSS JOIN mv_j)
+        |SELECT vec_id AS media_id, CAST(f AS INT) AS frame_no,
+        | CAST(4 AS INT) AS n_frames, idx AS block,
+        | floor(CAST(p AS DOUBLE) / (1 * 255.0) * 1e6 + 0.5)/1e6 AS luma
+        |FROM mv_px""".stripMargin,
     // perceptual hash: integer mean-threshold bits from the same pixels
     "media_ahash" ->
       (s"$mediaQuantCte,\n$mediaAHashCte\n" +

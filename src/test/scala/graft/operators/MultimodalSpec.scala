@@ -122,6 +122,42 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.quantize255(Array(5f, 5f, 5f)).toSeq == Seq(0, 0, 0))
   }
 
+  // ---- video ------------------------------------------------------------
+
+  test("animated GIF round-trip: every frame's features exact, in order") {
+    val frames = (0 until 3).map(f => Array.tabulate(16)(i => (i * 16 + f * 40) % 256))
+    val gif = Multimodal.encodeGrayGifFrames(frames, 4, 4)
+    val rows = Multimodal.decodeVideoFramesPooled(mediaOf(Seq((5L, gif))), grid = 4)
+      .collect().sortBy(_.getInt(1))
+    assert(rows.length == 3)
+    assert(rows.forall(_.getInt(2) == 3))
+    rows.zipWithIndex.foreach { case (r, f) =>
+      assert(r.getInt(1) == f)
+      val feat = r.getAs[scala.collection.Seq[Double]]("feature")
+      val expect = frames(f).map(p => math.floor(p / (1 * 255.0) * 1e6 + 0.5) / 1e6)
+      assert(feat.toSeq == expect.toSeq, s"frame $f")
+    }
+  }
+
+  test("frame-stride sampling keeps every stride-th frame") {
+    val frames = (0 until 6).map(f => Array.fill(16)(f * 30))
+    val gif = Multimodal.encodeGrayGifFrames(frames, 4, 4)
+    val got = Multimodal.decodeVideoFramesPooled(
+        mediaOf(Seq((1L, gif))), grid = 4, stride = 2)
+      .collect().map(_.getInt(1)).sorted.toSeq
+    assert(got == Seq(0, 2, 4))
+  }
+
+  test("single-frame images decode as 1-frame videos; junk is skipped") {
+    val bmp = Multimodal.encodeGray(Array.fill(64)(120), 8, 8)
+    val out = Multimodal.decodeVideoFramesPooled(
+        mediaOf(Seq((1L, bmp), (2L, Array[Byte](1, 2, 3)))), grid = 4)
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(0) == 1L && out.head.getInt(1) == 0 &&
+      out.head.getInt(2) == 1)
+  }
+
   // ---- audio ------------------------------------------------------------
 
   test("WAV encode/parse round-trip: header fields and exact samples") {
