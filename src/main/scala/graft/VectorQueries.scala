@@ -135,6 +135,29 @@ object VectorQueries {
       .toDF("media_id", "media_type", "content")
   }
 
+  /** [[mediaWav]] plus metadata-spliced TWINS of the first 20 payloads
+    * (id + 1000000): a LIST/INFO chunk inserted between fmt and data —
+    * byte-DIFFERENT files carrying byte-identical samples, the audio
+    * analog of the PNG re-encode twins. RIFF size field fixed up. */
+  private def mediaWavWithTwins(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val twins = emb(s, dir).filter(col("vec_id") < 20)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val wav = graft.operators.Multimodal.encodePcm16Wav(
+          graft.operators.Multimodal.quantizePcm16(v), 8000)
+        val listChunk = "LIST".getBytes("US-ASCII") ++
+          Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes("US-ASCII")
+        val out = wav.slice(0, 36) ++ listChunk ++ wav.slice(36, wav.length)
+        java.nio.ByteBuffer.wrap(out)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(4, out.length - 8)
+        (id + 1000000L, "audio", out)
+      }
+      .toDF("media_id", "media_type", "content")
+    mediaWav(s, dir).unionByName(twins)
+  }
+
   /** Synthetic media table with REAL video payloads: each embedding cut
     * into four 16-dim slices, each slice a 4x4 grayscale frame of an
     * actual ANIMATED GIF (the JDK's native multi-frame container). */
@@ -640,6 +663,27 @@ object VectorQueries {
     "media_audio_features" -> ((s, dir) =>
       graft.operators.Multimodal.decodeWavFeatures(
         mediaWav(s, dir), windows = 8)),
+
+    // audio FINGERPRINT (Haitsma-Kalker sign-of-energy-delta, in-kernel,
+    // zero shuffle): the corpus carries metadata-spliced twins — byte-
+    // different RIFF files, identical samples — which MUST fingerprint
+    // identically (the parser sees through LIST chunks).
+    "media_audio_fingerprint" -> ((s, dir) =>
+      graft.operators.Multimodal.audioFingerprint(
+        mediaWavWithTwins(s, dir), windows = 33)),
+
+    // ...and the exact-fingerprint dedup pairs: every twin pairs with
+    // its original — audio's leg of the modality-dedup matrix (text
+    // minhash/simhash, embeddings semdedup, images aHash, audio this).
+    "media_audio_dup_pairs" -> ((s, dir) => {
+      val fps = graft.operators.Multimodal.audioFingerprint(
+        mediaWavWithTwins(s, dir), windows = 33)
+      fps.as("a").join(fps.as("c"),
+          col("a.fp") === col("c.fp") &&
+            col("a.media_id") < col("c.media_id"))
+        .select(col("a.media_id").as("id1"), col("c.media_id").as("id2"),
+          col("a.fp"))
+    }),
 
     // REAL video pipeline, fully oracle-gated: embeddings as 4-frame
     // animated GIFs (the JDK's multi-frame codec), frames iterated by
@@ -1198,7 +1242,43 @@ object VectorQueries {
       |     AS BIGINT) AS val
       |  FROM mm_bit GROUP BY 1, 2)""".stripMargin
 
+  /** 33-window RMS + sign-delta fingerprint CTEs on top of
+    * [[mediaQuantCte]] (the audioFingerprint twin: same fixed-point rms
+    * doubles, so the > comparisons are bit-identical). Twins (vec_id +
+    * 1000000 for vec_id < 20) carry byte-identical samples, hence
+    * identical rows. Ends with `mm_fp2(vec_id, fp)`. */
+  private val mediaFingerprintCte: String =
+    """ mm_w33 AS (SELECT vec_id, CAST(idx * 33 // 64 AS INT) AS w,
+      |   CAST(s AS BIGINT) * s AS sq
+      |  FROM mm_sm),
+      | mm_r33 AS (SELECT vec_id, w,
+      |   floor(sqrt(CAST(sum(sq) AS DOUBLE) / count(*)) * 1e6 + 0.5)/1e6
+      |     AS rms
+      |  FROM mm_w33 GROUP BY 1, 2),
+      | mm_fp AS (SELECT a.vec_id,
+      |   CAST(sum(CASE WHEN b.rms > a.rms THEN (1::BIGINT << a.w)
+      |            ELSE 0 END) AS BIGINT) AS fp
+      |  FROM mm_r33 a JOIN mm_r33 b
+      |    ON b.vec_id = a.vec_id AND b.w = a.w + 1
+      |  GROUP BY 1),
+      | mm_fp2 AS (SELECT vec_id, fp FROM mm_fp
+      |  UNION ALL
+      |  SELECT vec_id + 1000000, fp FROM mm_fp WHERE vec_id < 20)""".stripMargin
+
   private val staticOracle: Map[String, String] = Map(
+    // audio fingerprint: sign-of-energy-delta bits from the same
+    // fixed-point rms values the feature oracle proved bit-exact
+    "media_audio_fingerprint" ->
+      (s"$mediaQuantCte,\n$mediaFingerprintCte\n" +
+        """SELECT vec_id AS media_id, fp, CAST(64 AS BIGINT) AS n_samples
+          |FROM mm_fp2""".stripMargin),
+    // exact-fingerprint dedup pairs: the spliced-metadata twins must
+    // pair with their originals
+    "media_audio_dup_pairs" ->
+      (s"$mediaQuantCte,\n$mediaFingerprintCte\n" +
+        """SELECT a.vec_id AS id1, c.vec_id AS id2, a.fp
+          |FROM mm_fp2 a JOIN mm_fp2 c
+          |  ON a.fp = c.fp AND a.vec_id < c.vec_id""".stripMargin),
     // real video pipeline: per-frame quantization of embedding slices →
     // (lossless animated-GIF round-trip) → per-frame pooled luma; at a
     // 4x4 frame with grid 4 each pooled cell is one pixel (cnt = 1)

@@ -437,9 +437,28 @@ object Multimodal {
     else Some((sampleRate, channels, data))
   }
 
+  /** Per-window fixed-point RMS of a PCM signal (`windows` equal
+    * adaptive windows, like the image pooling) — shared by the feature
+    * and fingerprint kernels so the energies cannot drift apart. */
+  private def windowRms(s: Array[Short], windows: Int): Array[Double] = {
+    val n = s.length
+    val sumsq = new Array[Long](windows)
+    val cnt = new Array[Long](windows)
+    var i = 0
+    while (i < n) {
+      val w = i * windows / n
+      sumsq(w) += s(i).toLong * s(i)
+      cnt(w) += 1
+      i += 1
+    }
+    Array.tabulate(windows) { w =>
+      if (cnt(w) == 0) 0.0
+      else math.floor(math.sqrt(sumsq(w).toDouble / cnt(w)) * 1e6 + 0.5) / 1e6
+    }
+  }
+
   /** REAL audio decode + feature extraction, batched per partition:
-    * RIFF chunk walk → PCM16 samples → per-window RMS (`windows` equal
-    * adaptive windows, like the image pooling) + whole-signal
+    * RIFF chunk walk → PCM16 samples → per-window RMS + whole-signal
     * zero-crossing count. sqrt/division in double with integer
     * sums — SQL-reproducible. Non-WAV payloads are skipped.
     * Output: (media_id, sample_rate, n_samples, zcr, window, rms). */
@@ -460,26 +479,52 @@ object Multimodal {
                 if ((s(i - 1) < 0) != (s(i) < 0)) zcr += 1
                 i += 1
               }
-              val sumsq = new Array[Long](windows)
-              val cnt = new Array[Long](windows)
-              i = 0
-              while (i < n) {
-                val w = i * windows / n
-                sumsq(w) += s(i).toLong * s(i)
-                cnt(w) += 1
-                i += 1
-              }
+              val rms = windowRms(s, windows)
               (0 until windows).iterator.map { w =>
-                val rms =
-                  if (cnt(w) == 0) 0.0
-                  else math.floor(
-                    math.sqrt(sumsq(w).toDouble / cnt(w)) * 1e6 + 0.5) / 1e6
-                (id, rate, n.toLong, zcr, w, rms)
+                (id, rate, n.toLong, zcr, w, rms(w))
               }
           }
         }
       }
       .toDF("media_id", "sample_rate", "n_samples", "zcr", "window", "rms")
+  }
+
+  /** Audio FINGERPRINT — the Haitsma-Kalker shape (public "robust audio
+    * hashing" scheme): bit w is the SIGN OF THE ENERGY DELTA between
+    * consecutive RMS windows, rms(w+1) > rms(w). Energy deltas survive
+    * re-encoding, metadata chunks, and gain-preserving transforms,
+    * which is what makes the fingerprint a dedup signal. `windows` RMS
+    * windows yield windows - 1 bits packed into one BIGINT. Computed
+    * IN-KERNEL next to the decode (an in-row projection — no shuffle;
+    * the rms values are the same fixed-point doubles
+    * [[decodeWavFeatures]] emits, so the fingerprint is cross-engine
+    * oracle-checkable down to the last bit). Non-WAV payloads skipped.
+    * Output: (media_id, fp, n_samples). Exact-match grouping catches
+    * re-encoded copies; the banded-LSH pattern (ImageDup) scales
+    * near-match. */
+  def audioFingerprint(media: DataFrame, windows: Int = 33): DataFrame = {
+    require(windows >= 2 && windows <= 64, "2..64 windows -> 1..63 bits")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          parseWav(bytes) match {
+            case None => Iterator.empty
+            case Some((_, _, s)) =>
+              val rms = windowRms(s, windows)
+              var fp = 0L
+              var w = 0
+              while (w < windows - 1) {
+                if (rms(w + 1) > rms(w)) fp |= (1L << w)
+                w += 1
+              }
+              Iterator.single((id, fp, s.length.toLong))
+          }
+        }
+      }
+      .toDF("media_id", "fp", "n_samples")
   }
 
   /** "Resize" metadata transform: pure column math (real at any scale). */

@@ -211,6 +211,33 @@ class MultimodalSpec extends AnyFunSuite {
       .map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("audio fingerprint: hand-computed delta bits; metadata-spliced " +
+      "twin fingerprints identically; different signal differs") {
+    // energies per window (4 windows of 2 samples): |s| = 100,100 |
+    // 300,300 | 200,200 | 400,400 -> rms = 100,300,200,400 ->
+    // deltas up,down,up -> bits 0b101 = 5
+    val samples = Array[Short](100, -100, 300, -300, 200, -200, 400, -400)
+    val wav = Multimodal.encodePcm16Wav(samples, 8000)
+    val fp = Multimodal.audioFingerprint(mediaOf(Seq((1L, wav))), windows = 4)
+      .collect().head
+    assert(fp.getLong(1) == 5L, s"fp = ${fp.getLong(1)}")
+    assert(fp.getLong(2) == 8L)
+    // splice a LIST chunk: byte-different file, identical samples
+    val listChunk = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes("US-ASCII")
+    val spliced = wav.slice(0, 36) ++ listChunk ++ wav.slice(36, wav.length)
+    java.nio.ByteBuffer.wrap(spliced)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(4, spliced.length - 8)
+    assert(!java.util.Arrays.equals(wav, spliced))
+    val other = Multimodal.encodePcm16Wav(
+      Array[Short](400, -400, 200, -200, 300, -300, 100, -100), 8000)
+    val fps = Multimodal.audioFingerprint(
+        mediaOf(Seq((1L, wav), (2L, spliced), (3L, other))), windows = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) == fps(2L), "twin must fingerprint identically")
+    assert(fps(1L) != fps(3L), "reversed envelope must differ")
+  }
+
   test("quantizePcm16: full-scale range, constant vector -> silence") {
     val q = Multimodal.quantizePcm16(Array(-1.0f, 1.0f))
     assert(q.toSeq == Seq(-32768, 32767))
