@@ -685,6 +685,33 @@ object VectorQueries {
           col("a.fp"))
     }),
 
+    // ...and the full multimodal dedup LOOP: perceptual pairs →
+    // connected components (the text stack's adaptive union-find /
+    // pointer-jumping operator, reused unchanged on image edges) → keep
+    // the canonical copy per cluster. Every PNG twin must land in its
+    // original's cluster and lose the keep.
+    "media_dedup_keep" -> ((s, dir) => {
+      import s.implicits._
+      val twins = emb(s, dir).filter(col("vec_id") < 20)
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])]
+        .map { case (id, v) =>
+          (id + 1000000L, "image", graft.operators.Multimodal.encodeGray(
+            graft.operators.Multimodal.quantize255(v), 8, 8, "png"), 8, 8)
+        }
+        .toDF("media_id", "media_type", "content", "width", "height")
+      val corpus = mediaBmp(s, dir).unionByName(twins)
+      val pairs = graft.operators.ImageDup.nearDupPairs(
+        graft.operators.ImageDup.aHashBands(
+          graft.operators.Multimodal.decodeImagePooledRaw(corpus, grid = 8)),
+        maxHamming = 10)
+      graft.operators.Dedup.connectedComponents(
+          corpus.select(col("media_id").as("doc_id")),
+          pairs.select("id1", "id2"))
+        .select(col("doc_id").as("media_id"), col("cluster_id"),
+          col("is_canonical").as("kept"))
+    }),
+
     // REAL video pipeline, fully oracle-gated: embeddings as 4-frame
     // animated GIFs (the JDK's multi-frame codec), frames iterated by
     // the real ImageReader, each pooled to luma features — GIF is
@@ -1265,6 +1292,30 @@ object VectorQueries {
       |  UNION ALL
       |  SELECT vec_id + 1000000, fp FROM mm_fp WHERE vec_id < 20)""".stripMargin
 
+  /** Banded-candidate + Hamming-confirm CTEs on top of
+    * [[mediaAHashCte]], over the corpus WITH PNG twins (vec_id +
+    * 1000000 for vec_id < 20 — identical pixels, so identical band
+    * rows). Ends with `mm_pairs(id1, id2, hamming)`, hamming ≤ 10. */
+  private val mediaPhashPairsCte: String =
+    """ mm_band2 AS (SELECT vec_id, band, val FROM mm_band
+      |  UNION ALL
+      |  SELECT vec_id + 1000000, band, val FROM mm_band
+      |  WHERE vec_id < 20),
+      | mm_cand AS (SELECT DISTINCT a.vec_id AS id1, c.vec_id AS id2
+      |  FROM mm_band2 a JOIN mm_band2 c
+      |    ON a.band = c.band AND a.val = c.val AND a.vec_id < c.vec_id),
+      | mm_wide AS (SELECT vec_id, list(val ORDER BY band) AS vs
+      |  FROM mm_band2 GROUP BY 1),
+      | mm_pairs AS (SELECT id1, id2, hamming FROM (
+      |  SELECT cd.id1, cd.id2,
+      |    CAST(bit_count(xor(w1.vs[1], w2.vs[1]))
+      |       + bit_count(xor(w1.vs[2], w2.vs[2]))
+      |       + bit_count(xor(w1.vs[3], w2.vs[3]))
+      |       + bit_count(xor(w1.vs[4], w2.vs[4])) AS BIGINT) AS hamming
+      |  FROM mm_cand cd JOIN mm_wide w1 ON w1.vec_id = cd.id1
+      |    JOIN mm_wide w2 ON w2.vec_id = cd.id2)
+      |  WHERE hamming <= 10)""".stripMargin
+
   private val staticOracle: Map[String, String] = Map(
     // audio fingerprint: sign-of-energy-delta bits from the same
     // fixed-point rms values the feature oracle proved bit-exact
@@ -1308,25 +1359,23 @@ object VectorQueries {
     // the PNG twins decode to the SAME pixels (both codecs lossless), so
     // their band rows are the originals' rows under the offset id
     "media_phash_pairs" ->
-      (s"$mediaQuantCte,\n$mediaAHashCte,\n" +
-        """ mm_band2 AS (SELECT vec_id, band, val FROM mm_band
-          |  UNION ALL
-          |  SELECT vec_id + 1000000, band, val FROM mm_band
-          |  WHERE vec_id < 20),
-          | mm_cand AS (SELECT DISTINCT a.vec_id AS id1, c.vec_id AS id2
-          |  FROM mm_band2 a JOIN mm_band2 c
-          |    ON a.band = c.band AND a.val = c.val AND a.vec_id < c.vec_id),
-          | mm_wide AS (SELECT vec_id, list(val ORDER BY band) AS vs
-          |  FROM mm_band2 GROUP BY 1)
-          |SELECT id1, id2, hamming FROM (
-          |  SELECT cd.id1, cd.id2,
-          |    CAST(bit_count(xor(w1.vs[1], w2.vs[1]))
-          |       + bit_count(xor(w1.vs[2], w2.vs[2]))
-          |       + bit_count(xor(w1.vs[3], w2.vs[3]))
-          |       + bit_count(xor(w1.vs[4], w2.vs[4])) AS BIGINT) AS hamming
-          |  FROM mm_cand cd JOIN mm_wide w1 ON w1.vec_id = cd.id1
-          |    JOIN mm_wide w2 ON w2.vec_id = cd.id2)
-          |WHERE hamming <= 10""".stripMargin),
+      (s"$mediaQuantCte,\n$mediaAHashCte,\n$mediaPhashPairsCte\n" +
+        "SELECT id1, id2, hamming FROM mm_pairs"),
+    // pairs → transitive closure (the dedup_clusters reach pattern) →
+    // keep the min-id canonical per component
+    "media_dedup_keep" ->
+      ("WITH RECURSIVE " + mediaQuantCte.stripPrefix("WITH ") +
+        s",\n$mediaAHashCte,\n$mediaPhashPairsCte,\n" +
+        """ mm_nodes AS (SELECT DISTINCT vec_id FROM mm_band2),
+          | mm_adj AS (SELECT id1 AS a, id2 AS b FROM mm_pairs
+          |  UNION SELECT id2, id1 FROM mm_pairs),
+          | mm_reach(a, b) AS (SELECT vec_id, vec_id FROM mm_nodes
+          |  UNION
+          |  SELECT r.a, j.b FROM mm_reach r JOIN mm_adj j ON r.b = j.a),
+          | mm_cl AS (SELECT a AS media_id, min(b) AS cluster_id
+          |  FROM mm_reach GROUP BY 1)
+          |SELECT media_id, cluster_id, (media_id = cluster_id) AS kept
+          |FROM mm_cl""".stripMargin),
     // real image pipeline: quantize → (lossless BMP round-trip) → integer
     // luma → adaptive 2x2 pooling → 1e-6 fixed point, all re-derived here
     "media_image_features" ->

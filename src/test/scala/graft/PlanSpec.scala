@@ -158,6 +158,21 @@ class PlanSpec extends AnyFunSuite {
       s"expected an equi-join on the signature key:\n$p")
   }
 
+  test("media_phash_pairs: banded candidates are equi-joins, no cartesian") {
+    val p = plan("media_phash_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"perceptual-hash dedup must stay a band equi-join:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"expected an equi-join on (band, val):\n$p")
+  }
+
+  test("media_audio_dup_pairs: exact-fingerprint join, no cartesian") {
+    val p = plan("media_audio_dup_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"fingerprint dedup must stay an equi-join:\n$p")
+  }
+
   test("knn_filtered_guarantee: predicate pushed to the filtered-base scan; " +
       "probe side broadcast in the exact fallback") {
     val p = plan("knn_filtered_guarantee")
