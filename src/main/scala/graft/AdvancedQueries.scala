@@ -25,26 +25,23 @@ object AdvancedQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // as-of join: for each purchase, the most recent prior-or-equal click
-    // of the same user (union + carry-forward window, one shuffle)
+    // of the same user — the REUSABLE operators.AsofJoin (round-1's
+    // inline union-tag formulation promoted to a general operator: one
+    // shuffle + sort + running window, no range explosion, atomic
+    // struct payload; spec-pinned against a brute-force range join)
     "q_asof_join" -> ((s, dir) => {
       val ev = events(s, dir)
       // dedupe clicks on (user, ts): keep max event_id — makes the as-of
       // pick deterministic in both engines when click times tie
       val clicks = ev.filter(col("event_type") === "click")
-        .groupBy(col("user_id"), col("ts").as("c_ts"))
-        .agg(max("event_id").as("click_id"))
-        .select(col("user_id"), col("c_ts").as("ts"), col("click_id"),
-          lit(0).as("tag"), lit(null).cast("long").as("purchase_id"))
+        .groupBy("user_id", "ts").agg(max("event_id").as("click_id"))
       val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts"), lit(null).cast("long").as("click_id"),
-          lit(1).as("tag"), col("event_id").as("purchase_id"))
-      val w = Window.partitionBy("user_id").orderBy("ts", "tag")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      clicks.unionByName(purchases)
-        .withColumn("prev_click_id", last("click_id", ignoreNulls = true).over(w))
-        .filter(col("tag") === 1)
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+      graft.operators.AsofJoin.backward(purchases, clicks,
+          keyCols = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+          payload = Seq("click_id"))
         .select(col("purchase_id"), col("user_id"), col("ts"),
-          col("prev_click_id"))
+          col("r_click_id").as("prev_click_id"))
     }),
 
     // batch gap-sessionization (the batch twin of the streaming

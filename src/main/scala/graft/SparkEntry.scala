@@ -25,11 +25,30 @@ object SparkEntry {
     KnnJoin.exactKnnJoin(base, queries, k = 10, metric = "cosine")
   }
 
+  /** `++` silently keeps the LAST definition on key collision — a
+    * duplicate battery name would quietly shadow an existing query (and
+    * could pair one module's query with another's oracle). Fail loudly
+    * instead; the spec suite calls [[queries]], so a collision cannot
+    * reach the driver. */
+  private def merged[V](parts: Seq[(String, Map[String, V])]): Map[String, V] = {
+    val dups = parts.flatMap { case (_, m) => m.keys }
+      .groupBy(identity).collect { case (k, ks) if ks.size > 1 => k }
+    require(dups.isEmpty,
+      s"duplicate battery keys across query modules: ${dups.mkString(", ")}")
+    parts.map(_._2).reduce(_ ++ _)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ VectorQueries.queries ++ TextQueries.queries ++
-      AdvancedQueries.queries
+    merged(Seq(
+      "relational" -> RelationalQueries.queries,
+      "vector" -> VectorQueries.queries,
+      "text" -> TextQueries.queries,
+      "advanced" -> AdvancedQueries.queries))
 
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracle ++ VectorQueries.oracle ++ TextQueries.oracle ++
-      AdvancedQueries.oracle
+    merged(Seq(
+      "relational" -> RelationalQueries.oracle,
+      "vector" -> VectorQueries.oracle,
+      "text" -> TextQueries.oracle,
+      "advanced" -> AdvancedQueries.oracle))
 }
