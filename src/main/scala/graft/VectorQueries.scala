@@ -135,6 +135,22 @@ object VectorQueries {
       .toDF("media_id", "media_type", "content")
   }
 
+  /** [[mediaBmp]] plus PNG RE-ENCODED twins of the first 20 images
+    * (id + 1000000): byte-different codecs, identical pixels — the
+    * codec-invariance corpus the image-dedup gates run on. */
+  private def mediaBmpWithTwins(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val twins = emb(s, dir).filter(col("vec_id") < 20)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        (id + 1000000L, "image", graft.operators.Multimodal.encodeGray(
+          graft.operators.Multimodal.quantize255(v), 8, 8, "png"), 8, 8)
+      }
+      .toDF("media_id", "media_type", "content", "width", "height")
+    mediaBmp(s, dir).unionByName(twins)
+  }
+
   /** [[mediaWav]] plus metadata-spliced TWINS of the first 20 payloads
     * (id + 1000000): a LIST/INFO chunk inserted between fmt and data —
     * byte-DIFFERENT files carrying byte-identical samples, the audio
@@ -685,22 +701,23 @@ object VectorQueries {
           col("a.fp"))
     }),
 
+    // 1-bit MULTIPROBE banding at a wider threshold: recall certain to
+    // Hamming 7 (pigeonhole over 4 bands × 1 flipped bit) instead of 3,
+    // still an equi-join — the AnnLsh multiprobe idea on the band side.
+    "media_phash_pairs_mp" -> ((s, dir) =>
+      graft.operators.ImageDup.nearDupPairs(
+        graft.operators.ImageDup.aHashBands(
+          graft.operators.Multimodal.decodeImagePooledRaw(
+            mediaBmpWithTwins(s, dir), grid = 8)),
+        maxHamming = 16, probeBits = 1)),
+
     // ...and the full multimodal dedup LOOP: perceptual pairs →
     // connected components (the text stack's adaptive union-find /
     // pointer-jumping operator, reused unchanged on image edges) → keep
     // the canonical copy per cluster. Every PNG twin must land in its
     // original's cluster and lose the keep.
     "media_dedup_keep" -> ((s, dir) => {
-      import s.implicits._
-      val twins = emb(s, dir).filter(col("vec_id") < 20)
-        .select(col("vec_id"), col("embedding"))
-        .as[(Long, Array[Float])]
-        .map { case (id, v) =>
-          (id + 1000000L, "image", graft.operators.Multimodal.encodeGray(
-            graft.operators.Multimodal.quantize255(v), 8, 8, "png"), 8, 8)
-        }
-        .toDF("media_id", "media_type", "content", "width", "height")
-      val corpus = mediaBmp(s, dir).unionByName(twins)
+      val corpus = mediaBmpWithTwins(s, dir)
       val pairs = graft.operators.ImageDup.nearDupPairs(
         graft.operators.ImageDup.aHashBands(
           graft.operators.Multimodal.decodeImagePooledRaw(corpus, grid = 8)),
@@ -739,22 +756,12 @@ object VectorQueries {
     // codec-invariance that makes a perceptual hash a dedup signal —
     // every twin must pair with its original at Hamming 0, through two
     // genuinely different codecs' bytes.
-    "media_phash_pairs" -> ((s, dir) => {
-      import s.implicits._
-      val twins = emb(s, dir).filter(col("vec_id") < 20)
-        .select(col("vec_id"), col("embedding"))
-        .as[(Long, Array[Float])]
-        .map { case (id, v) =>
-          (id + 1000000L, "image", graft.operators.Multimodal.encodeGray(
-            graft.operators.Multimodal.quantize255(v), 8, 8, "png"), 8, 8)
-        }
-        .toDF("media_id", "media_type", "content", "width", "height")
+    "media_phash_pairs" -> ((s, dir) =>
       graft.operators.ImageDup.nearDupPairs(
         graft.operators.ImageDup.aHashBands(
           graft.operators.Multimodal.decodeImagePooledRaw(
-            mediaBmp(s, dir).unionByName(twins), grid = 8)),
-        maxHamming = 10)
-    }),
+            mediaBmpWithTwins(s, dir), grid = 8)),
+        maxHamming = 10)),
 
     // multimodal features feed straight into the similarity operators —
     // the media→embedding→retrieval composition, now REAL end to end:
@@ -1361,6 +1368,25 @@ object VectorQueries {
     "media_phash_pairs" ->
       (s"$mediaQuantCte,\n$mediaAHashCte,\n$mediaPhashPairsCte\n" +
         "SELECT id1, id2, hamming FROM mm_pairs"),
+    // 1-bit multiprobe at Hamming <= 16: candidate iff SOME band within
+    // one flipped bit (small-sf oracle states it as the direct band
+    // predicate; the engine reaches the same set via the expanded-probe
+    // equi-join)
+    "media_phash_pairs_mp" ->
+      (s"$mediaQuantCte,\n$mediaAHashCte,\n$mediaPhashPairsCte,\n" +
+        """ mm_cand_mp AS (SELECT DISTINCT a.vec_id AS id1, c.vec_id AS id2
+          |  FROM mm_band2 a JOIN mm_band2 c
+          |    ON a.band = c.band AND a.vec_id < c.vec_id
+          |       AND bit_count(xor(a.val, c.val)) <= 1)
+          |SELECT id1, id2, hamming FROM (
+          |  SELECT cd.id1, cd.id2,
+          |    CAST(bit_count(xor(w1.vs[1], w2.vs[1]))
+          |       + bit_count(xor(w1.vs[2], w2.vs[2]))
+          |       + bit_count(xor(w1.vs[3], w2.vs[3]))
+          |       + bit_count(xor(w1.vs[4], w2.vs[4])) AS BIGINT) AS hamming
+          |  FROM mm_cand_mp cd JOIN mm_wide w1 ON w1.vec_id = cd.id1
+          |    JOIN mm_wide w2 ON w2.vec_id = cd.id2)
+          |WHERE hamming <= 16""".stripMargin),
     // pairs → transitive closure (the dedup_clusters reach pattern) →
     // keep the min-id canonical per component
     "media_dedup_keep" ->

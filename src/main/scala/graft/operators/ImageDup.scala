@@ -50,9 +50,26 @@ object ImageDup {
     * image cluster is the only skew source, and it is REAL duplication
     * the downstream canonicalizer collapses), then the exact 64-bit
     * Hamming confirm over the 4 band values.
+    *
+    * `probeBits = 1` turns on 1-bit MULTIPROBE (the AnnLsh multiprobe
+    * idea on the banding side): the probe side also emits every
+    * one-bit flip of each band value (17× probe rows — still an
+    * equi-join, never all-pairs), so a pair is a candidate iff SOME
+    * band differs by ≤ probeBits bits. Pigeonhole guarantee: a pair at
+    * Hamming d has a band with ≤ floor(d/4) flipped bits, so recall is
+    * CERTAIN for d ≤ 4·(probeBits+1) − 1 — d ≤ 3 exact-band, d ≤ 7
+    * multiprobe — and probabilistic above.
     * Output: (id1, id2, hamming) with id1 < id2, hamming <= maxHamming. */
-  def nearDupPairs(bands: DataFrame, maxHamming: Int = 10): DataFrame = {
-    val cand = bands.as("a").join(bands.as("c"),
+  def nearDupPairs(bands: DataFrame, maxHamming: Int = 10,
+      probeBits: Int = 0): DataFrame = {
+    require(probeBits >= 0 && probeBits <= 1, "probeBits is 0 or 1")
+    val probe =
+      if (probeBits == 0) bands
+      else bands.select(col("media_id"), col("band"), explode(expr(
+        """transform(sequence(-1, 15), j ->
+          |  IF(j = -1, val, val ^ shiftleft(CAST(1 AS BIGINT), j)))"""
+          .stripMargin)).as("val"))
+    val cand = probe.as("a").join(bands.as("c"),
         col("a.band") === col("c.band") && col("a.val") === col("c.val") &&
           col("a.media_id") < col("c.media_id"))
       .select(col("a.media_id").as("id1"), col("c.media_id").as("id2"))

@@ -88,6 +88,30 @@ class ImageDupSpec extends AnyFunSuite {
     assert(pairs.head.getLong(2) <= 4)
   }
 
+  test("1-bit multiprobe: a Hamming-5 pair with no equal band is missed " +
+      "by exact banding and guaranteed by probeBits = 1") {
+    import spark.implicits._
+    // bands differ by (2,1,1,1) bits -> total d=5, no band equal, every
+    // band within 1 bit except band 0
+    val bands = Seq(
+      (1L, 0, 0L),          (1L, 1, 0L),  (1L, 2, 0L),  (1L, 3, 0L),
+      (2L, 0, 3L /*2 bits*/),(2L, 1, 4L), (2L, 2, 8L),  (2L, 3, 16L))
+      .toDF("media_id", "band", "val")
+    assert(ImageDup.nearDupPairs(bands, maxHamming = 10).count() == 0,
+      "no band matches exactly -> exact banding must miss")
+    val mp = ImageDup.nearDupPairs(bands, maxHamming = 10, probeBits = 1)
+      .collect()
+    assert(mp.length == 1 && mp.head.getLong(2) == 5L)
+    // ...but a pair beyond the guarantee with every band 2 bits off
+    // (d=8) stays invisible even to 1-bit probes
+    val far = Seq(
+      (1L, 0, 0L), (1L, 1, 0L), (1L, 2, 0L), (1L, 3, 0L),
+      (2L, 0, 3L), (2L, 1, 3L), (2L, 2, 3L), (2L, 3, 3L))
+      .toDF("media_id", "band", "val")
+    assert(ImageDup.nearDupPairs(far, maxHamming = 10, probeBits = 1)
+      .count() == 0)
+  }
+
   test("hamming arithmetic: a one-band difference is counted exactly") {
     import spark.implicits._
     // synthetic band rows: ids share band 0 value (candidate), differ in
