@@ -203,6 +203,59 @@ object IncrementalBqIndex {
     IvfBq.knnJoin(model(spark, path), vectors(spark, path), queries, k,
       nprobe, rerank, scoreDigits = scoreDigits)
 
+  /** MULTI-INDEX FEDERATION (the round-8 roadmap item): serve one query
+    * set across SEVERAL incremental indexes — a frozen bulk index plus
+    * a fresh streaming one, per-tenant or per-day shards — with a
+    * GLOBAL top-k merge. Correctness rests on the rerank contract:
+    * every per-index candidate is re-scored by the EXACT similarity on
+    * original vectors, so scores are comparable across indexes
+    * regardless of how each index's quantizer was trained. The merge is
+    * a union of per-index exact-scored top-k → dedupe ids that live in
+    * more than one index (same vector ⇒ same exact score; max() is the
+    * safe fold) → one rank window. Per-index serving keeps its own
+    * nprobe/rerank; `scoreDigits` must round at the federation level
+    * only, or cross-index ties would re-rank differently — per-index
+    * calls therefore run unrounded.
+    *
+    * At fleet scale each index's probe is already cell-routed, and the
+    * merge adds one (query_id)-keyed top-k over ≤ paths·k rows per
+    * query — negligible next to the probes. */
+  def knnJoinFederated(spark: SparkSession, paths: Seq[String],
+      queries: DataFrame, k: Int, nprobe: Int = 4, rerank: Int = 100,
+      scoreDigits: Int = -1): DataFrame = {
+    require(paths.nonEmpty, "federate at least one index")
+    val perIndex = paths.map { p =>
+      knnJoin(spark, p, queries, k, nprobe, rerank, scoreDigits = -1)
+        .select("query_id", "neighbor_id", "score")
+    }.reduce(_ unionByName _)
+    val merged = perIndex
+      .groupBy("query_id", "neighbor_id").agg(max("score").as("score"))
+    val rounded =
+      if (scoreDigits >= 0)
+        merged.withColumn("score", graft.Qutil.rnd(col("score"), scoreDigits))
+      else merged
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    rounded.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "score", "rank")
+  }
+
+  /** Per-index staleness metadata for a federation: live row count,
+    * quantizer fit-corpus size, and growth since fit (the compaction
+    * trigger) — the signal for WHICH member to refit or fold. */
+  def federationStatus(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    import spark.implicits._
+    paths.map { p =>
+      val (_, _, _, fitN) = loadParams(spark, p)
+      val live = indexedCount(spark, p)
+      val growth =
+        if (fitN <= 0) Double.PositiveInfinity else live.toDouble / fitN
+      (p, live, fitN, growth)
+    }.toDF("path", "indexed_count", "fit_n", "growth_since_fit")
+  }
+
   /** Adaptive-overfetch serving: per-query rerank sized from the probed
     * cells' LIVE populations (recomputed per call) — the right knob
     * here, because epochs grow cells continuously and residual hammings

@@ -167,6 +167,12 @@ class PlanSpec extends AnyFunSuite {
       s"expected an equi-join on (band, val):\n$p")
   }
 
+  test("media_phash_pairs_mp: multiprobe stays an equi-join, no cartesian") {
+    val p = plan("media_phash_pairs_mp")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"multiprobe banding must stay a band equi-join:\n$p")
+  }
+
   test("media_audio_dup_pairs: exact-fingerprint join, no cartesian") {
     val p = plan("media_audio_dup_pairs")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

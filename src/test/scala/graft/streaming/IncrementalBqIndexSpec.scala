@@ -178,4 +178,49 @@ class IncrementalBqIndexSpec extends AnyFunSuite {
     IncrementalBqIndex.drop(spark, streamed)
     IncrementalBqIndex.drop(spark, batch)
   }
+
+  test("federation: exhaustive per-index serving merges to the exact " +
+      "global top-k; overlapping ids dedupe; status reports growth") {
+    import graft.operators.{KnnJoin, Recall}
+    val pa = tmpPath(); val pb = tmpPath()
+    val half = emb.count() / 2
+    // two DISJOINT halves with independently trained quantizers, plus an
+    // overlap: vector 0 lives in BOTH indexes
+    IncrementalBqIndex.build(emb.filter(col("vec_id") < half), pa, numCells = 4)
+    IncrementalBqIndex.build(
+      emb.filter(col("vec_id") >= half || col("vec_id") === 0L), pb, numCells = 4)
+    // exhaustive probes + full rerank per index -> per-index exact top-k
+    // -> the global merge must equal brute force over the whole corpus
+    val fed = IncrementalBqIndex.knnJoinFederated(spark, Seq(pa, pb), probes,
+        k = 5, nprobe = 4, rerank = 1000, scoreDigits = 6)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(_.toSeq).toSet
+    val exact = KnnJoin.exactKnnJoin(emb, probes, k = 5,
+        metric = "cosine", scoreDigits = 6)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(_.toSeq).toSet
+    assert(fed == exact)
+    // the duplicated id appears at most once per query
+    val dupCounts = IncrementalBqIndex.knnJoinFederated(spark, Seq(pa, pb),
+        probes, k = 5, nprobe = 4, rerank = 1000)
+      .groupBy("query_id", "neighbor_id").count()
+      .filter(col("count") > 1).count()
+    assert(dupCounts == 0)
+    // pruned serving still holds a recall floor through the merge
+    val pruned = IncrementalBqIndex.knnJoinFederated(spark, Seq(pa, pb),
+      probes, k = 5, nprobe = 2, rerank = 20)
+    val rec = Recall.microAvgRecall(pruned,
+        KnnJoin.exactKnnJoin(emb, probes, k = 5))
+      .select("recall").first().getDouble(0)
+    assert(rec >= 0.5, s"federated pruned recall = $rec")
+    // staleness metadata: one row per member, growth = live / fit_n
+    val st = IncrementalBqIndex.federationStatus(spark, Seq(pa, pb))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(st.size == 2)
+    assert(st(pa)._1 == half && st(pa)._2 == half && st(pa)._3 == 1.0)
+    assert(st(pb)._1 == emb.count() - half + 1)
+    IncrementalBqIndex.drop(spark, pa)
+    IncrementalBqIndex.drop(spark, pb)
+  }
 }
