@@ -63,9 +63,10 @@ object IvfBq {
   def fit(base: DataFrame, numCells: Int = 16, seed: Long = 42L,
       idCol: String = "vec_id", vecCol: String = "embedding",
       metric: String = "cosine", lloydSampleN: Int = 100000,
-      balanceSlack: Double = 0.0, residual: Boolean = true): Model = {
+      balanceSlack: Double = 0.0, residual: Boolean = true,
+      initCentroids: Option[Array[(Int, Array[Float])]] = None): Model = {
     val ivf = IvfFlat.fit(base, numCells, seed, idCol, vecCol, metric,
-      lloydSampleN, balanceSlack)
+      lloydSampleN, balanceSlack, initCentroids)
     val m = fromIvf(ivf, residual)
     // the transient quantizer's persisted assignment is fully consumed
     // by the (already materialized) code table — release it here, or

@@ -39,23 +39,38 @@ object IvfFlat {
     *               MUST match the query-time probe metric, or true
     *               neighbors land in never-probed cells (IvfPq assigns
     *               and probes euclidean; the cosine path is the default
-    *               knn_ivf surface) */
+    *               knn_ivf surface)
+    * @param initCentroids WARM START: seed Lloyd from these centroids
+    *               (an earlier fit of the same space) instead of the
+    *               hash-min vectors. The one refinement step still runs
+    *               against the new corpus's sample, so centroids track
+    *               drift while keeping their IDENTITY — cell i stays
+    *               "the same cell", which is what keeps cell ids stable
+    *               across refit compactions. Must carry exactly
+    *               `numCells` centroids. */
   def fit(base: DataFrame, numCells: Int = 16, seed: Long = 42L,
       idCol: String = "vec_id", vecCol: String = "embedding",
       metric: String = "cosine", lloydSampleN: Int = 100000,
-      balanceSlack: Double = 0.0): Model = {
+      balanceSlack: Double = 0.0,
+      initCentroids: Option[Array[(Int, Array[Float])]] = None): Model = {
     require(lloydSampleN >= numCells, "Lloyd sample smaller than cell count")
     require(balanceSlack == 0.0 || numCells >= 2,
       "balanced assignment needs a second-nearest cell to spill to")
+    initCentroids.foreach(c => require(c.length == numCells,
+      s"warm start carries ${c.length} centroids for numCells=$numCells"))
     val spark = base.sparkSession
     import spark.implicits._
     val hashed = base.select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<float>").as("vec"))
       .withColumn("h", xxhash64(col("id"), lit(seed)))
     val sample = hashed.orderBy("h").limit(lloydSampleN).persist()
-    val init = sample.orderBy("h").limit(numCells)
-      .select("id", "vec").as[(Long, Array[Float])].collect()
-      .zipWithIndex.map { case ((_, v), i) => (i, v) }
+    val init = initCentroids match {
+      case Some(c) => c.sortBy(_._1).zipWithIndex
+        .map { case ((_, v), i) => (i, v) }
+      case None => sample.orderBy("h").limit(numCells)
+        .select("id", "vec").as[(Long, Array[Float])].collect()
+        .zipWithIndex.map { case ((_, v), i) => (i, v) }
+    }
     val afterAssign = assign(sample.select("id", "vec"), init, metric)
     // one Lloyd step over the sample: element-wise mean per cell
     val refined = afterAssign
@@ -66,7 +81,18 @@ object IvfFlat {
       .select(col("cell"), expr("transform(ps, p -> cast(p.mx as float))").as("cvec"))
       .as[(Int, Array[Float])].collect()
       .sortBy(_._1)
-    val finalCentroids = if (refined.length == numCells) refined else init
+    val finalCentroids =
+      if (refined.length == numCells) refined
+      else initCentroids match {
+        // warm start: a cell the new sample never hits KEEPS its frozen
+        // centroid (identity preserved) instead of discarding the whole
+        // refinement; the cold path's all-or-nothing fallback is
+        // unchanged (existing fits stay bit-identical)
+        case Some(_) =>
+          val m = refined.toMap
+          Array.tabulate(numCells)(i => (i, m.getOrElse(i, init(i)._2)))
+        case None => init
+      }
     sample.unpersist()
     val src = hashed.select("id", "vec")
     val assigned =

@@ -50,11 +50,12 @@ object IncrementalBqIndex {
     * rule); `residual = true` is the clustered-corpus configuration. */
   def build(base: DataFrame, path: String, numCells: Int = 16,
       residual: Boolean = true, seed: Long = 42L,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      initCentroids: Option[Array[(Int, Array[Float])]] = None): Unit = {
     val spark = base.sparkSession
     import spark.implicits._
     val model = IvfBq.fit(base, numCells, seed, idCol, vecCol,
-      residual = residual)
+      residual = residual, initCentroids = initCentroids)
     val fitN = model.encoded.count()
     model.centroids.toSeq.toDF("cell", "cvec")
       .coalesce(1).write.mode(SaveMode.Overwrite)
@@ -296,8 +297,14 @@ object IncrementalBqIndex {
     * the replacements move in, and the aside copy is only deleted after
     * every move succeeded — a failure at any point leaves either the
     * old layout live or both copies on disk, never neither. */
+  /** `warmStart = true` on a refit seeds Lloyd from the CURRENT frozen
+    * centroids (IvfFlat warm start) — cell i keeps its identity across
+    * the compaction, so cell ids stay comparable for external routing
+    * tables / logs. Only meaningful when the cell count is unchanged;
+    * a growth-scaled `numCells` falls back to cold training (a new
+    * geometry has no identities to preserve). */
   def compact(spark: SparkSession, path: String, refit: Boolean = false,
-      numCells: Int = -1): Unit = {
+      numCells: Int = -1, warmStart: Boolean = false): Unit = {
     val (cents, residual, _, fitN0) = loadParams(spark, path)
     val tmp = dir(path, ".compact")
     // live set anchored on COMMITTED codes: an orphan vectors/epoch left
@@ -308,7 +315,8 @@ object IncrementalBqIndex {
       Seq("vec_id"), "left_semi")
     if (refit) {
       val c = if (numCells > 0) numCells else cents.length
-      build(live, tmp, c, residual)
+      val warm = if (warmStart && c == cents.length) Some(cents) else None
+      build(live, tmp, c, residual, initCentroids = warm)
     } else {
       // same quantizer: rewrite codes/vectors minus deletes, keep params
       liveCodes(spark, path)

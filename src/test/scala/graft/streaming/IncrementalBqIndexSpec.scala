@@ -223,4 +223,48 @@ class IncrementalBqIndexSpec extends AnyFunSuite {
     IncrementalBqIndex.drop(spark, pa)
     IncrementalBqIndex.drop(spark, pb)
   }
+
+  test("warm-start refit keeps cell identities across compaction; " +
+      "cold refit relabels them") {
+    import graft.sources.VectorSources
+    val boot = VectorSources.syntheticClustered(spark, 2000, 16,
+        numClusters = 8, spread = 0.08)
+      .select("vec_id", "embedding")
+    val grow = VectorSources.syntheticClustered(spark, 4000, 16,
+        numClusters = 8, spread = 0.08)
+      .filter(col("vec_id") >= 2000).select("vec_id", "embedding")
+    def cellsOf(path: String): Map[Long, Int] =
+      spark.read.parquet(s"$path/codes").select("id", "cell")
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    def stability(path: String, warm: Boolean): Double = {
+      IncrementalBqIndex.build(boot, path, numCells = 8)
+      IncrementalBqIndex.append(grow, path)
+      val before = cellsOf(path)
+      IncrementalBqIndex.compact(spark, path, refit = true, warmStart = warm)
+      val after = cellsOf(path)
+      assert(after.size == 4000)
+      val stable = before.count { case (id, c) => after(id) == c }
+      stable.toDouble / before.size
+    }
+    val pw = tmpPath(); val pc = tmpPath()
+    val warmStab = stability(pw, warm = true)
+    val coldStab = stability(pc, warm = false)
+    assert(warmStab >= 0.9,
+      s"warm refit must keep cell identities (stability = $warmStab)")
+    assert(warmStab >= coldStab,
+      s"warm $warmStab must not be less stable than cold $coldStab")
+    // warm-refit index still serves: exhaustive probes equal brute force
+    import graft.operators.KnnJoin
+    val all = boot.unionByName(grow)
+    val qs = all.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val served = IncrementalBqIndex.knnJoin(spark, pw, qs, k = 5,
+        nprobe = 8, rerank = 5000, scoreDigits = 6)
+      .select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
+    val exact = KnnJoin.exactKnnJoin(all, qs, k = 5, scoreDigits = 6)
+      .select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
+    assert(served == exact)
+    IncrementalBqIndex.drop(spark, pw)
+    IncrementalBqIndex.drop(spark, pc)
+  }
 }
