@@ -105,7 +105,52 @@ object ImageDup {
       }
       .start()
 
-  /** All band rows ingested so far (epoch column dropped). */
-  def bands(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/bands").select("media_id", "band", "val")
+  /** All LIVE band rows ingested so far (epoch column dropped, delete
+    * vector anti-joined). */
+  def bands(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val raw = spark.read.parquet(s"$path/bands")
+      .select("media_id", "band", "val")
+    val del = new org.apache.hadoop.fs.Path(s"$path/deletes")
+    val fs = del.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(del))
+      raw.join(broadcast(spark.read.parquet(s"$path/deletes")
+          .select(col("media_id")).distinct()),
+        Seq("media_id"), "left_anti")
+    else raw
+  }
+
+  /** Record deleted media ids (bounded id rows); [[bands]] anti-joins
+    * them until [[compact]] folds them away — the IncrementalBqIndex
+    * delete-vector contract. */
+  def remove(ids: DataFrame, path: String,
+      idCol: String = "media_id"): Unit = {
+    ids.select(col(idCol).cast("long").as("media_id")).distinct()
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$path/deletes")
+  }
+
+  /** COMPACTION: fold all epochs minus deletes into one epoch. Crash
+    * safety is the IncrementalBqIndex aside dance — the replacement is
+    * fully written to a temp dir, the live dir moves aside (rename,
+    * checked), the replacement moves in, and the aside copy is deleted
+    * only after every move succeeded. */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val live = bands(spark, path)
+    live.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/.compact/bands/epoch=compacted")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def mv(from: String, to: String): Unit = {
+      val src = new org.apache.hadoop.fs.Path(from)
+      if (fs.exists(src))
+        require(fs.rename(src, new org.apache.hadoop.fs.Path(to)),
+          s"compact: rename $from -> $to failed; band store left intact")
+    }
+    mv(s"$path/bands", s"$path/.compact-old")
+    mv(s"$path/.compact/bands", s"$path/bands")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/deletes"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/.compact-old"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/.compact"), true)
+    ()
+  }
 }

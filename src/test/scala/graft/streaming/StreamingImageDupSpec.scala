@@ -62,6 +62,41 @@ class StreamingImageDupSpec extends AnyFunSuite {
       s"twin pair missing from ${pairs.toSeq}")
   }
 
+  test("delete vector hides an id from serving; compaction folds epochs " +
+      "and deletes away, results unchanged") {
+    import spark.implicits._
+    val path = tmpPath()
+    val rows1 = Seq(img(1L, 7), img(2L, 11)).toDF("media_id", "content")
+    val rows2 = Seq(img(3L, 13), (100L, Multimodal.encodeGray(
+      Array.tabulate(64)(i => (i * 7 + 7) % 256), 8, 8, "png")))
+      .toDF("media_id", "content")
+    ImageDup.aHashBands(Multimodal.decodeImagePooledRaw(rows1, 8))
+      .write.mode("overwrite").parquet(s"$path/bands/epoch=0")
+    ImageDup.aHashBands(Multimodal.decodeImagePooledRaw(rows2, 8))
+      .write.mode("overwrite").parquet(s"$path/bands/epoch=1")
+    assert(ImageDup.bands(spark, path).count() == 16)
+    // remove image 2: serving must no longer see it
+    ImageDup.remove(Seq(2L).toDF("media_id"), path)
+    assert(ImageDup.bands(spark, path)
+      .select("media_id").distinct().collect().map(_.getLong(0)).toSet ==
+      Set(1L, 3L, 100L))
+    val before = ImageDup.nearDupPairs(ImageDup.bands(spark, path),
+        maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(before == Set((1L, 100L))) // the cross-codec twin survives
+    // compact: one epoch, no delete vector, identical serving
+    ImageDup.compact(spark, path)
+    assert(ImageDup.bands(spark, path).count() == 12)
+    val after = ImageDup.nearDupPairs(ImageDup.bands(spark, path),
+        maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after == before)
+    // the deletes dir is gone (folded), bands is a single epoch
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/deletes")))
+  }
+
   test("micro-batch replay overwrites its epoch — no duplicate bands") {
     import spark.implicits._
     val path = tmpPath()
