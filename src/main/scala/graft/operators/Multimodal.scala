@@ -527,6 +527,23 @@ object Multimodal {
       .toDF("media_id", "fp", "n_samples")
   }
 
+  /** [[audioFingerprint]] cut into 4 × 8-bit bands — the SAME
+    * (media_id, band, val) shape the image dedup bands use, so
+    * [[ImageDup.nearDupPairs]] serves audio NEAR-match unchanged
+    * (band-equality candidates + exact Hamming confirm): a lightly
+    * edited signal moves only the delta bits of the windows it touches,
+    * and pigeonhole over 4 bands guarantees recall to Hamming 3 (7 with
+    * 1-bit multiprobe). Uses windows = 33 → 32 fingerprint bits. */
+  def audioFingerprintBands(media: DataFrame): DataFrame =
+    audioFingerprint(media, windows = 33)
+      .select(col("media_id"), explode(expr(
+        """transform(sequence(0, 3), k -> struct(
+          |  k AS band,
+          |  shiftright(fp, k * 8) & CAST(255 AS BIGINT) AS val))"""
+          .stripMargin)).as("bv"))
+      .select(col("media_id"), col("bv.band").cast("int").as("band"),
+        col("bv.val").as("val"))
+
   /** "Resize" metadata transform: pure column math (real at any scale). */
   def resizeMeta(media: DataFrame, maxSide: Int): DataFrame =
     media.withColumn("scale",

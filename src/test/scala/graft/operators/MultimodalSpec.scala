@@ -238,6 +238,36 @@ class MultimodalSpec extends AnyFunSuite {
     assert(fps(1L) != fps(3L), "reversed envelope must differ")
   }
 
+  test("audio near-match: a lightly edited signal pairs through the " +
+      "banded fingerprint; a different envelope does not") {
+    // base: alternating quiet/loud windows; edit: bump ONE sample a bit
+    // (changes at most a couple of delta bits); far: reversed envelope
+    val base = Array.tabulate(66)(i =>
+      (if ((i / 2) % 2 == 0) 200 + i else 4000 + i).toShort)
+    val edited = base.clone(); edited(10) = (edited(10) + 300).toShort
+    // monotone rising energy: every delta bit 1, vs base's alternating
+    // bits — ~4 flipped bits in EVERY band, invisible to exact banding
+    val far = Array.tabulate(66)(i => (100 + i * 40).toShort)
+    val media = mediaOf(Seq(
+      (1L, Multimodal.encodePcm16Wav(base, 8000)),
+      (2L, Multimodal.encodePcm16Wav(edited, 8000)),
+      (3L, Multimodal.encodePcm16Wav(far, 8000))))
+    val pairs = ImageDup.nearDupPairs(
+        Multimodal.audioFingerprintBands(media), maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"edited copy must pair: $pairs")
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+    // band values decompose the fingerprint exactly
+    import spark.implicits._
+    val fp = Multimodal.audioFingerprint(
+        mediaOf(Seq((1L, Multimodal.encodePcm16Wav(base, 8000)))), 33)
+      .collect().head.getLong(1)
+    val bands = Multimodal.audioFingerprintBands(
+        mediaOf(Seq((1L, Multimodal.encodePcm16Wav(base, 8000)))))
+      .collect().map(r => r.getInt(1) -> r.getLong(2)).toMap
+    assert((0 to 3).map(k => bands(k) << (k * 8)).sum == fp)
+  }
+
   test("quantizePcm16: full-scale range, constant vector -> silence") {
     val q = Multimodal.quantizePcm16(Array(-1.0f, 1.0f))
     assert(q.toSeq == Seq(-32768, 32767))
