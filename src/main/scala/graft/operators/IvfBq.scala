@@ -146,22 +146,66 @@ object IvfBq {
       queryId, queryVec, idCol, vecCol, metric, scoreDigits)
   }
 
+  /** ADAPTIVE NPROBE: each query probes its ranked cells only until
+    * their cumulative LIVE population covers `minCandidates` (and at
+    * least `minNprobe` cells), instead of a fixed cell count — a query
+    * landing in dense cells stops early, one landing in sparse cells
+    * keeps probing up to `maxNprobe`. The per-query analog of
+    * [[knnJoinAdaptive]]'s rerank sizing, and composable with it: the
+    * rerank is sized from the cells actually kept. Requires cellCounts
+    * (build with counts). */
+  def knnJoinAdaptiveProbe(model: Model, base: DataFrame, queries: DataFrame,
+      k: Int, maxNprobe: Int = 16, minNprobe: Int = 1,
+      minCandidates: Int = 2000, rerankFrac: Double = 0.1,
+      rerankMin: Int = 100, queryId: String = "query_id",
+      queryVec: String = "query_vec", idCol: String = "vec_id",
+      vecCol: String = "embedding", metric: String = "cosine",
+      scoreDigits: Int = -1): DataFrame = {
+    require(maxNprobe >= minNprobe && minNprobe >= 1 && minCandidates >= 0)
+    require(rerankFrac > 0.0 && rerankFrac <= 1.0 && rerankMin >= k)
+    require(model.cellCounts.nonEmpty,
+      "adaptive probing needs the model's cellCounts (build withCounts)")
+    knnJoinWith(model, base, queries, k, maxNprobe,
+      rerankOf = (_, cells) => {
+        val pop = cells.map(c => model.cellCounts.getOrElse(c, 0L)).sum
+        math.max(rerankMin.toLong, math.ceil(rerankFrac * pop).toLong)
+          .min(Int.MaxValue).toInt
+      },
+      queryId, queryVec, idCol, vecCol, metric, scoreDigits,
+      probeOf = (_, cells) => {
+        val keep = scala.collection.mutable.ArrayBuffer.empty[Int]
+        var cum = 0L
+        var i = 0
+        while (i < cells.length &&
+            (keep.length < minNprobe || cum < minCandidates)) {
+          keep += cells(i)
+          cum += model.cellCounts.getOrElse(cells(i), 0L)
+          i += 1
+        }
+        keep.toArray
+      })
+  }
+
   private def knnJoinWith(model: Model, base: DataFrame, queries: DataFrame,
       k: Int, nprobe: Int, rerankOf: (Long, Array[Int]) => Int,
       queryId: String, queryVec: String, idCol: String,
-      vecCol: String, metric: String, scoreDigits: Int): DataFrame = {
+      vecCol: String, metric: String, scoreDigits: Int,
+      probeOf: (Long, Array[Int]) => Array[Int] = (_, cs) => cs)
+      : DataFrame = {
     require(k > 0 && nprobe > 0)
     val spark = model.encoded.sparkSession
     import spark.implicits._
     // routing runs IN-PLAN through the same expression that assigns base
     // rows (ties: (s desc, cell desc)) — then one bounded collect of
-    // (qid, qv, cells) for the broadcast scan
+    // (qid, qv, cells) for the broadcast scan; probeOf may TRIM each
+    // query's ranked cell list (adaptive nprobe)
     val routed = queries.select(col(queryId).cast("long"),
         col(queryVec).cast("array<float>").as("qv"),
         graft.functions.cells.nearest_cells(
           col(queryVec).cast("array<float>"), model.centroids, metric,
           n = nprobe, tieCellDesc = true).as("cells"))
       .as[(Long, Array[Float], Array[Int])].collect()
+      .map { case (qid, qv, cells) => (qid, qv, probeOf(qid, cells)) }
     // residual mode: one code per PROBED CELL per query — candidates in
     // cell c compare against the query's cell-c residual signs
     val cents = model.centroids.sortBy(_._1).map(_._2)

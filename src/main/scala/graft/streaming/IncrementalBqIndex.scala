@@ -269,6 +269,18 @@ object IncrementalBqIndex {
       vectors(spark, path), queries,
       k, nprobe, rerankFrac, rerankMin, scoreDigits = scoreDigits)
 
+  /** Adaptive-nprobe serving over the live index: each query probes its
+    * ranked cells until their live population covers `minCandidates`
+    * (see [[IvfBq.knnJoinAdaptiveProbe]]) — dense landings stop early,
+    * sparse ones keep probing; rerank sized from the kept cells. */
+  def knnJoinAdaptiveProbe(spark: SparkSession, path: String,
+      queries: DataFrame, k: Int, maxNprobe: Int = 16, minNprobe: Int = 1,
+      minCandidates: Int = 2000, rerankFrac: Double = 0.1,
+      rerankMin: Int = 100, scoreDigits: Int = -1): DataFrame =
+    IvfBq.knnJoinAdaptiveProbe(model(spark, path, withCounts = true),
+      vectors(spark, path), queries, k, maxNprobe, minNprobe,
+      minCandidates, rerankFrac, rerankMin, scoreDigits = scoreDigits)
+
   /** Live row count (codes minus deletes). */
   def indexedCount(spark: SparkSession, path: String): Long =
     liveCodes(spark, path).count()

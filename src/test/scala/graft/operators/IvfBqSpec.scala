@@ -116,6 +116,41 @@ class IvfBqSpec extends AnyFunSuite {
     }
   }
 
+  test("adaptive nprobe: endpoints equal fixed probing; the candidate " +
+      "floor buys recall between them") {
+    def byRank(df: DataFrame) = df
+      .select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
+    // minCandidates=0 -> exactly minNprobe cells, identical to the fixed
+    // nprobe path at the same rerank sizing
+    val minOnly = byRank(IvfBq.knnJoinAdaptiveProbe(model, emb, probes,
+      k = 5, maxNprobe = 4, minNprobe = 2, minCandidates = 0,
+      rerankFrac = 0.5, rerankMin = 5, scoreDigits = 6))
+    val fixed2 = byRank(IvfBq.knnJoinAdaptive(model, emb, probes,
+      k = 5, nprobe = 2, rerankFrac = 0.5, rerankMin = 5, scoreDigits = 6))
+    assert(minOnly == fixed2)
+    // minCandidates >= corpus -> every ranked cell kept, identical to
+    // fixed maxNprobe
+    val n = emb.count().toInt
+    val capped = byRank(IvfBq.knnJoinAdaptiveProbe(model, emb, probes,
+      k = 5, maxNprobe = 4, minNprobe = 1, minCandidates = n + 1,
+      rerankFrac = 0.5, rerankMin = 5, scoreDigits = 6))
+    val fixed4 = byRank(IvfBq.knnJoinAdaptive(model, emb, probes,
+      k = 5, nprobe = 4, rerankFrac = 0.5, rerankMin = 5, scoreDigits = 6))
+    assert(capped == fixed4)
+    // a middling candidate floor sits between the endpoints on recall
+    import graft.operators.{KnnJoin, Recall}
+    val exact = KnnJoin.exactKnnJoin(emb, probes, k = 5)
+    def rec(res: DataFrame) = Recall.microAvgRecall(res, exact)
+      .select("recall").first().getDouble(0)
+    val mid = IvfBq.knnJoinAdaptiveProbe(model, emb, probes,
+      k = 5, maxNprobe = 4, minNprobe = 1, minCandidates = n / 2,
+      rerankFrac = 0.5, rerankMin = 5)
+    val lo = IvfBq.knnJoinAdaptive(model, emb, probes, k = 5, nprobe = 1,
+      rerankFrac = 0.5, rerankMin = 5)
+    assert(rec(mid) >= rec(lo),
+      s"candidate floor must not lose recall vs 1 cell: ${rec(mid)} vs ${rec(lo)}")
+  }
+
   test("batched probes ≡ whole probe set") {
     val whole = IvfBq.knnJoin(model, emb, probes, k = 5, nprobe = 2,
         rerank = 50)
