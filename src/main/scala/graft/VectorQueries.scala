@@ -716,15 +716,19 @@ object VectorQueries {
     // pointer-jumping operator, reused unchanged on image edges) → keep
     // the canonical copy per cluster. Every PNG twin must land in its
     // original's cluster and lose the keep.
+    // the engine side runs the COLLAPSED edge set (nearDupEdges — exact
+    // hash groups as linear stars, banding over representatives; the 10M
+    // scale path), the oracle the pairwise closure: components are
+    // provably identical (members share their rep's hash), spec-pinned
     "media_dedup_keep" -> ((s, dir) => {
       val corpus = mediaBmpWithTwins(s, dir)
-      val pairs = graft.operators.ImageDup.nearDupPairs(
+      val edges = graft.operators.ImageDup.nearDupEdges(
         graft.operators.ImageDup.aHashBands(
           graft.operators.Multimodal.decodeImagePooledRaw(corpus, grid = 8)),
         maxHamming = 10)
       graft.operators.Dedup.connectedComponents(
           corpus.select(col("media_id").as("doc_id")),
-          pairs.select("id1", "id2"))
+          edges.select("id1", "id2"))
         .select(col("doc_id").as("media_id"), col("cluster_id"),
           col("is_canonical").as("kept"))
     }),

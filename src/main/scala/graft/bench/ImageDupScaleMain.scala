@@ -64,20 +64,40 @@ object ImageDupScaleMain {
     println(f"[imagedup-scale] decode+hash wall=$hashS%.1fs " +
       f"(${total / hashS}%.0f images/s, $bandRows band rows)")
 
-    // banded candidates + Hamming confirm vs the all-pairs count avoided
+    // COLLAPSED near-dup edges (nearDupEdges): exact-hash groups become
+    // linear star edges, banding runs over representatives only — the
+    // 10M lesson: the pairwise formulation spilled >75 GB of
+    // within-group pairs (tight clusters share the full 64-bit hash;
+    // their duplication mass is quadratic), while the component
+    // structure needs only the linear star
+    // single-pass agg, no persist: caching this plan on top of the cached
+    // bands hit SPARK's nested-cache rebuild NPE (CacheManager
+    // recacheByPlan, "SparkPlan.session() is null") at 10M
     val t1 = System.nanoTime()
-    val pairs = ImageDup.nearDupPairs(bands, maxHamming = 10).persist()
-    val nPairs = pairs.count()
-    val pairS = (System.nanoTime() - t1) / 1e9
-    val twinPairs = pairs.filter(col("id2") === col("id1") + n &&
-      col("hamming") === 0).count()
+    val edgeStats = ImageDup.nearDupEdges(bands, maxHamming = 10)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("hamming") === 0, 1L).otherwise(0L)).as("exact"))
+      .head()
+    val nEdges = edgeStats.getLong(0)
+    val exactEdges = edgeStats.getLong(1)
+    val edgeS = (System.nanoTime() - t1) / 1e9
+    println(f"[imagedup-scale] edges wall=$edgeS%.1fs found=$nEdges " +
+      f"($exactEdges exact-group) vs ${total * (total - 1) / 2} all-pairs")
+    // twin recall via hash identity: every PNG re-encode must carry its
+    // BMP original's full hash (lossless codecs) — and therefore sit in
+    // its exact group / connected component
+    val wide = bands.groupBy("media_id")
+      .agg(expr("transform(array_sort(collect_list(struct(band, val))), " +
+        "x -> x.val)").as("vs"))
+    val twinMatch = wide.as("o").join(wide.as("t"),
+        col("t.media_id") === col("o.media_id") + n &&
+          col("t.vs") === col("o.vs"))
+      .count()
     val expectTwins = (n + plantEvery - 1) / plantEvery
-    println(f"[imagedup-scale] pairs wall=$pairS%.1fs found=$nPairs " +
-      f"(vs ${total * (total - 1) / 2} all-pairs) " +
-      f"twin_recall=$twinPairs/$expectTwins")
-    require(twinPairs == expectTwins,
-      "every PNG re-encode must pair with its BMP original at Hamming 0")
-    pairs.unpersist(); bands.unpersist(); base.unpersist()
+    println(s"[imagedup-scale] twin_hash_identity=$twinMatch/$expectTwins")
+    require(twinMatch == expectTwins,
+      "every PNG re-encode must hash identically to its BMP original")
+    bands.unpersist(); base.unpersist()
     spark.stop()
   }
 }

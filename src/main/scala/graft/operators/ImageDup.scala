@@ -87,6 +87,40 @@ object ImageDup {
       .select("id1", "id2", "hamming")
   }
 
+  /** SCALABLE near-dup EDGES — the 10M finding: on a real corpus the
+    * dominant duplication is EXACT-hash mass (tight clusters and true
+    * copies share the full 64-bit hash), and any pairwise formulation
+    * goes quadratic inside those groups (measured: the 10M pairwise run
+    * spilled >75 GB of within-group pairs). Collapse first:
+    *
+    *   1. group by the FULL hash — each exact group contributes
+    *      (size − 1) STAR edges to its min-id representative (linear);
+    *   2. run the banded near-match over REPRESENTATIVES only (one row
+    *      per distinct hash — the corpus the band join was sized for).
+    *
+    * The output's CONNECTED COMPONENTS are exactly the pairwise graph's
+    * (spec-pinned): members share their rep's hash, so any cross-group
+    * near-pair (m, x) implies the rep-level edge (rep(m), x) at the
+    * same Hamming distance — same components, linear edge count.
+    * Output: (id1, id2, hamming), id1 < id2; exact-group edges carry
+    * hamming 0. */
+  def nearDupEdges(bands: DataFrame, maxHamming: Int = 10,
+      probeBits: Int = 0): DataFrame = {
+    val wide = bands.groupBy("media_id")
+      .agg(expr("transform(array_sort(collect_list(struct(band, val))), " +
+        "x -> x.val)").as("vs"))
+    val rep = wide.groupBy("vs").agg(min("media_id").as("rep_id"))
+    val withRep = wide.join(rep, Seq("vs"))
+    val exactEdges = withRep.filter(col("media_id") =!= col("rep_id"))
+      .select(col("rep_id").as("id1"), col("media_id").as("id2"),
+        lit(0L).as("hamming"))
+    val repBands = withRep.filter(col("media_id") === col("rep_id"))
+      .select(col("media_id"), posexplode(col("vs")))
+      .toDF("media_id", "band", "val")
+    nearDupPairs(repBands, maxHamming, probeBits)
+      .unionByName(exactEdges)
+  }
+
   /** Streaming ingest: decode + hash each micro-batch of media rows and
     * append its band rows as ONE epoch directory — the engine's
     * epoch-handoff contract (TextIndex.append / IncrementalBqIndex): an

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Perceptual-hash image dedup: hand-computed aHash bits, banding
@@ -110,6 +111,41 @@ class ImageDupSpec extends AnyFunSuite {
       .toDF("media_id", "band", "val")
     assert(ImageDup.nearDupPairs(far, maxHamming = 10, probeBits = 1)
       .count() == 0)
+  }
+
+  test("collapsed edges: same connected components as the pairwise " +
+      "graph, linear edges inside exact-hash groups") {
+    import spark.implicits._
+    // three exact copies (codec-varied), one near image, one far image
+    val px = Array.tabulate(64)(i => if (i % 8 >= 4) 200 else 0)
+    val near = px.clone(); near(0) = 255
+    val far = Array.tabulate(64)(i => if ((i / 8) % 2 == 0) 220 else 0)
+    val rows = Seq(
+      (1L, Multimodal.encodeGray(px, 8, 8, "bmp")),
+      (2L, Multimodal.encodeGray(px, 8, 8, "png")),
+      (3L, Multimodal.encodeGray(px, 8, 8, "gif")),
+      (4L, Multimodal.encodeGray(near, 8, 8)),
+      (5L, Multimodal.encodeGray(far, 8, 8)))
+    val bands = bandsOf(rows)
+    def components(edges: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      Dedup.connectedComponents(
+          Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id"),
+          edges.select("id1", "id2"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaPairs = components(ImageDup.nearDupPairs(bands, maxHamming = 10))
+    val viaEdges = components(ImageDup.nearDupEdges(bands, maxHamming = 10))
+    assert(viaEdges == viaPairs)
+    assert(viaEdges(1L) == viaEdges(2L) && viaEdges(2L) == viaEdges(3L))
+    assert(viaEdges(5L) == 5L) // far stays its own cluster
+    // edge counts: pairwise has the 3-clique (3 edges) inside the exact
+    // group; collapsed has the 2-edge star
+    val cliqueEdges = ImageDup.nearDupPairs(bands, maxHamming = 10)
+      .filter(col("id1").isin(1L, 2L, 3L) && col("id2").isin(1L, 2L, 3L))
+      .count()
+    val starEdges = ImageDup.nearDupEdges(bands, maxHamming = 10)
+      .filter(col("id1").isin(1L, 2L, 3L) && col("id2").isin(1L, 2L, 3L))
+      .count()
+    assert(cliqueEdges == 3 && starEdges == 2)
   }
 
   test("hamming arithmetic: a one-band difference is counted exactly") {
