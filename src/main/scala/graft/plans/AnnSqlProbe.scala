@@ -78,6 +78,25 @@ object AnnSqlProbe {
         nprobe, math.max(rerank, k), idCol = idCol, vecCol = vecCol)
   }
 
+  /** Residual-BQ compressed path (the 10M serving winner): cosine SQL
+    * top-k probes scan nprobe cells of packed sign codes + exact cosine
+    * rerank against `base`. `rerankFrac > 0` switches to the ADAPTIVE
+    * per-query rerank — rerank scales with the probed cells' live
+    * population (the measured serving law: a fixed rerank silently loses
+    * recall as cells grow). */
+  final case class IvfBqRef(m: graft.operators.IvfBq.Model,
+      base: org.apache.spark.sql.DataFrame, nprobe: Int, rerank: Int,
+      rerankFrac: Double, idCol: String, vecCol: String) extends AnnIndex {
+    def metric: String = "cosine"
+    def knnJoin(p: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame =
+      if (rerankFrac > 0)
+        graft.operators.IvfBq.knnJoinAdaptive(m, base, p, k, nprobe,
+          rerankFrac, math.max(rerank, k), idCol = idCol, vecCol = vecCol)
+      else
+        graft.operators.IvfBq.knnJoin(m, base, p, k, nprobe,
+          math.max(rerank, k), idCol = idCol, vecCol = vecCol)
+  }
+
   case class Entry(index: AnnIndex, idCol: String, vecCol: String)
 
   private val catalog = TrieMap.empty[String, Entry]
@@ -113,6 +132,27 @@ object AnnSqlProbe {
   def register(path: String, model: graft.operators.IvfPq.Model,
       base: org.apache.spark.sql.DataFrame, nprobe: Int, rerank: Int): Unit =
     register(path, model, base, nprobe, rerank, "vec_id", "embedding")
+
+  /** Register a residual-BQ index: cosine SQL top-k probes route through
+    * the nprobe-pruned packed-sign scan + exact rerank against `base`.
+    * `rerankFrac > 0` sizes each query's rerank from its probed cells'
+    * population (needs a model built with cellCounts). */
+  def register(path: String, model: graft.operators.IvfBq.Model,
+      base: org.apache.spark.sql.DataFrame, nprobe: Int, rerank: Int,
+      rerankFrac: Double, idCol: String, vecCol: String): Unit = {
+    catalog.put(normalize(path),
+      Entry(IvfBqRef(model, base, nprobe, rerank, rerankFrac, idCol, vecCol),
+        idCol, vecCol)); ()
+  }
+
+  def register(path: String, model: graft.operators.IvfBq.Model,
+      base: org.apache.spark.sql.DataFrame, nprobe: Int, rerank: Int,
+      rerankFrac: Double): Unit =
+    register(path, model, base, nprobe, rerank, rerankFrac, "vec_id", "embedding")
+
+  def register(path: String, model: graft.operators.IvfBq.Model,
+      base: org.apache.spark.sql.DataFrame, nprobe: Int, rerank: Int): Unit =
+    register(path, model, base, nprobe, rerank, 0.0, "vec_id", "embedding")
 
   def unregister(path: String): Unit = { catalog.remove(normalize(path)); () }
 

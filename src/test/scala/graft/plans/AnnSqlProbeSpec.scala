@@ -243,6 +243,46 @@ class AnnSqlProbeSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF-BQ registration routes cosine SQL top-k through the sign-code scan") {
+    import graft.operators.IvfBq
+    val base = spark.read.parquet(path)
+    val model = IvfBq.fit(base, numCells = 4)
+    try {
+      val sql = annSql(10)
+      val exactRows = spark.sql(sql).collect()
+      // fixed rerank first
+      AnnSqlProbe.register(path, model, base, nprobe = 3, rerank = 50)
+      val probed = spark.sql(sql)
+      val plan = probed.queryExecution.executedPlan.toString
+      assert(plan.contains("Filter (rank"),
+        s"IVF-BQ probe should replace the scan + top-k:\n$plan")
+      val probedRows = probed.collect()
+      assert(probedRows.length == 10)
+      assert(probed.schema.fieldNames.toSeq == Seq("vec_id", "score"))
+      assert(probedRows.head.getLong(0) == 3L && probedRows.head.getDouble(1) > 0.999)
+      val recall = probedRows.map(_.getLong(0)).toSet
+        .intersect(exactRows.map(_.getLong(0)).toSet).size
+      assert(recall >= 6, s"ivfbq probe recall@10 = $recall/10")
+      // adaptive rerank: rerankFrac=1 over all cells degenerates to exact
+      AnnSqlProbe.register(path, model, base, nprobe = 4, rerank = 10,
+        rerankFrac = 1.0)
+      val adaptRows = spark.sql(sql).collect()
+      assert(adaptRows.map(_.getLong(0)).toSeq ==
+        exactRows.map(_.getLong(0)).toSeq,
+        "full-probe full-rerank adaptive must reproduce the exact top-k")
+      // euclidean SQL over the cosine-reranked index falls through
+      val qvec = "array(" + Seq.fill(64)("cast(0.1 as float)").mkString(", ") + ")"
+      val p2 = spark.sql(
+        s"""SELECT vec_id, euclidean_sim(embedding, $qvec) AS score
+           |FROM parquet.`$path` ORDER BY score DESC LIMIT 5""".stripMargin)
+        .queryExecution.executedPlan.toString
+      assert(!p2.contains("Filter (rank"), "euclidean over IVF-BQ must not rewrite")
+    } finally {
+      AnnSqlProbe.unregister(path)
+      model.encoded.unpersist()
+    }
+  }
+
   test("unregistering restores the exact plan") {
     val model = HnswIndexer.fit(spark.read.parquet(path), HnswParams(numPartitions = 2))
     AnnSqlProbe.register(path, model)
