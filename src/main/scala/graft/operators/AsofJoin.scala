@@ -47,7 +47,12 @@ object AsofJoin {
     val leftCols = left.columns.toSeq
     require(!leftCols.contains("_asof_ts") && !leftCols.contains("_asof_tag"),
       "left side already has _asof_* columns")
-    val r2 = right.select(
+    // a NULL right timestamp would sort NULLS FIRST under the ascending
+    // window order and be carried forward as a spurious "earliest" match;
+    // DuckDB's native ASOF JOIN (the oracle semantics) never matches
+    // NULL-timestamp rows — drop them
+    val rightNN = right.filter(col(rightTs).isNotNull)
+    val r2 = rightNN.select(
       keyCols.map(col) ++ Seq(
         col(rightTs).as("_asof_ts"), lit(0).as("_asof_tag"),
         struct(payload.map(col): _*).as("_asof_pay")) ++

@@ -127,10 +127,17 @@ object ImageDup {
     * at-least-once retry of a micro-batch OVERWRITES its own epoch
     * instead of appending duplicates, so stream-built bands are
     * bit-identical to batch-built ones (spec-pinned). Serving is the
-    * unchanged batch [[nearDupPairs]] over [[bands]]. */
+    * unchanged batch [[nearDupPairs]] over [[bands]].
+    *
+    * `checkpoint` is REQUIRED: the idempotent-retry contract holds only
+    * for CHECKPOINTED restarts — without one, a restarted query begins
+    * again at batchId 0 and its Overwrite would silently replace earlier
+    * epochs holding different data. */
   def streamingHashAppend(stream: DataFrame, path: String,
+      checkpoint: String,
       grid: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         aHashBands(Multimodal.decodeImagePooledRaw(batch, grid))
           .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
@@ -139,9 +146,39 @@ object ImageDup {
       }
       .start()
 
+  /** Roll FORWARD a compaction interrupted between its two renames: the
+    * replacement was fully written before the first rename ever ran, so
+    * if the live `bands` dir is gone but `.compact-old` exists, finish
+    * the compact (move the replacement in, drop the folded deletes and
+    * the aside copy). Called from every read path, so a crashed compact
+    * self-heals on the next [[bands]]. */
+  private def recoverCompact(
+      fs: org.apache.hadoop.fs.FileSystem, path: String): Unit = {
+    val livP = new org.apache.hadoop.fs.Path(s"$path/bands")
+    val oldP = new org.apache.hadoop.fs.Path(s"$path/.compact-old")
+    val newP = new org.apache.hadoop.fs.Path(s"$path/.compact/bands")
+    if (!fs.exists(livP) && fs.exists(oldP)) {
+      if (fs.exists(newP)) {
+        require(fs.rename(newP, livP),
+          s"recoverCompact: rename $newP -> $livP failed")
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/deletes"), true)
+      } else {
+        // replacement gone too (should not happen) — roll back
+        require(fs.rename(oldP, livP),
+          s"recoverCompact: rollback $oldP -> $livP failed")
+      }
+      fs.delete(oldP, true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/.compact"), true)
+      ()
+    }
+  }
+
   /** All LIVE band rows ingested so far (epoch column dropped, delete
-    * vector anti-joined). */
+    * vector anti-joined). Self-heals a compaction that crashed between
+    * renames ([[recoverCompact]]). */
   def bands(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    recoverCompact(new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration), path)
     val raw = spark.read.parquet(s"$path/bands")
       .select("media_id", "band", "val")
     val del = new org.apache.hadoop.fs.Path(s"$path/deletes")
@@ -174,14 +211,17 @@ object ImageDup {
       .parquet(s"$path/.compact/bands/epoch=compacted")
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def mv(from: String, to: String): Unit = {
+    def mv(from: String, to: String, onFail: String): Unit = {
       val src = new org.apache.hadoop.fs.Path(from)
       if (fs.exists(src))
         require(fs.rename(src, new org.apache.hadoop.fs.Path(to)),
-          s"compact: rename $from -> $to failed; band store left intact")
+          s"compact: rename $from -> $to failed; $onFail")
     }
-    mv(s"$path/bands", s"$path/.compact-old")
-    mv(s"$path/.compact/bands", s"$path/bands")
+    mv(s"$path/bands", s"$path/.compact-old",
+      "band store left intact")
+    mv(s"$path/.compact/bands", s"$path/bands",
+      s"live bands are aside at $path/.compact-old; the next bands() " +
+        "read rolls the compact forward automatically")
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/deletes"), true)
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/.compact-old"), true)
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/.compact"), true)

@@ -147,10 +147,11 @@ object Multimodal {
     * Undecodable payloads are SKIPPED (the 100-TB posture: a corrupt
     * file must not kill the job; count rows to detect loss).
     * Output: (media_id, img_w, img_h, feature array<double> of grid²). */
-  def decodeImagePooled(media: DataFrame, grid: Int = 4): DataFrame = {
+  def decodeImagePooled(media: DataFrame, grid: Int = 4,
+      skipped: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
-    decodePooledRows(media, grid)
+    decodePooledRows(media, grid, skipped)
       .map { case (id, w, h, sum, cnt) =>
         (id, w, h, fixedPointFeature(sum, cnt, grid))
       }
@@ -162,10 +163,11 @@ object Multimodal {
     * consumers like the perceptual hash ([[ImageDup]]) compare cell
     * means by cross-multiplication and never touch a float.
     * Output: (media_id, img_w, img_h, psum array<long>, pcnt array<long>). */
-  def decodeImagePooledRaw(media: DataFrame, grid: Int = 8): DataFrame = {
+  def decodeImagePooledRaw(media: DataFrame, grid: Int = 8,
+      skipped: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
-    decodePooledRows(media, grid)
+    decodePooledRows(media, grid, skipped)
       .toDF("media_id", "img_w", "img_h", "psum", "pcnt")
   }
 
@@ -198,7 +200,8 @@ object Multimodal {
       else math.floor(sum(b).toDouble / (cnt(b) * 255.0) * 1e6 + 0.5) / 1e6
     }
 
-  private def decodePooledRows(media: DataFrame, grid: Int)
+  private def decodePooledRows(media: DataFrame, grid: Int,
+      skipped: Option[org.apache.spark.util.LongAccumulator] = None)
       : Dataset[(Long, Int, Int, Array[Long], Array[Long])] = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -206,10 +209,13 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
+          // NonFatal, not just IOException: JDK ImageIO readers throw
+          // RuntimeExceptions (IndexOutOfBounds/IllegalArgument/
+          // NegativeArraySize) on some malformed payloads
           val img = try javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(bytes))
-          catch { case _: java.io.IOException => null }
-          if (img == null) Iterator.empty
+          catch { case scala.util.control.NonFatal(_) => null }
+          if (img == null) { skipped.foreach(_.add(1L)); Iterator.empty }
           else {
             val (sum, cnt) = poolFrame(img, grid)
             Iterator.single((id, img.getWidth, img.getHeight, sum, cnt))
@@ -278,11 +284,18 @@ object Multimodal {
     * single-frame BMP/PNG/JPEG decode as 1-frame videos), keep every
     * `stride`-th frame, pool each to a grid² luma feature — the
     * generator shape (one media row explodes into frame rows) of
-    * [[sampleFramesStub]], with an actual codec behind it. Undecodable
-    * payloads are skipped.
+    * [[sampleFramesStub]], with an actual codec behind it.
+    *
+    * UNDECODABLE payloads are SKIPPED, and the skip is OBSERVABLE: pass
+    * a `skipped` accumulator to count payloads that yielded zero frames
+    * (unknown container — e.g. MP4, which the JDK has no reader for —
+    * or a decode error on every sampled frame). On a real mixed corpus
+    * the silent-skip rate is `skipped.value / media.count()`; a spike
+    * means a container format this engine can't read, not data loss.
     * Output: (media_id, frame_no, n_frames, feature array<double>). */
   def decodeVideoFramesPooled(media: DataFrame, grid: Int = 4,
-      stride: Int = 1): DataFrame = {
+      stride: Int = 1,
+      skipped: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     require(stride >= 1)
     val spark = media.sparkSession
     import spark.implicits._
@@ -293,26 +306,29 @@ object Multimodal {
           val iis = javax.imageio.ImageIO.createImageInputStream(
             new java.io.ByteArrayInputStream(bytes))
           val readers = javax.imageio.ImageIO.getImageReaders(iis)
-          if (!readers.hasNext) { iis.close(); Iterator.empty }
-          else {
+          if (!readers.hasNext) {
+            iis.close(); skipped.foreach(_.add(1L)); Iterator.empty
+          } else {
             val rd = readers.next()
-            try {
+            val out = try {
               rd.setInput(iis)
               val n = try rd.getNumImages(true)
-                catch { case _: java.io.IOException => 0 }
+                catch { case scala.util.control.NonFatal(_) => 0 }
               // materialize before disposing the reader
               (0 until n by stride).flatMap { f =>
                 val img = try rd.read(f)
-                  catch { case _: java.io.IOException => null }
+                  catch { case scala.util.control.NonFatal(_) => null }
                 if (img == null) Seq.empty
                 else {
                   val (sum, cnt) = poolFrame(img, grid)
                   Seq((id, f, n, fixedPointFeature(sum, cnt, grid)))
                 }
-              }.iterator
+              }
             } finally {
               rd.dispose(); iis.close()
             }
+            if (out.isEmpty) skipped.foreach(_.add(1L))
+            out.iterator
           }
         }
       }
@@ -332,7 +348,7 @@ object Multimodal {
         it.flatMap { case (id, bytes) =>
           val img = try javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(bytes))
-          catch { case _: java.io.IOException => null }
+          catch { case scala.util.control.NonFatal(_) => null }
           if (img == null) Iterator.empty
           else {
             val w = img.getWidth; val h = img.getHeight

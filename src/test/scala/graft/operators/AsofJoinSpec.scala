@@ -46,6 +46,19 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(out.isNullAt(0) && out.getLong(1) == 20L)
   }
 
+  test("NULL right timestamps never match (DuckDB ASOF semantics) — " +
+      "they must not ride the NULLS FIRST sort as spurious matches") {
+    import spark.implicits._
+    val left = Seq((1L, "a", 5L)).toDF("lid", "k", "t")
+    val right = Seq(("a", None: Option[Long], "phantom"),
+        ("a", Some(10L), "late"))
+      .toDF("k", "t", "v")
+    val out = AsofJoin.backward(left, right, Seq("k"), "t", "t", Seq("v"))
+      .select("r_v").collect().head
+    // no right row at-or-before t=5: the NULL-ts row must NOT match
+    assert(out.isNullAt(0), "NULL-ts right row leaked as a match")
+  }
+
   test("plans as exchange+sort+window — no join operator, no cartesian") {
     import spark.implicits._
     val left = spark.range(100).select(col("id").as("lid"),

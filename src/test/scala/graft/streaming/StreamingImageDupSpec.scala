@@ -42,7 +42,7 @@ class StreamingImageDupSpec extends AnyFunSuite {
 
     val source = MemoryStream[(Long, Array[Byte])]
     val q = ImageDup.streamingHashAppend(
-      source.toDF().toDF("media_id", "content"), path)
+      source.toDF().toDF("media_id", "content"), path, s"$path-ckpt")
     source.addData(b1: _*); q.processAllAvailable()
     source.addData(b2: _*); q.processAllAvailable()
     q.stop()
@@ -107,5 +107,50 @@ class StreamingImageDupSpec extends AnyFunSuite {
     ImageDup.aHashBands(Multimodal.decodeImagePooledRaw(rows, 8))
       .write.mode("overwrite").parquet(s"$path/bands/epoch=0")
     assert(ImageDup.bands(spark, path).count() == 8) // 2 images x 4 bands
+  }
+
+  test("checkpointed restart resumes batchIds — earlier epochs survive") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val path = tmpPath(); val ckpt = s"$path-ckpt"
+    val source = MemoryStream[(Long, Array[Byte])]
+    val df = source.toDF().toDF("media_id", "content")
+    val q1 = ImageDup.streamingHashAppend(df, path, ckpt)
+    source.addData(img(1L, 7)); q1.processAllAvailable(); q1.stop()
+    // restart with the SAME checkpoint: the next batch must take the
+    // NEXT batchId, so epoch 0 survives — without a checkpoint a
+    // restarted query restarts at batchId 0 and Overwrite clobbers it
+    // (exactly why the checkpoint argument is required)
+    val q2 = ImageDup.streamingHashAppend(df, path, ckpt)
+    source.addData(img(2L, 11)); q2.processAllAvailable(); q2.stop()
+    val ids = ImageDup.bands(spark, path)
+      .select("media_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L),
+      s"epoch 0 must survive the checkpointed restart, got $ids")
+  }
+
+  test("compaction crash between renames self-heals on next bands() read") {
+    import spark.implicits._
+    val path = tmpPath()
+    val rows = Seq(img(1L, 7), img(2L, 11)).toDF("media_id", "content")
+    ImageDup.aHashBands(Multimodal.decodeImagePooledRaw(rows, 8))
+      .write.mode("overwrite").parquet(s"$path/bands/epoch=0")
+    ImageDup.remove(Seq(2L).toDF("media_id"), path)
+    val expected = ImageDup.bands(spark, path)
+      .collect().map(_.toSeq).toSet
+    // simulate the crash window: replacement fully written, live dir
+    // moved aside, second rename never ran
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    ImageDup.bands(spark, path).write.mode("overwrite")
+      .parquet(s"$path/.compact/bands/epoch=compacted")
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$path/bands"),
+      new org.apache.hadoop.fs.Path(s"$path/.compact-old")))
+    // next read self-heals: rolls the compact forward, folds deletes away
+    val healed = ImageDup.bands(spark, path).collect().map(_.toSeq).toSet
+    assert(healed == expected, "post-recovery serving must be unchanged")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/bands")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/.compact-old")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/deletes")))
   }
 }
