@@ -205,8 +205,8 @@ object TextQueries {
 
   /** MinHash band-bucket candidate pairs (8 bands × 2 rows): the bounded
     * candidate generator shared by `minhash_lsh_pairs` and
-    * `fuzzy_dup_pairs`. */
-  private def lshCandidatePairs(d: DataFrame): DataFrame = {
+    * `fuzzy_dup_pairs` (and the 10M curation-pipeline bench). */
+  private[graft] def lshCandidatePairs(d: DataFrame): DataFrame = {
     val sig = minhashSig(d)
     val buckets = sig
       .groupBy(col("doc_id"), (col("j") / 2).cast("int").as("band"))
@@ -903,6 +903,55 @@ object TextQueries {
         .select("doc_id", "n_tokens")
     }),
 
+    // THE FULL CURATION PIPELINE COMPOSED (fuzzy dedup → keep-best →
+    // exact-substring trim → trained quality LR → repetition cut →
+    // leakage-proof split → sequence packing), one oracled query: the
+    // proof that the stage INTERFACES compose — each stage consumes
+    // exactly the previous stage's output schema, and the whole chain
+    // hash-matches DuckDB running the same six stages. Scale shape =
+    // the union of its parts (banded LSH, group-by trim, literal-weight
+    // scoring, cluster-hash split, one packing window per split) — the
+    // composition adds only the narrow per-stage joins.
+    "corpus_pipeline" -> ((s, dir) => {
+      val d = docs(s, dir)
+      // 1. fuzzy near-dup clusters + source-priority keep-best
+      val pri = d.select(col("doc_id"),
+        expr("coalesce(cast(substring(source, 4, 10) as bigint), " +
+          "9223372036854775807L)").as("priority"),
+        col("n_chars"))
+      val wk = Window.partitionBy("cluster_id")
+        .orderBy(col("priority").asc, col("n_chars").desc, col("doc_id").asc)
+      val keep = nearDupClusters(s, dir).join(pri, Seq("doc_id"))
+        .withColumn("rnk", row_number().over(wk))
+        .filter(col("rnk") === 1).select("doc_id", "cluster_id")
+      // 2. exact-substring trim over the KEPT corpus only
+      val trimmed = graft.operators.NgramDup.trimDuplicates(
+        d.join(keep.select("doc_id"), Seq("doc_id")), w = 8, minCount = 2)
+      // 3. trained quality LR scored on the TRIMMED text
+      val scored = graft.operators.QualityLr.score(
+        trimmed.select(col("doc_id"), col("clean_text").as("text")),
+        qualityLrModel(s, dir))
+      // 4. repetition cut: drop docs that lost >= half their tokens to
+      // duplicated spans (the Lee-et-al. boilerplate signal); the inner
+      // join on the scorer also drops empty-after-trim docs
+      val surv = trimmed.filter(col("trim_frac") < 0.5)
+        .join(scored.select("doc_id", "logit"), Seq("doc_id"))
+        .join(keep, Seq("doc_id"))
+      // 5. leakage-proof split on the CLUSTER hash + 6. packing window
+      val wp = Window.partitionBy("split").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      surv
+        .withColumn("cb",
+          md5Long(concat(lit("split:"), col("cluster_id"))) % 10)
+        .withColumn("split", when(col("cb") < 8, "train")
+          .when(col("cb") === 8, "val").otherwise("test"))
+        .withColumn("cum", sum("n_kept").over(wp))
+        .select(col("doc_id"), col("cluster_id"), col("split"),
+          col("n_kept"), col("logit"),
+          floor((col("cum") - col("n_kept")) / 512.0).cast("long")
+            .as("pack_id"))
+    }),
+
     // intra-document repetition (Gopher-style quality signals): distinct
     // word ratio stays in-row; the most-frequent-bigram fraction is one
     // (doc_id, bigram) count + one doc_id rollup — both map-side-combine
@@ -1052,8 +1101,48 @@ object TextQueries {
     (qualityLrForOracle match {
       case None => Map.empty[String, String]
       case Some(m) =>
-        Map("quality_classifier" -> graft.operators.QualityLr.duckdbSql(m))
+        Map("quality_classifier" -> graft.operators.QualityLr.duckdbSql(m),
+          "corpus_pipeline" -> corpusPipelineSql(m))
     })
+
+  /** DuckDB twin of the six-stage `corpus_pipeline` composition,
+    * assembled from the SAME composable CTE generators each stage's own
+    * oracle uses (clusters core, [[graft.operators.NgramDup
+    * .trimDuckdbCtes]] reading the kept docs, [[graft.operators
+    * .QualityLr.duckdbCtes]] reading the trimmed text) — concatenation,
+    * not interpolation-under-stripMargin (the fragments carry `||`). */
+  private def corpusPipelineSql(m: graft.operators.QualityLr.Model): String =
+    s"$dedupClustersCore,\n cl AS (\n$dedupClustersSelect),\n" +
+      """ cp_pri AS (SELECT doc_id,
+        |   coalesce(TRY_CAST(substr(source, 4) AS BIGINT),
+        |     9223372036854775807) AS priority, n_chars FROM documents),
+        | cp_keep AS (SELECT doc_id, cluster_id FROM (
+        |   SELECT c.doc_id, c.cluster_id,
+        |    row_number() OVER (PARTITION BY c.cluster_id
+        |      ORDER BY p.priority ASC, p.n_chars DESC, c.doc_id ASC) AS rnk
+        |   FROM cl c JOIN cp_pri p USING (doc_id)) WHERE rnk = 1),
+        | cp_docs AS (SELECT d.* FROM documents d JOIN cp_keep USING (doc_id)),
+        |""".stripMargin + " " +
+      graft.operators.NgramDup.trimDuckdbCtes(
+        w = 8, minCount = 2, src = "cp_docs", p = "cp_") + ",\n" +
+      " cp_tdocs AS (SELECT doc_id, clean_text AS text FROM cp_trimmed),\n " +
+      graft.operators.QualityLr.duckdbCtes(m, src = "cp_tdocs", p = "cp_") +
+      ",\n" +
+      """ cp_surv AS (SELECT t.doc_id, k.cluster_id, t.n_kept, q.logit
+        |   FROM cp_trimmed t JOIN cp_qlr q USING (doc_id)
+        |    JOIN cp_keep k USING (doc_id)
+        |   WHERE t.trim_frac < 0.5),
+        | cp_sp AS (SELECT doc_id, cluster_id, n_kept, logit,
+        |    CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val'
+        |         ELSE 'test' END AS split
+        |   FROM (SELECT *,
+        |     ('0x' || substr(md5('split:' || cluster_id), 1, 15))::BIGINT % 10
+        |       AS b FROM cp_surv))
+        |SELECT doc_id, cluster_id, split, CAST(n_kept AS BIGINT) AS n_kept,
+        |  logit,
+        |  CAST(floor((sum(n_kept) OVER wpk - n_kept)/512.0) AS BIGINT) AS pack_id
+        |FROM cp_sp WINDOW wpk AS (PARTITION BY split ORDER BY doc_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
 
   private val staticOracle: Map[String, String] = Map(
     "dup_ngram_spans" -> graft.operators.NgramDup.duckdbSql(w = 8, minCount = 2),

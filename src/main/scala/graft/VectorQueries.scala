@@ -781,21 +781,12 @@ object VectorQueries {
       KnnJoin.exactKnnJoin(feats, mprobes, k = 5, metric = "cosine", scoreDigits = 6)
     }),
 
-    // FALLBACK-shape plumbing smoke (rows-only by nature): the
-    // clearly-marked stub kernel that stands in for codecs the JDK
-    // lacks (MP4/H.264 ...), exercising the batched per-partition
-    // decode shape on opaque payloads (utf-8 document bytes as
-    // stand-ins). Image, audio, AND video (animated GIF) are REAL +
-    // oracled above — this entry pins the swap-in contract, not a codec.
-    "multimodal_features" -> ((s, dir) => {
-      val media = s.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id").as("media_id"), lit("text").as("media_type"),
-          encode(col("text"), "utf-8").as("content"),
-          lit(640).as("width"), lit(480).as("height"))
-      graft.operators.Multimodal.decodeFeaturesStub(media, featureDim = 8)
-        .select(col("media_id"), col("n_bytes"),
-          graft.Qutil.rnd(element_at(col("feature"), 1).cast("double"), 4).as("f0"))
-    }),
+    // NOTE: the fallback STUB kernel (decodeFeaturesStub — the swap-in
+    // shape for codecs the JDK lacks, MP4/H.264 ...) is spec-gated in
+    // OperatorsSpec ("multimodal stub plumbing"), not a battery row:
+    // image, audio, AND video (animated GIF) are REAL + oracled above,
+    // so the stub pins only the batched-decode contract, which a spec
+    // gates tighter than a rows-only battery slot.
 
     // MLlib-estimator LSH paths (seeded ⇒ deterministic; rows-only gate
     // since MLlib's hash families aren't reproducible in SQL — instead

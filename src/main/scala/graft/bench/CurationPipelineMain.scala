@@ -1,0 +1,168 @@
+package graft.bench
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, NgramDup, PplFilter, QualityLr}
+
+/** END-TO-END curation pipeline at scale: the six production stages
+  * chained over one corpus, each stage reading the previous stage's
+  * parquet output (the honest multi-job shape — at 100 TB every stage
+  * is its own job with a durable handoff), with per-stage wall and
+  * SELECTIVITY measured:
+  *
+  *   1. exact dedup (md5 group, keep-first)
+  *   2. fuzzy dedup (MinHash-LSH pairs → connected components →
+  *      keep-best by length)
+  *   3. exact-substring trim (hashed-window Lee-et-al. rewrite — the
+  *      100 TB hashKey configuration)
+  *   4. trained quality LR scored on the trimmed text
+  *   5. CCNet-style perplexity tertile cut (drop the tail bucket)
+  *   6. leakage-proof cluster-hash split + 512-token sequence packing
+  *
+  * The corpus plants its own ground truth: 1% EXACT copies
+  * (doc_id % 100 == 1 duplicates doc_id−1) and 1% NEAR copies
+  * (doc_id % 100 == 2 duplicates doc_id−2 plus a tail token), so stage
+  * selectivities have expected values — exact dedup must drop ~1%,
+  * fuzzy dedup ~1% more — and the run checks them, not just walls.
+  *
+  * `sbt "runMain graft.bench.CurationPipelineMain 10000000 40 50000"`
+  */
+object CurationPipelineMain {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.length > 0) args(0).toLong else 10000000L
+    val len = if (args.length > 1) args(1).toInt else 40
+    val vocab = if (args.length > 2) args(2).toInt else 50000
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val tmp = java.nio.file.Files.createTempDirectory("curpipe").toString
+
+    // ---- corpus with planted twins (the TextIndexScaleMain Zipf text,
+    // keyed on an EFFECTIVE id so twins share their original's draw) ----
+    val eff = when(pmod(col("doc_id"), lit(100)) === 1, col("doc_id") - 1)
+      .when(pmod(col("doc_id"), lit(100)) === 2, col("doc_id") - 2)
+      .otherwise(col("doc_id"))
+    val baseText = concat_ws(" ",
+      transform(
+        sequence(lit(0), pmod(hash(eff), lit(len)) + lit(len / 2)),
+        i => concat(lit("t"), floor(pow(lit(vocab.toDouble),
+          (pmod(hash(eff, i), lit(100000)).cast("double") + 0.5)
+            / 100000.0)).cast("long"))))
+    val text = when(pmod(col("doc_id"), lit(100)) === 2,
+      concat(baseText, lit(" twintail"))).otherwise(baseText)
+    spark.range(n).toDF("doc_id")
+      .withColumn("text", text)
+      .withColumn("n_chars", length(col("text")))
+      .withColumn("source", concat(lit("src"), pmod(col("doc_id"), lit(10))))
+      .repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$tmp/s0")
+    val d0 = spark.read.parquet(s"$tmp/s0")
+    val n0 = d0.count()
+    println(s"CURPIPE corpus n=$n0 len~$len vocab=$vocab")
+
+    def stage(name: String, in: Long)(f: => DataFrame): (DataFrame, Long) = {
+      val t0 = System.nanoTime()
+      f.write.mode("overwrite").parquet(s"$tmp/$name")
+      val out = spark.read.parquet(s"$tmp/$name")
+      val cnt = out.count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      println(f"CURPIPE stage=$name in=$in out=$cnt " +
+        f"keep=${cnt.toDouble / in}%.4f wall=$wall%.1fs")
+      (out, cnt)
+    }
+
+    // ---- 1. exact dedup --------------------------------------------
+    val (d1, n1) = stage("s1_exact", n0) {
+      val w = Window.partitionBy(md5(col("text")))
+      d0.withColumn("keep", col("doc_id") === min("doc_id").over(w))
+        .filter(col("keep")).drop("keep")
+    }
+
+    // ---- 2. fuzzy dedup: LSH pairs → CC → keep-best ----------------
+    val (d2, n2) = stage("s2_fuzzy", n1) {
+      val pairs = graft.TextQueries.lshCandidatePairs(d1)
+      val cl = Dedup.connectedComponents(d1.select("doc_id"), pairs)
+      val wk = Window.partitionBy("cluster_id")
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      d1.join(cl, Seq("doc_id"))
+        .withColumn("rnk", row_number().over(wk))
+        .filter(col("rnk") === 1).drop("rnk")
+    }
+
+    // ---- 3. exact-substring trim (hashed windows — 100 TB config) --
+    val (d3, _) = stage("s3_trim", n2) {
+      NgramDup.trimDuplicates(d2, w = 8, minCount = 2, hashKey = true)
+        .join(d2.select("doc_id", "cluster_id", "source"), Seq("doc_id"))
+        .filter(col("trim_frac") < 0.5)
+    }
+    val n3 = d3.count()
+
+    // ---- 4. trained quality LR on the trimmed text -----------------
+    val (d4, n4) = stage("s4_qlr", n3) {
+      val m = QualityLr.fit(
+        d3.select(col("doc_id"), col("clean_text").as("text")),
+        isPositive = pmod(col("doc_id"), lit(7)) < 3)
+      QualityLr.score(
+          d3.select(col("doc_id"), col("clean_text").as("text")), m)
+        .select("doc_id", "logit")
+        .join(d3, Seq("doc_id"))
+    }
+
+    // ---- 5. perplexity tertile cut (drop the tail bucket) ----------
+    val (d5, n5) = stage("s5_ppl", n4) {
+      val m = PplFilter.fit(
+        d4.filter(pmod(col("doc_id"), lit(20)) < 4)
+          .select(col("doc_id"), col("clean_text").as("text")))
+      val scored = PplFilter.score(
+        d4.select(col("doc_id"), col("clean_text").as("text")), m)
+      val (t1, t2) = PplFilter.sampleThresholds(scored)
+      PplFilter.cut(scored, t1, t2)
+        .filter(col("bucket") =!= "tail")
+        .select("doc_id", "bucket")
+        .join(d4, Seq("doc_id"))
+    }
+
+    // ---- 6. leakage-proof split + sequence packing -----------------
+    val (d6, n6) = stage("s6_split_pack", n5) {
+      val wp = Window.partitionBy("split").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      d5.withColumn("cb", graft.Qutil.md5Long60(
+          concat(lit("split:"), col("cluster_id"))) % 10)
+        .withColumn("split", when(col("cb") < 8, "train")
+          .when(col("cb") === 8, "val").otherwise("test"))
+        .withColumn("cum", sum("n_kept").over(wp))
+        .select(col("doc_id"), col("cluster_id"), col("split"),
+          col("n_kept"), col("logit"), col("bucket"),
+          floor((col("cum") - col("n_kept")) / 512.0).cast("long")
+            .as("pack_id"))
+    }
+
+    // ---- planted-truth checks --------------------------------------
+    // exact dedup must have dropped every %100==1 twin (~1%), fuzzy
+    // every %100==2 twin (~1%) — a selectivity that misses means a
+    // stage interface silently broke, walls notwithstanding
+    val exactDropped = n0 - n1
+    val fuzzyDropped = n1 - n2
+    val expTwins = n / 100
+    println(f"CURPIPE check exact_dropped=$exactDropped (expect ~$expTwins) " +
+      f"fuzzy_dropped=$fuzzyDropped (expect ~$expTwins)")
+    val packs = d6.groupBy("split").agg(countDistinct("pack_id").as("packs"),
+        sum("n_kept").as("tokens"))
+      .collect().map(r => s"${r.getString(0)}:${r.getLong(1)}p/${r.getLong(2)}t")
+    println(s"CURPIPE packs ${packs.mkString(" ")}")
+    assert(exactDropped >= expTwins * 9 / 10,
+      s"exact dedup missed planted twins: $exactDropped < ~$expTwins")
+    assert(fuzzyDropped >= expTwins * 9 / 10,
+      s"fuzzy dedup missed planted near-twins: $fuzzyDropped < ~$expTwins")
+    println(s"CURPIPE done survivors=$n6 of $n0 " +
+      f"(${n6.toDouble / n0}%.4f)")
+    spark.stop()
+  }
+}

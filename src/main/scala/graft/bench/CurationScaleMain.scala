@@ -25,6 +25,8 @@ import graft.sources.VectorSources
   *     cost, nowhere near SemDeDup's pairwise within-cell join.
   *
   * `sbt "runMain graft.bench.CurationScaleMain [n] [dim] [p...]"`
+  * `SPARK_GRAFT_SECTIONS=ladder` (comma-set of ladder,prune,ppl) runs a
+  * subset — the high-dimension validation reruns only the ladder.
   */
 object CurationScaleMain {
   def main(args: Array[String]): Unit = {
@@ -32,6 +34,8 @@ object CurationScaleMain {
     val dim = if (args.length > 1) args(1).toInt else 64
     val ps = if (args.length > 2) args.drop(2).map(_.toInt).toSeq
              else Seq(8, 16, 32)
+    val sections = sys.env.getOrElse("SPARK_GRAFT_SECTIONS",
+      "ladder,prune,ppl").split(",").map(_.trim).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -45,10 +49,15 @@ object CurationScaleMain {
     // generic-embedding shape: principal directions exist but at an
     // arbitrary orientation, so a raw prefix sees only a 1/d slice of
     // each axis while PCA recovers them) -----------------------------
+    if (sections("ladder")) {
+    // default decay 0.92 gives ~80 effective dims — right for d=64; at
+    // embedding widths (768/1536) pass a slower decay so the spectrum
+    // keeps an effective dimension proportional to d
+    val decay = sys.env.getOrElse("SPARK_GRAFT_DECAY", "0.92").toDouble
     val base = VectorSources.syntheticAnisotropic(spark, n, dim,
-        decay = 0.92)
+        decay = decay)
       .select("vec_id", "embedding").persist()
-    println(s"[curation-scale] corpus n=${base.count()} dim=$dim decay=0.92")
+    println(s"[curation-scale] corpus n=${base.count()} dim=$dim decay=$decay")
     val probes = base.filter(col("vec_id") < 100)
       .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
     val exact = KnnJoin.exactKnnJoin(base, probes, k = 10,
@@ -77,9 +86,11 @@ object CurationScaleMain {
     exact.unpersist()
 
     base.unpersist()
+    }
 
     // ---- 3. prototype pruning (clustered corpus — the data shape the
     // prototype score presumes) ---------------------------------------
+    if (sections("prune")) {
     val clusteredAll = VectorSources.syntheticClustered(spark, n, dim,
         numClusters = 128, spread = 0.15).persist()
     val clustered = clusteredAll.select("vec_id", "embedding")
@@ -108,8 +119,10 @@ object CurationScaleMain {
       f"nmi=${ce.getAs[Double]("nmi")}%.3f")
     ivf.release()
     clusteredAll.unpersist()
+    }
 
     // ---- 2. perplexity filter at 1M docs ----------------------------
+    if (sections("ppl")) {
     val len = 80; val vocab = 50000
     val topical = (0 until 12).map(i => s"topic$i").mkString(" ")
     val tmp = java.nio.file.Files.createTempDirectory("pplscale").toString
@@ -152,6 +165,7 @@ object CurationScaleMain {
     println(f"PPL-SCALE head-rate: content-twins=$twinRate%.3f " +
       f"background=$bgRate%.4f skew=${twinRate / math.max(bgRate, 1e-12)}%.1fx " +
       f"(split check ${(tf3 - tf2) / 1e9}%.1fs)")
+    }
     spark.stop()
   }
 }

@@ -233,40 +233,54 @@ object NgramDup {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
-  /** DuckDB twin of [[trimDuplicates]]: same windows, same ≥`minCount`
-    * cut, canonical = lexicographic-min (doc_id, start) via struct min,
-    * same span union, rebuild by `string_agg(... ORDER BY p)`. */
-  def trimDuckdbSql(w: Int = 8, minCount: Int = 2): String =
-    s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts
-       |              FROM documents),
-       | wins AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+  /** CTE chain of the [[trimDuplicates]] DuckDB twin, composable into a
+    * larger WITH list: reads docs from `src` (a table or earlier CTE),
+    * prefixes every CTE name with `p` (collision-proofing against the
+    * enclosing query), and ends in CTE `<p>trimmed` with schema
+    * (doc_id, n_tokens, n_kept, trim_frac, clean_text). */
+  def trimDuckdbCtes(w: Int = 8, minCount: Int = 2,
+      src: String = "documents", p: String = ""): String =
+    s"""${p}toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts
+       |              FROM $src),
+       | ${p}wins AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
        |    array_to_string(ts[i:i+${w - 1}], ' ') AS win
-       |   FROM toks, LATERAL unnest(range(1, len(ts) - ${w} + 2)) AS t(i)
+       |   FROM ${p}toks, LATERAL unnest(range(1, len(ts) - ${w} + 2)) AS t(i)
        |   WHERE len(ts) >= $w),
-       | dupkeys AS (SELECT win FROM (SELECT win, count(*) AS c FROM wins
+       | ${p}dupkeys AS (SELECT win FROM (SELECT win, count(*) AS c FROM ${p}wins
        |    GROUP BY win) WHERE c >= $minCount),
-       | occ AS (SELECT w.doc_id, w.i, w.win FROM wins w JOIN dupkeys USING (win)),
-       | canon AS (SELECT win,
-       |    min(struct_pack(d := doc_id, i := i)) AS cn FROM occ GROUP BY win),
-       | noncanon AS (SELECT o.doc_id, o.i FROM occ o JOIN canon USING (win)
+       | ${p}occ AS (SELECT w.doc_id, w.i, w.win FROM ${p}wins w
+       |   JOIN ${p}dupkeys USING (win)),
+       | ${p}canon AS (SELECT win,
+       |    min(struct_pack(d := doc_id, i := i)) AS cn FROM ${p}occ GROUP BY win),
+       | ${p}noncanon AS (SELECT o.doc_id, o.i FROM ${p}occ o
+       |   JOIN ${p}canon USING (win)
        |   WHERE o.doc_id <> cn.d OR o.i <> cn.i),
-       | drops AS (SELECT DISTINCT doc_id, p
-       |   FROM noncanon, LATERAL unnest(range(i, i + $w)) AS u(p)),
-       | tokrows AS (SELECT doc_id, CAST(p AS BIGINT) AS p, ts[p] AS tok
-       |   FROM toks, LATERAL unnest(range(1, len(ts) + 1)) AS t(p)),
-       | kept AS (SELECT t.doc_id, t.p, t.tok FROM tokrows t
-       |   LEFT JOIN drops d ON t.doc_id = d.doc_id AND t.p = d.p
+       | ${p}drops AS (SELECT DISTINCT doc_id, p
+       |   FROM ${p}noncanon, LATERAL unnest(range(i, i + $w)) AS u(p)),
+       | ${p}tokrows AS (SELECT doc_id, CAST(p AS BIGINT) AS p, ts[p] AS tok
+       |   FROM ${p}toks, LATERAL unnest(range(1, len(ts) + 1)) AS t(p)),
+       | ${p}kept AS (SELECT t.doc_id, t.p, t.tok FROM ${p}tokrows t
+       |   LEFT JOIN ${p}drops d ON t.doc_id = d.doc_id AND t.p = d.p
        |   WHERE d.doc_id IS NULL),
-       | rebuilt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+       | ${p}rebuilt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
        |    string_agg(tok, ' ' ORDER BY p) AS clean_text
-       |   FROM kept GROUP BY doc_id),
-       | perdoc AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens FROM toks)
-       |SELECT p.doc_id, p.n_tokens,
+       |   FROM ${p}kept GROUP BY doc_id),
+       | ${p}perdoc AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens
+       |   FROM ${p}toks),
+       | ${p}trimmed AS (SELECT p.doc_id, p.n_tokens,
        |  coalesce(r.n_kept, 0) AS n_kept,
        |  floor((1.0 - coalesce(r.n_kept, 0)*CAST(1 AS DOUBLE)/p.n_tokens)*1e6 + 0.5)/1e6
        |    AS trim_frac,
        |  coalesce(r.clean_text, '') AS clean_text
-       |FROM perdoc p LEFT JOIN rebuilt r USING (doc_id)""".stripMargin
+       |FROM ${p}perdoc p LEFT JOIN ${p}rebuilt r USING (doc_id))""".stripMargin
+
+  /** DuckDB twin of [[trimDuplicates]]: same windows, same ≥`minCount`
+    * cut, canonical = lexicographic-min (doc_id, start) via struct min,
+    * same span union, rebuild by `string_agg(... ORDER BY p)`. */
+  def trimDuckdbSql(w: Int = 8, minCount: Int = 2): String =
+    s"""WITH ${trimDuckdbCtes(w, minCount)}
+       |SELECT doc_id, n_tokens, n_kept, trim_frac, clean_text
+       |FROM trimmed""".stripMargin
 
   /** DuckDB twin of [[dupNgramStats]] (hashKey = false): same tokenizer
     * (`string_split_regex(trim(text),'\s+')`), same 1-based window

@@ -149,22 +149,32 @@ object QualityLr {
       (z > lit(0.0)).as("kept"))
   }
 
-  /** DuckDB twin from literal weights — identical feature expressions
-    * and the same left-associative logit arithmetic. */
-  def duckdbSql(model: Model): String = {
+  /** CTE chain of the score twin, composable into a larger WITH list:
+    * reads (doc_id, text) from `src`, prefixes CTE names with `p`, ends
+    * in CTE `<p>qlr` with schema (doc_id, f_len, f_punct, f_stop,
+    * f_wlen, logit, kept). */
+  def duckdbCtes(model: Model, src: String = "documents",
+      p: String = ""): String = {
     val Array(b, wl, wp, ws, ww) = model.weights
-    s"""WITH qf AS (SELECT doc_id,
+    s"""${p}qf AS (SELECT doc_id,
        |  floor(least(1.0, len(string_split_regex(trim(text),'\\s+'))/100.0)*1e6 + 0.5)/1e6 AS f_len,
        |  floor((length(regexp_replace(text,'[a-z0-9\\s]','','g'))*1.0/length(text))*1e6 + 0.5)/1e6 AS f_punct,
        |  floor((len(regexp_extract_all(text,'\\b(the|a|of|and|in|to|is)\\b'))*1.0
        |    / len(string_split_regex(trim(text),'\\s+')))*1e6 + 0.5)/1e6 AS f_stop,
        |  floor((length(text)*1.0/len(string_split_regex(trim(text),'\\s+')))*1e6 + 0.5)/1e6 AS f_wlen
-       | FROM documents WHERE text IS NOT NULL AND length(text) > 0),
-       | qz AS (SELECT doc_id, f_len, f_punct, f_stop, f_wlen,
+       | FROM $src WHERE text IS NOT NULL AND length(text) > 0),
+       | ${p}qz AS (SELECT doc_id, f_len, f_punct, f_stop, f_wlen,
        |   ($b) + ($wl)*f_len + ($wp)*f_punct + ($ws)*f_stop + ($ww)*f_wlen AS z
-       |  FROM qf)
-       |SELECT doc_id, f_len, f_punct, f_stop, f_wlen,
+       |  FROM ${p}qf),
+       | ${p}qlr AS (SELECT doc_id, f_len, f_punct, f_stop, f_wlen,
        | floor(z*1e6 + 0.5)/1e6 AS logit, (z > 0.0) AS kept
-       |FROM qz""".stripMargin
+       |FROM ${p}qz)""".stripMargin
   }
+
+  /** DuckDB twin from literal weights — identical feature expressions
+    * and the same left-associative logit arithmetic. */
+  def duckdbSql(model: Model): String =
+    s"""WITH ${duckdbCtes(model)}
+       |SELECT doc_id, f_len, f_punct, f_stop, f_wlen, logit, kept
+       |FROM qlr""".stripMargin
 }

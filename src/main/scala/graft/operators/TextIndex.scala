@@ -346,51 +346,67 @@ object TextIndex {
       queryTerms: DataFrame, topk: Int,
       k1: Double = 1.2, b: Double = 0.75,
       maxDfFrac: Double = 1.0): DataFrame = {
+    val hasDeletes = deletesExist(spark, prefix)
+    bm25Serve(spark, stats(spark, prefix),
+      spark.table(postingsTable(prefix)),
+      if (!hasDeletes && spark.catalog.tableExists(lexiconTable(prefix)))
+        Some(spark.table(lexiconTable(prefix)))
+      else None,
+      if (hasDeletes) Some(spark.table(deletesTable(prefix))) else None,
+      queryTerms, topk, k1, b, maxDfFrac)
+  }
+
+  /** The serve plan over explicit frames — shared by the table path
+    * ([[bm25TopDocs]]) and the table∪streaming-epoch path
+    * ([[bm25TopDocsWithEpochs]]); identical score arithmetic and
+    * round-before-rank either way. `lexicon` is used only when no
+    * deletes frame is given (df must count SURVIVING postings under
+    * deletes, so it comes from the pruned anti-joined scan — exact, but
+    * the stopword cut can then no longer skip the read; compact()
+    * restores that). */
+  private def bm25Serve(spark: SparkSession, st: Stats, postings: DataFrame,
+      lexicon: Option[DataFrame], deletes: Option[DataFrame],
+      queryTerms: DataFrame, topk: Int, k1: Double, b: Double,
+      maxDfFrac: Double): DataFrame = {
     require(topk > 0, "topk must be positive")
     require(maxDfFrac > 0.0 && maxDfFrac <= 1.0, "maxDfFrac in (0, 1]")
-    val st = stats(spark, prefix)
     val qt = queryTerms.select(col("qid"), col("term")).distinct()
     val allTerms: Array[String] = qt.select("term").distinct()
       .collect().map(_.getString(0))
     import spark.implicits._
-    val hasDeletes = deletesExist(spark, prefix)
-    val antiDel = (p: DataFrame) =>
-      if (hasDeletes) p.join(
-        broadcast(spark.table(deletesTable(prefix)).select("doc_id")),
+    val antiDel = (p: DataFrame) => deletes match {
+      case Some(d) => p.join(broadcast(d.select("doc_id")),
         Seq("doc_id"), "left_anti")
-      else p
-    val (terms, dfT) =
-      if (!hasDeletes && spark.catalog.tableExists(lexiconTable(prefix))) {
+      case None => p
+    }
+    val (terms, dfT) = lexicon match {
+      case Some(lex) if deletes.isEmpty =>
         // epoch rows merge by exact integer sum; the maxDfFrac cut
         // applies to the MERGED df so the skip-read decision matches a
         // single-epoch rebuild
-        val dfPairs = spark.table(lexiconTable(prefix))
+        val dfPairs = lex
           .filter(col("term").isin(allTerms.toSeq: _*))
           .groupBy("term").agg(sum("df").as("df"))
           .filter(col("df") <= lit(maxDfFrac) * lit(st.n.toDouble))
           .select("term", "df").as[(String, Long)].collect()
         (dfPairs.map(_._1), broadcast(dfPairs.toSeq.toDF("term", "df")))
-      } else {
-        // delete-vector mode (or no lexicon): df must count SURVIVING
-        // postings, so it comes from the pruned, anti-joined scan —
-        // exact, but the stopword cut can no longer skip the read
-        // (compact() restores that)
-        val pruned = antiDel(spark.table(postingsTable(prefix))
+      case _ =>
+        val pruned = antiDel(postings
           .filter(col("term").isin(allTerms.toSeq: _*)))
         val counted = pruned.groupBy("term").agg(count(lit(1)).as("df"))
           .filter(col("df") <= lit(maxDfFrac) * lit(st.n.toDouble))
         (allTerms, broadcast(counted))
-      }
+    }
     if (terms.isEmpty)
       return Seq.empty[(Long, Int, Long, Double)]
         .toDF("qid", "rnk", "doc_id", "bm25")
-    val postings = antiDel(spark.table(postingsTable(prefix))
+    val scanned = antiDel(postings
       .filter(col("term").isin(terms.toSeq: _*)))
     val score = log(lit(1.0) +
         (lit(st.n.toDouble) - col("df") + 0.5) / (col("df") + 0.5)) *
       col("tf") * (k1 + 1.0) /
       (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / st.avgdl))
-    val scored = broadcast(qt).join(postings, Seq("term"))
+    val scored = broadcast(qt).join(scanned, Seq("term"))
       .join(dfT, Seq("term"))
       .groupBy("qid", "doc_id")
       .agg(graft.Qutil.rnd(sum(score), 4).as("bm25"))
@@ -636,6 +652,137 @@ object TextIndex {
       }
       .start()
   }
+
+  /** CRASH-SAFE idempotent streaming sink (the epoch-directory handoff
+    * the vector ([[graft.streaming.IncrementalBqIndex]]) and media
+    * ([[ImageDup.streamingHashAppend]]) indexes use, applied to text):
+    * each micro-batch OVERWRITES two batch-keyed parquet dirs under
+    * `root` — its postings delta at `postings/epoch=b<id>`, then its
+    * (n, ndl, sumdl) stats row at `stats/epoch=b<id>`. The stats row is
+    * the COMMIT MARKER: it is written last, so a batch killed mid-write
+    * leaves postings without stats, serving excludes the epoch, and the
+    * checkpointed replay overwrites both dirs — at-least-once replays
+    * (including kill-mid-batch) converge to exactly the batch-built
+    * index. Serving = [[bm25TopDocsWithEpochs]]; fold staged epochs
+    * into the bucketed base tables with [[foldEpochs]] on the
+    * compaction cadence. */
+  def streamingAppendEpochs(stream: DataFrame, prefix: String, root: String,
+      checkpoint: String, numBuckets: Int = 32)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    ensure(stream.sparkSession, prefix, numBuckets)
+    stream.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.persist()
+        try if (!b.isEmpty) {
+          val spark = b.sparkSession
+          import spark.implicits._
+          val delta = postingsFor(b).persist()
+          try {
+            delta.write.mode(SaveMode.Overwrite)
+              .parquet(s"$root/postings/epoch=b$batchId")
+            val n = b.count()
+            val dld = delta.select(col("doc_id"), col("dl")).distinct()
+              .agg(count(lit(1)).as("ndl"), sum("dl").as("sumdl")).first()
+            val sumdl = if (dld.isNullAt(1)) 0L else dld.getLong(1)
+            Seq((n, dld.getLong(0), sumdl)).toDF("n", "ndl", "sumdl")
+              .write.mode(SaveMode.Overwrite)
+              .parquet(s"$root/stats/epoch=b$batchId")
+          } finally { delta.unpersist(); () }
+        } finally { b.unpersist(); () }
+      }
+      .start()
+  }
+
+  /** COMMITTED staged epochs under `root`: postings rows and summed
+    * stats, restricted to epochs whose stats marker exists (a killed
+    * batch's marker-less postings are invisible until its replay
+    * rewrites them). None when nothing is staged. */
+  private def committedEpochs(spark: SparkSession, root: String)
+      : Option[(DataFrame, Long, Long, Long)] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    def exists(d: String) = {
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(conf).exists(p)
+    }
+    if (!exists(s"$root/postings") || !exists(s"$root/stats")) None
+    else {
+      val committed = spark.read.parquet(s"$root/stats")
+        .select("epoch").distinct()
+      val posts = spark.read.parquet(s"$root/postings")
+        .join(broadcast(committed), Seq("epoch"))
+        .select("term", "doc_id", "tf", "dl")
+      val st = spark.read.parquet(s"$root/stats")
+        .agg(sum("n"), sum("ndl"), sum("sumdl")).first()
+      if (st.isNullAt(0)) None
+      else Some((posts, st.getLong(0), st.getLong(1),
+        if (st.isNullAt(2)) 0L else st.getLong(2)))
+    }
+  }
+
+  /** [[bm25TopDocs]] over base tables ∪ committed staged epochs: stats
+    * merge by exact integer sums, per-term df by summing the base
+    * lexicon with the epoch postings' counts, and the posting scan
+    * unions the bucket-pruned base rows with the predicate-pushed epoch
+    * rows (epoch dirs are small recent deltas — [[foldEpochs]] returns
+    * them to the bucketed layout). Bit-identical to a batch build over
+    * the union (spec-pinned). */
+  def bm25TopDocsWithEpochs(spark: SparkSession, prefix: String,
+      root: String, queryTerms: DataFrame, topk: Int,
+      k1: Double = 1.2, b: Double = 0.75,
+      maxDfFrac: Double = 1.0): DataFrame =
+    committedEpochs(spark, root) match {
+      case None => bm25TopDocs(spark, prefix, queryTerms, topk, k1, b, maxDfFrac)
+      case Some((epPosts, epN, epNdl, epSumdl)) =>
+        val (n0, ndl0, sumdl0) = rawStats(spark, prefix)
+        val (nDel, ndlDel, sumdlDel) = deleteAdjust(spark, prefix)
+        val st = Stats(n0 - nDel + epN,
+          avgdlOf(ndl0 - ndlDel + epNdl, sumdl0 - sumdlDel + epSumdl))
+        val postings = spark.table(postingsTable(prefix))
+          .select("term", "doc_id", "tf", "dl").unionByName(epPosts)
+        val hasDel = deletesExist(spark, prefix)
+        val lex =
+          if (!hasDel && spark.catalog.tableExists(lexiconTable(prefix)))
+            Some(spark.table(lexiconTable(prefix)).select("term", "df")
+              .unionByName(
+                epPosts.groupBy("term").agg(count(lit(1)).as("df"))))
+          else None
+        bm25Serve(spark, st, postings, lex,
+          if (hasDel) Some(spark.table(deletesTable(prefix))) else None,
+          queryTerms, topk, k1, b, maxDfFrac)
+    }
+
+  /** Fold committed staged epochs into the bucketed base tables (one
+    * [[append]]-shape write set) and drop the staged dirs. MAINTENANCE
+    * op with the [[compact]] posture: run it with the stream STOPPED;
+    * like compact's tmp-table dance it is not crash-atomic across its
+    * table writes — a JVM death mid-fold calls for a rebuild. */
+  def foldEpochs(spark: SparkSession, prefix: String, root: String,
+      numBuckets: Int = 32): Stats =
+    committedEpochs(spark, root) match {
+      case None => stats(spark, prefix)
+      case Some((epPosts, epN, epNdl, epSumdl)) =>
+        import spark.implicits._
+        val posts = epPosts.persist()
+        try {
+          posts.write.mode(SaveMode.Append)
+            .bucketBy(numBuckets, "term").sortBy("term")
+            .format("parquet").saveAsTable(postingsTable(prefix))
+          posts.groupBy("term").agg(count(lit(1)).as("df"))
+            .write.mode(SaveMode.Append)
+            .bucketBy(numBuckets, "term").sortBy("term")
+            .format("parquet").saveAsTable(lexiconTable(prefix))
+          Seq((epN, epNdl, epSumdl)).toDF("n", "ndl", "sumdl")
+            .write.mode(SaveMode.Append)
+            .format("parquet").saveAsTable(statsTable(prefix))
+        } finally { posts.unpersist(); () }
+        val conf = spark.sparkContext.hadoopConfiguration
+        Seq(s"$root/postings", s"$root/stats").foreach { d =>
+          val p = new org.apache.hadoop.fs.Path(d)
+          p.getFileSystem(conf).delete(p, true)
+        }
+        stats(spark, prefix)
+    }
 
   /** Drop the persisted tables (store CRUD contract). */
   def drop(spark: SparkSession, prefix: String): Unit = {

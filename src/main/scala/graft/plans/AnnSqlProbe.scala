@@ -97,6 +97,31 @@ object AnnSqlProbe {
           math.max(rerank, k), idCol = idCol, vecCol = vecCol)
   }
 
+  /** MRL prefix path: cosine SQL top-k probes score only the first
+    * `prefixDims` vector components for candidates (with a
+    * [[graft.operators.Mrl.writePrefixLayout]] table that is a
+    * column-pruned p/d-byte scan), then exact full-dim rerank. */
+  final case class MrlRef(base: org.apache.spark.sql.DataFrame,
+      prefixDims: Int, rerank: Int, idCol: String, vecCol: String)
+      extends AnnIndex {
+    def metric: String = "cosine"
+    def knnJoin(p: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame =
+      graft.operators.Mrl.knnJoinTruncated(base, p, k, prefixDims,
+        math.max(rerank, k), idCol = idCol, vecCol = vecCol)
+  }
+
+  /** PCA-projected path: cosine SQL top-k probes score the trained
+    * p-dim projections for candidates, then exact full-dim rerank —
+    * the MRL serving shape for embeddings with no matryoshka prefix. */
+  final case class PcaRef(m: graft.operators.Pca.Model,
+      base: org.apache.spark.sql.DataFrame, rerank: Int,
+      idCol: String, vecCol: String) extends AnnIndex {
+    def metric: String = "cosine"
+    def knnJoin(p: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame =
+      graft.operators.Pca.knnJoin(m, base, p, k, math.max(rerank, k),
+        idCol = idCol, vecCol = vecCol)
+  }
+
   case class Entry(index: AnnIndex, idCol: String, vecCol: String)
 
   private val catalog = TrieMap.empty[String, Entry]
@@ -153,6 +178,30 @@ object AnnSqlProbe {
   def register(path: String, model: graft.operators.IvfBq.Model,
       base: org.apache.spark.sql.DataFrame, nprobe: Int, rerank: Int): Unit =
     register(path, model, base, nprobe, rerank, 0.0, "vec_id", "embedding")
+
+  /** Register an MRL prefix index: cosine SQL top-k probes generate
+    * candidates from the first `prefixDims` components of `base`'s
+    * vectors + exact full-dim rerank. */
+  def registerMrl(path: String, base: org.apache.spark.sql.DataFrame,
+      prefixDims: Int, rerank: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    catalog.put(normalize(path),
+      Entry(MrlRef(base, prefixDims, rerank, idCol, vecCol), idCol, vecCol)); ()
+  }
+
+  /** Register a PCA-projected index: cosine SQL top-k probes generate
+    * candidates from the trained p-dim projection + exact full-dim
+    * rerank against `base`. */
+  def register(path: String, model: graft.operators.Pca.Model,
+      base: org.apache.spark.sql.DataFrame, rerank: Int,
+      idCol: String, vecCol: String): Unit = {
+    catalog.put(normalize(path),
+      Entry(PcaRef(model, base, rerank, idCol, vecCol), idCol, vecCol)); ()
+  }
+
+  def register(path: String, model: graft.operators.Pca.Model,
+      base: org.apache.spark.sql.DataFrame, rerank: Int): Unit =
+    register(path, model, base, rerank, "vec_id", "embedding")
 
   def unregister(path: String): Unit = { catalog.remove(normalize(path)); () }
 

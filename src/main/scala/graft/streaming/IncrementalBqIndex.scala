@@ -378,13 +378,20 @@ object IncrementalBqIndex {
     * own epoch directory instead of appending duplicates, so the
     * stream-built ≡ batch-built identity survives replays. The index
     * must exist ([[build]] on the bootstrap corpus — the quantizer
-    * needs training data). */
-  def streamingAppend(stream: DataFrame, path: String,
+    * needs training data).
+    *
+    * `checkpoint` is REQUIRED: the idempotent-retry contract holds only
+    * for CHECKPOINTED restarts — without one, a restarted query begins
+    * again at batchId 0 and its epoch overwrite would silently replace
+    * earlier epochs holding different data (the ImageDup
+    * streamingHashAppend contract). */
+  def streamingAppend(stream: DataFrame, path: String, checkpoint: String,
       idCol: String = "vec_id", vecCol: String = "embedding")
       : StreamingQuery = {
     require(exists(stream.sparkSession, dir(path, "meta")),
       s"no incremental BQ index at $path — build() on a bootstrap corpus first")
     stream.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val b = batch.persist()
         try { if (!b.isEmpty) append(b, path, idCol, vecCol,

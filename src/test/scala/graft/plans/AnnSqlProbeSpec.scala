@@ -283,6 +283,63 @@ class AnnSqlProbeSpec extends AnyFunSuite {
     }
   }
 
+  test("MRL registration routes cosine SQL top-k through the prefix scan") {
+    val base = spark.read.parquet(path)
+    try {
+      val sql = annSql(10)
+      val exactRows = spark.sql(sql).collect()
+      AnnSqlProbe.registerMrl(path, base, prefixDims = 16, rerank = 50)
+      val probed = spark.sql(sql)
+      val plan = probed.queryExecution.executedPlan.toString
+      assert(plan.contains("Filter (rank"),
+        s"MRL probe should replace the scan + top-k:\n$plan")
+      val probedRows = probed.collect()
+      assert(probedRows.length == 10)
+      assert(probed.schema.fieldNames.toSeq == Seq("vec_id", "score"))
+      assert(probedRows.head.getLong(0) == 3L && probedRows.head.getDouble(1) > 0.999)
+      val recall = probedRows.map(_.getLong(0)).toSet
+        .intersect(exactRows.map(_.getLong(0)).toSet).size
+      assert(recall >= 6, s"mrl probe recall@10 = $recall/10")
+      // rerank spanning the corpus degenerates to the exact top-k
+      AnnSqlProbe.registerMrl(path, base, prefixDims = 16, rerank = 10000)
+      assert(spark.sql(sql).collect().map(_.getLong(0)).toSeq ==
+        exactRows.map(_.getLong(0)).toSeq,
+        "corpus-wide rerank must reproduce the exact top-k")
+      // euclidean SQL over the cosine prefix index falls through
+      val qvec = "array(" + Seq.fill(64)("cast(0.1 as float)").mkString(", ") + ")"
+      val p2 = spark.sql(
+        s"""SELECT vec_id, euclidean_sim(embedding, $qvec) AS score
+           |FROM parquet.`$path` ORDER BY score DESC LIMIT 5""".stripMargin)
+        .queryExecution.executedPlan.toString
+      assert(!p2.contains("Filter (rank"), "euclidean over MRL must not rewrite")
+    } finally AnnSqlProbe.unregister(path)
+  }
+
+  test("PCA registration routes cosine SQL top-k through the projected scan") {
+    import graft.operators.Pca
+    val base = spark.read.parquet(path)
+    val model = Pca.fit(base, p = 16)
+    try {
+      val sql = annSql(10)
+      val exactRows = spark.sql(sql).collect()
+      AnnSqlProbe.register(path, model, base, rerank = 50)
+      val probed = spark.sql(sql)
+      val plan = probed.queryExecution.executedPlan.toString
+      assert(plan.contains("Filter (rank"),
+        s"PCA probe should replace the scan + top-k:\n$plan")
+      val probedRows = probed.collect()
+      assert(probedRows.length == 10)
+      assert(probed.schema.fieldNames.toSeq == Seq("vec_id", "score"))
+      assert(probedRows.head.getLong(0) == 3L && probedRows.head.getDouble(1) > 0.999)
+      val recall = probedRows.map(_.getLong(0)).toSet
+        .intersect(exactRows.map(_.getLong(0)).toSet).size
+      assert(recall >= 6, s"pca probe recall@10 = $recall/10")
+    } finally {
+      AnnSqlProbe.unregister(path)
+      model.projected.unpersist()
+    }
+  }
+
   test("unregistering restores the exact plan") {
     val model = HnswIndexer.fit(spark.read.parquet(path), HnswParams(numPartitions = 2))
     AnnSqlProbe.register(path, model)

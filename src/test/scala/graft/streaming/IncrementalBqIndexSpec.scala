@@ -166,7 +166,7 @@ class IncrementalBqIndexSpec extends AnyFunSuite {
     IncrementalBqIndex.build(a, batch, numCells = 4)
     val mem = MemoryStream[(Long, Array[Float])]
     val q = IncrementalBqIndex.streamingAppend(
-      mem.toDF.toDF("vec_id", "embedding"), streamed)
+      mem.toDF.toDF("vec_id", "embedding"), streamed, s"$streamed-ckpt")
     val (h1, h2) = rest.splitAt(rest.length / 2)
     mem.addData(h1.toSeq); q.processAllAvailable()
     mem.addData(h2.toSeq); q.processAllAvailable()
