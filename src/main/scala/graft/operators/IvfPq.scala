@@ -47,7 +47,7 @@ object IvfPq {
     * RESIDUAL space (Procrustes alternation on the residual sample) —
     * residuals are the natural OPQ target since the cell offset already
     * absorbed the coarse structure. 0 keeps plain residual PQ. */
-  def fit(base: DataFrame, numCells: Int = 16, numSub: Int = 8,
+  def fit(base: DataFrame, numCells: Int = 16, numSub: Int = 0,
       codesPerSub: Int = 16, sampleN: Int = 4000, iters: Int = 5,
       seed: Long = 42L, idCol: String = "vec_id",
       vecCol: String = "embedding", opqIters: Int = 0,
@@ -67,8 +67,11 @@ object IvfPq {
     // assigned rows with residuals
     val assigned = ivf.assigned // (id, vec, cell)
     val d = centroids.head._2.length
-    require(d % numSub == 0, s"dimension $d not divisible by numSub=$numSub")
-    val subDim = d / numSub
+    // numSub <= 0 (default) picks Pq.autoNumSub = d/8 — the
+    // regime-stable subspace width at any embedding dimension
+    val nSub = if (numSub > 0) numSub else Pq.autoNumSub(d)
+    require(d % nSub == 0, s"dimension $d not divisible by numSub=$nSub")
+    val subDim = d / nSub
 
     // train PQ codebooks on a seeded sample of RESIDUALS
     val sample = assigned.withColumn("h", xxhash64(col("id"), lit(seed)))
@@ -81,11 +84,11 @@ object IvfPq {
       }
     val (rotation, codebooks) =
       if (opqIters > 0) {
-        val (r, cbs) = Opq.trainRotation(sample, numSub, subDim, codesPerSub,
+        val (r, cbs) = Opq.trainRotation(sample, nSub, subDim, codesPerSub,
           iters, opqIters)
         (Some(r), cbs)
       } else
-        (None, Pq.trainCodebooks(sample, numSub, subDim, codesPerSub, iters))
+        (None, Pq.trainCodebooks(sample, nSub, subDim, codesPerSub, iters))
     val bcCb = spark.sparkContext.broadcast(codebooks)
     val bcRot = spark.sparkContext.broadcast(rotation)
 
@@ -97,7 +100,7 @@ object IvfPq {
       val cent = cents(cell)
       var res = Array.tabulate(v.length)(j => v(j) - cent(j))
       bcRot.value.foreach { r => res = Opq.rotate(r, res) }
-      Pq.encodeVec(cbs, res, numSub, subDim)
+      Pq.encodeVec(cbs, res, nSub, subDim)
     }
     val src = assigned.select(col("cell"), col("id"), col("vec"))
       .as[(Int, Long, Array[Float])]
@@ -115,7 +118,7 @@ object IvfPq {
     // consumed by the (just materialized) code table — release it, or
     // every fit leaks an n-row cache entry nothing can reach
     ivf.release()
-    Model(numCells, numSub, subDim, centroids, codebooks, encoded, rotation,
+    Model(numCells, nSub, subDim, centroids, codebooks, encoded, rotation,
       packed)
   }
 

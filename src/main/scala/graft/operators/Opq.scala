@@ -91,8 +91,9 @@ object Opq {
   }
 
   /** Train rotation + codebooks on a seeded sample, then rotate + encode
-    * the corpus. Deterministic for fixed (seed, data). */
-  def fit(base: DataFrame, numSub: Int = 8, codesPerSub: Int = 16,
+    * the corpus. Deterministic for fixed (seed, data). `numSub <= 0`
+    * (default) picks [[Pq.autoNumSub]] = d/8. */
+  def fit(base: DataFrame, numSub: Int = 0, codesPerSub: Int = 16,
       sampleN: Int = 4000, pqIters: Int = 5, opqIters: Int = 8, seed: Long = 42L,
       idCol: String = "vec_id", vecCol: String = "embedding"): Model = {
     val spark = base.sparkSession
@@ -104,9 +105,10 @@ object Opq {
       .select("id", "vec").as[(Long, Array[Float])].collect().map(_._2)
     require(sample.nonEmpty, "OPQ training sample is empty")
     val d = sample.head.length
-    require(d % numSub == 0, s"dimension $d not divisible by numSub=$numSub")
-    val subDim = d / numSub
-    val (r, cbs) = trainRotation(sample, numSub, subDim, codesPerSub,
+    val nSub = if (numSub > 0) numSub else Pq.autoNumSub(d)
+    require(d % nSub == 0, s"dimension $d not divisible by numSub=$nSub")
+    val subDim = d / nSub
+    val (r, cbs) = trainRotation(sample, nSub, subDim, codesPerSub,
       pqIters, opqIters)
 
     // rotate + encode the corpus (one pass, rotation + codebooks broadcast)
@@ -115,11 +117,11 @@ object Opq {
     val encoded = src.as[(Long, Array[Float])].mapPartitions { rows =>
       val rr = bcR.value; val cc = bcC.value
       rows.map { case (id, v) =>
-        (id, Pq.encodeVec(cc, rotate(rr, v), numSub, subDim))
+        (id, Pq.encodeVec(cc, rotate(rr, v), nSub, subDim))
       }
     }.toDF("id", "codes").persist()
     encoded.count()
-    Model(r, Pq.Model(numSub, subDim, codesPerSub, cbs, encoded))
+    Model(r, Pq.Model(nSub, subDim, codesPerSub, cbs, encoded))
   }
 
   /** Persist rotation + the underlying PQ model (store CRUD contract as

@@ -126,8 +126,22 @@ object Pq {
     out
   }
 
-  /** Train codebooks on a seeded sample, then encode the corpus. */
-  def fit(base: DataFrame, numSub: Int = 8, codesPerSub: Int = 16,
+  /** The auto subspace count: 8-dim subspaces (`numSub = d/8`) — the
+    * regime-stable PQ shape. At d=64 this is the original default of 8;
+    * at embedding widths it scales the code length with d instead of
+    * silently widening each subspace (numSub=8 at d=768 means 96-dim
+    * subspaces, whose 16-word codebooks cannot rank anything — the
+    * high-dimension validation finding). */
+  private[graft] def autoNumSub(d: Int): Int = {
+    val ns = math.max(1, d / 8)
+    if (d % ns == 0) ns
+    // d not divisible by d/8 (non-multiple-of-8 dims): largest divisor ≤ d/8
+    else (ns to 1 by -1).find(d % _ == 0).getOrElse(1)
+  }
+
+  /** Train codebooks on a seeded sample, then encode the corpus.
+    * `numSub <= 0` (default) picks [[autoNumSub]] = d/8. */
+  def fit(base: DataFrame, numSub: Int = 0, codesPerSub: Int = 16,
       sampleN: Int = 4000, iters: Int = 5, seed: Long = 42L,
       idCol: String = "vec_id", vecCol: String = "embedding",
       packed: Boolean = false): Model = {
@@ -142,27 +156,28 @@ object Pq {
       .select("id", "vec").as[(Long, Array[Float])].collect()
     require(sample.nonEmpty, "PQ training sample is empty")
     val d = sample.head._2.length
-    require(d % numSub == 0, s"dimension $d not divisible by numSub=$numSub")
-    val subDim = d / numSub
+    val nSub = if (numSub > 0) numSub else autoNumSub(d)
+    require(d % nSub == 0, s"dimension $d not divisible by numSub=$nSub")
+    val subDim = d / nSub
 
     // per-subspace k-means: seeded init (first k sample rows by id-hash
     // order), then Lloyd iterations with empty-cell carry-over
-    val codebooks = trainCodebooks(sample.map(_._2), numSub, subDim, codesPerSub, iters)
+    val codebooks = trainCodebooks(sample.map(_._2), nSub, subDim, codesPerSub, iters)
 
     val bc = spark.sparkContext.broadcast(codebooks)
     val encoded = (if (packed)
         src.as[(Long, Array[Float])].mapPartitions { rows =>
           val cbs = bc.value
           rows.map { case (id, v) =>
-            (id, packNibbles(encodeVec(cbs, v, numSub, subDim))) }
+            (id, packNibbles(encodeVec(cbs, v, nSub, subDim))) }
         }.toDF("id", "codes")
       else
         src.as[(Long, Array[Float])].mapPartitions { rows =>
           val cbs = bc.value
-          rows.map { case (id, v) => (id, encodeVec(cbs, v, numSub, subDim)) }
+          rows.map { case (id, v) => (id, encodeVec(cbs, v, nSub, subDim)) }
         }.toDF("id", "codes")).persist()
     encoded.count()
-    Model(numSub, subDim, codesPerSub, codebooks, encoded, packed)
+    Model(nSub, subDim, codesPerSub, codebooks, encoded, packed)
   }
 
   /** Persist code table + codebooks (O13 analog for the PQ family;

@@ -756,6 +756,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(twoPhase == direct)
   }
 
+  test("PQ auto subspace count: d/8 at any width, divisor fallback, " +
+      "default fit at d=64 unchanged") {
+    import graft.operators.Pq
+    assert(Pq.autoNumSub(64) == 8)     // the historical default — unchanged
+    assert(Pq.autoNumSub(768) == 96)   // embedding widths scale code length
+    assert(Pq.autoNumSub(1536) == 192)
+    assert(Pq.autoNumSub(100) == 10)   // 100 % 12 != 0 → largest divisor ≤ 12
+    assert(Pq.autoNumSub(7) == 1)
+    // a default fit at d=64 still produces 8 subspaces of 8 dims
+    val m = Pq.fit(emb, sampleN = 200)
+    assert(m.numSub == 8 && m.subDim == 8)
+    m.encoded.unpersist()
+  }
+
   test("PQ: deterministic fit, ADC+rerank recall, exhaustive-rerank exactness") {
     import graft.operators.Pq
     val m1 = Pq.fit(emb, numSub = 8, codesPerSub = 16)
