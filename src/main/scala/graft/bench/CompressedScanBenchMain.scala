@@ -141,6 +141,30 @@ object CompressedScanBenchMain {
       m.encoded.unpersist()
     }
 
+    // IVF × PQ (euclidean contract, AUTO numSub = d/8): validates the
+    // retuned subspace default at embedding widths — 2 bytes/subspace
+    // ADC codes, cell-routed scan, exact rerank
+    if (paths("ivfpq")) {
+      import graft.operators.IvfPq
+      val cells = if (n >= 10000000L) 256 else 64
+      val (m, fitS) = timed(IvfPq.fit(base, numCells = cells))
+      val nq = probesBq / 5
+      val q = probeSet(nq).cache(); q.count()
+      Seq((4, 1000), (8, 1000)).foreach { case (np, rr) =>
+        val (cnt, wall) = timed(
+          IvfPq.knnJoinBatched(m, base, q, k = 10, nprobe = np, rerank = rr,
+            batchRows = batchRows).count())
+        val rec = Recall.microAvgRecall(
+            IvfPq.knnJoin(m, base, anchor, k = 10, nprobe = np, rerank = rr),
+          exactEuc).select("recall").first().getDouble(0)
+        println(f"CSCAN ivfpq n=$n d=$dim bytes/vec=${2 * m.numSub} " +
+          f"numSub=${m.numSub} C=$cells nprobe=$np fit=$fitS%.1fs nq=$nq " +
+          f"wall=$wall%.1fs qps=${nq / wall}%.0f rows=$cnt " +
+          f"recall@100=$rec%.3f rerank=$rr")
+      }
+      m.encoded.unpersist()
+    }
+
     // IVF × BQ: the high-recall configuration — cells divide the Hamming
     // scan AND the candidate exchange by ~nprobe/C, so the big rerank
     // that standalone BQ can't afford becomes payable
