@@ -115,7 +115,7 @@ object Bench {
       "near_dup_embeddings_lsh", "decontaminate_bloom", "tfidf_top_terms",
       "quality_filter", "token_stats", "seq_packing", "multimodal_knn",
       "bm25_top_docs", "rrf_fusion_bm25",
-      "knn_bq_cosine", "knn_mrl_cosine", "dup_ngram_spans",
+      "knn_bq_cosine", "knn_rabitq_cosine", "knn_mrl_cosine", "dup_ngram_spans",
       "phrase_search", "dsir_select", "dedup_trim", "hard_negatives",
       "bpe_token_stats", "sample_weighted",
       "knn_pca_cosine", "ppl_filter", "prune_prototypes",

@@ -100,6 +100,29 @@ object VectorQueries {
     m
   }
 
+  /** The battery's RaBitQ model — records the seeded rotation for the
+    * literal-emission oracle, same contract as [[pqModel]]. */
+  @volatile private var rabitqForOracle: Option[Array[Array[Float]]] = None
+  private def rabitqModel(s: SparkSession, dir: String): graft.operators.RabitQ.Model = {
+    val m = ModelMemo.get(s, s"rabitq/s42/$dir")(
+      graft.operators.RabitQ.fit(emb(s, dir), seed = 42L))
+    rabitqForOracle = Some(m.rotation)
+    m
+  }
+
+  /** The battery's IVF×RaBitQ model — composed from the memoized IVF
+    * quantizer (same centroid literals as `knn_ivf_cosine`); records
+    * (centroids, rotation, R·c offsets) for the composed oracle. */
+  @volatile private var ivfRabitqForOracle: Option[(Array[(Int, Array[Float])],
+    Array[Array[Float]], Array[Array[Double]])] = None
+  private def ivfRabitqModel(s: SparkSession, dir: String)
+      : graft.operators.IvfRabitq.Model = {
+    val m = ModelMemo.get(s, s"ivfrabitq/c16s42/$dir")(
+      graft.operators.IvfRabitq.fromIvf(ivfModel(s, dir), seed = 42L))
+    ivfRabitqForOracle = Some((m.centroids, m.rotation, m.rotCents))
+    m
+  }
+
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
@@ -563,6 +586,28 @@ object VectorQueries {
       Recall.microAvgRecall(approx, exact)
     }),
 
+    // RaBitQ (Gao & Long, SIGMOD 2024): seeded random rotation → sign
+    // bits + ONE per-vector correction factor, served by the paper's
+    // unbiased real-valued estimator instead of integer Hamming — the
+    // answer to the round-10 BASELINE finding that plain BQ collapses at
+    // d≥768 from Hamming-tie mass. Rotation is trained-literal data, all
+    // derived arithmetic is explicit left-associative folds, so the WHOLE
+    // pipeline is cross-engine oracle-checked like [[Pca]]/[[Opq]].
+    "knn_rabitq_cosine" -> ((s, dir) => {
+      val model = rabitqModel(s, dir)
+      graft.operators.RabitQ.knnJoin(model, emb(s, dir), probes(s, dir),
+        k = 10, rerank = 100, scoreDigits = 6)
+    }),
+
+    "recall_rabitq" -> ((s, dir) => {
+      val model = rabitqModel(s, dir)
+      val approx = graft.operators.RabitQ.knnJoin(model, emb(s, dir),
+        probes(s, dir), k = 10, rerank = 100, scoreDigits = 6)
+      val exact = KnnJoin.exactKnnJoin(emb(s, dir), probes(s, dir), k = 10,
+        metric = "cosine", scoreDigits = 6)
+      Recall.microAvgRecall(approx, exact)
+    }),
+
     // IVF × BQ: the composition the round-8 compressed-scan ladder
     // measured its way to — cell-routed Hamming scan (scan AND candidate
     // exchange both divided by nprobe/C) + exact cosine rerank, with
@@ -581,6 +626,27 @@ object VectorQueries {
       val model = ModelMemo.get(s, s"ivfbq/c16r/$dir")(
         graft.operators.IvfBq.fromIvf(ivfModel(s, dir)))
       val approx = graft.operators.IvfBq.knnJoin(model, emb(s, dir),
+        probes(s, dir), k = 10, nprobe = 4, rerank = 100, scoreDigits = 6)
+      val exact = KnnJoin.exactKnnJoin(emb(s, dir), probes(s, dir), k = 10,
+        metric = "cosine", scoreDigits = 6)
+      Recall.microAvgRecall(approx, exact)
+    }),
+
+    // IVF × RaBitQ: the paper's own deployment shape — residual sign
+    // bits + per-vector factor behind the coarse quantizer, ranked by
+    // the real-valued normalized estimator instead of residual Hamming.
+    // Composed from the battery's memoized IVF quantizer so the whole
+    // trained pipeline is oracle-checked from centroid + rotation
+    // literals.
+    "knn_ivfrabitq_cosine" -> ((s, dir) => {
+      val model = ivfRabitqModel(s, dir)
+      graft.operators.IvfRabitq.knnJoin(model, emb(s, dir), probes(s, dir),
+        k = 10, nprobe = 4, rerank = 100, scoreDigits = 6)
+    }),
+
+    "recall_ivfrabitq" -> ((s, dir) => {
+      val model = ivfRabitqModel(s, dir)
+      val approx = graft.operators.IvfRabitq.knnJoin(model, emb(s, dir),
         probes(s, dir), k = 10, nprobe = 4, rerank = 100, scoreDigits = 6)
       val exact = KnnJoin.exactKnnJoin(emb(s, dir), probes(s, dir), k = 10,
         metric = "cosine", scoreDigits = 6)
@@ -1152,6 +1218,74 @@ object VectorQueries {
              |FROM per_q""".stripMargin)
   }
 
+  /** RaBitQ oracle entries exist only after a battery fit recorded the
+    * seeded rotation (same contract as [[pqOracle]]). */
+  private def rabitqOracle: Map[String, String] = rabitqForOracle match {
+    case None => Map.empty
+    case Some(rot) =>
+      val cte = graft.operators.RabitQ.duckdbTopkCte(rot,
+        nQueries = 100, rerank = 100, k = 10)
+      Map(
+        "knn_rabitq_cosine" ->
+          s"""$cte
+             |SELECT query_id, neighbor_id, score, rank FROM rbq_topk""".stripMargin,
+        "recall_rabitq" ->
+          s"""$cte,
+             | exact_scored AS (
+             |  SELECT q.query_id, e.vec_id AS neighbor_id,
+             |   floor((list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])))*1e6 + 0.5)/1e6 AS score
+             |  FROM embeddings e, rbq_q q),
+             | exact_topk AS (
+             |  SELECT query_id, neighbor_id FROM (
+             |   SELECT *, row_number() OVER (PARTITION BY query_id
+             |     ORDER BY score DESC, neighbor_id) AS rank FROM exact_scored)
+             |  WHERE rank <= 10),
+             | per_q AS (SELECT x.query_id, count(*) AS total,
+             |    CAST(sum(CASE WHEN s.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS hits
+             |   FROM exact_topk x LEFT JOIN rbq_topk s
+             |    ON s.query_id = x.query_id AND s.neighbor_id = x.neighbor_id
+             |   GROUP BY x.query_id)
+             |SELECT count(*) AS n_queries, CAST(sum(hits) AS BIGINT) AS hits,
+             | CAST(sum(total) AS BIGINT) AS total,
+             | sum(hits)*1.0/sum(total) AS recall
+             |FROM per_q""".stripMargin)
+  }
+
+  /** IVF×RaBitQ oracle entries exist only after a battery fit recorded
+    * the composed trained parameters (same contract as [[pqOracle]]). */
+  private def ivfRabitqOracle: Map[String, String] = ivfRabitqForOracle match {
+    case None => Map.empty
+    case Some((cents, rot, rotCents)) =>
+      val cte = graft.operators.IvfRabitq.duckdbTopkCte(cents, rot, rotCents,
+        nprobe = 4, rerank = 100, k = 10, nQueries = 100)
+      Map(
+        "knn_ivfrabitq_cosine" ->
+          s"""$cte
+             |SELECT query_id, neighbor_id, score, rank FROM ivfrbq_topk""".stripMargin,
+        "recall_ivfrabitq" ->
+          s"""$cte,
+             | exact_scored AS (
+             |  SELECT q.query_id, e.vec_id AS neighbor_id,
+             |   floor((list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])))*1e6 + 0.5)/1e6 AS score
+             |  FROM embeddings e, ivf_q q),
+             | exact_topk AS (
+             |  SELECT query_id, neighbor_id FROM (
+             |   SELECT *, row_number() OVER (PARTITION BY query_id
+             |     ORDER BY score DESC, neighbor_id) AS rank FROM exact_scored)
+             |  WHERE rank <= 10),
+             | per_q AS (SELECT x.query_id, count(*) AS total,
+             |    CAST(sum(CASE WHEN s.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS hits
+             |   FROM exact_topk x LEFT JOIN ivfrbq_topk s
+             |    ON s.query_id = x.query_id AND s.neighbor_id = x.neighbor_id
+             |   GROUP BY x.query_id)
+             |SELECT count(*) AS n_queries, CAST(sum(hits) AS BIGINT) AS hits,
+             | CAST(sum(total) AS BIGINT) AS total,
+             | sum(hits)*1.0/sum(total) AS recall
+             |FROM per_q""".stripMargin)
+  }
+
   /** OPQ oracle entries exist only after a battery fit recorded the
     * trained rotation + codebooks (same contract as [[pqOracle]]). */
   private def opqOracle: Map[String, String] = opqForOracle match {
@@ -1215,8 +1349,8 @@ object VectorQueries {
   }
 
   def oracle: Map[String, String] =
-    staticOracle ++ ivfOracle ++ pqOracle ++ pcaOracle ++ opqOracle ++
-      ivfpqOracle
+    staticOracle ++ ivfOracle ++ pqOracle ++ pcaOracle ++ rabitqOracle ++
+      ivfRabitqOracle ++ opqOracle ++ ivfpqOracle
 
   /** Shared DuckDB CTE prefix for the real-media oracles: re-derives the
     * quantized pixels/samples straight from the embeddings with the SAME

@@ -141,6 +141,36 @@ object CompressedScanBenchMain {
       m.encoded.unpersist()
     }
 
+    // RaBitQ (sign bits + one 8-byte factor): the answer to the bq rung's
+    // Hamming-tie collapse at d≥768 — the real-valued unbiased estimator
+    // has no tie mass, so rerank=100 should hold where bq needs 0.4%·n.
+    // Timed path is the bit-sliced u4 popcount kernel (the production
+    // scan); recall is anchored for BOTH kernels.
+    if (paths("rabitq")) {
+      import graft.operators.RabitQ
+      val (m, fitS) = timed(RabitQ.fit(base))
+      val q = probeSet(probesBq).cache(); q.count()
+      val (cnt, wall) = timed(
+        RabitQ.knnJoinU4Batched(m, base, q, k = 10, rerank = 100,
+          batchRows = batchRows).count())
+      val recExact = Recall.microAvgRecall(
+          RabitQ.knnJoin(m, base, anchor, k = 10, rerank = 100), exactCos)
+        .select("recall").first().getDouble(0)
+      val recU4 = Recall.microAvgRecall(
+          RabitQ.knnJoinU4(m, base, anchor, k = 10, rerank = 100), exactCos)
+        .select("recall").first().getDouble(0)
+      println(f"CSCAN rabitq n=$n d=$dim bytes/vec=${dim / 8 + 8} " +
+        f"fit=$fitS%.1fs nq=$probesBq wall=$wall%.1fs " +
+        f"qps=${probesBq / wall}%.0f rows=$cnt recall@100=$recU4%.3f " +
+        f"recall_exact_est@100=$recExact%.3f rerank=100 kernel=u4")
+      val r1k = Recall.microAvgRecall(
+          RabitQ.knnJoinU4(m, base, anchor, k = 10, rerank = 1000), exactCos)
+        .select("recall").first().getDouble(0)
+      println(f"CSCAN rabitq n=$n d=$dim bytes/vec=${dim / 8 + 8} " +
+        f"recall@100=$r1k%.3f rerank=1000 kernel=u4 (anchor only)")
+      m.encoded.unpersist()
+    }
+
     // IVF × PQ (euclidean contract, AUTO numSub = d/8): validates the
     // retuned subspace default at embedding widths — 2 bytes/subspace
     // ADC codes, cell-routed scan, exact rerank

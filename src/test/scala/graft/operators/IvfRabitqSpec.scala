@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class IvfRabitqSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  val dir = "/root/testdata/sf0.001"
+  def emb: DataFrame = spark.read.parquet(s"$dir/embeddings.parquet")
+  def probes: DataFrame = emb.filter(col("vec_id") < 20)
+    .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+
+  lazy val model: IvfRabitq.Model = IvfRabitq.fit(emb, numCells = 8)
+
+  test("rotateCentroid matches the ascending-i double loop") {
+    val d = 32
+    val r = RabitQ.randomRotation(d, 5L)
+    val rnd = new scala.util.Random(9)
+    val c = Array.fill(d)(rnd.nextFloat() - 0.5f)
+    val rc = IvfRabitq.rotateCentroid(r, c)
+    (0 until d).foreach { j =>
+      var acc = 0.0
+      var i = 0
+      while (i < d) { acc += c(i).toDouble * r(i)(j); i += 1 }
+      assert(rc(j) == acc, s"component $j")
+    }
+  }
+
+  test("encodeResidual: bits and factor are the shifted RabitQ folds") {
+    val rnd = new scala.util.Random(21)
+    (0 until 20).foreach { _ =>
+      val d = 1 + rnd.nextInt(150)
+      val rv = Array.fill(d)(rnd.nextFloat() * 2 - 1)
+      val rc = Array.fill(d)(rnd.nextDouble() * 0.4 - 0.2)
+      val (bits, g) = IvfRabitq.encodeResidual(rv, rc)
+      var sa = 0.0; var sq = 0.0
+      (0 until d).foreach { j =>
+        val x = rv(j).toDouble - rc(j)
+        val got = ((bits(j >> 6) >>> (j & 63)) & 1L) == 1L
+        assert(got == (x > 0), s"bit $j")
+        sa += math.abs(x); sq += x * x
+      }
+      assert(g == (if (sa == 0.0) 0.0 else math.sqrt(sq) / sa))
+    }
+  }
+
+  test("every vector is coded against its ASSIGNED cell's offset") {
+    val enc = model.encoded.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2).toArray,
+        r.getDouble(3)))
+    val base = emb.select(col("vec_id").cast("long"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    assert(enc.length == base.size, "one code row per corpus vector")
+    enc.foreach { case (cell, id, bits, g) =>
+      val (wantBits, wantG) = IvfRabitq.encodeResidual(
+        Opq.rotate(model.rotation, base(id)), model.rotCents(cell))
+      assert(bits.sameElements(wantBits) && g == wantG, s"vec $id cell $cell")
+    }
+  }
+
+  test("knnJoin matches an in-memory recompute of routing + estimator " +
+      "cut + cosine rerank") {
+    val got = IvfRabitq.knnJoin(model, emb, probes, k = 5, nprobe = 3,
+        rerank = 30, scoreDigits = 6)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+    val base = emb.select(col("vec_id").cast("long"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val bmap = base.toMap
+    val enc = model.encoded.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2).toArray,
+        r.getDouble(3)))
+    def cosD(a: Array[Float], b: Array[Float]): Double = {
+      var dd = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i =>
+        dd += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i)
+      }
+      if (na == 0 || nb == 0) Double.NaN else dd / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val cents = model.centroids.sortBy(_._1)
+    val want = base.filter(_._1 < 20).flatMap { case (qid, qv) =>
+      // route: top-3 cells by (cos desc, cell desc), NaN -> -1
+      val ranked = cents.map { case (c, cv) =>
+        val s = cosD(qv, cv)
+        (c, if (s.isNaN) -1.0 else s)
+      }.sortBy { case (c, s) => (-s, -c) }.take(3).map(_._1).toSet
+      val qrv = Opq.rotate(model.rotation, qv)
+      val cands = enc.filter(t => ranked.contains(t._1))
+        .map { case (cell, id, bits, g) =>
+          val rc = model.rotCents(cell)
+          val res = qrv.indices.map(j => qrv(j).toDouble - rc(j)).toArray
+          val nq = math.sqrt(res.map(x => x * x).sum)
+          val est = if (nq == 0.0) 0.0
+            else IvfRabitq.signDotD(bits, res) * g / nq
+          (id, math.floor(est * 1e6 + 0.5) / 1e6)
+        }.sortBy { case (id, ts) => (-ts, id) }.take(30)
+      cands.map { case (id, _) =>
+        (id, math.floor(cosD(bmap(id), qv) * 1e6 + 0.5) / 1e6)
+      }.sortBy { case (id, sc) => (-sc, id) }.take(5).zipWithIndex
+        .map { case ((id, _), i) => (qid, id, i + 1) }
+    }.toSet
+    assert(got == want)
+  }
+
+  test("recall@10 at nprobe=all matches standalone estimator quality") {
+    val exact = KnnJoin.exactKnnJoin(emb, probes, k = 10, metric = "cosine",
+      scoreDigits = 6)
+    // probing every cell removes routing loss; what remains is estimator
+    // quality, which must clear the same floor as standalone RabitQ
+    val all = Recall.microAvgRecall(
+      IvfRabitq.knnJoin(model, emb, probes, k = 10, nprobe = 8,
+        rerank = 100, scoreDigits = 6), exact)
+      .select("recall").head().getDouble(0)
+    assert(all >= 0.9, s"all-cells recall was $all")
+    val routed = Recall.microAvgRecall(
+      IvfRabitq.knnJoin(model, emb, probes, k = 10, nprobe = 4,
+        rerank = 100, scoreDigits = 6), exact)
+      .select("recall").head().getDouble(0)
+    assert(routed <= all + 1e-9, "routing can only lose candidates")
+  }
+}
