@@ -217,6 +217,31 @@ object CompressedScanBenchMain {
       }
       m.encoded.unpersist()
     }
+
+    // IVF × RaBitQ: same byte budget as IVF×BQ (d/8 codes + 8-byte factor)
+    // but ranked by the unbiased estimator instead of raw Hamming — the
+    // claim under test is that the estimator keeps rerank SMALL (100 vs
+    // BQ's 0.4%·n at d≥768) because its error shrinks as O(1/√d)
+    if (paths("ivfrabitq")) {
+      import graft.operators.IvfRabitq
+      val cells = if (n >= 10000000L) 256 else 64
+      val (m, fitS) = timed(IvfRabitq.fit(base, numCells = cells))
+      val nq = probesBq / 5
+      val q = probeSet(nq).cache(); q.count()
+      Seq((4, 100), (4, 1000), (8, 100)).foreach { case (np, rr) =>
+        val (cnt, wall) = timed(
+          IvfRabitq.knnJoinBatched(m, base, q, k = 10, nprobe = np,
+            rerank = rr, batchRows = batchRows).count())
+        val rec = Recall.microAvgRecall(
+            IvfRabitq.knnJoin(m, base, anchor, k = 10, nprobe = np,
+              rerank = rr), exactCos)
+          .select("recall").first().getDouble(0)
+        println(f"CSCAN ivfrabitq n=$n d=$dim bytes/vec=${dim / 8 + 8} " +
+          f"C=$cells nprobe=$np fit=$fitS%.1fs nq=$nq wall=$wall%.1fs " +
+          f"qps=${nq / wall}%.0f rows=$cnt recall@100=$rec%.3f rerank=$rr")
+      }
+      m.encoded.unpersist()
+    }
     spark.stop()
   }
 }

@@ -122,6 +122,32 @@ object AnnSqlProbe {
         idCol = idCol, vecCol = vecCol)
   }
 
+  /** RaBitQ flat path: cosine SQL top-k probes rank the whole corpus by
+    * the bit-sliced u4 estimator kernel (d/8 code bytes + one factor, no
+    * per-dimension float work) + exact cosine rerank against `base` — the
+    * byte budget of BQ with an estimator whose error SHRINKS with d, so
+    * the small rerank survives embedding widths (BASELINE round 10). */
+  final case class RabitqRef(m: graft.operators.RabitQ.Model,
+      base: org.apache.spark.sql.DataFrame, rerank: Int,
+      idCol: String, vecCol: String) extends AnnIndex {
+    def metric: String = "cosine"
+    def knnJoin(p: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame =
+      graft.operators.RabitQ.knnJoinU4(m, base, p, k, math.max(rerank, k),
+        idCol = idCol, vecCol = vecCol)
+  }
+
+  /** Residual RaBitQ behind a coarse quantizer (the SIGMOD-24 deployment
+    * shape): cosine SQL top-k probes scan nprobe cells of rotated-residual
+    * sign codes + exact rerank against `base`. */
+  final case class IvfRabitqRef(m: graft.operators.IvfRabitq.Model,
+      base: org.apache.spark.sql.DataFrame, nprobe: Int, rerank: Int,
+      idCol: String, vecCol: String) extends AnnIndex {
+    def metric: String = "cosine"
+    def knnJoin(p: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame =
+      graft.operators.IvfRabitq.knnJoin(m, base, p, k, nprobe,
+        math.max(rerank, k), idCol = idCol, vecCol = vecCol)
+  }
+
   case class Entry(index: AnnIndex, idCol: String, vecCol: String)
 
   private val catalog = TrieMap.empty[String, Entry]
@@ -202,6 +228,33 @@ object AnnSqlProbe {
   def register(path: String, model: graft.operators.Pca.Model,
       base: org.apache.spark.sql.DataFrame, rerank: Int): Unit =
     register(path, model, base, rerank, "vec_id", "embedding")
+
+  /** Register a flat RaBitQ index: cosine SQL top-k probes route through
+    * the u4 bit-sliced estimator scan + exact rerank against `base`. */
+  def register(path: String, model: graft.operators.RabitQ.Model,
+      base: org.apache.spark.sql.DataFrame, rerank: Int,
+      idCol: String, vecCol: String): Unit = {
+    catalog.put(normalize(path),
+      Entry(RabitqRef(model, base, rerank, idCol, vecCol), idCol, vecCol)); ()
+  }
+
+  def register(path: String, model: graft.operators.RabitQ.Model,
+      base: org.apache.spark.sql.DataFrame, rerank: Int): Unit =
+    register(path, model, base, rerank, "vec_id", "embedding")
+
+  /** Register an IVF×RaBitQ index: cosine SQL top-k probes route through
+    * nprobe cells of rotated-residual codes + exact rerank against `base`. */
+  def register(path: String, model: graft.operators.IvfRabitq.Model,
+      base: org.apache.spark.sql.DataFrame, nprobe: Int, rerank: Int,
+      idCol: String, vecCol: String): Unit = {
+    catalog.put(normalize(path),
+      Entry(IvfRabitqRef(model, base, nprobe, rerank, idCol, vecCol),
+        idCol, vecCol)); ()
+  }
+
+  def register(path: String, model: graft.operators.IvfRabitq.Model,
+      base: org.apache.spark.sql.DataFrame, nprobe: Int, rerank: Int): Unit =
+    register(path, model, base, nprobe, rerank, "vec_id", "embedding")
 
   def unregister(path: String): Unit = { catalog.remove(normalize(path)); () }
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.operators.{Bq, IvfBq, IvfFlat}
+import graft.operators.{Bq, IvfBq, IvfFlat, IvfRabitq, Opq, RabitQ}
 
 /** Incrementally maintained COMPRESSED vector index: the round-8 batch
   * `IvfBq` (cell-routed residual sign codes, 32× smaller than float32)
@@ -47,49 +47,79 @@ object IncrementalBqIndex {
 
   /** Fit the quantizer + codes on the initial corpus and write the full
     * layout. `numCells` scales with the expected corpus (the P-sizing
-    * rule); `residual = true` is the clustered-corpus configuration. */
+    * rule); `residual = true` is the clustered-corpus configuration.
+    *
+    * `family` picks the code kernel behind the SAME epoch layout:
+    *   - `"bq"` — residual/global sign bits ranked by Hamming (round 8)
+    *   - `"rabitq"` — rotated-residual sign bits + per-vector factor
+    *     ranked by the unbiased estimator, the family whose SMALL rerank
+    *     survives embedding widths (BASELINE round 10: plain BQ needs
+    *     rerank ≈ 0.4%·n at d≥768; the estimator does not). Always
+    *     residual-form; the rotation is rebuilt from `seed` on load
+    *     (deterministic Gram–Schmidt — nothing extra to persist). */
   def build(base: DataFrame, path: String, numCells: Int = 16,
       residual: Boolean = true, seed: Long = 42L,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      initCentroids: Option[Array[(Int, Array[Float])]] = None): Unit = {
+      initCentroids: Option[Array[(Int, Array[Float])]] = None,
+      family: String = "bq"): Unit = {
+    require(family == "bq" || family == "rabitq",
+      s"unknown code family '$family' (bq | rabitq)")
     val spark = base.sparkSession
     import spark.implicits._
-    val model = IvfBq.fit(base, numCells, seed, idCol, vecCol,
-      residual = residual, initCentroids = initCentroids)
-    val fitN = model.encoded.count()
-    model.centroids.toSeq.toDF("cell", "cvec")
+    val (centroids, thresholds, encoded) =
+      if (family == "rabitq") {
+        val m = IvfRabitq.fit(base, numCells, seed, idCol, vecCol,
+          initCentroids = initCentroids)
+        (m.centroids, Array.empty[Double], m.encoded)
+      } else {
+        val m = IvfBq.fit(base, numCells, seed, idCol, vecCol,
+          residual = residual, initCentroids = initCentroids)
+        (m.centroids, m.thresholds, m.encoded)
+      }
+    val fitN = encoded.count()
+    centroids.toSeq.toDF("cell", "cvec")
       .coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(dir(path, "centroids"))
     // sentinel row keeps the parquet readable in residual mode, where
     // thresholds are empty by design (filtered out on load)
     (Seq((-1, 0.0)) ++
-        model.thresholds.zipWithIndex.map { case (t, i) => (i, t) })
+        thresholds.zipWithIndex.map { case (t, i) => (i, t) })
       .toDF("i", "thr").coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(dir(path, "thresholds"))
-    Seq((residual, fitN)).toDF("residual", "fit_n")
+    Seq((residual, fitN, family, seed))
+      .toDF("residual", "fit_n", "family", "rot_seed")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(dir(path, "meta"))
-    model.encoded.write.mode(SaveMode.Overwrite)
+    encoded.write.mode(SaveMode.Overwrite)
       .parquet(dir(path, "codes/epoch=bootstrap"))
     base.select(col(idCol).cast("long").as("vec_id"),
         col(vecCol).cast("array<float>").as("embedding"))
       .write.mode(SaveMode.Overwrite)
       .parquet(dir(path, "vectors/epoch=bootstrap"))
-    model.encoded.unpersist()
+    encoded.unpersist()
     ()
   }
 
-  private def loadParams(spark: SparkSession, path: String)
-      : (Array[(Int, Array[Float])], Boolean, Array[Double], Long) = {
+  private case class Params(cents: Array[(Int, Array[Float])],
+      residual: Boolean, thr: Array[Double], fitN: Long,
+      family: String, rotSeed: Long)
+
+  private def loadParams(spark: SparkSession, path: String): Params = {
     import spark.implicits._
     require(exists(spark, dir(path, "meta")),
       s"no incremental BQ index at $path — run build() first")
     val cents = spark.read.parquet(dir(path, "centroids"))
       .as[(Int, Array[Float])].collect().sortBy(_._1)
-    val (residual, fitN) = spark.read.parquet(dir(path, "meta"))
-      .as[(Boolean, Long)].first()
+    val meta = spark.read.parquet(dir(path, "meta"))
+    // pre-round-10 layouts carry no family column: they are BQ indexes
+    val (residual, fitN, family, rotSeed) =
+      if (meta.columns.contains("family"))
+        meta.as[(Boolean, Long, String, Long)].first()
+      else {
+        val (r, n) = meta.as[(Boolean, Long)].first(); (r, n, "bq", 42L)
+      }
     val thr = spark.read.parquet(dir(path, "thresholds"))
       .as[(Int, Double)].collect().filter(_._1 >= 0).sortBy(_._1).map(_._2)
-    (cents, residual, thr, fitN)
+    Params(cents, residual, thr, fitN, family, rotSeed)
   }
 
   /** Append a batch as one index EPOCH: assign with the frozen
@@ -105,7 +135,7 @@ object IncrementalBqIndex {
       epochTag: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
-    val (cents, residual, thr, _) = loadParams(spark, path)
+    val p = loadParams(spark, path)
     val src = batch.select(col(idCol).cast("long").as("id"),
       col(vecCol).cast("array<float>").as("vec"))
     if (exists(spark, dir(path, "deletes"))) {
@@ -120,20 +150,37 @@ object IncrementalBqIndex {
     }
     val tag = epochTag.getOrElse(
       java.util.UUID.randomUUID().toString.take(12))
-    val bcC = spark.sparkContext.broadcast(cents.map(_._2))
-    val bcT = spark.sparkContext.broadcast(thr)
-    val assigned = IvfFlat.assign(src, cents, "cosine")
+    val assigned = IvfFlat.assign(src, p.cents, "cosine")
       .select(col("cell").cast("int"), col("id"), col("vec"))
       .as[(Int, Long, Array[Float])]
-    val encoded = assigned.mapPartitions { rows =>
-      val cs = bcC.value; val t = bcT.value
-      rows.map { case (cell, id, v) =>
-        val bits =
-          if (residual) IvfBq.packResidualBits(v, cs(cell))
-          else Bq.packBits(v, t)
-        (cell, id, bits)
-      }
-    }.toDF("cell", "id", "bits").persist()
+    val encoded = (if (p.family == "rabitq") {
+      // rebuild the deterministic rotation; rotated centroids are the
+      // same exact-double constants the bootstrap fit used
+      val d = p.cents.head._2.length
+      val rot = RabitQ.randomRotation(d, p.rotSeed)
+      val rotCents = p.cents.map(c => IvfRabitq.rotateCentroid(rot, c._2))
+      val bcR = spark.sparkContext.broadcast(rot)
+      val bcRc = spark.sparkContext.broadcast(rotCents)
+      assigned.mapPartitions { rows =>
+        val r = bcR.value; val rcs = bcRc.value
+        rows.map { case (cell, id, v) =>
+          val (bits, g) = IvfRabitq.encodeResidual(Opq.rotate(r, v), rcs(cell))
+          (cell, id, bits, g)
+        }
+      }.toDF("cell", "id", "bits", "g")
+    } else {
+      val bcC = spark.sparkContext.broadcast(p.cents.map(_._2))
+      val bcT = spark.sparkContext.broadcast(p.thr)
+      assigned.mapPartitions { rows =>
+        val cs = bcC.value; val t = bcT.value
+        rows.map { case (cell, id, v) =>
+          val bits =
+            if (p.residual) IvfBq.packResidualBits(v, cs(cell))
+            else Bq.packBits(v, t)
+          (cell, id, bits)
+        }
+      }.toDF("cell", "id", "bits")
+    }).persist()
     // COMMIT ORDER: vectors first, codes last. Serving starts from the
     // code rows and reranks via an inner join to vectors, so the codes
     // write is the epoch's commit point — a crash between the two writes
@@ -168,11 +215,14 @@ object IncrementalBqIndex {
         .select(df.columns.map(col).toIndexedSeq: _*)
     else df
 
-  /** All live code rows (epoch partition column dropped, layout order). */
-  private def liveCodes(spark: SparkSession, path: String): DataFrame =
-    minusDeletes(spark, path,
-      spark.read.parquet(dir(path, "codes"))
-        .select("cell", "id", "bits"), "id")
+  /** All live code rows (epoch partition column dropped, layout order —
+    * the rabitq family carries its per-vector factor column). */
+  private def liveCodes(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read.parquet(dir(path, "codes"))
+    val cols = if (raw.columns.contains("g")) Seq("cell", "id", "bits", "g")
+               else Seq("cell", "id", "bits")
+    minusDeletes(spark, path, raw.select(cols.map(col).toIndexedSeq: _*), "id")
+  }
 
   /** The current serving model: frozen quantizer + the union of all
     * code epochs minus deletes. `withCounts` additionally scans the
@@ -180,14 +230,28 @@ object IncrementalBqIndex {
     * needs them, so the fixed-rerank path skips that O(n) pass. */
   def model(spark: SparkSession, path: String,
       withCounts: Boolean = false): IvfBq.Model = {
-    val (cents, residual, thr, _) = loadParams(spark, path)
+    val p = loadParams(spark, path)
+    require(p.family == "bq",
+      s"$path is a '${p.family}' index — use rabitqModel()/knnJoin()")
     val codes = liveCodes(spark, path)
     val counts =
       if (withCounts)
         codes.groupBy("cell").count()
           .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
       else Map.empty[Int, Long]
-    IvfBq.Model(cents, thr, codes, residual, counts)
+    IvfBq.Model(p.cents, p.thr, codes, p.residual, counts)
+  }
+
+  /** The serving model of a `family = "rabitq"` index: rotation rebuilt
+    * from the persisted seed, codes the live epoch union. */
+  def rabitqModel(spark: SparkSession, path: String): IvfRabitq.Model = {
+    val p = loadParams(spark, path)
+    require(p.family == "rabitq",
+      s"$path is a '${p.family}' index — use model()")
+    val d = p.cents.head._2.length
+    val rot = RabitQ.randomRotation(d, p.rotSeed)
+    val rotCents = p.cents.map(c => IvfRabitq.rotateCentroid(rot, c._2))
+    IvfRabitq.Model(p.cents, rot, rotCents, liveCodes(spark, path))
   }
 
   /** Originals for the rerank stage (minus deletes). */
@@ -197,12 +261,17 @@ object IncrementalBqIndex {
         .select("vec_id", "embedding"), "vec_id")
 
   /** Serve with the UNCHANGED batch operator over the epoch union —
-    * stream-built, batch-served. */
+    * stream-built, batch-served. Dispatches on the index's code family
+    * (BQ Hamming scan vs RaBitQ estimator scan). */
   def knnJoin(spark: SparkSession, path: String, queries: DataFrame,
       k: Int, nprobe: Int = 4, rerank: Int = 100,
       scoreDigits: Int = -1): DataFrame =
-    IvfBq.knnJoin(model(spark, path), vectors(spark, path), queries, k,
-      nprobe, rerank, scoreDigits = scoreDigits)
+    if (loadParams(spark, path).family == "rabitq")
+      IvfRabitq.knnJoin(rabitqModel(spark, path), vectors(spark, path),
+        queries, k, nprobe, rerank, scoreDigits = scoreDigits)
+    else
+      IvfBq.knnJoin(model(spark, path), vectors(spark, path), queries, k,
+        nprobe, rerank, scoreDigits = scoreDigits)
 
   /** MULTI-INDEX FEDERATION (the round-8 roadmap item): serve one query
     * set across SEVERAL incremental indexes — a frozen bulk index plus
@@ -249,7 +318,7 @@ object IncrementalBqIndex {
   def federationStatus(spark: SparkSession, paths: Seq[String]): DataFrame = {
     import spark.implicits._
     paths.map { p =>
-      val (_, _, _, fitN) = loadParams(spark, p)
+      val fitN = loadParams(spark, p).fitN
       val live = indexedCount(spark, p)
       val growth =
         if (fitN <= 0) Double.PositiveInfinity else live.toDouble / fitN
@@ -289,7 +358,7 @@ object IncrementalBqIndex {
     * compaction trigger (the round-6 drift measurement: recall decline
     * is growth-driven; refit must SCALE C with growth). */
   def growthSinceFit(spark: SparkSession, path: String): Double = {
-    val (_, _, _, fitN) = loadParams(spark, path)
+    val fitN = loadParams(spark, path).fitN
     if (fitN <= 0) Double.PositiveInfinity
     else indexedCount(spark, path).toDouble / fitN
   }
@@ -317,7 +386,8 @@ object IncrementalBqIndex {
     * geometry has no identities to preserve). */
   def compact(spark: SparkSession, path: String, refit: Boolean = false,
       numCells: Int = -1, warmStart: Boolean = false): Unit = {
-    val (cents, residual, _, fitN0) = loadParams(spark, path)
+    val prm = loadParams(spark, path)
+    val (cents, residual, fitN0) = (prm.cents, prm.residual, prm.fitN)
     val tmp = dir(path, ".compact")
     // live set anchored on COMMITTED codes: an orphan vectors/epoch left
     // by a crash mid-append (vectors land before codes — see append) was
@@ -328,7 +398,10 @@ object IncrementalBqIndex {
     if (refit) {
       val c = if (numCells > 0) numCells else cents.length
       val warm = if (warmStart && c == cents.length) Some(cents) else None
-      build(live, tmp, c, residual, initCentroids = warm)
+      // same seed on refit: the rabitq rotation keeps its identity (codes
+      // retrain against the new centroids, the rotation never moves)
+      build(live, tmp, c, residual, seed = prm.rotSeed,
+        initCentroids = warm, family = prm.family)
     } else {
       // same quantizer: rewrite codes/vectors minus deletes, keep params
       liveCodes(spark, path)
@@ -344,7 +417,8 @@ object IncrementalBqIndex {
       // fold-only compaction keeps the SAME quantizer — fit_n must keep
       // the original fit-corpus size or growthSinceFit would hide the
       // very growth the compaction trigger watches
-      Seq((residual, fitN0)).toDF("residual", "fit_n")
+      Seq((residual, fitN0, prm.family, prm.rotSeed))
+        .toDF("residual", "fit_n", "family", "rot_seed")
         .coalesce(1).write.mode(SaveMode.Overwrite).parquet(dir(tmp, "meta"))
     }
     val f = fs(spark, path)

@@ -340,6 +340,64 @@ class AnnSqlProbeSpec extends AnyFunSuite {
     }
   }
 
+  test("RaBitQ registration routes cosine SQL top-k through the u4 estimator scan") {
+    import graft.operators.RabitQ
+    val base = spark.read.parquet(path)
+    val model = RabitQ.fit(base)
+    try {
+      val sql = annSql(10)
+      val exactRows = spark.sql(sql).collect()
+      AnnSqlProbe.register(path, model, base, rerank = 100)
+      val probed = spark.sql(sql)
+      val plan = probed.queryExecution.executedPlan.toString
+      assert(plan.contains("Filter (rank"),
+        s"RaBitQ probe should replace the scan + top-k:\n$plan")
+      val probedRows = probed.collect()
+      assert(probedRows.length == 10)
+      assert(probed.schema.fieldNames.toSeq == Seq("vec_id", "score"))
+      assert(probedRows.head.getLong(0) == 3L && probedRows.head.getDouble(1) > 0.999)
+      val recall = probedRows.map(_.getLong(0)).toSet
+        .intersect(exactRows.map(_.getLong(0)).toSet).size
+      assert(recall >= 8, s"rabitq probe recall@10 = $recall/10")
+    } finally {
+      AnnSqlProbe.unregister(path)
+      model.encoded.unpersist()
+    }
+  }
+
+  test("IVF-RaBitQ registration routes cosine SQL top-k through the residual-code scan") {
+    import graft.operators.IvfRabitq
+    val base = spark.read.parquet(path)
+    val model = IvfRabitq.fit(base, numCells = 4)
+    try {
+      val sql = annSql(10)
+      val exactRows = spark.sql(sql).collect()
+      AnnSqlProbe.register(path, model, base, nprobe = 4, rerank = 100)
+      val probed = spark.sql(sql)
+      val plan = probed.queryExecution.executedPlan.toString
+      assert(plan.contains("Filter (rank"),
+        s"IVF-RaBitQ probe should replace the scan + top-k:\n$plan")
+      val probedRows = probed.collect()
+      assert(probedRows.length == 10)
+      assert(probed.schema.fieldNames.toSeq == Seq("vec_id", "score"))
+      assert(probedRows.head.getLong(0) == 3L && probedRows.head.getDouble(1) > 0.999)
+      // all cells probed + rerank 100 on a 1k corpus: near-exact expected
+      val recall = probedRows.map(_.getLong(0)).toSet
+        .intersect(exactRows.map(_.getLong(0)).toSet).size
+      assert(recall >= 8, s"ivfrabitq probe recall@10 = $recall/10")
+      // euclidean SQL over the cosine index falls through
+      val qvec = "array(" + Seq.fill(64)("cast(0.1 as float)").mkString(", ") + ")"
+      val p2 = spark.sql(
+        s"""SELECT vec_id, euclidean_sim(embedding, $qvec) AS score
+           |FROM parquet.`$path` ORDER BY score DESC LIMIT 5""".stripMargin)
+        .queryExecution.executedPlan.toString
+      assert(!p2.contains("Filter (rank"), "euclidean over IVF-RaBitQ must not rewrite")
+    } finally {
+      AnnSqlProbe.unregister(path)
+      model.encoded.unpersist()
+    }
+  }
+
   test("unregistering restores the exact plan") {
     val model = HnswIndexer.fit(spark.read.parquet(path), HnswParams(numPartitions = 2))
     AnnSqlProbe.register(path, model)

@@ -267,4 +267,84 @@ class IncrementalBqIndexSpec extends AnyFunSuite {
     IncrementalBqIndex.drop(spark, pw)
     IncrementalBqIndex.drop(spark, pc)
   }
+
+  // ---- rabitq code family (round 10): the same epoch layout carrying
+  // rotated-residual sign bits + factor, served by the estimator scan ----
+
+  private def serveR(path: String): Set[Seq[Any]] =
+    IncrementalBqIndex.knnJoin(spark, path, probes, k = 5, nprobe = 4,
+        rerank = 20, scoreDigits = 6)
+      .select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
+
+  test("rabitq family: build + serve equals the direct batch IvfRabitq " +
+      "pipeline; model() guards the family") {
+    import graft.operators.IvfRabitq
+    val path = tmpPath()
+    IncrementalBqIndex.build(emb, path, numCells = 4, family = "rabitq")
+    val m = IvfRabitq.fit(emb, numCells = 4)
+    val direct = IvfRabitq.knnJoin(m, emb, probes, k = 5, nprobe = 4,
+        rerank = 20, scoreDigits = 6)
+      .select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
+    m.encoded.unpersist()
+    assert(serveR(path) == direct)
+    val e = intercept[IllegalArgumentException] {
+      IncrementalBqIndex.model(spark, path)
+    }
+    assert(e.getMessage.contains("rabitq"))
+    IncrementalBqIndex.drop(spark, path)
+  }
+
+  test("rabitq family: epoch appends serve bit-identically to a " +
+      "frozen-quantizer batch build over the union; replay idempotent; " +
+      "fold compaction identical") {
+    import graft.operators.IvfRabitq
+    val path = tmpPath()
+    val a = emb.filter(col("vec_id") % 2 === 0)
+    val b1 = emb.filter(col("vec_id") % 4 === 1)
+    val b2 = emb.filter(col("vec_id") % 4 === 3)
+    IncrementalBqIndex.build(a, path, numCells = 4, family = "rabitq")
+    IncrementalBqIndex.append(b1, path, epochTag = Some("b1"))
+    IncrementalBqIndex.append(b2, path, epochTag = Some("b2"))
+    assert(IncrementalBqIndex.indexedCount(spark, path) == emb.count())
+    // twin: same frozen quantizer (fit on a), codes for the whole corpus
+    val ivf = IvfFlat.fit(a, numCells = 4)
+    val assigned = IvfFlat.assign(
+      emb.select(col("vec_id").cast("long").as("id"),
+        col("embedding").cast("array<float>").as("vec")),
+      ivf.centroids, "cosine")
+    val tm = IvfRabitq.fromIvf(IvfFlat.Model(ivf.centroids, assigned))
+    val twinR = IvfRabitq.knnJoin(tm, emb, probes, k = 5, nprobe = 4,
+        rerank = 20, scoreDigits = 6)
+      .select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
+    tm.encoded.unpersist(); ivf.release()
+    val once = serveR(path)
+    assert(once == twinR)
+    // replaying an epoch overwrites, never duplicates
+    IncrementalBqIndex.append(b2, path, epochTag = Some("b2"))
+    assert(IncrementalBqIndex.indexedCount(spark, path) == emb.count())
+    assert(serveR(path) == once)
+    // fold compaction: serving identical, family survives the meta rewrite
+    import spark.implicits._
+    IncrementalBqIndex.remove(Seq(12L).toDF("vec_id"), path)
+    val withDel = serveR(path)
+    IncrementalBqIndex.compact(spark, path, refit = false)
+    assert(serveR(path) == withDel)
+    assert(IncrementalBqIndex.indexedCount(spark, path) == emb.count() - 1)
+    IncrementalBqIndex.drop(spark, path)
+  }
+
+  test("rabitq family: refit compaction retrains codes, keeps the " +
+      "rotation; serving equals a fresh rabitq build") {
+    val path = tmpPath()
+    val a = emb.filter(col("vec_id") < 20)
+    IncrementalBqIndex.build(a, path, numCells = 4, family = "rabitq")
+    IncrementalBqIndex.append(emb.filter(col("vec_id") >= 20), path)
+    IncrementalBqIndex.compact(spark, path, refit = true)
+    assert(IncrementalBqIndex.growthSinceFit(spark, path) == 1.0)
+    val fresh = tmpPath()
+    IncrementalBqIndex.build(emb, fresh, numCells = 4, family = "rabitq")
+    assert(serveR(path) == serveR(fresh))
+    IncrementalBqIndex.drop(spark, path)
+    IncrementalBqIndex.drop(spark, fresh)
+  }
 }
