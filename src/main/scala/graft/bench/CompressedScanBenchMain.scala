@@ -204,7 +204,7 @@ object CompressedScanBenchMain {
       val (m, fitS) = timed(IvfBq.fit(base, numCells = cells))
       val nq = probesBq / 5
       val q = probeSet(nq).cache(); q.count()
-      Seq((4, 4000), (8, 4000)).foreach { case (np, rr) =>
+      Seq((4, 100), (4, 1000), (4, 4000), (8, 4000)).foreach { case (np, rr) =>
         val (cnt, wall) = timed(
           IvfBq.knnJoinBatched(m, base, q, k = 10, nprobe = np, rerank = rr,
             batchRows = batchRows).count())
@@ -228,7 +228,9 @@ object CompressedScanBenchMain {
       val (m, fitS) = timed(IvfRabitq.fit(base, numCells = cells))
       val nq = probesBq / 5
       val q = probeSet(nq).cache(); q.count()
-      Seq((4, 100), (4, 1000), (8, 100)).foreach { case (np, rr) =>
+      // same rerank rungs as ivfbq so the two families compare at
+      // matched candidate budgets
+      Seq((4, 100), (4, 1000), (4, 4000), (8, 100)).foreach { case (np, rr) =>
         val (cnt, wall) = timed(
           IvfRabitq.knnJoinBatched(m, base, q, k = 10, nprobe = np,
             rerank = rr, batchRows = batchRows).count())

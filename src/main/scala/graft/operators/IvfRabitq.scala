@@ -148,7 +148,76 @@ object IvfRabitq {
       queryVec: String = "query_vec", idCol: String = "vec_id",
       vecCol: String = "embedding", metric: String = "cosine",
       scoreDigits: Int = -1): DataFrame = {
-    require(k > 0 && nprobe > 0 && rerank >= k)
+    require(rerank >= k)
+    knnJoinWith(model, base, queries, k, nprobe, (_, _) => rerank,
+      queryId, queryVec, idCol, vecCol, metric, scoreDigits)
+  }
+
+  /** Adaptive RERANK: per-query candidate budget scaled to the probed
+    * cells' live population (the [[IvfBq.knnJoinAdaptive]] knob on the
+    * estimator path). Requires the model's cellCounts. */
+  def knnJoinAdaptive(model: Model, base: DataFrame, queries: DataFrame,
+      k: Int, nprobe: Int = 4, rerankFrac: Double = 0.1,
+      rerankMin: Int = 100, queryId: String = "query_id",
+      queryVec: String = "query_vec", idCol: String = "vec_id",
+      vecCol: String = "embedding", metric: String = "cosine",
+      scoreDigits: Int = -1): DataFrame = {
+    require(rerankFrac > 0.0 && rerankFrac <= 1.0 && rerankMin >= k)
+    require(model.cellCounts.nonEmpty,
+      "adaptive rerank needs the model's cellCounts")
+    knnJoinWith(model, base, queries, k, nprobe,
+      (_, cells) => {
+        val pop = cells.map(c => model.cellCounts.getOrElse(c, 0L)).sum
+        math.max(rerankMin.toLong, math.ceil(rerankFrac * pop).toLong)
+          .min(Int.MaxValue).toInt
+      },
+      queryId, queryVec, idCol, vecCol, metric, scoreDigits)
+  }
+
+  /** Adaptive NPROBE: each query keeps its ranked cells only until their
+    * cumulative live population covers `minCandidates` (dense landings
+    * stop early, sparse ones escalate to `maxNprobe`); rerank sized from
+    * the kept cells — [[IvfBq.knnJoinAdaptiveProbe]] on the estimator
+    * path. Requires cellCounts. */
+  def knnJoinAdaptiveProbe(model: Model, base: DataFrame,
+      queries: DataFrame, k: Int, maxNprobe: Int = 16, minNprobe: Int = 1,
+      minCandidates: Int = 2000, rerankFrac: Double = 0.1,
+      rerankMin: Int = 100, queryId: String = "query_id",
+      queryVec: String = "query_vec", idCol: String = "vec_id",
+      vecCol: String = "embedding", metric: String = "cosine",
+      scoreDigits: Int = -1): DataFrame = {
+    require(maxNprobe >= minNprobe && minNprobe >= 1 && minCandidates >= 0)
+    require(rerankFrac > 0.0 && rerankFrac <= 1.0 && rerankMin >= k)
+    require(model.cellCounts.nonEmpty,
+      "adaptive probing needs the model's cellCounts")
+    knnJoinWith(model, base, queries, k, maxNprobe,
+      rerankOf = (_, cells) => {
+        val pop = cells.map(c => model.cellCounts.getOrElse(c, 0L)).sum
+        math.max(rerankMin.toLong, math.ceil(rerankFrac * pop).toLong)
+          .min(Int.MaxValue).toInt
+      },
+      queryId, queryVec, idCol, vecCol, metric, scoreDigits,
+      probeOf = (_, cells) => {
+        val keep = mutable.ArrayBuffer.empty[Int]
+        var cum = 0L
+        var i = 0
+        while (i < cells.length &&
+            (keep.length < minNprobe || cum < minCandidates)) {
+          keep += cells(i)
+          cum += model.cellCounts.getOrElse(cells(i), 0L)
+          i += 1
+        }
+        keep.toArray
+      })
+  }
+
+  private def knnJoinWith(model: Model, base: DataFrame, queries: DataFrame,
+      k: Int, nprobe: Int, rerankOf: (Long, Array[Int]) => Int,
+      queryId: String, queryVec: String, idCol: String,
+      vecCol: String, metric: String, scoreDigits: Int,
+      probeOf: (Long, Array[Int]) => Array[Int] = (_, cs) => cs)
+      : DataFrame = {
+    require(k > 0 && nprobe > 0)
     val spark = model.encoded.sparkSession
     import spark.implicits._
     val routed = queries.select(col(queryId).cast("long"),
@@ -157,6 +226,7 @@ object IvfRabitq {
           col(queryVec).cast("array<float>"), model.centroids, metric,
           n = nprobe, tieCellDesc = true).as("cells"))
       .as[(Long, Array[Float], Array[Int])].collect()
+      .map { case (qid, qv, cells) => (qid, qv, probeOf(qid, cells)) }
     val rot = model.rotation
     val rcs = model.rotCents
     // per probed cell: the query's shifted residual + its norm (exact
@@ -176,11 +246,10 @@ object IvfRabitq {
         }
         (res, math.sqrt(nsq))
       }
-      (qid, perCell, cells)
+      (qid, perCell, cells, math.max(rerankOf(qid, cells), k))
     }
     val wanted = routed.flatMap(_._3).distinct.toSeq
     val bcQ = spark.sparkContext.broadcast(qres)
-    val r = rerank
     val worstFirst = new Ordering[(Double, Long)] {
       def compare(a: (Double, Long), b: (Double, Long)): Int = {
         val c = java.lang.Double.compare(b._1, a._1)
@@ -201,7 +270,7 @@ object IvfRabitq {
         def flush(nRows: Int): Unit = {
           var q = 0
           while (q < qs.length) {
-            val (_, perCell, qcells) = qs(q)
+            val (_, perCell, qcells, r) = qs(q)
             val h = heaps(q)
             var j = 0
             while (j < nRows) {
@@ -244,8 +313,20 @@ object IvfRabitq {
           h.iterator.map { case (ts, id) => (qid, id, ts) }
         }
       }.toDF("query_id", "cand_id", "tscore")
-    KnnJoin.cosineCandidateRerank(scored, base, queries, k, rerank,
-      queryId, queryVec, idCol, vecCol, scoreDigits)
+    // per-query candidate cut (all rq equal under fixed rerank,
+    // population-scaled under the adaptive variants) — the heaps already
+    // bound candidates per partition; this is the global cut
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(col("tscore").desc, col("cand_id").asc)
+    val rq = org.apache.spark.sql.functions.broadcast(
+      qres.map(t => (t._1, t._4)).toSeq.toDF("query_id", "rq"))
+    val topCands = scored
+      .withColumn("crank", org.apache.spark.sql.functions.row_number().over(wc))
+      .join(rq, Seq("query_id"))
+      .filter(col("crank") <= col("rq"))
+      .select("query_id", "cand_id")
+    Bq.cosineRerank(topCands, base, queries, k, queryId, queryVec, idCol,
+      vecCol, scoreDigits)
   }
 
   /** Large-probe-set variant: caps the per-batch collect/broadcast at

@@ -243,15 +243,23 @@ object IncrementalBqIndex {
   }
 
   /** The serving model of a `family = "rabitq"` index: rotation rebuilt
-    * from the persisted seed, codes the live epoch union. */
-  def rabitqModel(spark: SparkSession, path: String): IvfRabitq.Model = {
+    * from the persisted seed, codes the live epoch union. `withCounts`
+    * scans live populations for the adaptive serving paths. */
+  def rabitqModel(spark: SparkSession, path: String,
+      withCounts: Boolean = false): IvfRabitq.Model = {
     val p = loadParams(spark, path)
     require(p.family == "rabitq",
       s"$path is a '${p.family}' index — use model()")
     val d = p.cents.head._2.length
     val rot = RabitQ.randomRotation(d, p.rotSeed)
     val rotCents = p.cents.map(c => IvfRabitq.rotateCentroid(rot, c._2))
-    IvfRabitq.Model(p.cents, rot, rotCents, liveCodes(spark, path))
+    val codes = liveCodes(spark, path)
+    val counts =
+      if (withCounts)
+        codes.groupBy("cell").count()
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      else Map.empty[Int, Long]
+    IvfRabitq.Model(p.cents, rot, rotCents, codes, counts)
   }
 
   /** Originals for the rerank stage (minus deletes). */
@@ -334,9 +342,14 @@ object IncrementalBqIndex {
   def knnJoinAdaptive(spark: SparkSession, path: String, queries: DataFrame,
       k: Int, nprobe: Int = 4, rerankFrac: Double = 0.1,
       rerankMin: Int = 100, scoreDigits: Int = -1): DataFrame =
-    IvfBq.knnJoinAdaptive(model(spark, path, withCounts = true),
-      vectors(spark, path), queries,
-      k, nprobe, rerankFrac, rerankMin, scoreDigits = scoreDigits)
+    if (loadParams(spark, path).family == "rabitq")
+      IvfRabitq.knnJoinAdaptive(rabitqModel(spark, path, withCounts = true),
+        vectors(spark, path), queries,
+        k, nprobe, rerankFrac, rerankMin, scoreDigits = scoreDigits)
+    else
+      IvfBq.knnJoinAdaptive(model(spark, path, withCounts = true),
+        vectors(spark, path), queries,
+        k, nprobe, rerankFrac, rerankMin, scoreDigits = scoreDigits)
 
   /** Adaptive-nprobe serving over the live index: each query probes its
     * ranked cells until their live population covers `minCandidates`
@@ -346,9 +359,15 @@ object IncrementalBqIndex {
       queries: DataFrame, k: Int, maxNprobe: Int = 16, minNprobe: Int = 1,
       minCandidates: Int = 2000, rerankFrac: Double = 0.1,
       rerankMin: Int = 100, scoreDigits: Int = -1): DataFrame =
-    IvfBq.knnJoinAdaptiveProbe(model(spark, path, withCounts = true),
-      vectors(spark, path), queries, k, maxNprobe, minNprobe,
-      minCandidates, rerankFrac, rerankMin, scoreDigits = scoreDigits)
+    if (loadParams(spark, path).family == "rabitq")
+      IvfRabitq.knnJoinAdaptiveProbe(
+        rabitqModel(spark, path, withCounts = true),
+        vectors(spark, path), queries, k, maxNprobe, minNprobe,
+        minCandidates, rerankFrac, rerankMin, scoreDigits = scoreDigits)
+    else
+      IvfBq.knnJoinAdaptiveProbe(model(spark, path, withCounts = true),
+        vectors(spark, path), queries, k, maxNprobe, minNprobe,
+        minCandidates, rerankFrac, rerankMin, scoreDigits = scoreDigits)
 
   /** Live row count (codes minus deletes). */
   def indexedCount(spark: SparkSession, path: String): Long =

@@ -128,4 +128,34 @@ class IvfRabitqSpec extends AnyFunSuite {
       .select("recall").head().getDouble(0)
     assert(routed <= all + 1e-9, "routing can only lose candidates")
   }
+
+  test("adaptive endpoints equal fixed probing; candidate floor holds") {
+    def rows(df: DataFrame): Set[Seq[Any]] =
+      df.select("query_id", "neighbor_id", "rank")
+        .collect().map(_.toSeq).toSet
+    val fixed = rows(IvfRabitq.knnJoin(model, emb, probes, k = 5,
+      nprobe = 8, rerank = 100, scoreDigits = 6))
+    // minCandidates ≥ corpus ⇒ every query keeps all maxNprobe cells, and
+    // rerankFrac=1 with rerankMin=100 sizes rerank to max(100, pop) ≥ 100
+    // over the full corpus — but fixed rerank=100 < pop, so compare at
+    // matched rerank: rerankMin=100 with a frac small enough to stay at
+    // the floor (total pop ≈ 1000, frac 0.01 ⇒ ceil(10) < 100 ⇒ rq=100)
+    val adEnd = rows(IvfRabitq.knnJoinAdaptiveProbe(model, emb, probes,
+      k = 5, maxNprobe = 8, minNprobe = 8, minCandidates = 0,
+      rerankFrac = 0.01, rerankMin = 100, scoreDigits = 6))
+    assert(adEnd == fixed,
+      "minNprobe=maxNprobe + floor rerank must equal fixed probing")
+    val adRerank = rows(IvfRabitq.knnJoinAdaptive(model, emb, probes,
+      k = 5, nprobe = 8, rerankFrac = 0.01, rerankMin = 100,
+      scoreDigits = 6))
+    assert(adRerank == fixed,
+      "adaptive rerank at the floor must equal the fixed path")
+    // dense-stop: minCandidates=1 keeps exactly minNprobe=1 cell — the
+    // kept-cell recall can only be ≤ the all-cells recall
+    val one = IvfRabitq.knnJoinAdaptiveProbe(model, emb, probes,
+      k = 5, maxNprobe = 8, minNprobe = 1, minCandidates = 1,
+      rerankFrac = 0.5, rerankMin = 5, scoreDigits = 6)
+    assert(one.groupBy("query_id").count()
+      .filter(col("count") > 5).count() == 0)
+  }
 }

@@ -291,6 +291,17 @@ class IncrementalBqIndexSpec extends AnyFunSuite {
       IncrementalBqIndex.model(spark, path)
     }
     assert(e.getMessage.contains("rabitq"))
+    // adaptive serving dispatches to the estimator path and routes
+    // through the same live model
+    val adWrap = IncrementalBqIndex.knnJoinAdaptive(spark, path, probes,
+        k = 5, nprobe = 4, rerankFrac = 0.5, rerankMin = 5, scoreDigits = 6)
+      .select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
+    val adDirect = graft.operators.IvfRabitq.knnJoinAdaptive(
+        IncrementalBqIndex.rabitqModel(spark, path, withCounts = true),
+        IncrementalBqIndex.vectors(spark, path), probes,
+        k = 5, nprobe = 4, rerankFrac = 0.5, rerankMin = 5, scoreDigits = 6)
+      .select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
+    assert(adWrap == adDirect)
     IncrementalBqIndex.drop(spark, path)
   }
 
