@@ -231,16 +231,23 @@ object CompressedScanBenchMain {
       // same rerank rungs as ivfbq so the two families compare at
       // matched candidate budgets
       Seq((4, 100), (4, 1000), (4, 4000), (8, 100)).foreach { case (np, rr) =>
+        // timed scan = the u4 production kernel (constant per-candidate
+        // cost in d); recall reported for BOTH kernels at the anchor
         val (cnt, wall) = timed(
-          IvfRabitq.knnJoinBatched(m, base, q, k = 10, nprobe = np,
+          IvfRabitq.knnJoinU4Batched(m, base, q, k = 10, nprobe = np,
             rerank = rr, batchRows = batchRows).count())
         val rec = Recall.microAvgRecall(
             IvfRabitq.knnJoin(m, base, anchor, k = 10, nprobe = np,
               rerank = rr), exactCos)
           .select("recall").first().getDouble(0)
+        val recU4 = Recall.microAvgRecall(
+            IvfRabitq.knnJoinU4(m, base, anchor, k = 10, nprobe = np,
+              rerank = rr), exactCos)
+          .select("recall").first().getDouble(0)
         println(f"CSCAN ivfrabitq n=$n d=$dim bytes/vec=${dim / 8 + 8} " +
           f"C=$cells nprobe=$np fit=$fitS%.1fs nq=$nq wall=$wall%.1fs " +
-          f"qps=${nq / wall}%.0f rows=$cnt recall@100=$rec%.3f rerank=$rr")
+          f"qps=${nq / wall}%.0f rows=$cnt recall@100=$recU4%.3f " +
+          f"recall_exact_est@100=$rec%.3f rerank=$rr kernel=u4")
       }
       m.encoded.unpersist()
     }

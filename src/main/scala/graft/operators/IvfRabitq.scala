@@ -211,12 +211,37 @@ object IvfRabitq {
       })
   }
 
+  /** Production kernel: per-cell query residuals quantized to 4-bit
+    * bit-sliced planes (the [[RabitQ.knnJoinU4]] trick applied per probed
+    * cell) — five AND+popcount passes per candidate instead of the O(d)
+    * float fold, so the scan cost stops growing with d. Candidate sets
+    * differ from [[knnJoin]] only within the query-quantization error
+    * (spec-pinned recall parity); NOT the oracle path. */
+  def knnJoinU4(model: Model, base: DataFrame, queries: DataFrame, k: Int,
+      nprobe: Int = 4, rerank: Int = 100, queryId: String = "query_id",
+      queryVec: String = "query_vec", idCol: String = "vec_id",
+      vecCol: String = "embedding", metric: String = "cosine",
+      scoreDigits: Int = -1): DataFrame = {
+    require(rerank >= k)
+    knnJoinWith(model, base, queries, k, nprobe, (_, _) => rerank,
+      queryId, queryVec, idCol, vecCol, metric, scoreDigits, u4 = true)
+  }
+
+  def knnJoinU4Batched(model: Model, base: DataFrame, queries: DataFrame,
+      k: Int, nprobe: Int = 4, rerank: Int = 100, batchRows: Int = 100000,
+      queryId: String = "query_id", queryVec: String = "query_vec",
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      metric: String = "cosine", scoreDigits: Int = -1): DataFrame =
+    ProbeBatch.batched(queries, batchRows, queryId)(
+      knnJoinU4(model, base, _, k, nprobe, rerank, queryId, queryVec,
+        idCol, vecCol, metric, scoreDigits))
+
   private def knnJoinWith(model: Model, base: DataFrame, queries: DataFrame,
       k: Int, nprobe: Int, rerankOf: (Long, Array[Int]) => Int,
       queryId: String, queryVec: String, idCol: String,
       vecCol: String, metric: String, scoreDigits: Int,
-      probeOf: (Long, Array[Int]) => Array[Int] = (_, cs) => cs)
-      : DataFrame = {
+      probeOf: (Long, Array[Int]) => Array[Int] = (_, cs) => cs,
+      u4: Boolean = false): DataFrame = {
     require(k > 0 && nprobe > 0)
     val spark = model.encoded.sparkSession
     import spark.implicits._
@@ -256,10 +281,19 @@ object IvfRabitq {
         if (c != 0) c else java.lang.Long.compare(a._2, b._2)
       }
     }
+    val useU4 = u4
     val pruned = model.encoded.filter(col("cell").isin(wanted: _*))
     val scored = pruned.as[(Int, Long, Array[Long], Double)]
       .mapPartitions { rows =>
         val qs = bcQ.value
+        // u4: each (query, probed cell) residual becomes 4 bit planes —
+        // executor-local like the flat path, amortized over the scan
+        val planes: Array[Array[RabitQ.QueryPlanes]] =
+          if (useU4) qs.map { case (_, perCell, _, _) =>
+            perCell.map { case (res, _) =>
+              RabitQ.quantizeQuery(res.map(_.toFloat))
+            }
+          } else null
         val heaps = Array.fill(qs.length)(
           mutable.PriorityQueue.empty[(Double, Long)](worstFirst))
         val chunk = 1024
@@ -285,6 +319,8 @@ object IvfRabitq {
                 val (res, nq) = perCell(cellIdx)
                 val est =
                   if (nq == 0.0) 0.0
+                  else if (useU4)
+                    planes(q)(cellIdx).signDot(bitBuf(j)) * gBuf(j) / nq
                   else signDotD(bitBuf(j), res) * gBuf(j) / nq
                 val ts = math.floor(est * 1e6 + 0.5) / 1e6
                 val id = idBuf(j)

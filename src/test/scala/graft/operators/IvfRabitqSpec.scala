@@ -129,6 +129,30 @@ class IvfRabitqSpec extends AnyFunSuite {
     assert(routed <= all + 1e-9, "routing can only lose candidates")
   }
 
+  test("u4 kernel recall parity: bit-sliced residual planes stay within " +
+      "0.05 of the exact-estimator path") {
+    val exact = KnnJoin.exactKnnJoin(emb, probes, k = 10, metric = "cosine",
+      scoreDigits = 6)
+    def rec(df: DataFrame): Double =
+      Recall.microAvgRecall(df, exact).select("recall").head().getDouble(0)
+    val est = rec(IvfRabitq.knnJoin(model, emb, probes, k = 10, nprobe = 8,
+      rerank = 100, scoreDigits = 6))
+    val u4 = rec(IvfRabitq.knnJoinU4(model, emb, probes, k = 10, nprobe = 8,
+      rerank = 100, scoreDigits = 6))
+    assert(u4 >= est - 0.05,
+      s"u4 kernel recall $u4 fell >0.05 below the estimator path $est")
+    // with rerank spanning the probed population both kernels degenerate
+    // to the exact filtered top-k (query quantization only reorders
+    // candidates INSIDE the rerank set)
+    val all = IvfRabitq.knnJoinU4(model, emb, probes, k = 10, nprobe = 8,
+        rerank = 1000, scoreDigits = 6)
+      .select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
+    val allEst = IvfRabitq.knnJoin(model, emb, probes, k = 10, nprobe = 8,
+        rerank = 1000, scoreDigits = 6)
+      .select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
+    assert(all == allEst, "corpus-wide rerank must erase kernel differences")
+  }
+
   test("adaptive endpoints equal fixed probing; candidate floor holds") {
     def rows(df: DataFrame): Set[Seq[Any]] =
       df.select("query_id", "neighbor_id", "rank")
