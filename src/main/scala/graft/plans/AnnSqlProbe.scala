@@ -138,13 +138,14 @@ object AnnSqlProbe {
 
   /** Residual RaBitQ behind a coarse quantizer (the SIGMOD-24 deployment
     * shape): cosine SQL top-k probes scan nprobe cells of rotated-residual
-    * sign codes + exact rerank against `base`. */
+    * sign codes with the u4 bit-sliced kernel (scan cost flat in d —
+    * BASELINE round 10) + exact rerank against `base`. */
   final case class IvfRabitqRef(m: graft.operators.IvfRabitq.Model,
       base: org.apache.spark.sql.DataFrame, nprobe: Int, rerank: Int,
       idCol: String, vecCol: String) extends AnnIndex {
     def metric: String = "cosine"
     def knnJoin(p: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame =
-      graft.operators.IvfRabitq.knnJoin(m, base, p, k, nprobe,
+      graft.operators.IvfRabitq.knnJoinU4(m, base, p, k, nprobe,
         math.max(rerank, k), idCol = idCol, vecCol = vecCol)
   }
 

@@ -270,14 +270,22 @@ object IncrementalBqIndex {
 
   /** Serve with the UNCHANGED batch operator over the epoch union —
     * stream-built, batch-served. Dispatches on the index's code family
-    * (BQ Hamming scan vs RaBitQ estimator scan). */
+    * (BQ Hamming scan vs RaBitQ estimator scan). For a rabitq index,
+    * `u4 = true` serves through the bit-sliced production kernel
+    * (scan cost flat in d; candidates differ from the exact-estimator
+    * scan only within the query-quantization error — spec-pinned). */
   def knnJoin(spark: SparkSession, path: String, queries: DataFrame,
       k: Int, nprobe: Int = 4, rerank: Int = 100,
-      scoreDigits: Int = -1): DataFrame =
-    if (loadParams(spark, path).family == "rabitq")
-      IvfRabitq.knnJoin(rabitqModel(spark, path), vectors(spark, path),
-        queries, k, nprobe, rerank, scoreDigits = scoreDigits)
-    else
+      scoreDigits: Int = -1, u4: Boolean = false): DataFrame =
+    if (loadParams(spark, path).family == "rabitq") {
+      val m = rabitqModel(spark, path)
+      if (u4)
+        IvfRabitq.knnJoinU4(m, vectors(spark, path), queries, k, nprobe,
+          rerank, scoreDigits = scoreDigits)
+      else
+        IvfRabitq.knnJoin(m, vectors(spark, path), queries, k, nprobe,
+          rerank, scoreDigits = scoreDigits)
+    } else
       IvfBq.knnJoin(model(spark, path), vectors(spark, path), queries, k,
         nprobe, rerank, scoreDigits = scoreDigits)
 
