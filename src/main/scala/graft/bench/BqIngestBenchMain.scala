@@ -15,7 +15,11 @@ import graft.streaming.IncrementalBqIndex
   * after a growth-scaled REFIT compaction (C × growth, the round-6
   * remedy for growth-driven recall decline).
   *
-  * `sbt "runMain graft.bench.BqIngestBenchMain [n] [bootN] [epochs] [C]"`
+  * `dim`/`family` extend the point to embedding widths and the rabitq
+  * code family — the rabitq append pays an O(d²) rotation per row, the
+  * ingest-side cost of the estimator's serving wins (BASELINE round 10).
+  *
+  * `sbt "runMain graft.bench.BqIngestBenchMain [n] [bootN] [epochs] [C] [dim] [family]"`
   */
 object BqIngestBenchMain {
   def main(args: Array[String]): Unit = {
@@ -23,6 +27,8 @@ object BqIngestBenchMain {
     val bootN = if (args.length > 1) args(1).toLong else 100000L
     val epochs = if (args.length > 2) args(2).toInt else 9
     val c = if (args.length > 3) args(3).toInt else 128
+    val dim = if (args.length > 4) args(4).toInt else 64
+    val family = if (args.length > 5) args(5) else "bq"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -32,7 +38,7 @@ object BqIngestBenchMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val base = VectorSources.syntheticClustered(spark, n, 64,
+    val base = VectorSources.syntheticClustered(spark, n, dim,
         numClusters = 128, spread = 0.15)
       .select("vec_id", "embedding").persist()
     base.count()
@@ -46,9 +52,10 @@ object BqIngestBenchMain {
       .toString + "/idx"
     val t0 = System.nanoTime()
     IncrementalBqIndex.build(base.filter(col("vec_id") < bootN), path,
-      numCells = c)
+      numCells = c, family = family)
     val t1 = System.nanoTime()
-    println(f"BQ-INGEST bootstrap n=$bootN C=$c build=${(t1 - t0) / 1e9}%.1fs")
+    println(f"BQ-INGEST family=$family d=$dim bootstrap n=$bootN C=$c " +
+      f"build=${(t1 - t0) / 1e9}%.1fs")
 
     val perEpoch = (n - bootN) / epochs
     var appendWall = 0.0

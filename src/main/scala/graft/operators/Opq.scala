@@ -28,15 +28,24 @@ object Opq {
 
   private[graft] def rotate(r: Array[Array[Float]], v: Array[Float]): Array[Float] = {
     val d = v.length
+    // i-outer / j-inner: each out(j) still accumulates its terms in
+    // ascending-i order (bit-identical doubles to the j-outer form), but
+    // the inner loop now walks ONE contiguous row r(i) instead of
+    // striding across d separate arrays — at d=768 the strided form was
+    // a cache miss per multiply and bounded streaming-ingest encode at
+    // ~1.7k rows/s (BASELINE round 10)
+    val acc = new Array[Double](d)
+    var i = 0
+    while (i < d) {
+      val vi = v(i).toDouble
+      val ri = r(i)
+      var j = 0
+      while (j < d) { acc(j) += vi * ri(j); j += 1 }
+      i += 1
+    }
     val out = new Array[Float](d)
     var j = 0
-    while (j < d) {
-      var acc = 0.0
-      var i = 0
-      while (i < d) { acc += v(i).toDouble * r(i)(j); i += 1 }
-      out(j) = acc.toFloat
-      j += 1
-    }
+    while (j < d) { out(j) = acc(j).toFloat; j += 1 }
     out
   }
 
