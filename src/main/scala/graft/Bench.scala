@@ -25,17 +25,34 @@ object Bench {
     spark.range(0, 1000000).selectExpr("sum(id)").collect()
     val wanted = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => args.isEmpty || args.contains(n) }
+    // In-run noise sentinel (VERDICT r10 #1): the same fixed-work probe
+    // (q1_agg, warmed once) is re-timed at the battery's start, thirds and
+    // end. A contention burst mid-battery shows up as a sentinel spike
+    // INSIDE the artifact, so a loaded-VM round is distinguishable from a
+    // code regression without needing a second run.
+    val sentinelFn = SparkEntry.queries.get("q1_agg")
+    sentinelFn.foreach(fn => fn(spark, sfDir).count()) // steady-state warm
+    val sentinels = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    def probeSentinel(): Unit = sentinelFn.foreach { fn =>
+      val t0 = System.nanoTime(); fn(spark, sfDir).count()
+      sentinels += (((System.nanoTime() - t0) / 1e9, readLoadAvg()))
+    }
+    val n = wanted.size
+    val probeBefore: Set[Int] = if (n >= 3) Set(0, n / 3, 2 * n / 3) else Set(0)
     // A failed query must be visible, not recorded as a fast success:
     // its time is negated in the per-query map, it is excluded from the
     // total, and the error message lands in an "errors" object.
-    val results = wanted.map { case (name, fn) =>
+    val results = wanted.zipWithIndex.map { case ((name, fn), i) =>
+      if (probeBefore(i)) probeSentinel()
       val t0 = System.nanoTime()
       val err = try { fn(spark, sfDir).count(); None }
         catch { case e: Throwable => Some(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
+    probeSentinel()
     val (fullLine, stdoutLine) = Bench.renderLines(results, sfDir,
-      loadStart = loadStart, loadEnd = readLoadAvg(), cpuSec = processCpuSec())
+      loadStart = loadStart, loadEnd = readLoadAvg(), cpuSec = processCpuSec(),
+      sentinels = sentinels.toSeq)
     // Stdout tails get truncated by log collectors at 2000 chars
     // (BENCH_r03/r04 lost the head of the JSON line mid-key); the full
     // 97-query map CANNOT fit that window, so stdout carries a compact,
@@ -81,7 +98,8 @@ object Bench {
     * room for sbt's trailing success line. */
   private[graft] def renderLines(results: Seq[(String, Double, Option[String])],
       sfDir: String, loadStart: Double = -1.0, loadEnd: Double = -1.0,
-      cpuSec: Double = -1.0): (String, String) = {
+      cpuSec: Double = -1.0,
+      sentinels: Seq[(Double, Double)] = Nil): (String, String) = {
     def esc(s: String) = s.replaceAll("[\"\\\\\n\r\t]", " ").take(200)
     def qsJson(rs: Seq[(String, Double, Option[String])], round3: Boolean) =
       rs.map { case (k, v, err) =>
@@ -102,7 +120,11 @@ object Bench {
     // box-contention telemetry: 1-min loadavg at battery start/end plus
     // process CPU seconds — lets round-over-round comparison discount
     // loaded-VM noise (see readLoadAvg). ~55 chars, inside the tail budget.
-    val tele = f""""load_start":$loadStart%.2f,"load_end":$loadEnd%.2f,"cpu_sec":$cpuSec%.1f"""
+    // sentinel telemetry: 4 probes x (secs, loadavg) ~ 60 chars, inside
+    // the stdout tail budget; [] when the probe query is absent
+    val sentJson = sentinels.map { case (t, _) => f"$t%.3f" }.mkString("[", ",", "]")
+    val sentLoad = sentinels.map { case (_, l) => f"$l%.2f" }.mkString("[", ",", "]")
+    val tele = f""""load_start":$loadStart%.2f,"load_end":$loadEnd%.2f,"cpu_sec":$cpuSec%.1f,"sentinel":$sentJson,"sentinel_load":$sentLoad"""
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${qsJson(results, round3 = false)},"errors":$errs,$tele,"sf":"$sfDir"}"""
     val headline = Set(
@@ -123,9 +145,9 @@ object Bench {
     // failed queries surface on stdout (negated time), but capped: the
     // headline set plus at most 12 extra failures keeps the worst case
     // (every query failing) inside the tail window
-    // 9 (was 12) since the two media_* headline entries ate ~60 chars of
-    // the worst-case budget
-    val extraFail = failing.map(_._1).filterNot(headline).take(9).toSet
+    // 7 (was 12) since the two media_* headline entries and the sentinel
+    // telemetry ate ~120 chars of the worst-case budget
+    val extraFail = failing.map(_._1).filterNot(headline).take(7).toSet
     val sub = results.filter { case (k, _, e) =>
       headline(k) || (e.isDefined && extraFail(k)) }
     val stdoutLine =

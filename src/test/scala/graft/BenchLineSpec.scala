@@ -18,7 +18,8 @@ class BenchLineSpec extends AnyFunSuite {
 
   test("compact stdout line parses as complete JSON and fits the tail window") {
     val (full, line) = Bench.renderLines(results(None), "/root/testdata/sf0.1",
-      loadStart = 31.25, loadEnd = 2.5, cpuSec = 1234.5)
+      loadStart = 31.25, loadEnd = 2.5, cpuSec = 1234.5,
+      sentinels = Seq((1.234, 0.12), (1.301, 0.15), (5.678, 9.81), (1.25, 0.2)))
     val node = mapper.readTree(line)
     assert(node.get("metric").asText() == "total")
     assert(node.get("nq").asInt() == SparkEntry.queries.size)
@@ -29,6 +30,12 @@ class BenchLineSpec extends AnyFunSuite {
     assert(node.get("load_start").asDouble() == 31.25)
     assert(node.get("load_end").asDouble() == 2.5)
     assert(node.get("cpu_sec").asDouble() == 1234.5)
+    // in-run noise sentinel (VERDICT r10 #1): 4 fixed-work probe timings +
+    // the loadavg observed at each, so a mid-battery contention burst is
+    // visible inside the artifact itself
+    assert(node.get("sentinel").size() == 4)
+    assert(node.get("sentinel").get(2).asDouble() == 5.678)
+    assert(node.get("sentinel_load").get(2).asDouble() == 9.81)
     // 2000-char collector tail minus sbt's trailing success line (~80)
     assert(line.length <= 1800, s"stdout line too long: ${line.length}")
     // the file line carries EVERY query at full precision

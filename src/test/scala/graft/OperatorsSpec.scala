@@ -1256,4 +1256,37 @@ class OperatorsSpec extends AnyFunSuite {
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"ordinal plan fell back to a window:\n$plan")
   }
+
+  test("grouped prefix sum: window-identical, layout-independent, no window op") {
+    import spark.implicits._
+    import graft.operators.GroupedPrefixSum
+    import org.apache.spark.sql.expressions.Window
+    val df = spark.range(0, 5000).select(
+        col("id"),
+        (xxhash64(col("id")) % 3).cast("string").as("grp"),
+        (pmod(xxhash64(col("id"), lit(7)), lit(100)) + 1).as("v"))
+      .repartition(7) // scrambled input layout must not matter
+    val out = GroupedPrefixSum.runningSum(df, "cum", "v",
+      Seq("grp"), Seq(col("id")))
+    val got = out.select("id", "cum").as[(Long, Long)].collect().toMap
+    // must equal the window formulation exactly
+    val w = Window.partitionBy("grp").orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val exp = df.withColumn("cum", sum("v").over(w))
+      .select("id", "cum").as[(Long, Long)].collect().toMap
+    assert(got == exp)
+    // determinism across layouts
+    val again = GroupedPrefixSum.runningSum(df.repartition(3), "cum", "v",
+      Seq("grp"), Seq(col("id"))).select("id", "cum")
+      .as[(Long, Long)].collect().toMap
+    assert(again == got)
+    // the output rides the two-phase RDD kernel, never a Window operator
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"prefix sum fell back to a window:\n$plan")
+    // LongType is enforced, not silently mangled
+    val bad = df.withColumn("v", col("v").cast("int"))
+    intercept[IllegalArgumentException] {
+      GroupedPrefixSum.runningSum(bad, "cum", "v", Seq("grp"), Seq(col("id")))
+    }
+  }
 }

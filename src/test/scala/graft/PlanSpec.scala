@@ -245,11 +245,21 @@ class PlanSpec extends AnyFunSuite {
       s"mix sampling must scale with the scan, no shuffle:\n$p")
   }
 
-  test("seq_packing: one window shuffle on the split key") {
-    val p = plan("seq_packing")
-    val exchanges = "Exchange hashpartitioning".r.findAllMatchIn(p).size
-    assert(exchanges == 1,
-      s"running prefix sum should cost exactly one exchange, got $exchanges:\n$p")
+  test("seq_packing / corpus_pipeline: NO split-partitioned window — the " +
+      "running prefix sum is the two-phase GroupedPrefixSum kernel") {
+    // `sum OVER (PARTITION BY split ORDER BY doc_id)` has 2-3 window
+    // partitions TOTAL: one task sorts and scans ~80% of the corpus at
+    // scale (VERDICT r10 #1). A revert to the window formulation puts a
+    // Window node (windowspecdefinition on the split key) back into the
+    // executed plan — pin its absence.
+    Seq("seq_packing", "corpus_pipeline").foreach { q =>
+      val p = plan(q)
+      assert(!p.matches("(?s).*windowspecdefinition\\((is_train|split)#.*"),
+        s"$q: packing regressed to a PARTITION BY split window:\n$p")
+    }
+    // seq_packing has no other window: its plan must be window-free
+    assert(!plan("seq_packing").contains("Window"),
+      "seq_packing must carry no window operator at all")
   }
 
   test("q_qualify_topk_suppliers: partial agg, broadcast dim, bounded rank") {
