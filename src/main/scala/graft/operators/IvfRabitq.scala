@@ -275,6 +275,18 @@ object IvfRabitq {
     }
     val wanted = routed.flatMap(_._3).distinct.toSeq
     val bcQ = spark.sparkContext.broadcast(qres)
+    // u4: the 4-bit query planes are deterministic per (query, probed
+    // cell) — quantize once on the driver and broadcast, rather than
+    // nQueries x nprobe quantizeQuery calls in EVERY partition (ADVICE
+    // r10). ~(4·d/8 + 24) bytes per (query, cell): same order as qres.
+    val bcPlanes: org.apache.spark.broadcast.Broadcast[Array[Array[RabitQ.QueryPlanes]]] =
+      if (u4) spark.sparkContext.broadcast(
+        qres.map { case (_, perCell, _, _) =>
+          perCell.map { case (res, _) =>
+            RabitQ.quantizeQuery(res.map(_.toFloat))
+          }
+        })
+      else null
     val worstFirst = new Ordering[(Double, Long)] {
       def compare(a: (Double, Long), b: (Double, Long)): Int = {
         val c = java.lang.Double.compare(b._1, a._1)
@@ -286,14 +298,8 @@ object IvfRabitq {
     val scored = pruned.as[(Int, Long, Array[Long], Double)]
       .mapPartitions { rows =>
         val qs = bcQ.value
-        // u4: each (query, probed cell) residual becomes 4 bit planes —
-        // executor-local like the flat path, amortized over the scan
         val planes: Array[Array[RabitQ.QueryPlanes]] =
-          if (useU4) qs.map { case (_, perCell, _, _) =>
-            perCell.map { case (res, _) =>
-              RabitQ.quantizeQuery(res.map(_.toFloat))
-            }
-          } else null
+          if (useU4) bcPlanes.value else null
         val heaps = Array.fill(qs.length)(
           mutable.PriorityQueue.empty[(Double, Long)](worstFirst))
         val chunk = 1024

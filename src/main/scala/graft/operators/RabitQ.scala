@@ -256,7 +256,8 @@ object RabitQ {
     * delta·(2·Σ_b 2^b·pop(bits∧p_b) − T) — five popcount passes, no
     * float loop. */
   private[graft] final class QueryPlanes(val d: Int, val lo: Double,
-      val delta: Double, val planes: Array[Array[Long]], val tSum: Long) {
+      val delta: Double, val planes: Array[Array[Long]], val tSum: Long)
+      extends Serializable {
     def signDot(bits: Array[Long]): Double = {
       var pop = 0
       var w = 0

@@ -64,6 +64,12 @@ object IncrementalBqIndex {
       family: String = "bq"): Unit = {
     require(family == "bq" || family == "rabitq",
       s"unknown code family '$family' (bq | rabitq)")
+    // rabitq codes ARE rotated-residual sign bits — a residual=false
+    // request would be silently ignored and then recorded in meta as
+    // given, misleading every later reader of the layout
+    require(family != "rabitq" || residual,
+      "family='rabitq' is always residual-form; residual=false is not a " +
+        "valid configuration")
     val spark = base.sparkSession
     import spark.implicits._
     val (centroids, thresholds, encoded) =
@@ -229,8 +235,14 @@ object IncrementalBqIndex {
     * live rows for per-cell populations — only [[knnJoinAdaptive]]
     * needs them, so the fixed-rerank path skips that O(n) pass. */
   def model(spark: SparkSession, path: String,
-      withCounts: Boolean = false): IvfBq.Model = {
-    val p = loadParams(spark, path)
+      withCounts: Boolean = false): IvfBq.Model =
+    model(spark, path, loadParams(spark, path), withCounts)
+
+  /** Params-supplied overload: serve paths that already dispatched on
+    * loadParams pass it through rather than re-reading the
+    * meta/centroids/thresholds parquet a second time per call. */
+  private def model(spark: SparkSession, path: String, p: Params,
+      withCounts: Boolean): IvfBq.Model = {
     require(p.family == "bq",
       s"$path is a '${p.family}' index — use rabitqModel()/knnJoin()")
     val codes = liveCodes(spark, path)
@@ -246,8 +258,11 @@ object IncrementalBqIndex {
     * from the persisted seed, codes the live epoch union. `withCounts`
     * scans live populations for the adaptive serving paths. */
   def rabitqModel(spark: SparkSession, path: String,
-      withCounts: Boolean = false): IvfRabitq.Model = {
-    val p = loadParams(spark, path)
+      withCounts: Boolean = false): IvfRabitq.Model =
+    rabitqModel(spark, path, loadParams(spark, path), withCounts)
+
+  private def rabitqModel(spark: SparkSession, path: String, p: Params,
+      withCounts: Boolean): IvfRabitq.Model = {
     require(p.family == "rabitq",
       s"$path is a '${p.family}' index — use model()")
     val d = p.cents.head._2.length
@@ -276,18 +291,27 @@ object IncrementalBqIndex {
     * scan only within the query-quantization error — spec-pinned). */
   def knnJoin(spark: SparkSession, path: String, queries: DataFrame,
       k: Int, nprobe: Int = 4, rerank: Int = 100,
-      scoreDigits: Int = -1, u4: Boolean = false): DataFrame =
-    if (loadParams(spark, path).family == "rabitq") {
-      val m = rabitqModel(spark, path)
+      scoreDigits: Int = -1, u4: Boolean = false): DataFrame = {
+    val p = loadParams(spark, path)
+    if (p.family == "rabitq") {
+      val m = rabitqModel(spark, path, p, withCounts = false)
       if (u4)
         IvfRabitq.knnJoinU4(m, vectors(spark, path), queries, k, nprobe,
           rerank, scoreDigits = scoreDigits)
       else
         IvfRabitq.knnJoin(m, vectors(spark, path), queries, k, nprobe,
           rerank, scoreDigits = scoreDigits)
-    } else
-      IvfBq.knnJoin(model(spark, path), vectors(spark, path), queries, k,
+    } else {
+      // no bit-sliced kernel exists for the bq family — a silent no-op
+      // would let callers believe they are on the u4 scan when they are
+      // not (ADVICE r10)
+      require(!u4, s"$path is a 'bq' index — u4 bit-sliced serving is a " +
+        "rabitq-family kernel")
+      IvfBq.knnJoin(model(spark, path, p, withCounts = false),
+        vectors(spark, path), queries, k,
         nprobe, rerank, scoreDigits = scoreDigits)
+    }
+  }
 
   /** MULTI-INDEX FEDERATION (the round-8 roadmap item): serve one query
     * set across SEVERAL incremental indexes — a frozen bulk index plus
@@ -349,15 +373,18 @@ object IncrementalBqIndex {
     * the way the 10M study measured. */
   def knnJoinAdaptive(spark: SparkSession, path: String, queries: DataFrame,
       k: Int, nprobe: Int = 4, rerankFrac: Double = 0.1,
-      rerankMin: Int = 100, scoreDigits: Int = -1): DataFrame =
-    if (loadParams(spark, path).family == "rabitq")
-      IvfRabitq.knnJoinAdaptive(rabitqModel(spark, path, withCounts = true),
+      rerankMin: Int = 100, scoreDigits: Int = -1): DataFrame = {
+    val p = loadParams(spark, path)
+    if (p.family == "rabitq")
+      IvfRabitq.knnJoinAdaptive(
+        rabitqModel(spark, path, p, withCounts = true),
         vectors(spark, path), queries,
         k, nprobe, rerankFrac, rerankMin, scoreDigits = scoreDigits)
     else
-      IvfBq.knnJoinAdaptive(model(spark, path, withCounts = true),
+      IvfBq.knnJoinAdaptive(model(spark, path, p, withCounts = true),
         vectors(spark, path), queries,
         k, nprobe, rerankFrac, rerankMin, scoreDigits = scoreDigits)
+  }
 
   /** Adaptive-nprobe serving over the live index: each query probes its
     * ranked cells until their live population covers `minCandidates`
@@ -366,16 +393,18 @@ object IncrementalBqIndex {
   def knnJoinAdaptiveProbe(spark: SparkSession, path: String,
       queries: DataFrame, k: Int, maxNprobe: Int = 16, minNprobe: Int = 1,
       minCandidates: Int = 2000, rerankFrac: Double = 0.1,
-      rerankMin: Int = 100, scoreDigits: Int = -1): DataFrame =
-    if (loadParams(spark, path).family == "rabitq")
+      rerankMin: Int = 100, scoreDigits: Int = -1): DataFrame = {
+    val p = loadParams(spark, path)
+    if (p.family == "rabitq")
       IvfRabitq.knnJoinAdaptiveProbe(
-        rabitqModel(spark, path, withCounts = true),
+        rabitqModel(spark, path, p, withCounts = true),
         vectors(spark, path), queries, k, maxNprobe, minNprobe,
         minCandidates, rerankFrac, rerankMin, scoreDigits = scoreDigits)
     else
-      IvfBq.knnJoinAdaptiveProbe(model(spark, path, withCounts = true),
+      IvfBq.knnJoinAdaptiveProbe(model(spark, path, p, withCounts = true),
         vectors(spark, path), queries, k, maxNprobe, minNprobe,
         minCandidates, rerankFrac, rerankMin, scoreDigits = scoreDigits)
+  }
 
   /** Live row count (codes minus deletes). */
   def indexedCount(spark: SparkSession, path: String): Long =

@@ -5,9 +5,10 @@
 #   SPARK_DRIVER_MEM=96g tools/run_bench.sh graft.bench.CompressedScanBenchMain 1000000 768 ...
 set -euo pipefail
 MAIN=$1; shift
+REPO_ROOT=$(cd "$(dirname "$0")/.." && pwd)
 SNAP=$(mktemp -d /tmp/graft-classes-XXXXXX)
 trap 'rm -rf "$SNAP"' EXIT
-cp -r /root/repo/target/scala-2.13/classes/. "$SNAP"/
+cp -r "$REPO_ROOT"/target/scala-2.13/classes/. "$SNAP"/
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
          java.nio java.util java.util.concurrent java.util.concurrent.atomic; do
