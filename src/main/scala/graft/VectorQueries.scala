@@ -811,6 +811,68 @@ object VectorQueries {
           posexplode(col("feature")))
         .toDF("media_id", "frame_no", "n_frames", "block", "luma")),
 
+    // store OBSERVABILITY (VERDICT r10 #7): one describe() row per
+    // persisted-index kind — a quantized vector store (build + one
+    // append epoch + pending deletes), a BM25 text index (build +
+    // append + delete), an image-hash band store (two batch epochs +
+    // delete) — union'd into the fleet-dashboard frame. Live/deleted
+    // rows, epochs, and the evaluated compaction triggers are exact
+    // and data-determined; bytes_on_disk is layout-dependent by nature
+    // (rows-only entry). Drift/compaction decisions become queries
+    // over this frame instead of recomputations.
+    "index_describe" -> ((s, dir) => {
+      val bqPath = ModelMemo.get(s, s"descstore/bq/$dir") {
+        val p = java.nio.file.Files
+          .createTempDirectory("graft_desc_bq").toString
+        graft.streaming.IncrementalBqIndex.build(
+          emb(s, dir).filter(col("vec_id") % 4 =!= 0), p, numCells = 8)
+        graft.streaming.IncrementalBqIndex.append(
+          emb(s, dir).filter(col("vec_id") % 4 === 0), p,
+          epochTag = Some("e1"))
+        graft.streaming.IncrementalBqIndex.remove(
+          emb(s, dir).filter(col("vec_id") < 5).select("vec_id"), p)
+        p
+      }
+      val tixPrefix = ModelMemo.get(s, s"descstore/tix/$dir") {
+        val d = s.read.parquet(s"$dir/documents.parquet")
+        val p = "graft_tixdesc_" + java.security.MessageDigest
+          .getInstance("MD5").digest(dir.getBytes("UTF-8"))
+          .take(4).map("%02x".format(_)).mkString
+        graft.operators.TextIndex.build(
+          d.filter(col("doc_id") < 200), p, numBuckets = 8)
+        graft.operators.TextIndex.append(
+          d.filter(col("doc_id") >= 200 && col("doc_id") < 400), p,
+          numBuckets = 8)
+        graft.operators.TextIndex.remove(
+          d.filter(col("doc_id") < 3).select("doc_id"), p)
+        p
+      }
+      val imgPath = ModelMemo.get(s, s"descstore/img/$dir") {
+        val p = java.nio.file.Files
+          .createTempDirectory("graft_desc_img").toString
+        val imgs = mediaBmp(s, dir).filter(col("media_id") < 400)
+        graft.operators.ImageDup.hashAppend(
+          imgs.filter(col("media_id") < 200), p, epochTag = "0")
+        graft.operators.ImageDup.hashAppend(
+          imgs.filter(col("media_id") >= 200), p, epochTag = "1")
+        graft.operators.ImageDup.remove(
+          imgs.filter(col("media_id") < 2).select("media_id"), p)
+        p
+      }
+      graft.streaming.IncrementalBqIndex.describe(s, bqPath)
+        .unionByName(graft.operators.TextIndex.describe(s, tixPrefix))
+        .unionByName(graft.operators.ImageDup.describe(s, imgPath))
+        // location/bytes are machine/layout-dependent — project the
+        // data-determined columns for the battery artifact, assert the
+        // byte counter is live rather than its exact value
+        .select(col("store_kind"), col("family"), col("live_rows"),
+          col("deleted_rows"), col("epochs"),
+          (col("bytes_on_disk") > 0).as("has_bytes"),
+          rnd(col("growth_since_fit"), 4).as("growth_since_fit"),
+          col("needs_compaction"))
+        .orderBy("store_kind")
+    }),
+
     // perceptual image hashing (aHash): real decode → 8x8 integer luma
     // grid → 64-bit mean-threshold signature as 4x16-bit bands. Exact
     // integer arithmetic end to end — oracled from the pixel values.

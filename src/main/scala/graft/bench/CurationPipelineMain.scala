@@ -97,14 +97,27 @@ object CurationPipelineMain {
     }
 
     // ---- 3. exact-substring trim (hashed windows — 100 TB config) --
+    // TOKENIZE-ONCE handoff (VERDICT r10 #3): the trim stage is the
+    // chain's LAST tokenizer — it materializes the gram-bucket array
+    // `bs` from its kept tokens, so stage 5's perplexity fit+score
+    // never re-split or re-hash text (the old chain ran the md5 gram
+    // pass 2.2x over the corpus; stored buckets score at 0.42x the
+    // re-split wall and their parquet is SMALLER than the text column,
+    // TokenHandoffBenchMain medians at 2M).
     val (d3, _) = stage("s3_trim", n2) {
-      NgramDup.trimDuplicates(d2, w = 8, minCount = 2, hashKey = true)
+      val trimmed = NgramDup.trimDuplicates(d2, w = 8, minCount = 2,
+        hashKey = true, keepToks = true)
+      graft.operators.Dsir.withGramBuckets(
+          trimmed, col("clean_toks"), "bs")
+        .drop("clean_toks")
         .join(d2.select("doc_id", "cluster_id", "source"), Seq("doc_id"))
         .filter(col("trim_frac") < 0.5)
     }
     val n3 = d3.count()
 
     // ---- 4. trained quality LR on the trimmed text -----------------
+    // (regex char-level features want the clean STRING; the gram-bucket
+    // column `bs` passes through the join untouched for stage 5)
     val (d4, n4) = stage("s4_qlr", n3) {
       val m = QualityLr.fit(
         d3.select(col("doc_id"), col("clean_text").as("text")),
@@ -116,28 +129,33 @@ object CurationPipelineMain {
     }
 
     // ---- 5. perplexity tertile cut (drop the tail bucket) ----------
+    // Tokenize-once shape: fit + score are pure integer folds over the
+    // carried gram-bucket column (zero split/md5 here), and the scored
+    // frame is PERSISTED so the threshold pass and the cut write share
+    // one fold instead of recomputing the projection per consumer.
     val (d5, n5) = stage("s5_ppl", n4) {
-      val m = PplFilter.fit(
-        d4.filter(pmod(col("doc_id"), lit(20)) < 4)
-          .select(col("doc_id"), col("clean_text").as("text")))
-      val scored = PplFilter.score(
-        d4.select(col("doc_id"), col("clean_text").as("text")), m)
+      val m = PplFilter.fitGrams(
+        d4.filter(pmod(col("doc_id"), lit(20)) < 4))
+      val scored = PplFilter.scoreGrams(d4, m).persist()
       val (t1, t2) = PplFilter.sampleThresholds(scored)
       PplFilter.cut(scored, t1, t2)
         .filter(col("bucket") =!= "tail")
         .select("doc_id", "bucket")
-        .join(d4, Seq("doc_id"))
+        .join(d4.drop("bs"), Seq("doc_id"))
     }
 
     // ---- 6. leakage-proof split + sequence packing -----------------
+    // running token sum = the two-phase GroupedPrefixSum kernel (range
+    // sort + per-partition partials + broadcast offsets) — NEVER a
+    // PARTITION BY split window, whose 3 partitions funnel ~80% of the
+    // corpus through one task at scale (VERDICT r10 #1/#2).
     val (d6, n6) = stage("s6_split_pack", n5) {
-      val wp = Window.partitionBy("split").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      d5.withColumn("cb", graft.Qutil.md5Long60(
+      val splitDf = d5.withColumn("cb", graft.Qutil.md5Long60(
           concat(lit("split:"), col("cluster_id"))) % 10)
         .withColumn("split", when(col("cb") < 8, "train")
           .when(col("cb") === 8, "val").otherwise("test"))
-        .withColumn("cum", sum("n_kept").over(wp))
+      graft.operators.GroupedPrefixSum.runningSum(splitDf,
+          "cum", "n_kept", Seq("split"), Seq(col("doc_id")))
         .select(col("doc_id"), col("cluster_id"), col("split"),
           col("n_kept"), col("logit"), col("bucket"),
           floor((col("cum") - col("n_kept")) / 512.0).cast("long")

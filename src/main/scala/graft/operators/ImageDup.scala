@@ -133,6 +133,18 @@ object ImageDup {
     * for CHECKPOINTED restarts — without one, a restarted query begins
     * again at batchId 0 and its Overwrite would silently replace earlier
     * epochs holding different data. */
+  /** BATCH epoch append — the same layout [[streamingHashAppend]]
+    * writes, for bounded ingest jobs: decode + band the batch and
+    * OVERWRITE `bands/epoch=<tag>` (re-running a tag is idempotent,
+    * the IncrementalBqIndex append contract). Batch- and stream-built
+    * stores are interchangeable under [[bands]]/[[describe]]. */
+  def hashAppend(batch: DataFrame, path: String, epochTag: String,
+      grid: Int = 8): Unit = {
+    aHashBands(Multimodal.decodeImagePooledRaw(batch, grid))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/bands/epoch=$epochTag")
+  }
+
   def streamingHashAppend(stream: DataFrame, path: String,
       checkpoint: String,
       grid: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
@@ -198,6 +210,37 @@ object ImageDup {
     ids.select(col(idCol).cast("long").as("media_id")).distinct()
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .parquet(s"$path/deletes")
+  }
+
+  /** One-row store observability ([[StoreDescription]] contract,
+    * VERDICT r10 #7): live band rows, distinct deleted media ids,
+    * epoch directories, bytes on disk, the compaction trigger
+    * evaluated (pending deletes or epoch spread — the anti-join and
+    * per-epoch file listing both grow with them). No trained
+    * quantizer → `growth_since_fit` is None. Reads route through
+    * [[bands]], so a crashed compact self-heals before counting. */
+  def describe(spark: org.apache.spark.sql.SparkSession, path: String,
+      epochFactor: Long = 8): org.apache.spark.sql.DataFrame = {
+    val live = bands(spark, path).count()
+    val del = new org.apache.hadoop.fs.Path(s"$path/deletes")
+    val fs = del.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val deleted =
+      if (fs.exists(del))
+        spark.read.parquet(s"$path/deletes")
+          .select("media_id").distinct().count()
+      else 0L
+    val epochs = StoreDescribe.epochDirs(spark, s"$path/bands")
+    StoreDescribe.toDf(spark, StoreDescription(
+      store_kind = "image_dup",
+      location = path,
+      family = "ahash_lsh",
+      live_rows = live,
+      deleted_rows = deleted,
+      epochs = epochs,
+      bytes_on_disk = StoreDescribe.pathBytes(spark, path),
+      growth_since_fit = None,
+      needs_compaction = deleted > 0 || epochs >= epochFactor,
+      detail = "bands=4 bits_per_band=16"))
   }
 
   /** COMPACTION: fold all epochs minus deletes into one epoch. Crash

@@ -198,7 +198,7 @@ object NgramDup {
     * [[trimDuckdbSql]]. */
   def trimDuplicates(docs: DataFrame, w: Int = 8, minCount: Int = 2,
       idCol: String = "doc_id", textCol: String = "text",
-      hashKey: Boolean = false): DataFrame = {
+      hashKey: Boolean = false, keepToks: Boolean = false): DataFrame = {
     require(w >= 1 && minCount >= 2)
     // hashKey: the 100 TB configuration, exactly as in dupNgramStats —
     // the canonical-occurrence min(struct(doc_id, i)) is key-agnostic
@@ -221,16 +221,31 @@ object NgramDup {
     val rebuilt = tokRows.join(drops, Seq("doc_id", "p"), "left_anti")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_kept"),
-        array_join(expr(
-          "transform(array_sort(collect_list(struct(p, tok))), x -> x.tok)"),
-          " ").as("clean_text"))
-    toks.select(col("doc_id"), size(col("ts")).cast("long").as("n_tokens"))
+        expr("transform(array_sort(collect_list(struct(p, tok))), x -> x.tok)")
+          .as("clean_toks"))
+      .withColumn("clean_text", array_join(col("clean_toks"), " "))
+    val base = toks
+      .select(col("doc_id"), size(col("ts")).cast("long").as("n_tokens"))
       .join(rebuilt, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         rnd(lit(1.0) - coalesce(col("n_kept"), lit(0L)).cast("double") /
           col("n_tokens").cast("double"), 6).as("trim_frac"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"))
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("clean_toks"))
+    // keepToks: the TOKENIZE-ONCE handoff (VERDICT r10 #3) — downstream
+    // stages (quality LR grams, perplexity cut) consume the kept-token
+    // array directly instead of re-splitting clean_text, so the chain
+    // tokenizes each doc exactly once. clean_toks is the AUTHORITATIVE
+    // kept sequence: re-splitting clean_text collapses boundary empty
+    // tokens (a doc whose surviving tokens start/end with "" — only
+    // possible when the source text had runs of spaces), so the carried
+    // array, not a re-split, is what downstream must use. A fully
+    // trimmed doc carries array('') — exactly split(trim('')).
+    if (keepToks)
+      base.withColumn("clean_toks",
+        coalesce(col("clean_toks"), array(lit(""))))
+    else base.drop("clean_toks")
   }
 
   /** CTE chain of the [[trimDuplicates]] DuckDB twin, composable into a

@@ -40,8 +40,20 @@ object PplFilter {
 
   /** TRAIN the target LM: one conditional map-side-combined B-row
     * aggregation over the target docs' gram buckets. */
-  def fit(target: DataFrame, buckets: Int = 1024): PplModel = {
-    val g = Dsir.gramBucketArr(target, lit(true), buckets)
+  def fit(target: DataFrame, buckets: Int = 1024): PplModel =
+    fitOnGrams(Dsir.gramBucketArr(target, lit(true), buckets), buckets)
+
+  /** [[fit]] from an existing token-array column — the tokenize-once
+    * handoff: the caller carries `clean_toks` from the trim stage and
+    * the fit never re-splits text. */
+  def fitToks(target: DataFrame, toksCol: Column,
+      buckets: Int = 1024): PplModel =
+    fitOnGrams(Dsir.gramBucketsFromToks(target, toksCol, lit(true), buckets),
+      buckets)
+
+  /** Shared back half of the two fit fronts: `g` is the
+    * (doc_id, tgt, bs) gram-bucket frame. */
+  private def fitOnGrams(g: DataFrame, buckets: Int): PplModel = {
     val cnt = g.select(explode(col("bs")).as("b"))
       .groupBy("b").agg(count(lit(1)).as("ct"))
       .persist()
@@ -66,10 +78,32 @@ object PplFilter {
     * a pure projection (in-row integer fold of log p over the doc's gram
     * buckets; runs unchanged on a streaming frame). `ce_fp` is the
     * per-gram cross-entropy in nats scaled by 10⁶, truncated to int. */
-  def score(docs: DataFrame, model: PplModel): DataFrame = {
+  def score(docs: DataFrame, model: PplModel): DataFrame =
+    scoreOnGrams(Dsir.gramBucketArr(docs, lit(false), model.buckets), model)
+
+  /** [[score]] from an existing token-array column (tokenize-once). */
+  def scoreToks(docs: DataFrame, toksCol: Column,
+      model: PplModel): DataFrame =
+    scoreOnGrams(
+      Dsir.gramBucketsFromToks(docs, toksCol, lit(false), model.buckets),
+      model)
+
+  /** [[fit]] from a PRECOMPUTED gram-bucket frame with a `bs` column
+    * (rows = the target corpus; produce `bs` once upstream with
+    * [[Dsir.withGramBuckets]]) — zero tokenize/md5 work here. */
+  def fitGrams(g: DataFrame, buckets: Int = 1024): PplModel =
+    fitOnGrams(g, buckets)
+
+  /** [[score]] from a PRECOMPUTED gram-bucket frame with a `bs` column —
+    * the deepest handoff: the md5 gram pass ran at an earlier stage and
+    * this is a pure integer fold over the stored array (0.42x the
+    * re-split-and-hash wall, TokenHandoffBenchMain medians at 2M). */
+  def scoreGrams(g: DataFrame, model: PplModel): DataFrame =
+    scoreOnGrams(g, model)
+
+  private def scoreOnGrams(g: DataFrame, model: PplModel): DataFrame = {
     val lp = typedLit(model.logp)
-    Dsir.gramBucketArr(docs, lit(false), model.buckets)
-      .select(col("doc_id"),
+    g.select(col("doc_id"),
         size(col("bs")).cast("long").as("n_grams"),
         aggregate(col("bs"), lit(0L), (acc, b) =>
           acc + coalesce(element_at(lp, b), lit(model.logpDefault)))

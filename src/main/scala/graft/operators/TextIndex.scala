@@ -161,6 +161,39 @@ object TextIndex {
   private def deletesExist(spark: SparkSession, prefix: String): Boolean =
     spark.catalog.tableExists(deletesTable(prefix))
 
+  /** One-row store observability ([[StoreDescription]] contract,
+    * VERDICT r10 #7): live/deleted docs, append epochs since the last
+    * compaction (stats rows), bytes across ALL the index's tables, the
+    * compaction trigger evaluated (any pending deletes, or epoch
+    * spread ≥ `epochFactor` — delete-adjusted serving joins grow with
+    * both). `growth_since_fit` is None: BM25 has no trained quantizer
+    * to outgrow. */
+  def describe(spark: SparkSession, prefix: String,
+      epochFactor: Long = 8): DataFrame = {
+    val st = stats(spark, prefix)
+    val t = spark.table(statsTable(prefix))
+    val epochs = if (t.columns.contains("sumdl")) t.count() else 1L
+    val (nDel, _, _) = deleteAdjust(spark, prefix)
+    val positional = spark.catalog.tableExists(positionsTable(prefix))
+    val terms = spark.table(lexiconTable(prefix))
+      .select("term").distinct().count()
+    val bytes = Seq(statsTable(prefix), postingsTable(prefix),
+        lexiconTable(prefix), deletesTable(prefix),
+        positionsTable(prefix), positions2Table(prefix))
+      .map(StoreDescribe.tableBytes(spark, _)).sum
+    StoreDescribe.toDf(spark, StoreDescription(
+      store_kind = "text_index",
+      location = prefix,
+      family = if (positional) "bm25+positional" else "bm25",
+      live_rows = st.n,
+      deleted_rows = nDel,
+      epochs = epochs,
+      bytes_on_disk = bytes,
+      growth_since_fit = None,
+      needs_compaction = nDel > 0 || epochs >= epochFactor,
+      detail = f"avgdl=${st.avgdl}%.4f terms=$terms"))
+  }
+
   /** (#deleted docs, #deleted docs with postings, Σ their dl). */
   private def deleteAdjust(spark: SparkSession, prefix: String): (Long, Long, Long) = {
     if (!deletesExist(spark, prefix)) return (0L, 0L, 0L)

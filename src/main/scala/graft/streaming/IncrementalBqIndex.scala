@@ -423,6 +423,38 @@ object IncrementalBqIndex {
       factor: Double = 2.0): Boolean =
     growthSinceFit(spark, path) >= factor
 
+  /** One-row store observability ([[graft.operators.StoreDescription]]
+    * contract, VERDICT r10 #7): live/deleted rows, epoch count, bytes
+    * on disk, growth past the frozen quantizer and the compaction
+    * trigger already evaluated — params load ONCE and every consumer
+    * below shares them. */
+  def describe(spark: SparkSession, path: String,
+      factor: Double = 2.0): org.apache.spark.sql.DataFrame = {
+    import graft.operators.{StoreDescribe, StoreDescription}
+    val p = loadParams(spark, path)
+    val live = indexedCount(spark, path)
+    val deleted =
+      if (exists(spark, dir(path, "deletes")))
+        spark.read.parquet(dir(path, "deletes"))
+          .select("vec_id").distinct().count()
+      else 0L
+    val growth =
+      if (p.fitN <= 0) None else Some(live.toDouble / p.fitN)
+    val dim = p.cents.headOption.map(_._2.length).getOrElse(0)
+    StoreDescribe.toDf(spark, StoreDescription(
+      store_kind = "incremental_bq",
+      location = path,
+      family = p.family,
+      live_rows = live,
+      deleted_rows = deleted,
+      epochs = StoreDescribe.epochDirs(spark, dir(path, "codes")),
+      bytes_on_disk = StoreDescribe.pathBytes(spark, path),
+      growth_since_fit = growth,
+      needs_compaction = growth.exists(_ >= factor),
+      detail = s"cells=${p.cents.length} dim=$dim " +
+        s"residual=${p.residual} fit_n=${p.fitN} rot_seed=${p.rotSeed}"))
+  }
+
   /** COMPACTION. `refit = false` folds epochs + deletes into a fresh
     * single-epoch layout under the SAME quantizer (serving bit-identical
     * before/after — spec-pinned). `refit = true` retrains the quantizer

@@ -130,4 +130,28 @@ class NgramDupSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet
     assert(exact == hashed)
   }
+
+  test("keepToks: clean_toks is the authoritative kept sequence — joins " +
+      "back to clean_text, empty-doc sentinel, default schema unchanged") {
+    import org.apache.spark.sql.functions._
+    // doc 10/11 share the whole 8-token text → doc 11 fully trimmed;
+    // doc 12 is untouched
+    val rows = Seq(
+      10L -> "a b c d e f g h",
+      11L -> "a b c d e f g h",
+      12L -> "u v w x y z q r").toDF("doc_id", "text")
+    val out = NgramDup.trimDuplicates(rows, w = 8, keepToks = true)
+    // carried array re-joined with single spaces IS clean_text
+    assert(out.filter(
+      array_join(col("clean_toks"), " ") =!= col("clean_text")).count() == 0)
+    val byId = out.collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](r.fieldIndex("clean_toks")))
+      .toMap
+    assert(byId(12L) == Seq("u", "v", "w", "x", "y", "z", "q", "r"))
+    // fully trimmed doc carries array("") — exactly split(trim(''))
+    assert(byId(11L) == Seq(""))
+    // default call keeps the pre-handoff schema (oracle compatibility)
+    assert(!NgramDup.trimDuplicates(rows, w = 8).columns
+      .contains("clean_toks"))
+  }
 }

@@ -138,4 +138,39 @@ class PplFilterSpec extends AnyFunSuite {
     q.stop()
     assert(got == batch)
   }
+
+  test("gram-bucket handoff: fitGrams/scoreGrams on a stored bs column " +
+      "reproduce the text path bit-for-bit (zero md5 at the consumer)") {
+    val toked = docs.filter(col("text").isNotNull)
+      .withColumn("toks", split(trim(col("text")), "\\s+"))
+    val withBs = Dsir.withGramBuckets(toked, col("toks"), "bs", 256)
+    // all original columns survive the append
+    assert(withBs.columns.toSet == toked.columns.toSet + "bs")
+    val mText = PplFilter.fit(
+      docs.filter(col("source").isin("src0", "src1")), buckets = 256)
+    val mGrams = PplFilter.fitGrams(
+      withBs.filter(col("source").isin("src0", "src1")), buckets = 256)
+    assert(mGrams == mText)
+    val sText = PplFilter.score(docs, mText).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sGrams = PplFilter.scoreGrams(withBs, mText).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(sGrams == sText)
+  }
+
+  test("tokenize-once handoff: fitToks/scoreToks on a carried token " +
+      "array reproduce the text path bit-for-bit") {
+    val toked = docs.withColumn("toks", split(trim(col("text")), "\\s+"))
+    val mText = PplFilter.fit(
+      docs.filter(col("source").isin("src0", "src1")), buckets = 256)
+    val mToks = PplFilter.fitToks(
+      toked.filter(col("source").isin("src0", "src1")), col("toks"),
+      buckets = 256)
+    assert(mToks == mText)
+    val sText = PplFilter.score(docs, mText).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sToks = PplFilter.scoreToks(toked, col("toks"), mText).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(sToks == sText)
+  }
 }
