@@ -86,11 +86,11 @@ object AdaptiveCombinedBenchMain {
         .sortBy { case (c, s) => (-s, -c) }.map(_._1)
     }
     val anchorVecs = anchors.collect().map(r => r.getSeq[Float](1).toArray)
-    def meanTouched(mc: Int): Double = {
+    def meanTouched(mc: Int, minNp: Int = 1): Double = {
       val fr = anchorVecs.map { q =>
         val ranked = rankedCells(q)
         var cum = 0L; var i = 0
-        while (i < ranked.length && (i == 0 || cum < mc)) {
+        while (i < ranked.length && (i < minNp || cum < mc)) {
           cum += model.cellCounts.getOrElse(ranked(i), 0L); i += 1
         }
         cum.toDouble / n
@@ -115,15 +115,16 @@ object AdaptiveCombinedBenchMain {
           exact.filter(col("query_id") >= denseN)))
     }
 
-    def runAdaptive(tag: String, mc: Int, frac: Double): Unit = {
+    def runAdaptive(tag: String, mc: Int, frac: Double,
+        minNp: Int = 1): Unit = {
       val t0 = System.nanoTime()
       val ap = IvfBq.knnJoinAdaptiveProbe(model, base, anchors, k = 10,
-        maxNprobe = maxNp, minNprobe = 1, minCandidates = mc,
+        maxNprobe = maxNp, minNprobe = minNp, minCandidates = mc,
         rerankFrac = frac, rerankMin = 100).cache()
       val (rec, dRec, sRec) = groupRecall(ap)
       val wall = (System.nanoTime() - t0) / 1e9
-      println(f"ACOMBO $tag minCand=$mc frac=$frac " +
-        f"touched=${meanTouched(mc)}%.4f recall=$rec%.3f " +
+      println(f"ACOMBO $tag minCand=$mc minNp=$minNp frac=$frac " +
+        f"touched=${meanTouched(mc, minNp)}%.4f recall=$rec%.3f " +
         f"dense=$dRec%.3f sparse=$sRec%.3f wall=$wall%.1fs")
       ap.unpersist(); ()
     }
@@ -158,6 +159,13 @@ object AdaptiveCombinedBenchMain {
       runAdaptive("combo", mcMatched, frac)
       runFixed("fixed", 2, frac)
     }
+
+    // ---- 3. the both-classes remedy priced: a 2-cell FLOOR plus the
+    // escalation — dense landings get fixed np=2's coverage, sparse
+    // landings keep escalating to the candidate floor. The touched
+    // fraction this arm reports IS the price of serving both classes.
+    runAdaptive("floor2", minCand0, 0.1, minNp = 2)
+    runFixed("fixed4_ref", 4, 0.1)
     spark.stop()
   }
 }

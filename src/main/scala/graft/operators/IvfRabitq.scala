@@ -127,12 +127,15 @@ object IvfRabitq {
     val encoded = ivf.assigned
       .select(col("cell").cast("int"), col("id"), col("vec"))
       .as[(Int, Long, Array[Float])].mapPartitions { rows =>
-        val r = bcR.value
         val rcs = bcRc.value
-        rows.map { case (cell, id, v) =>
-          val (bits, g) = encodeResidual(Opq.rotate(r, v), rcs(cell))
-          (cell, id, bits, g)
-        }
+        // blocked kernel: widened matrix + 4-row blocks, bit-identical
+        // codes to the scalar rotate (spec-pinned)
+        Opq.rotatedRows(bcR.value, rows,
+            (t: (Int, Long, Array[Float])) => t._3)
+          .map { case ((cell, id, _), rv) =>
+            val (bits, g) = encodeResidual(rv, rcs(cell))
+            (cell, id, bits, g)
+          }
       }.toDF("cell", "id", "bits", "g").persist()
     encoded.count()
     val counts = encoded.groupBy("cell").count()

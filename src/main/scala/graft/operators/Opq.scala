@@ -49,6 +49,89 @@ object Opq {
     out
   }
 
+  /** The ingest-side rotation kernel, round 2 (VERDICT r10 #8): the
+    * loop-interchanged [[rotate]] still pays a float→double widening of
+    * the rotation element on EVERY multiply (d² conversions per row)
+    * and streams the whole d×d matrix from memory once per row. This
+    * path removes both, bit-identically:
+    *
+    *  - the rotation is widened to double rows ONCE per partition
+    *    (float→double is exact, so every product is the identical
+    *    double [[rotate]] computes);
+    *  - rows are processed in blocks of 4 sharing each matrix-row pass
+    *    (4× arithmetic intensity against the same memory traffic);
+    *    each output j still accumulates its terms in ascending-i
+    *    order, so the double sums — and the sign bits and factors
+    *    derived from them — are bit-identical to the scalar kernel
+    *    (spec-pinned element-exact on random data).
+    */
+  private[graft] def widen(r: Array[Array[Float]]): Array[Array[Double]] =
+    r.map { row =>
+      val o = new Array[Double](row.length)
+      var j = 0
+      while (j < row.length) { o(j) = row(j).toDouble; j += 1 }
+      o
+    }
+
+  private def toF(a: Array[Double]): Array[Float] = {
+    val out = new Array[Float](a.length)
+    var j = 0
+    while (j < a.length) { out(j) = a(j).toFloat; j += 1 }
+    out
+  }
+
+  private[graft] def rotateWide(rd: Array[Array[Double]],
+      v: Array[Float]): Array[Float] = {
+    val d = v.length
+    val acc = new Array[Double](d)
+    var i = 0
+    while (i < d) {
+      val vi = v(i).toDouble
+      val ri = rd(i)
+      var j = 0
+      while (j < d) { acc(j) += vi * ri(j); j += 1 }
+      i += 1
+    }
+    toF(acc)
+  }
+
+  /** Rotate up to 4 vectors sharing one pass over the widened matrix. */
+  private[graft] def rotateBlock4(rd: Array[Array[Double]],
+      vs: Array[Array[Float]]): Array[Array[Float]] = {
+    if (vs.length != 4) return vs.map(rotateWide(rd, _))
+    val d = rd.length
+    val v0 = vs(0); val v1 = vs(1); val v2 = vs(2); val v3 = vs(3)
+    val a0 = new Array[Double](d); val a1 = new Array[Double](d)
+    val a2 = new Array[Double](d); val a3 = new Array[Double](d)
+    var i = 0
+    while (i < d) {
+      val ri = rd(i)
+      val x0 = v0(i).toDouble; val x1 = v1(i).toDouble
+      val x2 = v2(i).toDouble; val x3 = v3(i).toDouble
+      var j = 0
+      while (j < d) {
+        val rij = ri(j)
+        a0(j) += x0 * rij; a1(j) += x1 * rij
+        a2(j) += x2 * rij; a3(j) += x3 * rij
+        j += 1
+      }
+      i += 1
+    }
+    Array(toF(a0), toF(a1), toF(a2), toF(a3))
+  }
+
+  /** Iterator adapter for the ingest mapPartitions sites: widen once,
+    * rotate in 4-row blocks, hand each row back with its rotated
+    * vector. Output order is the input order. */
+  private[graft] def rotatedRows[T](r: Array[Array[Float]],
+      rows: Iterator[T], vecOf: T => Array[Float]): Iterator[(T, Array[Float])] = {
+    val rd = widen(r)
+    rows.grouped(4).flatMap { blk =>
+      val out = rotateBlock4(rd, blk.map(vecOf).toArray)
+      blk.iterator.zip(out.iterator)
+    }
+  }
+
   /** Mean squared reconstruction error of codebooks over (already rotated)
     * points — the OPQ objective, exposed for tests. */
   private[graft] def mse(pts: Array[Array[Float]],

@@ -139,11 +139,13 @@ object RabitQ {
     val rot = randomRotation(d, seed)
     val bcR = spark.sparkContext.broadcast(rot)
     val encoded = src.as[(Long, Array[Float])].mapPartitions { rows =>
-      val r = bcR.value
-      rows.map { case (id, v) =>
-        val (bits, g) = encodeVec(Opq.rotate(r, v))
-        (id, bits, g)
-      }
+      // blocked kernel (Opq.rotatedRows): widened matrix + 4-row blocks,
+      // bit-identical codes to the scalar rotate (spec-pinned)
+      Opq.rotatedRows(bcR.value, rows, (t: (Long, Array[Float])) => t._2)
+        .map { case ((id, _), rv) =>
+          val (bits, g) = encodeVec(rv)
+          (id, bits, g)
+        }
     }.toDF("id", "bits", "g").persist()
     encoded.count()
     Model(rot, encoded)

@@ -168,11 +168,15 @@ object IncrementalBqIndex {
       val bcR = spark.sparkContext.broadcast(rot)
       val bcRc = spark.sparkContext.broadcast(rotCents)
       assigned.mapPartitions { rows =>
-        val r = bcR.value; val rcs = bcRc.value
-        rows.map { case (cell, id, v) =>
-          val (bits, g) = IvfRabitq.encodeResidual(Opq.rotate(r, v), rcs(cell))
-          (cell, id, bits, g)
-        }
+        val rcs = bcRc.value
+        // blocked kernel (Opq.rotatedRows): bit-identical codes,
+        // ~fewer d² widenings + 4x arithmetic intensity per matrix pass
+        Opq.rotatedRows(bcR.value, rows,
+            (t: (Int, Long, Array[Float])) => t._3)
+          .map { case ((cell, id, _), rv) =>
+            val (bits, g) = IvfRabitq.encodeResidual(rv, rcs(cell))
+            (cell, id, bits, g)
+          }
       }.toDF("cell", "id", "bits", "g")
     } else {
       val bcC = spark.sparkContext.broadcast(p.cents.map(_._2))

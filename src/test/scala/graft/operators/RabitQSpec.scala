@@ -38,6 +38,30 @@ class RabitQSpec extends AnyFunSuite {
     (0 until d).foreach(j => assert(r1(j)(j) >= 0f, s"diag sign col $j"))
   }
 
+  test("blocked rotation kernel is bit-identical to the scalar rotate " +
+      "(every block size, odd tails, iterator adapter order)") {
+    val d = 96
+    val r = RabitQ.randomRotation(d, 11L)
+    val rd = Opq.widen(r)
+    val rnd = new scala.util.Random(5)
+    val vs = Array.fill(11)(Array.fill(d)((rnd.nextGaussian() * 3).toFloat))
+    // exact float equality — the whole point of the ascending-i contract
+    vs.foreach { v =>
+      assert(Opq.rotateWide(rd, v).toSeq == Opq.rotate(r, v).toSeq)
+    }
+    val blk = Opq.rotateBlock4(rd, vs.take(4))
+    (0 until 4).foreach { i =>
+      assert(blk(i).toSeq == Opq.rotate(r, vs(i)).toSeq)
+    }
+    // 11 rows → blocks of 4,4,3: adapter preserves order + exactness
+    val out = Opq.rotatedRows(r, vs.zipWithIndex.iterator,
+      (t: (Array[Float], Int)) => t._1).toArray
+    assert(out.map(_._1._2).toSeq == (0 until 11))
+    out.foreach { case ((v, _), rv) =>
+      assert(rv.toSeq == Opq.rotate(r, v).toSeq)
+    }
+  }
+
   test("rotation preserves norms (isometry within float truncation)") {
     val d = 64
     val r = RabitQ.randomRotation(d, 3L)
