@@ -115,7 +115,10 @@ object TextIndex {
     // sums are exactly representable and Σsumdl/Σndl after appends is
     // the SAME double a full rebuild computes).
     val n = docs.count()
-    spark.sql(s"DROP TABLE IF EXISTS ${deletesTable(prefix)}")
+    // clearTable, not a bare DROP: a stale deletes LOCATION from a
+    // previous JVM (catalog empty, files present) would fail the next
+    // remove()'s saveAsTable with LOCATION_ALREADY_EXISTS
+    clearTable(spark, deletesTable(prefix))
     val dld = spark.table(postingsTable(prefix))
       .select(col("doc_id"), col("dl")).distinct()
       .agg(count(lit(1)).as("ndl"), sum("dl").as("sumdl")).first()
@@ -817,14 +820,12 @@ object TextIndex {
         stats(spark, prefix)
     }
 
-  /** Drop the persisted tables (store CRUD contract). */
+  /** Drop the persisted tables (store CRUD contract). clearTable, not
+    * bare DROPs: a prefix orphaned by a previous JVM (files on disk,
+    * catalog empty) must leave no stale LOCATION behind. */
   def drop(spark: SparkSession, prefix: String): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS ${postingsTable(prefix)}")
-    spark.sql(s"DROP TABLE IF EXISTS ${lexiconTable(prefix)}")
-    spark.sql(s"DROP TABLE IF EXISTS ${statsTable(prefix)}")
-    spark.sql(s"DROP TABLE IF EXISTS ${deletesTable(prefix)}")
-    spark.sql(s"DROP TABLE IF EXISTS ${positionsTable(prefix)}")
-    spark.sql(s"DROP TABLE IF EXISTS ${positions2Table(prefix)}")
-    ()
+    Seq(postingsTable(prefix), lexiconTable(prefix), statsTable(prefix),
+      deletesTable(prefix), positionsTable(prefix),
+      positions2Table(prefix)).foreach(clearTable(spark, _))
   }
 }
