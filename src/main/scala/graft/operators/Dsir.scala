@@ -147,14 +147,22 @@ object Dsir {
     * fold of λ over the doc's gram buckets (zero shuffle at any corpus
     * size; runs unchanged on a STREAMING frame). Buckets unseen at fit
     * time take the smoothed zero-count λ. */
-  def score(docs: DataFrame, model: DsirModel): DataFrame = {
+  def score(docs: DataFrame, model: DsirModel): DataFrame =
+    scoreOnGrams(gramBucketArr(docs, lit(false), model.buckets), model)
+
+  /** [[score]] from a PRECOMPUTED gram-bucket frame with a `bs` column
+    * (tokenize-once handoff — produce it upstream with
+    * [[withGramBuckets]]): a pure integer fold, zero split/md5 here. */
+  def scoreGrams(g: DataFrame, model: DsirModel): DataFrame =
+    scoreOnGrams(g, model)
+
+  private def scoreOnGrams(g: DataFrame, model: DsirModel): DataFrame = {
     val lam = typedLit(model.lam)
-    gramBucketArr(docs, lit(false), model.buckets)
-      .select(col("doc_id"),
-        size(col("bs")).cast("long").as("n_grams"),
-        aggregate(col("bs"), lit(0L), (acc, b) =>
-          acc + coalesce(element_at(lam, b), lit(model.lamDefault)))
-          .as("dsir_w"))
+    g.select(col("doc_id"),
+      size(col("bs")).cast("long").as("n_grams"),
+      aggregate(col("bs"), lit(0L), (acc, b) =>
+        acc + coalesce(element_at(lam, b), lit(model.lamDefault)))
+        .as("dsir_w"))
   }
 
   /** Per-doc fixed-point importance weights: (doc_id, n_grams, dsir_w)

@@ -150,4 +150,22 @@ class DsirSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(streamed == batch, s"stream $streamed vs batch $batch")
   }
+
+  test("scoreGrams on a withGramBuckets column reproduces the text " +
+      "path bit-for-bit (tokenize-once handoff)") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text", "source")
+    val model = Dsir.fit(docs, col("source") === "src0", buckets = 128)
+    val viaText = Dsir.score(docs, model).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val withBs = Dsir.withGramBuckets(
+      docs.filter(col("text").isNotNull)
+        .withColumn("toks", split(trim(col("text")), "\\s+")),
+      col("toks"), "bs", 128)
+    val viaGrams = Dsir.scoreGrams(withBs, model).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaGrams == viaText)
+  }
 }
