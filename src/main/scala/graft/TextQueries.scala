@@ -69,8 +69,10 @@ object TextQueries {
         (lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5)) *
       col("tf") * 2.2 /
       (col("tf") + lit(1.2) * (lit(1.0) - 0.75 + lit(0.75) * col("dl") / avgdl))
+    // qt is query-bounded (broadcast stays); df is vocabulary-sized —
+    // no hint, size-based planning decides (see unigram_surprisal)
     val scored = broadcast(qt).join(tf, Seq("term"))
-      .join(broadcast(df), Seq("term"))
+      .join(df, Seq("term"))
       .join(dl, Seq("doc_id"))
       .groupBy("qid", "doc_id")
       .agg(rnd(sum(score), 4).as("bm25"))
@@ -412,7 +414,8 @@ object TextQueries {
       val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val w = Window.partitionBy("doc_id")
         .orderBy(col("tfidf").desc, col("term").asc)
-      tf.join(broadcast(df), Seq("term"))
+      // df is vocabulary-sized: no broadcast hint (see unigram_surprisal)
+      tf.join(df, Seq("term"))
         .withColumn("tfidf",
           rnd(col("tf") * (log((lit(n) + 1.0) / (col("df") + 1.0)) + 1.0), 6))
         .withColumn("trank", row_number().over(w)).filter(col("trank") <= 3)
@@ -595,7 +598,11 @@ object TextQueries {
         explode(split(trim(col("text")), "\\s+")).as("term"))
       val cnt = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
       val total = cnt.agg(sum("cnt")).first().getLong(0)
-      toks.join(broadcast(cnt), Seq("term"))
+      // no broadcast hint: the term-count table is VOCABULARY-sized
+      // (Heaps-law growth — not bounded at 100 TB). Size-based planning
+      // broadcasts it while it fits and shuffle-joins (AQE skew-aware)
+      // when it no longer does.
+      toks.join(cnt, Seq("term"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tokens"),
           rnd(avg(-log(col("cnt") / total.toDouble)), 4).as("surprisal"))
@@ -840,7 +847,9 @@ object TextQueries {
         explode(split(trim(col("text")), "\\s+")).as("term"))
       val cnt = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
       val total = cnt.agg(sum("cnt")).first().getLong(0)
-      val scored = toks.join(broadcast(cnt), Seq("term"))
+      // vocabulary-sized LM table: no broadcast hint (see
+      // unigram_surprisal) — size-based planning picks the join
+      val scored = toks.join(cnt, Seq("term"))
         .groupBy("doc_id", "lang")
         .agg(rnd(avg(-log(col("cnt") / total.toDouble)), 4).as("surprisal"))
       // rank on the ROUNDED score + doc_id (a total order both engines
