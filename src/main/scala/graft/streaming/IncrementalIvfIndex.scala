@@ -240,6 +240,31 @@ class IncrementalIvfIndex(spark: SparkSession,
   def needsCompaction(factor: Double = 2.0): Boolean =
     growthSinceFit.exists(_ >= factor)
 
+  /** One-row store observability ([[graft.operators.StoreDescription]]
+    * contract): the executor-RESIDENT member of the fleet — state lives
+    * in pinned shards, so `bytes_on_disk` is 0 and `deleted_rows` is
+    * the tombstone population is not separately tracked (0); epochs =
+    * micro-batches this maintainer applied is not meaningful either —
+    * the row reports the live count, growth past the frozen quantizer
+    * and the compaction trigger, union-able with the persisted stores'
+    * describe() rows for one fleet dashboard. */
+  def describe(factor: Double = 2.0): DataFrame = {
+    import graft.operators.{StoreDescribe, StoreDescription}
+    val live = indexedCount()
+    StoreDescribe.toDf(spark, StoreDescription(
+      store_kind = "incremental_ivf_pinned",
+      location = maintainerId,
+      family = "ivf_hnsw",
+      live_rows = live,
+      deleted_rows = 0L,
+      epochs = 0L,
+      bytes_on_disk = 0L,
+      growth_since_fit = growthSinceFit,
+      needs_compaction = needsCompaction(factor),
+      detail = s"cells=$numCells ingested=$ingestedCount " +
+        s"updates=$appliedUpdateCount fit_n=$fitCorpusSize"))
+  }
+
   /** Everything currently indexed, as (vec_id, embedding) rows. */
   def currentVectors(): DataFrame = {
     val mid = maintainerId

@@ -277,6 +277,14 @@ class IncrementalIndexSpec extends AnyFunSuite {
     assert(maintainer.growthSinceFit.exists(g => math.abs(g - 2.0) < 1e-9))
     assert(maintainer.needsCompaction(2.0) && !maintainer.needsCompaction(2.5))
     assert(maintainer.currentVectors().count() == maintainer.indexedCount())
+    // describe(): the executor-resident fleet row tracks the same state
+    val dRow = maintainer.describe(2.0).collect()
+    assert(dRow.length == 1)
+    assert(dRow(0).getAs[String]("store_kind") == "incremental_ivf_pinned")
+    assert(dRow(0).getAs[Long]("live_rows") == maintainer.indexedCount())
+    assert(math.abs(dRow(0).getAs[Double]("growth_since_fit") - 2.0) < 1e-9)
+    assert(dRow(0).getAs[Boolean]("needs_compaction"))
+    assert(dRow(0).getAs[String]("detail").contains("cells=4"))
 
     // deliver CHANGED embeddings (negated) for 5 ids — applied LIVE
     // (cross-cell moves through the id registry, no duplicate ids)
