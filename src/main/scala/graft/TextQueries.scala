@@ -568,6 +568,30 @@ object TextQueries {
       graft.operators.Bpe.tokenStats(docs(s, dir), model)
     }),
 
+    // THE LAST MILE: raw docs → fixed-length token-ID training rows
+    // under the trained BPE (encode → dense vocab ids → global offsets
+    // via the two-phase prefix sum → one even shuffle on sequence
+    // keys; docs straddle sequence boundaries exactly like production
+    // packing). Iterative encode ⇒ rows-only by nature; the spec pins
+    // hand-checked straddles, exact-seqLen sequences, token
+    // conservation and partitioning invariance. Emitted compactly
+    // (first/last id + fixed-point id sum, not the id arrays) so the
+    // battery artifact stays bounded.
+    "bpe_pack_sequences" -> ((s, dir) => {
+      val model = TextMemo.get(s, s"bpe/$dir") {
+        graft.operators.Bpe.train(docs(s, dir), numMerges = 100)
+      }
+      val split = when(
+        md5Long(concat(lit("split:"), col("doc_id"))) % 10 < 8, "train")
+        .otherwise("heldout")
+      graft.operators.Bpe
+        .packSequences(docs(s, dir), model, seqLen = 512, split)
+        .select(col("split"), col("seq_id"), col("n_tokens"),
+          element_at(col("token_ids"), 1).as("first_id"),
+          element_at(col("token_ids"), -1).as("last_id"),
+          expr("aggregate(token_ids, 0L, (a, x) -> a + x)").as("id_sum"))
+    }),
+
     // T5-style span-corruption masks (denoising-objective preprocessing):
     // one 3-token masked span per 20-token block (= 15% noise density,
     // mean span 3 — the T5 defaults), span starts drawn deterministically

@@ -2,7 +2,7 @@ package graft.operators
 
 import scala.collection.mutable
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Byte-pair-encoding tokenizer TRAINING and application (Sennrich et
@@ -98,25 +98,10 @@ object Bpe {
 
   /** Tokenize one word with the standard lowest-rank-first greedy loop:
     * repeatedly merge the present pair with the smallest merge rank
-    * until none applies. Returns the BPE token count. */
-  private[operators] def encodeWordLen(word: String, model: BpeModel): Int = {
-    var syms: Array[String] = word.map(_.toString).toArray :+ model.endMark
-    var done = false
-    while (!done && syms.length > 1) {
-      var bestRank = Int.MaxValue
-      var bestPair: (String, String) = null
-      var i = 0
-      while (i < syms.length - 1) {
-        val p = (syms(i), syms(i + 1))
-        val r = model.ranks.getOrElse(p, Int.MaxValue)
-        if (r < bestRank) { bestRank = r; bestPair = p }
-        i += 1
-      }
-      if (bestPair == null) done = true
-      else syms = mergePair(syms, bestPair._1, bestPair._2)
-    }
-    syms.length
-  }
+    * until none applies. Returns the BPE token count ([[encodeWord]]'s
+    * length — one greedy loop shared by count and sequence forms). */
+  private[operators] def encodeWordLen(word: String, model: BpeModel): Int =
+    encodeWord(word, model).length
 
   /** Per-doc BPE statistics under a trained model:
     * (doc_id, n_words, n_bpe_tokens) — the sizing signal (tokens per
@@ -141,5 +126,102 @@ object Bpe {
         }
       }
       .toDF(idCol, "n_words", "n_bpe_tokens")
+  }
+
+  /** FULL encode under a trained model: (doc_id, syms) where `syms` is
+    * the doc's BPE symbol sequence (words tokenized by the standard
+    * lowest-rank-first greedy loop, concatenated in order; the `</w>`
+    * end-mark rides the last symbol of each word as in [[train]]).
+    * Same per-partition word memo as [[tokenStats]] — Zipf makes the
+    * memo hit rate the dominant term, so encode is ~the cost of the
+    * word split for repeated vocabulary. */
+  def encodeTokens(docs: DataFrame, model: BpeModel,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    val bc = spark.sparkContext.broadcast(model)
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val m = bc.value
+        val memo = mutable.HashMap.empty[String, Array[String]]
+        it.map { case (id, text) =>
+          val ws = text.trim.split("\\s+").filter(_.nonEmpty)
+          (id, ws.flatMap(w => memo.getOrElseUpdate(w, encodeWord(w, m))))
+        }
+      }
+      .toDF(idCol, "syms")
+  }
+
+  /** [[encodeWordLen]]'s sequence form (shared greedy loop). */
+  private[operators] def encodeWord(word: String,
+      model: BpeModel): Array[String] = {
+    var syms: Array[String] = word.map(_.toString).toArray :+ model.endMark
+    var done = false
+    while (!done && syms.length > 1) {
+      var bestRank = Int.MaxValue
+      var bestPair: (String, String) = null
+      var i = 0
+      while (i < syms.length - 1) {
+        val p = (syms(i), syms(i + 1))
+        val r = model.ranks.getOrElse(p, Int.MaxValue)
+        if (r < bestRank) { bestRank = r; bestPair = p }
+        i += 1
+      }
+      if (bestPair == null) done = true
+      else syms = mergePair(syms, bestPair._1, bestPair._2)
+    }
+    syms
+  }
+
+  /** Deterministic token-id dictionary over an encoded corpus:
+    * (token, id, n) with ids dense from 0 in (count desc, token asc)
+    * order — assigned by the two-phase [[Ordinal]] zipWithIndex, never
+    * a single-partition window. The vocabulary table is the model
+    * artifact tokenizer exports ship as `vocab.json`. */
+  def vocabTable(encoded: DataFrame): DataFrame = {
+    val counts = encoded
+      .select(explode(col("syms")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+    Ordinal.withOrdinal(counts, "id", col("n").desc, col("token").asc)
+      .select(col("token"), col("id"), col("n"))
+  }
+
+  /** THE LAST MILE of the curation chain: raw docs → fixed-length
+    * token-ID training rows. Encode ([[encodeTokens]]) → dictionary ids
+    * (broadcast [[vocabTable]] join on the exploded tokens) → global
+    * token offsets per split (doc-level [[GroupedPrefixSum]], so a doc
+    * STRADDLES a sequence boundary exactly like production packing —
+    * no padding, no document loss) → one shuffle on (split, seq_id)
+    * assembling (split, seq_id, n_tokens, token_ids).
+    *
+    * Every sequence except each split's last has exactly `seqLen` ids.
+    * Scale shape: one explode (linear in tokens), the P×G-bounded
+    * prefix sum, one even group-by on dense sequence keys; the vocab
+    * broadcast is bounded by |merges| + alphabet by construction.
+    * Deterministic for a fixed (model, corpus, split): ids, order and
+    * straddles are pure functions of the data (spec-pinned, including
+    * partitioning invariance). */
+  def packSequences(docs: DataFrame, model: BpeModel, seqLen: Int,
+      splitExpr: Column, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(seqLen >= 1)
+    val enc = encodeTokens(docs, model, idCol, textCol)
+      .withColumn("split", splitExpr)
+      .withColumn("n_toks", size(col("syms")).cast("long"))
+    val offs = GroupedPrefixSum.runningSum(enc, "cum", "n_toks",
+      Seq("split"), Seq(col(idCol)))
+    val vocab = vocabTable(enc)
+    val tokRows = offs
+      .select(col("split"), (col("cum") - col("n_toks")).as("base"),
+        posexplode(col("syms")).as(Seq("pos", "token")))
+      .withColumn("off", col("base") + col("pos"))
+      .join(broadcast(vocab.select("token", "id")), Seq("token"))
+    tokRows
+      .groupBy(col("split"), floor(col("off") / seqLen).as("seq_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        expr("transform(array_sort(collect_list(struct(off, id))), x -> x.id)")
+          .as("token_ids"))
+      .select("split", "seq_id", "n_tokens", "token_ids")
   }
 }

@@ -89,4 +89,76 @@ class BpeSpec extends AnyFunSuite {
     assert(m.merges.head == ("c", "</w>"))
     assert(m.merges.forall { case (a, b) => !a.contains("z") && !b.contains("z") })
   }
+
+  test("encodeTokens emits the exact symbol sequences; vocabTable ids " +
+      "are dense (count desc, token asc)") {
+    import org.apache.spark.sql.functions._
+    val corpus = Seq((1L, "ab ab ab")).toDF("doc_id", "text")
+    val model = Bpe.train(corpus, numMerges = 10)
+    // trained: "ab" collapses to one symbol "ab</w>"
+    val enc = Bpe.encodeTokens(
+      Seq((1L, "ab ab"), (2L, "ab cd")).toDF("doc_id", "text"), model)
+    val byId = enc.collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(byId(1L) == Seq("ab</w>", "ab</w>"))
+    // unseen "cd": no merge applies → chars + end-mark
+    assert(byId(2L) == Seq("ab</w>", "c", "d", "</w>"))
+    val vocab = Bpe.vocabTable(enc).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // counts: ab</w> x3; </w>, c, d x1 each → id 0 = ab</w>, then
+    // lexicographic among the ties: "</w>" < "c" < "d"
+    assert(vocab("ab</w>") == ((0L, 3L)))
+    assert(vocab("</w>")._1 == 1L && vocab("c")._1 == 2L
+      && vocab("d")._1 == 3L)
+  }
+
+  test("packSequences: hand-checked straddle, exact seqLen everywhere " +
+      "but each split's tail, ids decode back, partitioning-invariant") {
+    import org.apache.spark.sql.functions._
+    val corpus = Seq((1L, "ab ab ab")).toDF("doc_id", "text")
+    val model = Bpe.train(corpus, numMerges = 10) // "ab" → 1 token
+    // docs of 2, 2, 3 "ab"-tokens in one split: token stream length 7,
+    // seqLen 3 → sequences of 3, 3, 1; doc 3 (3 tokens at offsets 4-6)
+    // STRADDLES sequences 1 and 2
+    val docs = Seq(
+      (1L, "ab ab"), (2L, "ab ab"), (3L, "ab ab ab"))
+      .toDF("doc_id", "text")
+    val out = Bpe.packSequences(docs, model, seqLen = 3, lit("train"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getSeq[Long](3)))
+      .sortBy(t => (t._1, t._2))
+    // single token type → every id is 0; the shape is the assertion
+    assert(out.map(t => (t._1, t._2, t._3)).toSeq ==
+      Seq(("train", 0L, 3L), ("train", 1L, 3L), ("train", 2L, 1L)))
+    assert(out.flatMap(_._4).forall(_ == 0L))
+
+    // two-split corpus on real text: every non-tail sequence is exactly
+    // seqLen, totals conserve, and a 7-way repartition changes nothing
+    val d2 = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").filter(col("doc_id") < 60)
+    val m2 = Bpe.train(d2, numMerges = 30)
+    val split = when(pmod(col("doc_id"), lit(2)) === 0, "train")
+      .otherwise("val")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Bpe.packSequences(df, m2, seqLen = 128, split).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getSeq[Long](3)))
+    val a = run(d2)
+    a.groupBy(_._1).foreach { case (sp, seqs) =>
+      val tail = seqs.maxBy(_._2)
+      seqs.foreach { case (_, sid, n, ids) =>
+        assert(n == ids.length)
+        if (sid != tail._2) assert(n == 128L, s"$sp seq $sid has $n")
+      }
+      // conservation: Σ sequence tokens == Σ doc tokens of the split
+      val want = Bpe.tokenStats(d2.filter(split === sp), m2)
+        .agg(sum("n_bpe_tokens")).first().getLong(0)
+      assert(seqs.map(_._3).sum == want, s"$sp token conservation")
+    }
+    val b = run(d2.repartition(7))
+    assert(a.map(t => (t._1, t._2, t._3, t._4)).toSet ==
+      b.map(t => (t._1, t._2, t._3, t._4)).toSet,
+      "packing must be partitioning-invariant")
+  }
 }
