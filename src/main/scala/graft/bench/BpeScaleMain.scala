@@ -48,6 +48,30 @@ object BpeScaleMain {
     val (w, t) = (agg.getLong(0), agg.getLong(1))
     println(f"BPE-SCALE apply wall=$applyS%.1fs rate=${n / applyS}%.0f docs/s " +
       f"words=$w bpe_tokens=$t tokens_per_word=${t.toDouble / w}%.2f")
+
+    // the LAST MILE at scale: full encode → vocab ids → straddle-packed
+    // 2048-token training sequences; conservation asserted against the
+    // tokenStats total above (any drop/dup in the explode-pack shuffle
+    // would break the exact integer equality)
+    val t2 = System.nanoTime()
+    val split = org.apache.spark.sql.functions.when(
+      org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.lit(10)) < 8, "train")
+      .otherwise("heldout")
+    val seqs = Bpe.packSequences(docs, model, seqLen = 2048, split)
+      .groupBy("split")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("seqs"),
+        org.apache.spark.sql.functions.sum("n_tokens").as("toks"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val packS = (System.nanoTime() - t2) / 1e9
+    val packed = seqs.map(_._3).sum
+    println(f"BPE-SCALE pack wall=$packS%.1fs rate=${n / packS}%.0f docs/s " +
+      f"(${t / packS}%.0f tokens/s) " +
+      seqs.map { case (s, c, tk) => s"$s:${c}seq/${tk}t" }.mkString(" "))
+    require(packed == t,
+      s"token conservation: packed $packed != encoded $t")
     spark.stop()
   }
 }
