@@ -290,4 +290,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "confirm join must stay an equi-join on the shingle key")
   }
+
+  test("bpe_pack_sequences: vocab join broadcast, no cartesian, no " +
+      "single-partition window anywhere in the pack plan") {
+    val p = plan("bpe_pack_sequences")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the bounded vocab dictionary must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"), "no all-pairs shapes")
+    // the global offsets come from the two-phase GroupedPrefixSum; a
+    // `Window` whose partition spec is the split column would be the
+    // one-task funnel the operator exists to avoid
+    assert(!p.contains("Window [sum"),
+      s"running sum must be the two-phase kernel, not a window:\n$p")
+  }
 }
