@@ -162,6 +162,31 @@ object CurationPipelineMain {
             .as("pack_id"))
     }
 
+    // ---- 7. the LAST MILE: train BPE on the survivors, pack their
+    // clean text into fixed-length token-ID training sequences (docs
+    // straddle boundaries; token conservation asserted inside
+    // packSequences' consumers below via the packs printout)
+    val (d7, n7) = stage("s7_tokenize_pack", n6) {
+      val surv = d6.select("doc_id", "split")
+        .join(spark.read.parquet(s"$tmp/s3_trim")
+          .select("doc_id", "clean_text"), Seq("doc_id"))
+      val bpe = graft.operators.Bpe.train(
+        surv.select(col("doc_id"), col("clean_text").as("text")),
+        numMerges = 500)
+      graft.operators.Bpe.packSequences(
+          surv.select(col("doc_id"), col("split"),
+            col("clean_text").as("text")),
+          bpe, seqLen = 2048, splitExpr = col("split"))
+        .select(col("split"), col("seq_id"), col("n_tokens"),
+          element_at(col("token_ids"), 1).as("first_id"),
+          element_at(col("token_ids"), -1).as("last_id"))
+    }
+    val seqStats = d7.groupBy("split")
+      .agg(count(lit(1)).as("seqs"), sum("n_tokens").as("toks"))
+      .collect().map(r =>
+        s"${r.getString(0)}:${r.getLong(1)}seq/${r.getLong(2)}t")
+    println(s"CURPIPE sequences ${seqStats.mkString(" ")} (n7=$n7)")
+
     // ---- planted-truth checks --------------------------------------
     // exact dedup must have dropped every %100==1 twin (~1%), fuzzy
     // every %100==2 twin (~1%) — a selectivity that misses means a

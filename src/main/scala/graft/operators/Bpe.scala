@@ -206,8 +206,26 @@ object Bpe {
       splitExpr: Column, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     require(seqLen >= 1)
-    val enc = encodeTokens(docs, model, idCol, textCol)
-      .withColumn("split", splitExpr)
+    // splitExpr evaluates over the CALLER's columns (it may reference
+    // fields encode drops), so it is materialized before the encode
+    // projection and joined back through the (id, split) pair
+    val spark = docs.sparkSession
+    val bc = spark.sparkContext.broadcast(model)
+    import spark.implicits._
+    val enc = docs
+      .select(col(idCol).cast("long"), splitExpr.cast("string"),
+        col(textCol))
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        val m = bc.value
+        val memo = mutable.HashMap.empty[String, Array[String]]
+        it.map { case (id, sp, text) =>
+          val ws = text.trim.split("\\s+").filter(_.nonEmpty)
+          (id, sp,
+            ws.flatMap(w => memo.getOrElseUpdate(w, encodeWord(w, m))))
+        }
+      }
+      .toDF(idCol, "split", "syms")
       .withColumn("n_toks", size(col("syms")).cast("long"))
     val offs = GroupedPrefixSum.runningSum(enc, "cum", "n_toks",
       Seq("split"), Seq(col(idCol)))

@@ -160,5 +160,17 @@ class BpeSpec extends AnyFunSuite {
     assert(a.map(t => (t._1, t._2, t._3, t._4)).toSet ==
       b.map(t => (t._1, t._2, t._3, t._4)).toSet,
       "packing must be partitioning-invariant")
+
+    // splitExpr referencing a CALLER column (dropped by the encode
+    // projection) must still evaluate — the chain hands in its own
+    // split assignment as a plain column
+    val withCol = d2.withColumn("my_split",
+      when(pmod(col("doc_id"), lit(2)) === 0, "train").otherwise("val"))
+    val c = Bpe.packSequences(withCol, m2, seqLen = 128, col("my_split"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getSeq[Long](3)))
+    assert(c.map(t => (t._1, t._2, t._3, t._4)).toSet ==
+      a.map(t => (t._1, t._2, t._3, t._4)).toSet,
+      "column-based split must equal the expression-based split")
   }
 }
