@@ -112,10 +112,16 @@ class StoreDescribeSpec extends AnyFunSuite {
     assert(r2.getAs[Long]("epochs") == 1L)
     assert(r2.getAs[Long]("deleted_rows") == 0L)
     assert(!r2.getAs[Boolean]("needs_compaction"))
-    // the fleet-dashboard contract: one schema across store kinds
+    // the fleet-dashboard contract: one schema across store kinds —
+    // including the rabitq code family, whose describe row must carry
+    // the family and the rotation seed the layout rebuilds from
     val bqPath = java.nio.file.Files
       .createTempDirectory("descbq2").toString + "/idx"
-    IncrementalBqIndex.build(emb, bqPath, numCells = 4)
+    IncrementalBqIndex.build(emb, bqPath, numCells = 4, family = "rabitq")
+    val rq = row(IncrementalBqIndex.describe(spark, bqPath))
+    assert(rq.getAs[String]("family") == "rabitq")
+    assert(rq.getAs[String]("detail").contains("rot_seed=")
+      && rq.getAs[String]("detail").contains("residual=true"))
     val union = IncrementalBqIndex.describe(spark, bqPath)
       .unionByName(ImageDup.describe(spark, path))
     assert(union.count() == 2L)
