@@ -898,7 +898,8 @@ object TextQueries {
         (split_ < 8).cast("string").as("is_train"),
         size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
       graft.operators.GroupedPrefixSum.runningSum(base,
-          "cum_tokens", "n_tokens", Seq("is_train"), Seq(col("doc_id")))
+          "cum_tokens", "n_tokens", Seq("is_train"), Seq(col("doc_id")),
+          uniqueKeyCols = Seq("is_train", "doc_id"))
         .withColumn("pack_id",
           floor((col("cum_tokens") - col("n_tokens")) / 512).cast("long"))
         .select("doc_id", "is_train", "n_tokens", "cum_tokens", "pack_id")
@@ -980,7 +981,8 @@ object TextQueries {
           .when(col("cb") === 8, "val").otherwise("test"))
         .select("doc_id", "cluster_id", "split", "n_kept", "logit")
       graft.operators.GroupedPrefixSum.runningSum(splitDf,
-          "cum", "n_kept", Seq("split"), Seq(col("doc_id")))
+          "cum", "n_kept", Seq("split"), Seq(col("doc_id")),
+          uniqueKeyCols = Seq("split", "doc_id"))
         .select(col("doc_id"), col("cluster_id"), col("split"),
           col("n_kept"), col("logit"),
           floor((col("cum") - col("n_kept")) / 512.0).cast("long")

@@ -155,7 +155,8 @@ object CurationPipelineMain {
         .withColumn("split", when(col("cb") < 8, "train")
           .when(col("cb") === 8, "val").otherwise("test"))
       graft.operators.GroupedPrefixSum.runningSum(splitDf,
-          "cum", "n_kept", Seq("split"), Seq(col("doc_id")))
+          "cum", "n_kept", Seq("split"), Seq(col("doc_id")),
+          uniqueKeyCols = Seq("split", "doc_id"))
         .select(col("doc_id"), col("cluster_id"), col("split"),
           col("n_kept"), col("logit"), col("bucket"),
           floor((col("cum") - col("n_kept")) / 512.0).cast("long")

@@ -198,10 +198,18 @@ object Bpe {
     * Every sequence except each split's last has exactly `seqLen` ids.
     * Scale shape: one explode (linear in tokens), the P×G-bounded
     * prefix sum, one even group-by on dense sequence keys; the vocab
-    * broadcast is bounded by |merges| + alphabet by construction.
-    * Deterministic for a fixed (model, corpus, split): ids, order and
-    * straddles are pure functions of the data (spec-pinned, including
-    * partitioning invariance). */
+    * broadcast is bounded by |merges| + alphabet by construction. The
+    * corpus is ENCODED EXACTLY ONCE: the prefix sum's eager totals job
+    * writes the range-sort shuffle, and both downstream lineages (the
+    * token explode AND the vocabulary aggregation) derive from the same
+    * post-sort RDD, so every later job reuses that shuffle output
+    * (skipped stages) instead of re-running the encode.
+    *
+    * PRECONDITION: `idCol` must be unique per row within each split
+    * (the prefix sum needs a total order — enforced, throws on
+    * duplicates). Deterministic for a fixed (model, corpus, split):
+    * ids, order and straddles are pure functions of the data
+    * (spec-pinned, including partitioning invariance). */
   def packSequences(docs: DataFrame, model: BpeModel, seqLen: Int,
       splitExpr: Column, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
@@ -228,15 +236,19 @@ object Bpe {
       .toDF(idCol, "split", "syms")
       .withColumn("n_toks", size(col("syms")).cast("long"))
     val offs = GroupedPrefixSum.runningSum(enc, "cum", "n_toks",
-      Seq("split"), Seq(col(idCol)))
-    val vocab = vocabTable(enc)
+      Seq("split"), Seq(col(idCol)), uniqueKeyCols = Seq("split", idCol))
+    // vocab from the POST-SORT frame, not `enc`: same rows, but the
+    // lineage shares the prefix sum's shuffle output, so the encode
+    // mapPartitions is never re-executed for the dictionary build
+    val vocab = vocabTable(offs)
     val tokRows = offs
       .select(col("split"), (col("cum") - col("n_toks")).as("base"),
         posexplode(col("syms")).as(Seq("pos", "token")))
       .withColumn("off", col("base") + col("pos"))
       .join(broadcast(vocab.select("token", "id")), Seq("token"))
     tokRows
-      .groupBy(col("split"), floor(col("off") / seqLen).as("seq_id"))
+      // integral DIV, not floor(double /): exact past 2^53 tokens/split
+      .groupBy(col("split"), expr(s"off DIV ${seqLen}L").as("seq_id"))
       .agg(count(lit(1)).as("n_tokens"),
         expr("transform(array_sort(collect_list(struct(off, id))), x -> x.id)")
           .as("token_ids"))

@@ -104,8 +104,33 @@ object Dsir {
       buckets: Int = 1024): DataFrame = {
     val t = mat(df, toksCol, "__gb_toks")
     val g = mat(t, expr(gramsSql("__gb_toks")), "__gb_grams")
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(bucketMetaKey, buckets.toLong).build()
     mat(g, expr(bucketsSql("__gb_grams", buckets)), outCol)
       .drop("__gb_toks", "__gb_grams")
+      .withColumn(outCol, col(outCol).as(outCol, meta))
+  }
+
+  /** Column-metadata key recording the modulus a stored gram-bucket
+    * array was hashed with. [[withGramBuckets]] stamps it (it survives
+    * projections and parquet round-trips), and the precomputed-`bs`
+    * entry points ([[scoreGrams]], [[PplFilter.fitGrams]],
+    * [[PplFilter.scoreGrams]]) verify it against the model — a modulus
+    * mismatch would otherwise silently route out-of-range buckets to
+    * the smoothed default λ/log-p instead of failing. */
+  private[operators] val bucketMetaKey = "graft.gram_buckets"
+
+  /** Throws if `bs` carries a [[bucketMetaKey]] stamp that differs from
+    * `buckets`; arrays without the stamp (hand-built frames) pass — the
+    * invariant is then the caller's documented responsibility. */
+  private[operators] def requireBucketMeta(g: DataFrame,
+      buckets: Int): Unit = {
+    val m = g.schema("bs").metadata
+    if (m.contains(bucketMetaKey))
+      require(m.getLong(bucketMetaKey) == buckets.toLong,
+        s"gram-bucket modulus mismatch: the bs column was bucketed with " +
+          s"${m.getLong(bucketMetaKey)} buckets but the model expects " +
+          s"$buckets — refit or re-bucket")
   }
 
   /** A fitted DSIR model: the fixed-point λ log-ratio per observed
@@ -152,9 +177,13 @@ object Dsir {
 
   /** [[score]] from a PRECOMPUTED gram-bucket frame with a `bs` column
     * (tokenize-once handoff — produce it upstream with
-    * [[withGramBuckets]]): a pure integer fold, zero split/md5 here. */
-  def scoreGrams(g: DataFrame, model: DsirModel): DataFrame =
+    * [[withGramBuckets]]): a pure integer fold, zero split/md5 here.
+    * `bs` must have been bucketed with `model.buckets` — checked via
+    * the [[bucketMetaKey]] column-metadata stamp when present. */
+  def scoreGrams(g: DataFrame, model: DsirModel): DataFrame = {
+    requireBucketMeta(g, model.buckets)
     scoreOnGrams(g, model)
+  }
 
   private def scoreOnGrams(g: DataFrame, model: DsirModel): DataFrame = {
     val lam = typedLit(model.lam)

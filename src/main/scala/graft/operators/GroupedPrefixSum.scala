@@ -42,9 +42,19 @@ object GroupedPrefixSum {
 
   /** `df` plus a long `outCol` = running sum of `valueCol` within each
     * `groupCols` group following `orderCols` order. `valueCol` must be
-    * LongType. */
+    * LongType.
+    *
+    * `uniqueKeyCols` (optional): NAMED columns that together must form a
+    * unique key per row (normally the group + order columns). When
+    * provided, the totals pass verifies the total-order precondition
+    * EXACTLY and for free: after the range sort duplicates are globally
+    * adjacent, so a per-partition adjacency check plus a driver-side
+    * partition-boundary check catches every duplicate without an extra
+    * job — and the operator throws instead of silently producing
+    * layout-dependent sums. Scalar key columns only. */
   def runningSum(df: DataFrame, outCol: String, valueCol: String,
-      groupCols: Seq[String], orderCols: Seq[Column]): DataFrame = {
+      groupCols: Seq[String], orderCols: Seq[Column],
+      uniqueKeyCols: Seq[String] = Nil): DataFrame = {
     require(groupCols.nonEmpty, "grouped running sum needs group keys")
     require(orderCols.nonEmpty, "grouped running sum needs an order key")
     val spark = df.sparkSession
@@ -54,17 +64,47 @@ object GroupedPrefixSum {
     val schema = sorted.schema.add(outCol, LongType, nullable = false)
     val gIdx = groupCols.map(sorted.schema.fieldIndex).toArray
     val vIdx = sorted.schema.fieldIndex(valueCol)
+    val uIdx = uniqueKeyCols.map(sorted.schema.fieldIndex).toArray
     val rdd = sorted.rdd // ONE RDD instance: both jobs share the sort shuffle
-    // pass 1: per-(partition, group) totals — G longs per partition
-    val partials: Array[Seq[(Seq[Any], Long)]] = rdd
+    // pass 1: per-(partition, group) totals — G longs per partition —
+    // plus, when a unique key is declared, the adjacency duplicate flag
+    // and the partition's first/last key for the boundary check
+    val collected = rdd
       .mapPartitionsWithIndex { (pid, it) =>
         val m = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], Long]
+        var dup = false
+        var firstKey: Seq[Any] = null
+        var prevKey: Seq[Any] = null
         it.foreach { row =>
           val k = gIdx.map(row.get).toSeq
           m.update(k, m.getOrElse(k, 0L) + row.getLong(vIdx))
+          if (uIdx.nonEmpty) {
+            val u = uIdx.map(row.get).toSeq
+            if (firstKey == null) firstKey = u
+            else if (u == prevKey) dup = true
+            prevKey = u
+          }
         }
-        Iterator.single((pid, m.toSeq))
-      }.collect().sortBy(_._1).map(_._2)
+        Iterator.single((pid, m.toSeq, dup, Option(firstKey), Option(prevKey)))
+      }.collect().sortBy(_._1)
+    if (uIdx.nonEmpty) {
+      require(!collected.exists(_._3),
+        s"runningSum: duplicate (${uniqueKeyCols.mkString(", ")}) key — " +
+          "the grouped prefix sum requires a total order; results would " +
+          "be partition-layout-dependent")
+      // boundary check: last key of partition p vs first key of the next
+      // non-empty partition
+      val bounds = collected.flatMap(p => p._4.map(f => (f, p._5.get)))
+      bounds.sliding(2).foreach {
+        case Array((_, last), (first, _)) =>
+          require(last != first,
+            s"runningSum: duplicate (${uniqueKeyCols.mkString(", ")}) key " +
+              "across a partition boundary — the grouped prefix sum " +
+              "requires a total order")
+        case _ => ()
+      }
+    }
+    val partials: Array[Seq[(Seq[Any], Long)]] = collected.map(_._2)
     // driver: base offset for (partition p, group g) = sum of g's totals in
     // partitions < p
     val running = scala.collection.mutable.Map.empty[Seq[Any], Long]

@@ -213,15 +213,19 @@ object ImageDup {
   }
 
   /** One-row store observability ([[StoreDescription]] contract,
-    * VERDICT r10 #7): live band rows, distinct deleted media ids,
-    * epoch directories, bytes on disk, the compaction trigger
-    * evaluated (pending deletes or epoch spread — the anti-join and
-    * per-epoch file listing both grow with them). No trained
-    * quantizer → `growth_since_fit` is None. Reads route through
-    * [[bands]], so a crashed compact self-heals before counting. */
+    * VERDICT r10 #7): live and deleted counts BOTH in distinct media
+    * ids — the unit every store kind reports (TextIndex docs,
+    * IncrementalBq vectors), so fleet-dashboard ratios like
+    * deleted/live compare like with like; the band fan-out (4 rows per
+    * media) is stated in `detail`. Epoch directories, bytes on disk,
+    * the compaction trigger evaluated (pending deletes or epoch spread
+    * — the anti-join and per-epoch file listing both grow with them).
+    * No trained quantizer → `growth_since_fit` is None. Reads route
+    * through [[bands]], so a crashed compact self-heals before
+    * counting. */
   def describe(spark: org.apache.spark.sql.SparkSession, path: String,
       epochFactor: Long = 8): org.apache.spark.sql.DataFrame = {
-    val live = bands(spark, path).count()
+    val live = bands(spark, path).select("media_id").distinct().count()
     val del = new org.apache.hadoop.fs.Path(s"$path/deletes")
     val fs = del.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val deleted =

@@ -90,16 +90,23 @@ object PplFilter {
 
   /** [[fit]] from a PRECOMPUTED gram-bucket frame with a `bs` column
     * (rows = the target corpus; produce `bs` once upstream with
-    * [[Dsir.withGramBuckets]]) — zero tokenize/md5 work here. */
-  def fitGrams(g: DataFrame, buckets: Int = 1024): PplModel =
+    * [[Dsir.withGramBuckets]]) — zero tokenize/md5 work here. `bs` must
+    * have been bucketed with this `buckets` modulus (checked via the
+    * [[Dsir.bucketMetaKey]] metadata stamp when present). */
+  def fitGrams(g: DataFrame, buckets: Int = 1024): PplModel = {
+    Dsir.requireBucketMeta(g, buckets)
     fitOnGrams(g, buckets)
+  }
 
   /** [[score]] from a PRECOMPUTED gram-bucket frame with a `bs` column —
     * the deepest handoff: the md5 gram pass ran at an earlier stage and
     * this is a pure integer fold over the stored array (0.42x the
-    * re-split-and-hash wall, TokenHandoffBenchMain medians at 2M). */
-  def scoreGrams(g: DataFrame, model: PplModel): DataFrame =
+    * re-split-and-hash wall, TokenHandoffBenchMain medians at 2M).
+    * `bs` must match `model.buckets` (metadata-stamp checked). */
+  def scoreGrams(g: DataFrame, model: PplModel): DataFrame = {
+    Dsir.requireBucketMeta(g, model.buckets)
     scoreOnGrams(g, model)
+  }
 
   private def scoreOnGrams(g: DataFrame, model: PplModel): DataFrame = {
     val lp = typedLit(model.logp)

@@ -1289,4 +1289,30 @@ class OperatorsSpec extends AnyFunSuite {
       GroupedPrefixSum.runningSum(bad, "cum", "v", Seq("grp"), Seq(col("id")))
     }
   }
+
+  test("grouped prefix sum: declared unique key is enforced — duplicates " +
+      "throw instead of producing layout-dependent sums") {
+    import graft.operators.GroupedPrefixSum
+    val df = spark.range(0, 1000).select(
+        col("id"),
+        (pmod(col("id"), lit(2))).cast("string").as("grp"),
+        lit(1L).as("v"))
+      .repartition(7)
+    // unique key holds → identical result with and without the guard
+    val guarded = GroupedPrefixSum.runningSum(df, "cum", "v",
+      Seq("grp"), Seq(col("id")), uniqueKeyCols = Seq("grp", "id"))
+      .select("id", "cum").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val plain = GroupedPrefixSum.runningSum(df, "cum", "v",
+      Seq("grp"), Seq(col("id")))
+      .select("id", "cum").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(guarded.toSet == plain.toSet)
+    // duplicate (grp, id) rows — many, so they land both inside
+    // partitions and across sorted-partition boundaries — must throw
+    val dup = df.union(df.limit(400)).repartition(5)
+    val e = intercept[IllegalArgumentException] {
+      GroupedPrefixSum.runningSum(dup, "cum", "v",
+        Seq("grp"), Seq(col("id")), uniqueKeyCols = Seq("grp", "id"))
+    }
+    assert(e.getMessage.contains("duplicate"))
+  }
 }

@@ -173,4 +173,17 @@ class BpeSpec extends AnyFunSuite {
       a.map(t => (t._1, t._2, t._3, t._4)).toSet,
       "column-based split must equal the expression-based split")
   }
+
+  test("packSequences: duplicate doc_ids violate the total-order " +
+      "precondition and throw instead of packing layout-dependently") {
+    import org.apache.spark.sql.functions._
+    val corpus = Seq((1L, "ab ab ab")).toDF("doc_id", "text")
+    val model = Bpe.train(corpus, numMerges = 10)
+    val dup = Seq((1L, "ab ab"), (1L, "ab ab"), (2L, "ab"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Bpe.packSequences(dup, model, seqLen = 3, lit("train"))
+    }
+    assert(e.getMessage.contains("duplicate"))
+  }
 }

@@ -156,6 +156,30 @@ class PplFilterSpec extends AnyFunSuite {
     val sGrams = PplFilter.scoreGrams(withBs, mText).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(sGrams == sText)
+
+    // the modulus stamp travels with the column (projections AND a
+    // parquet round-trip) and a mismatched model is rejected instead of
+    // silently defaulting out-of-range buckets
+    val p = java.nio.file.Files.createTempDirectory("gbmeta").toString
+    withBs.select("doc_id", "bs").write
+      .mode("overwrite").parquet(p)
+    val rt = spark.read.parquet(p)
+    val sRt = PplFilter.scoreGrams(rt, mText).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(sRt == sText)
+    val m512 = PplFilter.fit(
+      docs.filter(col("source").isin("src0", "src1")), buckets = 512)
+    val e = intercept[IllegalArgumentException] {
+      PplFilter.scoreGrams(rt, m512)
+    }
+    assert(e.getMessage.contains("modulus mismatch"))
+    intercept[IllegalArgumentException] {
+      PplFilter.fitGrams(rt, buckets = 512)
+    }
+    intercept[IllegalArgumentException] {
+      Dsir.scoreGrams(rt, Dsir.fit(
+        docs, col("source").isin("src0", "src1"), buckets = 512))
+    }
   }
 
   test("tokenize-once handoff: fitToks/scoreToks on a carried token " +

@@ -103,7 +103,9 @@ class StoreDescribeSpec extends AnyFunSuite {
     ImageDup.remove(Seq(0L, 1L).toDF("media_id"), path)
     val r = row(ImageDup.describe(spark, path))
     assert(r.getAs[String]("store_kind") == "image_dup")
-    assert(r.getAs[Long]("live_rows") == 8L * 4) // 4 bands per image
+    // distinct media ids — the same unit the other store kinds report
+    // (the 4-band fan-out is a layout detail, stated in `detail`)
+    assert(r.getAs[Long]("live_rows") == 8L)
     assert(r.getAs[Long]("deleted_rows") == 2L)
     assert(r.getAs[Long]("epochs") == 2L)
     assert(r.getAs[Boolean]("needs_compaction"))
