@@ -209,18 +209,45 @@ object Bpe {
     * (the prefix sum needs a total order — enforced, throws on
     * duplicates). Deterministic for a fixed (model, corpus, split):
     * ids, order and straddles are pure functions of the data
-    * (spec-pinned, including partitioning invariance). */
+    * (spec-pinned, including partitioning invariance).
+    *
+    * Each sequence also carries `doc_spans: array<struct<doc_id, start,
+    * len>>` — the PROVENANCE of its tokens: which doc contributed the
+    * ids at positions [start, start+len), spans sorted by start and
+    * tiling [0, n_tokens) exactly. Production training needs these for
+    * attention resets at doc boundaries, per-doc loss masks, and
+    * decontamination audits of a shipped sequence file. */
   def packSequences(docs: DataFrame, model: BpeModel, seqLen: Int,
       splitExpr: Column, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    require(seqLen >= 1)
-    // splitExpr evaluates over the CALLER's columns (it may reference
-    // fields encode drops), so it is materialized before the encode
-    // projection and joined back through the (id, split) pair
+      textCol: String = "text"): DataFrame =
+    packSyms(encodeForPack(docs, model, splitExpr, idCol, textCol),
+      seqLen, idCol)
+
+  /** [[packSequences]]' back half over a PRE-TOKENIZED corpus: `toksCol`
+    * is the doc's token array (any tokenizer — carried BPE symbols, a
+    * whitespace split, an external model's pieces). Dictionary ids,
+    * offsets, straddles and assembly are identical to the BPE path;
+    * only the encode is skipped. Unlike the iterative BPE front, every
+    * step here is relational (prefix sum + floor arithmetic), so this
+    * form is SQL-oracle-checkable end to end. */
+  def packTokens(docs: DataFrame, seqLen: Int, splitExpr: Column,
+      toksCol: Column, idCol: String = "doc_id"): DataFrame = {
+    val enc = docs
+      .select(col(idCol).cast("long").as(idCol),
+        splitExpr.cast("string").as("split"), toksCol.as("syms"))
+      .withColumn("n_toks", size(col("syms")).cast("long"))
+    packSyms(enc, seqLen, idCol)
+  }
+
+  /** The shared encode front: (idCol, split, syms, n_toks). `splitExpr`
+    * evaluates over the CALLER's columns (it may reference fields the
+    * encode projection drops), so it is materialized before the encode. */
+  private def encodeForPack(docs: DataFrame, model: BpeModel,
+      splitExpr: Column, idCol: String, textCol: String): DataFrame = {
     val spark = docs.sparkSession
     val bc = spark.sparkContext.broadcast(model)
     import spark.implicits._
-    val enc = docs
+    docs
       .select(col(idCol).cast("long"), splitExpr.cast("string"),
         col(textCol))
       .as[(Long, String, String)]
@@ -235,6 +262,13 @@ object Bpe {
       }
       .toDF(idCol, "split", "syms")
       .withColumn("n_toks", size(col("syms")).cast("long"))
+  }
+
+  /** The shared pack back half: (idCol, split, syms, n_toks) →
+    * (split, seq_id, n_tokens, token_ids, doc_spans). */
+  private def packSyms(enc: DataFrame, seqLen: Int,
+      idCol: String): DataFrame = {
+    require(seqLen >= 1)
     val offs = GroupedPrefixSum.runningSum(enc, "cum", "n_toks",
       Seq("split"), Seq(col(idCol)), uniqueKeyCols = Seq("split", idCol))
     // vocab from the POST-SORT frame, not `enc`: same rows, but the
@@ -246,12 +280,155 @@ object Bpe {
         posexplode(col("syms")).as(Seq("pos", "token")))
       .withColumn("off", col("base") + col("pos"))
       .join(broadcast(vocab.select("token", "id")), Seq("token"))
-    tokRows
+    val seqs = tokRows
       // integral DIV, not floor(double /): exact past 2^53 tokens/split
       .groupBy(col("split"), expr(s"off DIV ${seqLen}L").as("seq_id"))
       .agg(count(lit(1)).as("n_tokens"),
         expr("transform(array_sort(collect_list(struct(off, id))), x -> x.id)")
           .as("token_ids"))
-      .select("split", "seq_id", "n_tokens", "token_ids")
+    // provenance spans from the DOC-level frame: doc [base, cum) meets
+    // sequence s for s in [base DIV L, (cum-1) DIV L] — fan-out is one
+    // row per (doc, sequence) intersection, ~n_docs + n_seqs rows total,
+    // so the extra aggregation + dense-key join stay linear and even
+    val spans = offs.filter(col("n_toks") > 0)
+      .select(col("split"), col(idCol),
+        (col("cum") - col("n_toks")).as("base"), col("cum"))
+      .select(col("split"), col(idCol), col("base"), col("cum"),
+        explode(expr(s"sequence(base DIV ${seqLen}L, (cum - 1) DIV ${seqLen}L)"))
+          .as("seq_id"))
+      .select(col("split"), col("seq_id"),
+        greatest(col("base") - col("seq_id") * seqLen, lit(0L))
+          .cast("int").as("start"),
+        (least(col("cum"), (col("seq_id") + 1) * seqLen)
+          - greatest(col("base"), col("seq_id") * seqLen))
+          .cast("int").as("len"),
+        col(idCol).cast("long").as("span_doc"))
+      .groupBy("split", "seq_id")
+      .agg(expr("transform(array_sort(collect_list(struct(start, span_doc, len))), " +
+        "x -> struct(x.span_doc as doc_id, x.start as start, x.len as len))")
+        .as("doc_spans"))
+    seqs.join(spans, Seq("split", "seq_id"))
+      .select("split", "seq_id", "n_tokens", "token_ids", "doc_spans")
+  }
+
+  /** The NO-STRADDLE mode: one padded sequence per document (the
+    * fine-tuning layout — one example per row, padded to `seqLen`,
+    * truncated if longer). `seq_id` is dense per split in `idCol`
+    * order (the same prefix-sum kernel, value 1 per doc); `n_tokens`
+    * is the REAL (pre-pad, post-truncate) length, so the loss mask is
+    * `position < n_tokens`; `doc_spans` is the single doc's span.
+    * `padId` must not collide with a dictionary id (ids are dense from
+    * 0, so the -1 default never does). */
+  def packSequencesPadded(docs: DataFrame, model: BpeModel, seqLen: Int,
+      splitExpr: Column, padId: Long = -1L, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(seqLen >= 1)
+    val enc = encodeForPack(docs, model, splitExpr, idCol, textCol)
+    val offs = GroupedPrefixSum.runningSum(
+      enc.withColumn("one", lit(1L)), "cum", "one",
+      Seq("split"), Seq(col(idCol)), uniqueKeyCols = Seq("split", idCol))
+    val vocab = vocabTable(offs)
+    val withIds = offs
+      .select(col("split"), (col("cum") - 1).as("seq_id"),
+        col(idCol).cast("long").as("span_doc"),
+        posexplode(col("syms")).as(Seq("pos", "token")))
+      .filter(col("pos") < seqLen) // truncate before the shuffle
+      .join(broadcast(vocab.select("token", "id")), Seq("token"))
+      .groupBy("split", "seq_id")
+      .agg(first(col("span_doc")).as("span_doc"),
+        count(lit(1)).cast("long").as("n_tokens"),
+        expr("transform(array_sort(collect_list(struct(pos, id))), x -> x.id)")
+          .as("ids"))
+    withIds.select(col("split"), col("seq_id"), col("n_tokens"),
+      concat(col("ids"),
+        array_repeat(lit(padId), (lit(seqLen) - size(col("ids"))).cast("int")))
+        .as("token_ids"),
+      array(struct(col("span_doc").as("doc_id"),
+        lit(0).as("start"), col("n_tokens").cast("int").as("len")))
+        .as("doc_spans"))
+  }
+
+  /** Write the dictionary as the single `vocab.json` artifact tokenizer
+    * exports ship: one JSON object, token → dense id, id order. The
+    * vocabulary is bounded by |merges| + alphabet by construction, so
+    * the driver-side collect is the right layout (one file, not a
+    * parquet directory). */
+  def saveVocab(vocab: DataFrame, path: String): Unit = {
+    import org.json4s.JsonAST.{JInt, JObject}
+    val rows = vocab.select("token", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._2)
+    writeString(vocab.sparkSession, path,
+      org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods
+        .render(JObject(rows.toList.map { case (t, i) => t -> JInt(i) }))))
+  }
+
+  /** Read a [[saveVocab]] artifact back as a (token, id) frame. */
+  def loadVocab(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    import org.json4s.JsonAST.{JInt, JObject}
+    import spark.implicits._
+    org.json4s.jackson.JsonMethods.parse(readString(spark, path)) match {
+      case JObject(fields) =>
+        fields.map { case (t, v) => (t, v.asInstanceOf[JInt].num.toLong) }
+          .toDF("token", "id")
+      case other => throw new IllegalArgumentException(
+        s"$path is not a vocab.json object: ${other.getClass.getSimpleName}")
+    }
+  }
+
+  /** Write the trained model (merge list + end mark — the `merges.txt`
+    * analog) as one JSON file; [[loadModel]] round-trips it so a
+    * tokenizer trained once is reusable across sessions/clusters. */
+  def saveModel(spark: org.apache.spark.sql.SparkSession, model: BpeModel,
+      path: String): Unit = {
+    import org.json4s.JsonAST.{JArray, JObject, JString}
+    writeString(spark, path,
+      org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods
+        .render(JObject(List(
+          "end_mark" -> JString(model.endMark),
+          "merges" -> JArray(model.merges.toList.map { case (a, b) =>
+            JArray(List(JString(a), JString(b))) }))))))
+  }
+
+  /** Read a [[saveModel]] artifact back. */
+  def loadModel(spark: org.apache.spark.sql.SparkSession,
+      path: String): BpeModel = {
+    import org.json4s.JsonAST.{JArray, JObject, JString}
+    org.json4s.jackson.JsonMethods.parse(readString(spark, path)) match {
+      case JObject(fields) =>
+        val m = fields.toMap
+        val endMark = m("end_mark").asInstanceOf[JString].s
+        val merges = m("merges").asInstanceOf[JArray].arr.map {
+          case JArray(List(JString(a), JString(b))) => (a, b)
+          case other => throw new IllegalArgumentException(
+            s"bad merge entry in $path: $other")
+        }
+        BpeModel(merges.toArray, endMark)
+      case other => throw new IllegalArgumentException(
+        s"$path is not a model.json object: ${other.getClass.getSimpleName}")
+    }
+  }
+
+  private def writeString(spark: org.apache.spark.sql.SparkSession,
+      path: String, s: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readString(spark: org.apache.spark.sql.SparkSession,
+      path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      new String(bytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
   }
 }

@@ -174,6 +174,139 @@ class BpeSpec extends AnyFunSuite {
       "column-based split must equal the expression-based split")
   }
 
+  test("doc_spans: hand-checked straddle provenance — spans tile each " +
+      "sequence and a doc's spans sum to its token count") {
+    import org.apache.spark.sql.functions._
+    val corpus = Seq((1L, "ab ab ab")).toDF("doc_id", "text")
+    val model = Bpe.train(corpus, numMerges = 10) // "ab" → 1 token
+    // stream: d1:[0,1] d2:[2,3] d3:[4,5,6]; L=3 → d2 and d3 straddle
+    val docs = Seq((1L, "ab ab"), (2L, "ab ab"), (3L, "ab ab ab"))
+      .toDF("doc_id", "text")
+    val out = Bpe.packSequences(docs, model, seqLen = 3, lit("train"))
+      .collect().map { r =>
+        (r.getLong(1), r.getLong(2),
+          r.getSeq[org.apache.spark.sql.Row](4)
+            .map(s => (s.getLong(0), s.getInt(1), s.getInt(2))))
+      }.sortBy(_._1)
+    assert(out.map(t => (t._1, t._3)).toSeq == Seq(
+      (0L, Seq((1L, 0, 2), (2L, 2, 1))),
+      (1L, Seq((2L, 0, 1), (3L, 1, 2))),
+      (2L, Seq((3L, 0, 1)))))
+    // tiling: spans partition [0, n_tokens) exactly
+    out.foreach { case (_, n, spans) =>
+      assert(spans.head._2 == 0)
+      spans.sliding(2).foreach {
+        case Seq((_, s1, l1), (_, s2, _)) => assert(s1 + l1 == s2)
+        case _ => ()
+      }
+      assert(spans.map(_._3).sum == n)
+    }
+    // real corpus: per-doc span lengths conserve the doc's token count
+    val d2 = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").filter(col("doc_id") < 60)
+    val m2 = Bpe.train(d2, numMerges = 30)
+    val split = when(pmod(col("doc_id"), lit(2)) === 0, "train")
+      .otherwise("val")
+    val packed = Bpe.packSequences(d2, m2, seqLen = 128, split).collect()
+    val perDoc = packed.flatMap(
+      _.getSeq[org.apache.spark.sql.Row](4)
+        .map(s => (s.getLong(0), s.getInt(2).toLong)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val want = Bpe.tokenStats(d2, m2).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(perDoc == want.filter(_._2 > 0),
+      "every doc's spans must sum to its token count")
+    packed.foreach { r =>
+      val spans = r.getSeq[org.apache.spark.sql.Row](4)
+        .map(s => (s.getInt(1), s.getInt(2)))
+      assert(spans.map(_._2).sum == r.getLong(2))
+      assert(spans.head._1 == 0)
+      spans.sliding(2).foreach {
+        case Seq((s1, l1), (s2, _)) => assert(s1 + l1 == s2)
+        case _ => ()
+      }
+    }
+  }
+
+  test("packTokens: the relational back half packs a pre-tokenized " +
+      "corpus identically to packSequences on the same symbol streams") {
+    import org.apache.spark.sql.functions._
+    val corpus = Seq((1L, "ab ab ab")).toDF("doc_id", "text")
+    val model = Bpe.train(corpus, numMerges = 10)
+    val d2 = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").filter(col("doc_id") < 40)
+    val m2 = Bpe.train(d2, numMerges = 20)
+    val split = when(pmod(col("doc_id"), lit(2)) === 0, "train")
+      .otherwise("val")
+    // hand the BPE symbol streams in as plain token arrays
+    val pre = Bpe.encodeTokens(d2, m2)
+      .join(d2.select(col("doc_id"), split.as("sp")), "doc_id")
+    val viaTokens = Bpe.packTokens(pre, seqLen = 64, col("sp"),
+        col("syms")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getSeq[Long](3))).toSet
+    val viaBpe = Bpe.packSequences(d2, m2, seqLen = 64, split).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getSeq[Long](3))).toSet
+    assert(viaTokens == viaBpe)
+  }
+
+  test("packSequencesPadded: one doc per sequence, real length kept, " +
+      "truncation and padding exact, dense per-split seq ids") {
+    import org.apache.spark.sql.functions._
+    val corpus = Seq((1L, "ab ab ab")).toDF("doc_id", "text")
+    val model = Bpe.train(corpus, numMerges = 10) // "ab" → 1 token, id 0
+    val docs = Seq((1L, "ab ab"), (2L, "ab ab ab ab ab"), (3L, "ab"))
+      .toDF("doc_id", "text")
+    val out = Bpe.packSequencesPadded(docs, model, seqLen = 4, lit("train"))
+      .collect().map { r =>
+        (r.getLong(1), r.getLong(2), r.getSeq[Long](3),
+          r.getSeq[org.apache.spark.sql.Row](4)
+            .map(s => (s.getLong(0), s.getInt(1), s.getInt(2))))
+      }.sortBy(_._1)
+    assert(out.length == 3)
+    // doc 1: 2 real tokens + 2 pads; doc 2: truncated to 4; doc 3: 1 + 3
+    assert(out(0) == (0L, 2L, Seq(0L, 0L, -1L, -1L), Seq((1L, 0, 2))))
+    assert(out(1) == (1L, 4L, Seq(0L, 0L, 0L, 0L), Seq((2L, 0, 4))))
+    assert(out(2) == (2L, 1L, Seq(0L, -1L, -1L, -1L), Seq((3L, 0, 1))))
+    assert(out.forall(_._3.length == 4), "every row is exactly seqLen")
+  }
+
+  test("vocab.json / model.json round-trip: load ∘ save = identity and " +
+      "a loaded model encodes identically to the original") {
+    import org.apache.spark.sql.functions._
+    val d2 = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").filter(col("doc_id") < 40)
+    val model = Bpe.train(d2, numMerges = 25)
+    val dir = java.nio.file.Files.createTempDirectory("bpeart").toString
+    Bpe.saveModel(spark, model, s"$dir/model.json")
+    val loaded = Bpe.loadModel(spark, s"$dir/model.json")
+    assert(loaded.endMark == model.endMark)
+    assert(loaded.merges.toSeq == model.merges.toSeq)
+    val orig = Bpe.encodeTokens(d2, model).collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1))).toSet
+    val again = Bpe.encodeTokens(d2, loaded).collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1))).toSet
+    assert(again == orig)
+    val vocab = Bpe.vocabTable(Bpe.encodeTokens(d2, model))
+    Bpe.saveVocab(vocab, s"$dir/vocab.json")
+    val vLoaded = Bpe.loadVocab(spark, s"$dir/vocab.json").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val vOrig = vocab.select("token", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(vLoaded == vOrig)
+    // tokens with JSON-hostile characters survive the round trip
+    val weird = Seq(("a\"b\\c", 0L), ("d\ne", 1L), ("ü</w>", 2L))
+      .toDF("token", "id")
+    Bpe.saveVocab(weird, s"$dir/weird.json")
+    assert(Bpe.loadVocab(spark, s"$dir/weird.json").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("a\"b\\c", 0L), ("d\ne", 1L), ("ü</w>", 2L)))
+  }
+
   test("packSequences: duplicate doc_ids violate the total-order " +
       "precondition and throw instead of packing layout-dependently") {
     import org.apache.spark.sql.functions._
