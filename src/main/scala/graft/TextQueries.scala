@@ -592,6 +592,34 @@ object TextQueries {
           expr("aggregate(token_ids, 0L, (a, x) -> a + x)").as("id_sum"))
     }),
 
+    // The pack ARITHMETIC under a full SQL oracle (VERDICT r11 #3): only
+    // the BPE encode is iterative — given carried token arrays, the
+    // dictionary ids, global offsets, straddles and assembly are prefix
+    // sum + floor arithmetic, so packTokens on a whitespace tokenization
+    // hash-matches DuckDB end to end (sequence digests + provenance-span
+    // digests). This splits the battery: encode stays rows-by-nature in
+    // bpe_pack_sequences; the packing itself is oracle-gated here.
+    "pack_from_tokens" -> ((s, dir) => {
+      val split_ = when(
+        md5Long(concat(lit("split:"), col("doc_id"))) % 10 < 8, "train")
+        .otherwise("heldout")
+      val toked = docs(s, dir)
+        .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+        .select(col("doc_id"), split_.as("sp"),
+          split(trim(col("text")), "\\s+").as("toks"))
+      graft.operators.Bpe
+        .packTokens(toked, seqLen = 256, col("sp"), col("toks"))
+        .select(col("split"), col("seq_id"), col("n_tokens"),
+          element_at(col("token_ids"), 1).as("first_id"),
+          element_at(col("token_ids"), -1).as("last_id"),
+          expr("aggregate(token_ids, 0L, (a, x) -> a + x)").as("id_sum"),
+          size(col("doc_spans")).cast("long").as("n_spans"),
+          element_at(col("doc_spans"), 1).getField("doc_id").as("first_doc"),
+          element_at(col("doc_spans"), -1).getField("doc_id").as("last_doc"),
+          expr("aggregate(doc_spans, 0L, (a, x) -> a + x.doc_id * x.len)")
+            .as("span_sum"))
+    }),
+
     // T5-style span-corruption masks (denoising-objective preprocessing):
     // one 3-token masked span per 20-token block (= 15% noise density,
     // mean span 3 — the T5 defaults), span starts drawn deterministically
@@ -750,23 +778,11 @@ object TextQueries {
     // cannot see). `cluster_leaky` flags clusters the naive split
     // would have severed; the fraction of flagged docs is the measured
     // leakage the cluster-aware split eliminates.
-    "dedup_aware_split" -> ((s, dir) => {
-      val naive = (md5Long(concat(lit("split:"), col("doc_id"))) % 10)
-        .as("nb")
-      val cl = nearDupClusters(s, dir).select("doc_id", "cluster_id")
-      def name(b: Column) = when(b < 8, "train")
-        .when(b === 8, "val").otherwise("test")
-      val withSplits = cl
-        .withColumn("cb",
-          md5Long(concat(lit("split:"), col("cluster_id"))) % 10)
-        .withColumn("nb", naive)
-      val leaky = withSplits.groupBy("cluster_id")
-        .agg((countDistinct(name(col("nb"))) > 1).as("cluster_leaky"))
-      withSplits.join(leaky, Seq("cluster_id"))
-        .select(col("doc_id"), col("cluster_id"),
-          name(col("cb")).as("split"), name(col("nb")).as("naive_split"),
-          col("cluster_leaky"))
-    }),
+    "dedup_aware_split" -> ((s, dir) =>
+      graft.operators.Dedup.clusterAwareSplit(
+          nearDupClusters(s, dir).select("doc_id", "cluster_id"))
+        .select("doc_id", "cluster_id", "split", "naive_split",
+          "cluster_leaky")),
 
     // context-length histogram: token-count buckets (width 64) per
     // language — the sizing input for context packing / batch shaping
@@ -1207,6 +1223,45 @@ object TextQueries {
         |     ORDER BY surprisal, doc_id))*1e6 + 0.5)/1e6 AS cd
         |  FROM sc)
         |SELECT doc_id, lang, surprisal, cd FROM r WHERE cd <= 0.9""".stripMargin,
+    "pack_from_tokens" ->
+      """WITH d AS (SELECT doc_id,
+        |  CASE WHEN ('0x' || substr(md5('split:' || doc_id), 1, 15))::BIGINT
+        |    % 10 < 8 THEN 'train' ELSE 'heldout' END AS split,
+        |  string_split_regex(trim(text), '\s+') AS toks
+        | FROM documents WHERE text IS NOT NULL AND len(trim(text)) > 0),
+        | n AS (SELECT doc_id, split, toks,
+        |   CAST(len(toks) AS BIGINT) AS n_toks FROM d),
+        | offs AS (SELECT *, CAST(sum(n_toks) OVER (PARTITION BY split
+        |   ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |   AS BIGINT) AS cum FROM n),
+        | vocab AS (SELECT token,
+        |   row_number() OVER (ORDER BY count(*) DESC, token ASC) - 1 AS id
+        |  FROM (SELECT unnest(toks) AS token FROM d) GROUP BY token),
+        | tok AS (SELECT split, cum - n_toks AS base,
+        |   unnest(toks) AS token,
+        |   unnest(range(1, len(toks) + 1)) AS pos FROM offs),
+        | t2 AS (SELECT split, base + pos - 1 AS off, id
+        |  FROM tok JOIN vocab USING (token)),
+        | seq AS (SELECT split, off // 256 AS seq_id,
+        |   count(*) AS n_tokens,
+        |   min_by(id, off) AS first_id, max_by(id, off) AS last_id,
+        |   CAST(sum(id) AS BIGINT) AS id_sum
+        |  FROM t2 GROUP BY 1, 2),
+        | sp AS (SELECT split, doc_id,
+        |   unnest(range(base // 256, (cum - 1) // 256 + 1)) AS seq_id,
+        |   base, cum
+        |  FROM (SELECT split, doc_id, cum - n_toks AS base, cum
+        |        FROM offs WHERE n_toks > 0)),
+        | spd AS (SELECT split, seq_id, doc_id,
+        |   greatest(base, seq_id * 256) AS s,
+        |   least(cum, (seq_id + 1) * 256) AS e FROM sp),
+        | spa AS (SELECT split, seq_id, count(*) AS n_spans,
+        |   min_by(doc_id, s) AS first_doc, max_by(doc_id, s) AS last_doc,
+        |   CAST(sum(doc_id * (e - s)) AS BIGINT) AS span_sum
+        |  FROM spd GROUP BY 1, 2)
+        |SELECT split, seq_id, n_tokens, first_id, last_id, id_sum,
+        |  n_spans, first_doc, last_doc, span_sum
+        |FROM seq JOIN spa USING (split, seq_id)""".stripMargin,
     "seq_packing" ->
       """WITH b AS (SELECT doc_id,
         |  CAST((('0x' || substr(md5('split:' || doc_id), 1, 15))::BIGINT % 10) < 8

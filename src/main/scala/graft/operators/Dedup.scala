@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Near-duplicate canonicalization: connected components over a candidate
@@ -91,5 +91,42 @@ object Dedup {
     docs.select(col("doc_id")).join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
       .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+  }
+
+  /** LEAKAGE-PROOF train/val/test assignment over a clustered corpus:
+    * hash the near-dup CLUSTER id (md5, portable fixed-point — the
+    * engine-free split arithmetic every oracle mirrors), never the item
+    * id, so whole clusters land in one split. Appends:
+    *
+    *  - `split`        — 8/1/1 by md5(cluster_id): the leak-free split
+    *  - `naive_split`  — 8/1/1 by md5(item id): what a per-item split
+    *                     would have done
+    *  - `cluster_leaky` — true when the naive split SEVERS this cluster
+    *                      (members in >1 split): the contamination the
+    *                      cluster-aware split eliminates, measurable as
+    *                      the flagged-row fraction
+    *
+    * One aggregation on cluster_id + one broadcast-able join on the
+    * (bounded, cluster-count-sized) leak table — shuffle-wise the same
+    * shape at any corpus size. Shared by the text (`dedup_aware_split`)
+    * and image (`media_dedup_split`) batteries so the two modalities
+    * carry the SAME leakage guarantee. */
+  def clusterAwareSplit(cl: DataFrame, idCol: String = "doc_id",
+      clusterCol: String = "cluster_id"): DataFrame = {
+    def name(b: Column) = when(b < 8, "train")
+      .when(b === 8, "val").otherwise("test")
+    val withSplits = cl
+      .withColumn("cb",
+        graft.Qutil.md5Long60(
+          concat(lit("split:"), col(clusterCol).cast("string"))) % 10)
+      .withColumn("nb",
+        graft.Qutil.md5Long60(
+          concat(lit("split:"), col(idCol).cast("string"))) % 10)
+    val leaky = withSplits.groupBy(clusterCol)
+      .agg((countDistinct(name(col("nb"))) > 1).as("cluster_leaky"))
+    withSplits.join(leaky, Seq(clusterCol))
+      .withColumn("split", name(col("cb")))
+      .withColumn("naive_split", name(col("nb")))
+      .drop("cb", "nb")
   }
 }

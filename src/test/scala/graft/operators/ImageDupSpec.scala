@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, concat, lit}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Perceptual-hash image dedup: hand-computed aHash bits, banding
@@ -146,6 +146,36 @@ class ImageDupSpec extends AnyFunSuite {
       .filter(col("id1").isin(1L, 2L, 3L) && col("id2").isin(1L, 2L, 3L))
       .count()
     assert(cliqueEdges == 3 && starEdges == 2)
+  }
+
+  test("cluster-aware split: a planted cross-split twin pair is flagged " +
+      "leaky and both members land in ONE split (no image leaks to eval)") {
+    import spark.implicits._
+    // find two ids the NAIVE per-item split would separate
+    val buckets = spark.range(0, 200)
+      .select(col("id"), (graft.Qutil.md5Long60(
+        concat(lit("split:"), col("id").cast("string"))) % 10).as("nb"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val trainId = buckets.collectFirst { case (id, b) if b < 8 => id }.get
+    val evalId = buckets.collectFirst { case (id, b) if b >= 8 => id }.get
+    val lone = buckets.keys.find(i => i != trainId && i != evalId).get
+    // twin pair = one cluster (canonical = min id); lone = singleton
+    val cl = Seq(
+      (trainId, math.min(trainId, evalId)),
+      (evalId, math.min(trainId, evalId)),
+      (lone, lone)).toDF("media_id", "cluster_id")
+    val out = Dedup.clusterAwareSplit(cl, idCol = "media_id")
+      .collect().map(r => r.getAs[Long]("media_id") ->
+        ((r.getAs[String]("split"), r.getAs[String]("naive_split"),
+          r.getAs[Boolean]("cluster_leaky")))).toMap
+    // the naive split severs the twins — flagged
+    assert(out(trainId)._2 == "train" && out(evalId)._2 != "train")
+    assert(out(trainId)._3 && out(evalId)._3,
+      "cross-split twin cluster must be flagged leaky")
+    // the cluster-aware split keeps them together
+    assert(out(trainId)._1 == out(evalId)._1)
+    // a singleton is never leaky, and its split = its cluster hash
+    assert(!out(lone)._3)
   }
 
   test("hamming arithmetic: a one-band difference is counted exactly") {

@@ -179,6 +179,70 @@ class IncrementalBqIndexSpec extends AnyFunSuite {
     IncrementalBqIndex.drop(spark, batch)
   }
 
+  test("autoCompact policy: fires exactly at the growth threshold, " +
+      "growth-scales C, post-compact serving equals a fresh build") {
+    import spark.implicits._
+    val path = tmpPath()
+    val base = emb.filter(col("vec_id") < 100) // fit_n = 100
+    IncrementalBqIndex.build(base, path, numCells = 4)
+    // growth 1.99 — one row below the factor-2 threshold: must NOT fire
+    IncrementalBqIndex.append(
+      emb.filter(col("vec_id") >= 100 && col("vec_id") < 199), path)
+    assert(!IncrementalBqIndex.autoCompact(spark, path, factor = 2.0))
+    assert(IncrementalBqIndex.describe(spark, path).first()
+      .getAs[Long]("epochs") == 2L, "no-fire must leave epochs alone")
+    // +1 row → growth exactly 2.0: fires, refits with C x growth = 8
+    IncrementalBqIndex.append(
+      emb.filter(col("vec_id") === 199).select("vec_id", "embedding"), path)
+    assert(IncrementalBqIndex.autoCompact(spark, path, factor = 2.0))
+    val d = IncrementalBqIndex.describe(spark, path).first()
+    assert(d.getAs[Long]("epochs") == 1L)
+    assert(math.abs(d.getAs[Double]("growth_since_fit") - 1.0) < 1e-9,
+      "refit resets growth to 1")
+    assert(d.getAs[String]("detail").contains("cells=8"),
+      s"C must scale with growth: ${d.getAs[String]("detail")}")
+    assert(!IncrementalBqIndex.autoCompact(spark, path, factor = 2.0),
+      "back-to-back policy call is a no-op")
+    // post-compact serving ≡ a fresh build over the same live corpus
+    // with the same scaled C and seed
+    val fresh = tmpPath()
+    IncrementalBqIndex.build(
+      emb.filter(col("vec_id") < 200), fresh, numCells = 8)
+    assert(serve(path) == serve(fresh))
+    IncrementalBqIndex.drop(spark, path)
+    IncrementalBqIndex.drop(spark, fresh)
+  }
+
+  test("streamingAppendAutoCompact: the policy acts between " +
+      "micro-batches — a growth-crossing stream refits unattended") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val path = tmpPath()
+    IncrementalBqIndex.build(emb.filter(col("vec_id") < 50), path,
+      numCells = 4)
+    val rest = emb.filter(col("vec_id") >= 50 && col("vec_id") < 250)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = IncrementalBqIndex.streamingAppendAutoCompact(
+      mem.toDF.toDF("vec_id", "embedding"), path, s"$path-ckpt",
+      factor = 2.0)
+    // batch 1: 50 → 100 rows (growth 2.0 at next batch entry);
+    // batch 2's entry fires the policy, then appends the rest
+    val (h1, h2) = rest.splitAt(50)
+    mem.addData(h1.toSeq); q.processAllAvailable()
+    mem.addData(h2.toSeq); q.processAllAvailable()
+    q.stop()
+    val d = IncrementalBqIndex.describe(spark, path).first()
+    // the refit folded epochs b0 and the bootstrap; b1 appended after
+    assert(IncrementalBqIndex.indexedCount(spark, path) == 250L)
+    assert(d.getAs[String]("detail").contains("fit_n=100"),
+      s"policy refit on the 100-row live set: ${d.getAs[String]("detail")}")
+    assert(d.getAs[String]("detail").contains("cells=8"))
+    IncrementalBqIndex.drop(spark, path)
+  }
+
   test("federation: exhaustive per-index serving merges to the exact " +
       "global top-k; overlapping ids dedupe; status reports growth") {
     import graft.operators.{KnnJoin, Recall}
