@@ -141,13 +141,14 @@ object Bench {
       "phrase_search", "dsir_select", "dedup_trim", "hard_negatives",
       "bpe_token_stats", "sample_weighted",
       "knn_pca_cosine", "ppl_filter", "prune_prototypes",
-      "media_image_features", "media_audio_features")
+      "media_image_features", "media_audio_features",
+      "bridge_knn", "pack_from_tokens", "media_dedup_split")
     // failed queries surface on stdout (negated time), but capped: the
     // headline set plus at most 12 extra failures keeps the worst case
     // (every query failing) inside the tail window
-    // 7 (was 12) since the two media_* headline entries and the sentinel
-    // telemetry ate ~120 chars of the worst-case budget
-    val extraFail = failing.map(_._1).filterNot(headline).take(7).toSet
+    // 5 (was 12) since the media_*/bridge/pack headline entries and the
+    // sentinel telemetry ate ~200 chars of the worst-case budget
+    val extraFail = failing.map(_._1).filterNot(headline).take(5).toSet
     val sub = results.filter { case (k, _, e) =>
       headline(k) || (e.isDefined && extraFail(k)) }
     val stdoutLine =

@@ -40,6 +40,23 @@ object TextQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
+  /** The memoized INCREMENTAL text index (build on doc_id < 250 + one
+    * append epoch for the rest) — shared by `bm25_incremental` (serving
+    * gate) and `index_describe` (observability row), so the battery pays
+    * this build ONCE per session (VERDICT r11 #7). Lifecycle here is
+    * build+append only; nothing may mutate the shared store further. */
+  private[graft] def incrementalTextIndex(s: SparkSession,
+      dir: String): String =
+    TextMemo.get(s, s"textindexinc/$dir") {
+      val p = "graft_tixinc_" + java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      graft.operators.TextIndex.build(
+        docs(s, dir).filter(col("doc_id") < 250), p, numBuckets = 8)
+      graft.operators.TextIndex.append(
+        docs(s, dir).filter(col("doc_id") >= 250), p, numBuckets = 8)
+      p
+    }
+
   /** md5-derived 60-bit integer hash of a string column (portable). */
   private def md5Long(c: Column): Column = Qutil.md5Long60(c)
 
@@ -492,15 +509,7 @@ object TextQueries {
     // exact integer sums), serve — hash-matches the SAME oracle as the
     // build-once path, i.e. append ≡ rebuild end to end
     "bm25_incremental" -> ((s, dir) => {
-      val prefix = TextMemo.get(s, s"textindexinc/$dir") {
-        val p = "graft_tixinc_" + java.security.MessageDigest.getInstance("MD5")
-          .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-        graft.operators.TextIndex.build(
-          docs(s, dir).filter(col("doc_id") < 250), p, numBuckets = 8)
-        graft.operators.TextIndex.append(
-          docs(s, dir).filter(col("doc_id") >= 250), p, numBuckets = 8)
-        p
-      }
+      val prefix = incrementalTextIndex(s, dir)
       val queryTerms = s.table(s"${prefix}_postings")
         .filter(col("doc_id") < 20)
         .select(col("doc_id").as("qid"), col("term"))

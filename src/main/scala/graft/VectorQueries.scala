@@ -842,40 +842,35 @@ object VectorQueries {
     // (rows-only entry). Drift/compaction decisions become queries
     // over this frame instead of recomputations.
     "index_describe" -> ((s, dir) => {
+      // stores sized for the OBSERVABILITY gate, not serving (battery
+      // hygiene, VERDICT r11 #7): the BQ store keeps its full
+      // build/append/remove lifecycle on a 200-vector slice; the text
+      // row describes the SHARED bm25_incremental index (one build per
+      // session across both entries — append-epoch + growth visible,
+      // deletes demonstrated by the other two rows); the image store
+      // keeps its delete lifecycle on a 100-media slice
       val bqPath = ModelMemo.get(s, s"descstore/bq/$dir") {
         val p = java.nio.file.Files
           .createTempDirectory("graft_desc_bq").toString
+        val e200 = emb(s, dir).filter(col("vec_id") < 200)
         graft.streaming.IncrementalBqIndex.build(
-          emb(s, dir).filter(col("vec_id") % 4 =!= 0), p, numCells = 8)
+          e200.filter(col("vec_id") % 4 =!= 0), p, numCells = 8)
         graft.streaming.IncrementalBqIndex.append(
-          emb(s, dir).filter(col("vec_id") % 4 === 0), p,
+          e200.filter(col("vec_id") % 4 === 0), p,
           epochTag = Some("e1"))
         graft.streaming.IncrementalBqIndex.remove(
-          emb(s, dir).filter(col("vec_id") < 5).select("vec_id"), p)
+          e200.filter(col("vec_id") < 5).select("vec_id"), p)
         p
       }
-      val tixPrefix = ModelMemo.get(s, s"descstore/tix/$dir") {
-        val d = s.read.parquet(s"$dir/documents.parquet")
-        val p = "graft_tixdesc_" + java.security.MessageDigest
-          .getInstance("MD5").digest(dir.getBytes("UTF-8"))
-          .take(4).map("%02x".format(_)).mkString
-        graft.operators.TextIndex.build(
-          d.filter(col("doc_id") < 200), p, numBuckets = 8)
-        graft.operators.TextIndex.append(
-          d.filter(col("doc_id") >= 200 && col("doc_id") < 400), p,
-          numBuckets = 8)
-        graft.operators.TextIndex.remove(
-          d.filter(col("doc_id") < 3).select("doc_id"), p)
-        p
-      }
+      val tixPrefix = TextQueries.incrementalTextIndex(s, dir)
       val imgPath = ModelMemo.get(s, s"descstore/img/$dir") {
         val p = java.nio.file.Files
           .createTempDirectory("graft_desc_img").toString
-        val imgs = mediaBmp(s, dir).filter(col("media_id") < 400)
+        val imgs = mediaBmp(s, dir).filter(col("media_id") < 100)
         graft.operators.ImageDup.hashAppend(
-          imgs.filter(col("media_id") < 200), p, epochTag = "0")
+          imgs.filter(col("media_id") < 50), p, epochTag = "0")
         graft.operators.ImageDup.hashAppend(
-          imgs.filter(col("media_id") >= 200), p, epochTag = "1")
+          imgs.filter(col("media_id") >= 50), p, epochTag = "1")
         graft.operators.ImageDup.remove(
           imgs.filter(col("media_id") < 2).select("media_id"), p)
         p

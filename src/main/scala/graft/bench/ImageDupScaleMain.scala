@@ -7,19 +7,30 @@ import graft.operators.{ImageDup, Multimodal}
 import graft.sources.VectorSources
 
 /** Perceptual image dedup at scale: REAL codec throughput (ImageIO
-  * decode + 8x8 pooling + aHash per image) and the banded candidate
-  * join's cost against the all-pairs count it avoids. The corpus is
-  * clustered synthetic vectors rendered to actual BMP payloads; every
+  * decode + pooling + aHash per image) and the banded candidate join's
+  * cost against the all-pairs count it avoids. The corpus is clustered
+  * synthetic vectors rendered to actual BMP payloads; every
   * `plantEvery`-th image also appears as a PNG RE-ENCODE under a twin
   * id — the measured run must find every twin at Hamming 0 (the
   * codec-invariance recall floor), through two different codecs' bytes.
   *
-  * `sbt "runMain graft.bench.ImageDupScaleMain 1000000 100"`
+  * `side` (3rd arg, default 8) sets the rendered image side: 8 is the
+  * thumbnail protocol of the early rounds; 32+ renders REAL-size
+  * payloads (each 8x8 cell upscaled nearest-neighbor, so the pooled
+  * features — and the clusters/twins — are identical to the thumbnail
+  * corpus while the DECODE pays full-size work). The corpus goes
+  * through parquet (generation is not billed to any stage), and an
+  * IO-ONLY pass (scan + byte-length fold, no decode) is timed first so
+  * the decode/IO split of the hash stage is measured, not guessed.
+  *
+  * `sbt "runMain graft.bench.ImageDupScaleMain 10000000 100 32"`
   */
 object ImageDupScaleMain {
   def main(args: Array[String]): Unit = {
     val n = if (args.length > 0) args(0).toLong else 1000000L
     val plantEvery = if (args.length > 1) args(1).toInt else 100
+    val side = if (args.length > 2) args(2).toInt else 8
+    require(side >= 8 && side % 8 == 0, "side must be a multiple of 8")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -31,38 +42,59 @@ object ImageDupScaleMain {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    // clustered 64-d vectors → real 8x8 BMPs; every plantEvery-th image
-    // gets a PNG twin at id + n (same pixels, different codec bytes).
-    // Cluster count scales with n (bounded ~100-image near-dup clusters,
-    // the realistic corpus shape): within-cluster pair counts stay linear
-    // in n instead of exploding quadratically per cluster.
-    val base = VectorSources.syntheticClustered(spark, n, 64,
+    // clustered 64-d vectors → real side x side BMPs (nearest-neighbor
+    // upscale of the 8x8 cell grid); every plantEvery-th image gets a
+    // PNG twin at id + n (same pixels, different codec bytes). Cluster
+    // count scales with n (bounded ~100-image near-dup clusters, the
+    // realistic corpus shape). The corpus is parqueted: at 10M x 32x32
+    // an in-memory persist of raw payloads is the wrong layout — the
+    // scan IS the production shape, and it lets the IO-only pass price
+    // the read path separately.
+    val up = side / 8
+    val tmp = java.nio.file.Files.createTempDirectory("imgscale").toString
+    VectorSources.syntheticClustered(spark, n, 64,
         numClusters = math.max(1024L, n / 100).toInt, spread = 0.15)
       .select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         it.flatMap { case (id, v) =>
-          val px = Multimodal.quantize255(v)
-          val bmp = (id, Multimodal.encodeGray(px, 8, 8, "bmp"))
+          val cell = Multimodal.quantize255(v)
+          val px =
+            if (up == 1) cell
+            else Array.tabulate(side * side)(i =>
+              cell((i / side / up) * 8 + (i % side) / up))
+          val bmp = (id, Multimodal.encodeGray(px, side, side, "bmp"))
           if (id % plantEvery == 0)
-            Iterator(bmp, (id + n, Multimodal.encodeGray(px, 8, 8, "png")))
+            Iterator(bmp, (id + n, Multimodal.encodeGray(px, side, side, "png")))
           else Iterator.single(bmp)
         }
       }
       .toDF("media_id", "content")
-      .persist()
+      .write.mode("overwrite").parquet(s"$tmp/media")
+    val base = spark.read.parquet(s"$tmp/media")
     val total = base.count()
-    println(s"[imagedup-scale] corpus $total real image payloads " +
-      s"(${total - n} PNG twins)")
+    val bytes = base.agg(sum(length(col("content")))).first().getLong(0)
+    println(s"[imagedup-scale] corpus $total real ${side}x$side payloads " +
+      s"(${total - n} PNG twins, ${bytes / 1048576} MB)")
 
-    // decode + pool + hash: the per-image kernel cost
+    // IO-only pass: scan + per-payload byte fold, no decode — the read
+    // path's share of any downstream stage
+    val tIo = System.nanoTime()
+    base.select(sum(crc32(col("content")))).first()
+    val ioS = (System.nanoTime() - tIo) / 1e9
+    println(f"[imagedup-scale] io_scan wall=$ioS%.1fs " +
+      f"(${total / ioS}%.0f images/s, ${bytes / ioS / 1048576}%.0f MB/s)")
+
+    // decode + pool + hash: the per-image kernel cost (includes the
+    // same scan — decode share = hash wall - io wall)
     val t0 = System.nanoTime()
     val bands = ImageDup.aHashBands(
       Multimodal.decodeImagePooledRaw(base, grid = 8)).persist()
     val bandRows = bands.count()
     val hashS = (System.nanoTime() - t0) / 1e9
     println(f"[imagedup-scale] decode+hash wall=$hashS%.1fs " +
-      f"(${total / hashS}%.0f images/s, $bandRows band rows)")
+      f"(${total / hashS}%.0f images/s, $bandRows band rows, " +
+      f"decode_share=${(hashS - ioS) / hashS * 100}%.0f%%)")
 
     // COLLAPSED near-dup edges (nearDupEdges): exact-hash groups become
     // linear star edges, banding runs over representatives only — the
@@ -97,7 +129,8 @@ object ImageDupScaleMain {
     println(s"[imagedup-scale] twin_hash_identity=$twinMatch/$expectTwins")
     require(twinMatch == expectTwins,
       "every PNG re-encode must hash identically to its BMP original")
-    bands.unpersist(); base.unpersist()
+    bands.unpersist()
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
     spark.stop()
   }
 }
