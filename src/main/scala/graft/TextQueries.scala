@@ -598,7 +598,12 @@ object TextQueries {
         .select(col("split"), col("seq_id"), col("n_tokens"),
           element_at(col("token_ids"), 1).as("first_id"),
           element_at(col("token_ids"), -1).as("last_id"),
-          expr("aggregate(token_ids, 0L, (a, x) -> a + x)").as("id_sum"))
+          expr("aggregate(token_ids, 0L, (a, x) -> a + x)").as("id_sum"),
+          // provenance digests (r12): which docs each sequence carries
+          size(col("doc_spans")).cast("long").as("n_spans"),
+          element_at(col("doc_spans"), 1).getField("doc_id").as("first_doc"),
+          expr("aggregate(doc_spans, 0L, (a, x) -> a + x.doc_id * x.len)")
+            .as("span_sum"))
     }),
 
     // The pack ARITHMETIC under a full SQL oracle (VERDICT r11 #3): only
