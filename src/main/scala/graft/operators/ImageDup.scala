@@ -247,6 +247,21 @@ object ImageDup {
       detail = "bands=4 bits_per_band=16"))
   }
 
+  /** The POLICY LOOP over [[describe]]'s trigger (the
+    * IncrementalBqIndex.autoCompact shape, uniform across store kinds):
+    * fold when deletes are pending or epochs have spread past
+    * `epochFactor`. Returns true when it fired; [[bands]] reads are
+    * identical before/after (compact's contract). */
+  def autoCompact(spark: org.apache.spark.sql.SparkSession, path: String,
+      epochFactor: Long = 8): Boolean = {
+    val del = new org.apache.hadoop.fs.Path(s"$path/deletes")
+    val fsys = del.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pending = fsys.exists(del)
+    val epochs = StoreDescribe.epochDirs(spark, s"$path/bands")
+    if (pending || epochs >= epochFactor) { compact(spark, path); true }
+    else false
+  }
+
   /** COMPACTION: fold all epochs minus deletes into one epoch. Crash
     * safety is the IncrementalBqIndex aside dance — the replacement is
     * fully written to a temp dir, the live dir moves aside (rename,

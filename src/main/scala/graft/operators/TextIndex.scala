@@ -197,6 +197,23 @@ object TextIndex {
       detail = f"avgdl=${st.avgdl}%.4f terms=$terms"))
   }
 
+  /** The POLICY LOOP over [[describe]]'s trigger (the
+    * IncrementalBqIndex.autoCompact shape, uniform across store kinds):
+    * compact when deletes are pending or the epoch count has spread
+    * past `epochFactor` — both make every serve pay (anti-join /
+    * per-epoch stat rows). Returns true when it fired. Serving is
+    * bit-identical before/after ([[compact]]'s spec-pinned contract),
+    * so the policy can run unattended between ingest batches. */
+  def autoCompact(spark: SparkSession, prefix: String,
+      numBuckets: Int = 32, epochFactor: Long = 8): Boolean = {
+    val t = spark.table(statsTable(prefix))
+    val epochs = if (t.columns.contains("sumdl")) t.count() else 1L
+    val (nDel, _, _) = deleteAdjust(spark, prefix)
+    if (nDel > 0 || epochs >= epochFactor) {
+      compact(spark, prefix, numBuckets); true
+    } else false
+  }
+
   /** (#deleted docs, #deleted docs with postings, Σ their dl). */
   private def deleteAdjust(spark: SparkSession, prefix: String): (Long, Long, Long) = {
     if (!deletesExist(spark, prefix)) return (0L, 0L, 0L)

@@ -85,6 +85,16 @@ class StoreDescribeSpec extends AnyFunSuite {
     assert(r.isNullAt(r.fieldIndex("growth_since_fit")))
     assert(r.getAs[Boolean]("needs_compaction")) // pending deletes
     assert(r.getAs[String]("detail").contains("terms="))
+    // the policy loop acts on the same trigger: fires once, folds the
+    // pending deletes + epochs, then goes quiet
+    assert(TextIndex.autoCompact(spark, p, numBuckets = 4))
+    val rc = row(TextIndex.describe(spark, p))
+    assert(rc.getAs[Long]("live_rows") == 48L)
+    assert(rc.getAs[Long]("deleted_rows") == 0L)
+    assert(rc.getAs[Long]("epochs") == 1L)
+    assert(!rc.getAs[Boolean]("needs_compaction"))
+    assert(!TextIndex.autoCompact(spark, p, numBuckets = 4),
+      "policy must be a no-op when the trigger is quiet")
     TextIndex.drop(spark, p)
   }
 
@@ -109,11 +119,14 @@ class StoreDescribeSpec extends AnyFunSuite {
     assert(r.getAs[Long]("deleted_rows") == 2L)
     assert(r.getAs[Long]("epochs") == 2L)
     assert(r.getAs[Boolean]("needs_compaction"))
-    ImageDup.compact(spark, path)
+    // the policy loop folds on the same trigger, then goes quiet
+    assert(ImageDup.autoCompact(spark, path))
     val r2 = row(ImageDup.describe(spark, path))
     assert(r2.getAs[Long]("epochs") == 1L)
     assert(r2.getAs[Long]("deleted_rows") == 0L)
+    assert(r2.getAs[Long]("live_rows") == 8L)
     assert(!r2.getAs[Boolean]("needs_compaction"))
+    assert(!ImageDup.autoCompact(spark, path))
     // the fleet-dashboard contract: one schema across store kinds —
     // including the rabitq code family, whose describe row must carry
     // the family and the rotation seed the layout rebuilds from
