@@ -236,7 +236,10 @@ object Bpe {
       .select(col(idCol).cast("long").as(idCol),
         splitExpr.cast("string").as("split"), toksCol.as("syms"))
       .withColumn("n_toks", size(col("syms")).cast("long"))
-    packSyms(enc, seqLen, idCol)
+    // an arbitrary tokenizer's dictionary is CORPUS-VOCABULARY-sized
+    // (unbounded — ids, typos), unlike the BPE path's |merges|+alphabet
+    // bound: no broadcast hint; size-based planning + AQE decide
+    packSyms(enc, seqLen, idCol, boundedVocab = false)
   }
 
   /** The shared encode front: (idCol, split, syms, n_toks). `splitExpr`
@@ -265,9 +268,13 @@ object Bpe {
   }
 
   /** The shared pack back half: (idCol, split, syms, n_toks) →
-    * (split, seq_id, n_tokens, token_ids, doc_spans). */
-  private def packSyms(enc: DataFrame, seqLen: Int,
-      idCol: String): DataFrame = {
+    * (split, seq_id, n_tokens, token_ids, doc_spans). `boundedVocab`
+    * gates the dictionary-join broadcast hint: true only when the
+    * caller can BOUND the dictionary by construction (the BPE path's
+    * |merges| + alphabet); an unbounded dictionary must be left to
+    * size-based planning + AQE or the hint becomes a 100×-scale OOM. */
+  private def packSyms(enc: DataFrame, seqLen: Int, idCol: String,
+      boundedVocab: Boolean = true): DataFrame = {
     require(seqLen >= 1)
     val offs = GroupedPrefixSum.runningSum(enc, "cum", "n_toks",
       Seq("split"), Seq(col(idCol)), uniqueKeyCols = Seq("split", idCol))
@@ -275,11 +282,13 @@ object Bpe {
     // lineage shares the prefix sum's shuffle output, so the encode
     // mapPartitions is never re-executed for the dictionary build
     val vocab = vocabTable(offs)
+    val dict0 = vocab.select("token", "id")
+    val dict = if (boundedVocab) broadcast(dict0) else dict0
     val tokRows = offs
       .select(col("split"), (col("cum") - col("n_toks")).as("base"),
         posexplode(col("syms")).as(Seq("pos", "token")))
       .withColumn("off", col("base") + col("pos"))
-      .join(broadcast(vocab.select("token", "id")), Seq("token"))
+      .join(dict, Seq("token"))
     val seqs = tokRows
       // integral DIV, not floor(double /): exact past 2^53 tokens/split
       .groupBy(col("split"), expr(s"off DIV ${seqLen}L").as("seq_id"))
