@@ -304,4 +304,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window [sum"),
       s"running sum must be the two-phase kernel, not a window:\n$p")
   }
+
+  test("pack_from_tokens: UNBOUNDED dictionary must NOT carry a " +
+      "broadcast hint — and no split-window regression") {
+    val p = plan("pack_from_tokens")
+    // at sf scale AQE may still CHOOSE to broadcast the tiny dict; what
+    // is pinned is the absence of the all-pairs shapes and the window
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"), "no all-pairs shapes")
+    assert(!p.contains("Window [sum"),
+      s"running sum must be the two-phase kernel, not a window:\n$p")
+    // the logical plan must carry NO broadcast hint on the dictionary:
+    // the hint would be a 100x-scale OOM for a corpus-sized vocabulary
+    val lp = graft.SparkEntry.queries("pack_from_tokens")(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    assert(!lp.contains("ResolvedHint"),
+      s"unbounded dictionary join must be left to size-based planning:\n$lp")
+  }
+
+  test("bridge_knn: probe side broadcasts, base never shuffles before " +
+      "scoring; per-query top-k plans bounded group limits") {
+    val p = plan("bridge_knn")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the probe set must broadcast against the streamed base:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank<=k should plan bounded heaps, not a full per-query sort:\n$p")
+  }
 }
