@@ -1083,6 +1083,37 @@ object TextQueries {
         .select("source", "doc_id", "h", "rk")
     }),
 
+    // token-BUDGET mixture selection (the exact-quota twin of the
+    // rate-based dataset_mix): each domain contributes docs, in seeded
+    // hash order, until its token budget is exhausted. The running
+    // token sum per domain is the two-phase grouped prefix-sum kernel
+    // (never a one-task-per-domain window); selection = "the doc
+    // STARTS inside the budget", so the kept token total per domain
+    // lands in [budget, budget + max_doc). src3's budget exceeds its
+    // sf0.01 supply (domain kept whole) and partially selects at
+    // sf0.1 — both branches sit under the same oracle hash.
+    "mix_token_budget" -> ((s, dir) =>
+      graft.operators.Mixing.tokenBudget(docs(s, dir), "source",
+        size(split(trim(col("text")), "\\s+")).cast("long"),
+        budgets = Map("src0" -> 700L, "src1" -> 400L, "src2" -> 150L,
+          "src3" -> 5000L))),
+
+    // per-split training order: dense 0-based ordinal within each
+    // split following a seeded hash shuffle — row_number() PARTITION BY
+    // split without the one-task-per-split window (the grouped twin of
+    // train_order; this is the kernel the shuffled sequence export
+    // shards derive from).
+    "train_order_split" -> ((s, dir) => {
+      val keyed = docs(s, dir).select(col("doc_id"),
+        (md5Long(concat(lit("split:"), col("doc_id"))) % 10 < 8)
+          .cast("string").as("is_train"),
+        md5Long(concat(lit("epoch0:"), col("doc_id"))).as("shuffle_key"))
+      graft.operators.Ordinal.withGroupedOrdinal(keyed, "order_id",
+          Seq("is_train"), Seq(col("shuffle_key"), col("doc_id")),
+          uniqueKeyCols = Seq("is_train", "doc_id"))
+        .withColumn("shard", expr("order_id DIV 100"))
+    }),
+
     // weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-Res):
     // per-item key ln(u)/w with u drawn from the portable md5 hash;
     // the top-n by key is a weight-proportional sample without
@@ -1367,6 +1398,33 @@ object TextQueries {
         |   AS INT) AS rk
         |FROM k
         |QUALIFY rk <= 25""".stripMargin,
+    // token-budget mix — same portable hash order, plain cumsum window
+    "mix_token_budget" ->
+      """WITH d AS (SELECT doc_id, source,
+        |  CAST(len(string_split_regex(trim(text),'\s+')) AS BIGINT) AS n_tokens,
+        |  ('0x' || substr(md5('mixbudget:' || doc_id), 1, 15))::BIGINT AS mix_key
+        | FROM documents WHERE source IN ('src0','src1','src2','src3')),
+        | c AS (SELECT doc_id, source, n_tokens,
+        |   CAST(sum(n_tokens) OVER (PARTITION BY source
+        |     ORDER BY mix_key, doc_id) AS BIGINT) AS cum_tokens FROM d),
+        | b AS (SELECT *, CAST(CASE source WHEN 'src0' THEN 700
+        |   WHEN 'src1' THEN 400 WHEN 'src2' THEN 150
+        |   WHEN 'src3' THEN 5000 END AS BIGINT) AS budget FROM c)
+        |SELECT doc_id, source, n_tokens, cum_tokens, budget
+        |FROM b WHERE cum_tokens - n_tokens < budget""".stripMargin,
+    // grouped training order — row_number()-1 per split in the oracle
+    "train_order_split" ->
+      """WITH k AS (SELECT doc_id,
+        |  CAST((('0x' || substr(md5('split:' || doc_id), 1, 15))::BIGINT % 10) < 8
+        |    AS VARCHAR) AS is_train,
+        |  ('0x' || substr(md5('epoch0:' || doc_id), 1, 15))::BIGINT AS shuffle_key
+        | FROM documents)
+        |SELECT doc_id, is_train, shuffle_key,
+        | CAST(row_number() OVER (PARTITION BY is_train
+        |   ORDER BY shuffle_key, doc_id) - 1 AS BIGINT) AS order_id,
+        | CAST((row_number() OVER (PARTITION BY is_train
+        |   ORDER BY shuffle_key, doc_id) - 1) // 100 AS BIGINT) AS shard
+        |FROM k""".stripMargin,
     // A-Res weighted sampling — same portable u, same fixed-point key
     "sample_weighted" ->
       """WITH k AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,

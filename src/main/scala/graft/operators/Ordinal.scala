@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.types.LongType
 
 /** Distributed stable ordinal assignment — `zipWithIndex` re-expressed for
@@ -30,6 +31,25 @@ import org.apache.spark.sql.types.LongType
   * can check it with `row_number() OVER (ORDER BY key) - 1`.
   */
 object Ordinal {
+
+  /** `df` plus a 0-based long `ordCol` that is dense PER GROUP,
+    * following the total order of `orderCols` within each `groupCols`
+    * group — `row_number() OVER (PARTITION BY group ORDER BY key) - 1`
+    * without the one-task-per-group window. Delegates to
+    * [[GroupedPrefixSum]] (running count of 1), so it inherits the
+    * two-phase scale shape, the low-cardinality group-key intent, and
+    * the enforced total-order guard (`uniqueKeyCols`, throws on
+    * duplicate keys rather than assign layout-dependent ordinals). */
+  def withGroupedOrdinal(df: DataFrame, ordCol: String,
+      groupCols: Seq[String], orderCols: Seq[Column],
+      uniqueKeyCols: Seq[String] = Nil): DataFrame = {
+    val one = "__ord_one"
+    require(!df.columns.contains(one), s"column $one is reserved")
+    GroupedPrefixSum.runningSum(df.withColumn(one, lit(1L)),
+        ordCol, one, groupCols, orderCols, uniqueKeyCols)
+      .withColumn(ordCol, col(ordCol) - 1L)
+      .drop(one)
+  }
 
   /** `df` plus a 0-based long `ordCol` following the total order of
     * `sortCols`. */

@@ -25,12 +25,15 @@ import org.apache.spark.sql.functions._
 object SequenceExport {
 
   /** Write `packed` under `path` as `sequences/` (parquet, partitioned
-    * by split and shard) + `audit/` (one digest row per shard). */
+    * by split and shard) + `audit/` (one digest row per shard).
+    * `ordCol` is the dense per-split id shards derive from — `seq_id`
+    * (pack order) by default, or [[shuffled]]'s `order_id` for a
+    * seeded training order. */
   def write(packed: DataFrame, path: String,
-      rowsPerShard: Int = 10000): Unit = {
+      rowsPerShard: Int = 10000, ordCol: String = "seq_id"): Unit = {
     require(rowsPerShard >= 1, "rowsPerShard must be positive")
     val sharded = packed
-      .withColumn("shard", expr(s"seq_id DIV ${rowsPerShard}L"))
+      .withColumn("shard", expr(s"$ordCol DIV ${rowsPerShard}L"))
       .repartition(col("split"), col("shard"))
       .persist()
     try {
@@ -41,6 +44,27 @@ object SequenceExport {
         .parquet(s"$path/audit")
     } finally { sharded.unpersist(); () }
   }
+
+  /** `packed` plus a dense 0-based `order_id` per split — a SEEDED
+    * deterministic training order (trainers must not consume sequences
+    * in pack order: pack order is document order, which correlates
+    * content with training time). The order key is the portable md5
+    * hash of (seed, split, seq_id), so epoch e's order is
+    * `shuffled(packed, s"epoch$e:")` — reproducible on any engine or
+    * cluster layout, a distinct permutation per seed. The dense ordinal
+    * comes from the two-phase grouped kernel
+    * ([[Ordinal.withGroupedOrdinal]]), never a one-task-per-split
+    * window; duplicate (split, seq_id) keys throw. Shard the result
+    * with `write(..., ordCol = "order_id")` — the audit digests are
+    * order-insensitive sums, so [[verify]] still proves the shuffled
+    * artifact conserves exactly the packed corpus. */
+  def shuffled(packed: DataFrame, seed: String = "epoch0:"): DataFrame =
+    Ordinal.withGroupedOrdinal(
+      packed.withColumn("shuffle_key", graft.Qutil.md5Long60(
+        concat(lit(seed), col("split"), lit(":"), col("seq_id")))),
+      "order_id", Seq("split"),
+      Seq(col("shuffle_key"), col("seq_id")),
+      uniqueKeyCols = Seq("split", "seq_id"))
 
   /** The shipped sequence frame (all shards, shard column included). */
   def read(spark: SparkSession, path: String): DataFrame =

@@ -262,6 +262,19 @@ class PlanSpec extends AnyFunSuite {
       "seq_packing must carry no window operator at all")
   }
 
+  test("mix_token_budget / train_order_split: window-free — the grouped " +
+      "running sum / ordinal is the two-phase kernel, and budgets travel " +
+      "as literals (no join)") {
+    Seq("mix_token_budget", "train_order_split").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Window"),
+        s"$q regressed to a PARTITION BY domain/split window:\n$p")
+    }
+    val p = plan("mix_token_budget")
+    assert(!p.contains("Join"),
+      s"budget lookup must be a literal CASE column, not a join:\n$p")
+  }
+
   test("q_qualify_topk_suppliers: partial agg, broadcast dim, bounded rank") {
     val p = plan("q_qualify_topk_suppliers")
     assert("HashAggregate".r.findAllMatchIn(p).size >= 2,
