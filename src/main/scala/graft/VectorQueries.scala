@@ -897,6 +897,27 @@ object VectorQueries {
         graft.operators.Multimodal.decodeImagePooledRaw(
           mediaBmp(s, dir), grid = 8))),
 
+    // DCT perceptual hash (pHash proper): 2-D integer DCT of the same
+    // pooled grid, 63 AC coefficients thresholded against their median
+    // — the structure-sensitive rung above media_ahash's mean
+    // threshold, same band layout, same exact-arithmetic oracle (DuckDB
+    // re-derives the DCT from raw pixels with the identical fixed-point
+    // basis table).
+    "media_dcthash" -> ((s, dir) =>
+      graft.operators.ImageDup.dctHashBands(
+        graft.operators.Multimodal.decodeImagePooledRaw(
+          mediaBmp(s, dir), grid = 8))),
+
+    // ...and the near-dup pairs it yields on the twin corpus: lossless
+    // re-encodes still land at Hamming 0 (same pixels → same DCT), and
+    // the banding/confirm path is nearDupPairs unchanged.
+    "media_dcthash_pairs" -> ((s, dir) =>
+      graft.operators.ImageDup.nearDupPairs(
+        graft.operators.ImageDup.dctHashBands(
+          graft.operators.Multimodal.decodeImagePooledRaw(
+            mediaBmpWithTwins(s, dir), grid = 8)),
+        maxHamming = 10)),
+
     // image near-dup pairs: band-equality LSH candidates + exact 64-bit
     // Hamming confirm — the multimodal leg of the dedup family, same
     // banded never-all-pairs shape as simhash_near_dup. The corpus gets
@@ -1530,6 +1551,60 @@ object VectorQueries {
     * [[mediaAHashCte]], over the corpus WITH PNG twins (vec_id +
     * 1000000 for vec_id < 20 — identical pixels, so identical band
     * rows). Ends with `mm_pairs(id1, id2, hamming)`, hamming ≤ 10. */
+  /** Integer-DCT pHash CTE on top of [[mediaQuantCte]]: the SAME
+    * fixed-point basis table as `ImageDup.dctTable` (interpolated, so
+    * engine and oracle share one source of truth), coefficients by
+    * exact int64 cross-join sums, median = the 32nd of the 63 sorted AC
+    * values (an element, not an average — rank under duplicates is
+    * value-stable). Ends with `mm_dband(vec_id, band, val)`. */
+  private val mediaDctBandCte: String = {
+    val table = graft.operators.ImageDup.dctTable.mkString("[", ", ", "]")
+    s""" mm_ct AS (SELECT unnest(range(0, 64)) AS i,
+       |   unnest($table::BIGINT[]) AS c),
+       | mm_uv AS (SELECT unnest(range(0, 64)) AS uv),
+       | mm_co AS (SELECT px.vec_id, u.uv,
+       |   CAST(sum(CAST(px.p AS BIGINT) * cu.c * cv.c) AS BIGINT) AS coeff
+       |  FROM mm_px px CROSS JOIN mm_uv u
+       |  JOIN mm_ct cu ON cu.i = (u.uv // 8) * 8 + (px.idx // 8)
+       |  JOIN mm_ct cv ON cv.i = (u.uv % 8) * 8 + (px.idx % 8)
+       |  GROUP BY 1, 2),
+       | mm_med AS (SELECT vec_id, coeff AS med FROM (
+       |   SELECT vec_id, coeff,
+       |     row_number() OVER (PARTITION BY vec_id ORDER BY coeff) AS rn
+       |   FROM mm_co WHERE uv > 0) WHERE rn = 32),
+       | mm_dbit AS (SELECT co.vec_id, CAST((uv - 1) // 16 AS INT) AS band,
+       |   (uv - 1) % 16 AS j,
+       |   CASE WHEN co.coeff > m.med THEN 1 ELSE 0 END AS bit
+       |  FROM mm_co co JOIN mm_med m ON m.vec_id = co.vec_id
+       |  WHERE uv > 0),
+       | mm_dband AS (SELECT vec_id, band,
+       |   CAST(sum(CAST(bit AS BIGINT) * (CAST(1 AS BIGINT) << j))
+       |     AS BIGINT) AS val
+       |  FROM mm_dbit GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** Twin corpus + banded candidates + Hamming confirm over the DCT
+    * bands — [[mediaPhashPairsCte]]'s shape on `mm_dband`. */
+  private val mediaDctPairsCte: String =
+    """ mm_dband2 AS (SELECT vec_id, band, val FROM mm_dband
+      |  UNION ALL
+      |  SELECT vec_id + 1000000, band, val FROM mm_dband
+      |  WHERE vec_id < 20),
+      | mm_dcand AS (SELECT DISTINCT a.vec_id AS id1, c.vec_id AS id2
+      |  FROM mm_dband2 a JOIN mm_dband2 c
+      |    ON a.band = c.band AND a.val = c.val AND a.vec_id < c.vec_id),
+      | mm_dwide AS (SELECT vec_id, list(val ORDER BY band) AS vs
+      |  FROM mm_dband2 GROUP BY 1),
+      | mm_dpairs AS (SELECT id1, id2, hamming FROM (
+      |  SELECT cd.id1, cd.id2,
+      |    CAST(bit_count(xor(w1.vs[1], w2.vs[1]))
+      |       + bit_count(xor(w1.vs[2], w2.vs[2]))
+      |       + bit_count(xor(w1.vs[3], w2.vs[3]))
+      |       + bit_count(xor(w1.vs[4], w2.vs[4])) AS BIGINT) AS hamming
+      |  FROM mm_dcand cd JOIN mm_dwide w1 ON w1.vec_id = cd.id1
+      |    JOIN mm_dwide w2 ON w2.vec_id = cd.id2)
+      |  WHERE hamming <= 10)""".stripMargin
+
   private val mediaPhashPairsCte: String =
     """ mm_band2 AS (SELECT vec_id, band, val FROM mm_band
       |  UNION ALL
@@ -1601,6 +1676,14 @@ object VectorQueries {
     "media_ahash" ->
       (s"$mediaQuantCte,\n$mediaAHashCte\n" +
         "SELECT vec_id AS media_id, band, val FROM mm_band"),
+    // integer-DCT pHash bands re-derived from raw pixels with the same
+    // fixed-point basis table the engine folds into codegen
+    "media_dcthash" ->
+      (s"$mediaQuantCte,\n$mediaDctBandCte\n" +
+        "SELECT vec_id AS media_id, band, val FROM mm_dband"),
+    "media_dcthash_pairs" ->
+      (s"$mediaQuantCte,\n$mediaDctBandCte,\n$mediaDctPairsCte\n" +
+        "SELECT id1, id2, hamming FROM mm_dpairs"),
     // banded candidates + exact Hamming confirm, mirroring nearDupPairs;
     // the PNG twins decode to the SAME pixels (both codecs lossless), so
     // their band rows are the originals' rows under the offset id

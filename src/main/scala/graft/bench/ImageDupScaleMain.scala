@@ -24,12 +24,18 @@ import graft.sources.VectorSources
   * the decode/IO split of the hash stage is measured, not guessed.
   *
   * `sbt "runMain graft.bench.ImageDupScaleMain 10000000 100 32"`
+  *
+  * An optional 4th arg points at an existing run's corpus directory
+  * (the `.../media` parent printed below) so a rerun skips the
+  * generation phase — generation at 10M x 32x32 writes 31 GB of
+  * payloads and is the longest unbilled phase.
   */
 object ImageDupScaleMain {
   def main(args: Array[String]): Unit = {
     val n = if (args.length > 0) args(0).toLong else 1000000L
     val plantEvery = if (args.length > 1) args(1).toInt else 100
     val side = if (args.length > 2) args(2).toInt else 8
+    val reuse = if (args.length > 3) Some(args(3)) else None
     require(side >= 8 && side % 8 == 0, "side must be a multiple of 8")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -51,8 +57,9 @@ object ImageDupScaleMain {
     // scan IS the production shape, and it lets the IO-only pass price
     // the read path separately.
     val up = side / 8
-    val tmp = java.nio.file.Files.createTempDirectory("imgscale").toString
-    VectorSources.syntheticClustered(spark, n, 64,
+    val tmp = reuse.getOrElse(
+      java.nio.file.Files.createTempDirectory("imgscale").toString)
+    if (reuse.isEmpty) VectorSources.syntheticClustered(spark, n, 64,
         numClusters = math.max(1024L, n / 100).toInt, spread = 0.15)
       .select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
@@ -75,7 +82,7 @@ object ImageDupScaleMain {
     val total = base.count()
     val bytes = base.agg(sum(length(col("content")))).first().getLong(0)
     println(s"[imagedup-scale] corpus $total real ${side}x$side payloads " +
-      s"(${total - n} PNG twins, ${bytes / 1048576} MB)")
+      s"(${total - n} PNG twins, ${bytes / 1048576} MB) at $tmp")
 
     // IO-only pass: scan + per-payload byte fold, no decode — the read
     // path's share of any downstream stage
@@ -130,7 +137,8 @@ object ImageDupScaleMain {
     require(twinMatch == expectTwins,
       "every PNG re-encode must hash identically to its BMP original")
     bands.unpersist()
-    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    if (reuse.isEmpty)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
     spark.stop()
   }
 }

@@ -45,6 +45,57 @@ object ImageDup {
       .select(col("media_id"), col("bv.band").cast("int").as("band"),
         col("bv.val").as("val"))
 
+  /** 64-entry fixed-point 1-D DCT-II basis, dctTable(u*8+x) =
+    * round(cos((2x+1)·u·π/16) · 2^14). Integer so the hash below is
+    * exact bit-for-bit on any engine — the float DCT's sign-vs-median
+    * bits flip across math libraries exactly at coefficient ties. */
+  private[graft] val dctTable: Array[Long] = Array.tabulate(64) { i =>
+    math.round(math.cos((2 * (i % 8) + 1) * (i / 8) * math.Pi / 16.0) * 16384.0)
+  }
+
+  /** 63-bit DCT perceptual hash (pHash proper, vs [[aHashBands]]'
+    * average hash): 2-D DCT-II of the 8×8 pooled luma grid, drop the DC
+    * coefficient, threshold the 63 AC coefficients against their
+    * median. Low-frequency structure drives every bit, so local noise
+    * that flips aHash bits near the mean leaves pHash stable; a global
+    * brightness shift moves only the discarded DC term (spec-pinned).
+    *
+    * Exactness: coefficients are Σ psum·C[u][x]·C[v][y] over the
+    * integer basis table — pure int64 arithmetic (|coeff| ≤
+    * 64·psum_max·2^28, safe beyond 100-MP images), and the median of 63
+    * integers is an element, not an average — so the battery's
+    * `media_dcthash` / `media_dcthash_pairs` entries hash-match DuckDB
+    * re-deriving the DCT from raw pixels. Using psum (not the cell
+    * mean) is exact sign-scaling when pcnt is uniform (image dims a
+    * multiple of the grid — the pooled corpus shape); non-uniform edge
+    * cells bias toward larger cells, acceptable for a perceptual
+    * signal.
+    *
+    * Output (media_id, band, val) — 4×16-bit bands (band 3 carries 15
+    * live bits), drop-in for [[nearDupPairs]]/[[nearDupEdges]] and the
+    * whole downstream dedup loop. Stays inside whole-stage codegen:
+    * the basis travels as a folded literal array, no UDF, no shuffle. */
+  def dctHashBands(pooled: DataFrame): DataFrame = {
+    val ct = dctTable.map(v => s"${v}L").mkString("array(", ", ", ")")
+    pooled
+      .withColumn("coeffs", expr(
+        s"""transform(sequence(0, 63), uv ->
+           |  aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, xy) ->
+           |    acc + psum[xy] * $ct[(uv DIV 8) * 8 + (xy DIV 8)]
+           |                   * $ct[(uv % 8) * 8 + (xy % 8)]))""".stripMargin))
+      .withColumn("med", expr("array_sort(slice(coeffs, 2, 63))[31]"))
+      .select(col("media_id"), explode(expr(
+        """transform(sequence(0, 3), k -> struct(
+          |  k AS band,
+          |  aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, j) ->
+          |    acc + IF(k * 16 + j <= 62 AND coeffs[k * 16 + j + 1] > med,
+          |             shiftleft(CAST(1 AS BIGINT), j),
+          |             CAST(0 AS BIGINT))) AS val))"""
+          .stripMargin)).as("bv"))
+      .select(col("media_id"), col("bv.band").cast("int").as("band"),
+        col("bv.val").as("val"))
+  }
+
   /** Near-duplicate pairs from banded hashes: band-equality equi-join
     * for candidates (the SimHash/MinHash banding shape — a hot identical
     * image cluster is the only skew source, and it is REAL duplication
@@ -59,32 +110,44 @@ object ImageDup {
     * Hamming d has a band with ≤ floor(d/4) flipped bits, so recall is
     * CERTAIN for d ≤ 4·(probeBits+1) − 1 — d ≤ 3 exact-band, d ≤ 7
     * multiprobe — and probabilistic above.
+    *
+    * The Hamming confirm runs INSIDE the band join: each banded row
+    * carries its image's full 4-band hash array, so a candidate is
+    * confirmed or dropped the moment it is formed and only SURVIVORS
+    * reach a pair-level shuffle (the final distinct). The earlier
+    * formulation — dedup raw candidates, then join hashes back on —
+    * shuffled every candidate pair three times; at 10M images the
+    * band buckets hold ~150 rows each and raw candidates run to ~3
+    * BILLION, which spilled >70 GB and filled the disk twice. Carrying
+    * 32 bytes of hash on the 40M-row join sides buys dropping ~90% of
+    * the pair mass before it ever crosses the wire.
     * Output: (id1, id2, hamming) with id1 < id2, hamming <= maxHamming. */
   def nearDupPairs(bands: DataFrame, maxHamming: Int = 10,
       probeBits: Int = 0): DataFrame = {
     require(probeBits >= 0 && probeBits <= 1, "probeBits is 0 or 1")
-    val probe =
-      if (probeBits == 0) bands
-      else bands.select(col("media_id"), col("band"), explode(expr(
-        """transform(sequence(-1, 15), j ->
-          |  IF(j = -1, val, val ^ shiftleft(CAST(1 AS BIGINT), j)))"""
-          .stripMargin)).as("val"))
-    val cand = probe.as("a").join(bands.as("c"),
-        col("a.band") === col("c.band") && col("a.val") === col("c.val") &&
-          col("a.media_id") < col("c.media_id"))
-      .select(col("a.media_id").as("id1"), col("c.media_id").as("id2"))
-      .distinct()
-    val wide = bands.groupBy("media_id")
+    // (media_id, vs, band, val): one row per band, full hash alongside
+    val exploded = bands.groupBy("media_id")
       .agg(expr("transform(array_sort(collect_list(struct(band, val))), " +
         "x -> x.val)").as("vs"))
-    cand
-      .join(wide.select(col("media_id").as("id1"), col("vs").as("v1")), Seq("id1"))
-      .join(wide.select(col("media_id").as("id2"), col("vs").as("v2")), Seq("id2"))
+      .select(col("media_id"), col("vs"),
+        posexplode(col("vs")).as(Seq("band", "val")))
+    val probe =
+      if (probeBits == 0) exploded
+      else exploded.select(col("media_id"), col("vs"), col("band"),
+        explode(expr(
+          """transform(sequence(-1, 15), j ->
+            |  IF(j = -1, val, val ^ shiftleft(CAST(1 AS BIGINT), j)))"""
+            .stripMargin)).as("val"))
+    probe.as("a").join(exploded.as("c"),
+        col("a.band") === col("c.band") && col("a.val") === col("c.val") &&
+          col("a.media_id") < col("c.media_id"))
       .withColumn("hamming", expr(
         "aggregate(sequence(0, 3), CAST(0 AS BIGINT), " +
-          "(acc, k) -> acc + bit_count(v1[k] ^ v2[k]))"))
+          "(acc, k) -> acc + bit_count(a.vs[k] ^ c.vs[k]))"))
       .filter(col("hamming") <= maxHamming)
-      .select("id1", "id2", "hamming")
+      .select(col("a.media_id").as("id1"), col("c.media_id").as("id2"),
+        col("hamming"))
+      .distinct()
   }
 
   /** SCALABLE near-dup EDGES — the 10M finding: on a real corpus the

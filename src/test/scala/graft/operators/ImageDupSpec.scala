@@ -191,4 +191,63 @@ class ImageDupSpec extends AnyFunSuite {
     // ...and a tight threshold rejects it
     assert(ImageDup.nearDupPairs(bands, maxHamming = 1).count() == 0)
   }
+
+  private def dctHashOf(rows: Seq[(Long, Array[Byte])]): Map[Long, Seq[Long]] =
+    ImageDup.dctHashBands(
+        Multimodal.decodeImagePooledRaw(mediaOf(rows), grid = 8))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) =>
+        id -> rs.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+      }
+
+  test("dctHash: basis table is the exact fixed-point DCT-II; bits " +
+      "match a reference computation from the raw pixels") {
+    // table spot values: u=0 row all 2^14; C[1][0]=round(cos(pi/16)*2^14)
+    assert(ImageDup.dctTable.take(8).forall(_ == 16384L))
+    assert(ImageDup.dctTable(8) ==
+      math.round(math.cos(math.Pi / 16) * 16384.0))
+    val px = Array.tabulate(64)(i => (i * 37 + 11) % 251)
+    val got = dctHashOf(Seq((1L, Multimodal.encodeGray(px, 8, 8))))(1L)
+    // reference: same integer math in plain Scala
+    val t = ImageDup.dctTable
+    val coeffs = Array.tabulate(64) { uv =>
+      var s = 0L
+      var xy = 0
+      while (xy < 64) {
+        s += px(xy).toLong * t((uv / 8) * 8 + xy / 8) * t((uv % 8) * 8 + xy % 8)
+        xy += 1
+      }
+      s
+    }
+    val med = coeffs.drop(1).sorted.apply(31)
+    val want = (0 until 4).map { k =>
+      (0 until 16).foldLeft(0L) { (acc, j) =>
+        val b = k * 16 + j
+        if (b <= 62 && coeffs(b + 1) > med) acc | (1L << j) else acc
+      }
+    }
+    assert(got == want)
+    // band 3 carries only 15 live bits (63 AC coefficients)
+    assert(got(3) < (1L << 15))
+  }
+
+  test("dctHash: global brightness shift moves only the discarded DC " +
+      "term — every band identical; and lossless re-encode pairs at 0") {
+    val px = Array.tabulate(64)(i => (i * 13) % 200)
+    val shifted = px.map(_ + 40)
+    val h = dctHashOf(Seq(
+      (1L, Multimodal.encodeGray(px, 8, 8)),
+      (2L, Multimodal.encodeGray(shifted, 8, 8))))
+    assert(h(1L) == h(2L), "pHash must be brightness-shift invariant")
+    val rows = Seq(
+      (1L, Multimodal.encodeGray(px, 8, 8, "bmp")),
+      (2L, Multimodal.encodeGray(px, 8, 8, "png")))
+    val pairs = ImageDup.nearDupPairs(
+        ImageDup.dctHashBands(
+          Multimodal.decodeImagePooledRaw(mediaOf(rows), grid = 8)),
+        maxHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 0L)))
+  }
 }
