@@ -45,13 +45,20 @@ object ImageDup {
       .select(col("media_id"), col("bv.band").cast("int").as("band"),
         col("bv.val").as("val"))
 
-  /** 64-entry fixed-point 1-D DCT-II basis, dctTable(u*8+x) =
-    * round(cos((2x+1)·u·π/16) · 2^14). Integer so the hash below is
-    * exact bit-for-bit on any engine — the float DCT's sign-vs-median
-    * bits flip across math libraries exactly at coefficient ties. */
-  private[graft] val dctTable: Array[Long] = Array.tabulate(64) { i =>
-    math.round(math.cos((2 * (i % 8) + 1) * (i / 8) * math.Pi / 16.0) * 16384.0)
-  }
+  /** Fixed-point 1-D DCT-II basis for a `grid`-point input, 8 output
+    * frequencies: dctBasis(grid)(u*grid+x) =
+    * round(cos((2x+1)·u·π/(2·grid)) · 2^14). Integer so the hash below
+    * is exact bit-for-bit on any engine — the float DCT's
+    * sign-vs-median bits flip across math libraries exactly at
+    * coefficient ties. */
+  private[graft] def dctBasis(grid: Int): Array[Long] =
+    Array.tabulate(8 * grid) { i =>
+      math.round(math.cos((2 * (i % grid) + 1) * (i / grid) * math.Pi
+        / (2.0 * grid)) * 16384.0)
+    }
+
+  /** The grid=8 basis (the oracle-gated configuration). */
+  private[graft] val dctTable: Array[Long] = dctBasis(8)
 
   /** 63-bit DCT perceptual hash (pHash proper, vs [[aHashBands]]'
     * average hash): 2-D DCT-II of the 8×8 pooled luma grid, drop the DC
@@ -71,29 +78,87 @@ object ImageDup {
     * cells bias toward larger cells, acceptable for a perceptual
     * signal.
     *
+    * `grid` must match the pooled frame's grid. At grid = 8 every
+    * input frequency lands in the hash (the oracle-gated shape: 8×8
+    * media re-derived exactly by DuckDB). At grid ≥ 16 the hash keeps
+    * only the LOWEST 8×8 frequency block of the grid×grid spectrum —
+    * pHash's actual robustness mechanism: the discarded high
+    * frequencies are precisely what blur/recompression perturbs, so
+    * bits survive low-pass near-duplication (measured: at grid=32 a
+    * box-blur twin moves 0 of 63 bits where grid=8 moves ~24 and
+    * aHash ~5 — BASELINE round 12).
+    *
     * Output (media_id, band, val) — 4×16-bit bands (band 3 carries 15
     * live bits), drop-in for [[nearDupPairs]]/[[nearDupEdges]] and the
-    * whole downstream dedup loop. Stays inside whole-stage codegen:
-    * the basis travels as a folded literal array, no UDF, no shuffle. */
-  def dctHashBands(pooled: DataFrame): DataFrame = {
-    val ct = dctTable.map(v => s"${v}L").mkString("array(", ", ", ")")
-    pooled
-      .withColumn("coeffs", expr(
-        s"""transform(sequence(0, 63), uv ->
-           |  aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, xy) ->
-           |    acc + psum[xy] * $ct[(uv DIV 8) * 8 + (xy DIV 8)]
-           |                   * $ct[(uv % 8) * 8 + (xy % 8)]))""".stripMargin))
-      .withColumn("med", expr("array_sort(slice(coeffs, 2, 63))[31]"))
-      .select(col("media_id"), explode(expr(
-        """transform(sequence(0, 3), k -> struct(
-          |  k AS band,
-          |  aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, j) ->
-          |    acc + IF(k * 16 + j <= 62 AND coeffs[k * 16 + j + 1] > med,
-          |             shiftleft(CAST(1 AS BIGINT), j),
-          |             CAST(0 AS BIGINT))) AS val))"""
-          .stripMargin)).as("bv"))
-      .select(col("media_id"), col("bv.band").cast("int").as("band"),
-        col("bv.val").as("val"))
+    * whole downstream dedup loop.
+    *
+    * Implementation is a typed per-partition kernel (separable DCT:
+    * 8·grid² + 64·grid integer multiply-adds per image), NOT a
+    * higher-order SQL expression: Spark evaluates `transform`/
+    * `aggregate` lambdas INTERPRETED (never whole-stage codegen), and
+    * chaining them through a projected intermediate re-inlines the
+    * whole upstream lambda into every reference — measured 946 s for
+    * 110k images at grid 8 where this kernel takes under a second.
+    * Same narrow one-pass shape as the decode kernel it follows. */
+  def dctHashBands(pooled: DataFrame, grid: Int = 8): DataFrame = {
+    require(grid >= 8, "dct hash needs at least an 8x8 grid")
+    val spark = pooled.sparkSession
+    val basis = dctBasis(grid)
+    val idIdx = pooled.schema.fieldIndex("media_id")
+    val pIdx = pooled.schema.fieldIndex("psum")
+    val out = pooled.rdd.mapPartitions { it =>
+      it.flatMap { row =>
+        val id = row.getLong(idIdx)
+        val seq = row.getSeq[Long](pIdx)
+        val ps = new Array[Long](grid * grid)
+        var i = 0
+        while (i < ps.length) { ps(i) = seq(i); i += 1 }
+        // rowf(u·grid + y) = Σ_x ps(x·grid + y) · C[u][x]
+        val rowf = new Array[Long](8 * grid)
+        var u = 0
+        while (u < 8) {
+          var y = 0
+          while (y < grid) {
+            var s = 0L; var x = 0
+            while (x < grid) {
+              s += ps(x * grid + y) * basis(u * grid + x); x += 1
+            }
+            rowf(u * grid + y) = s; y += 1
+          }
+          u += 1
+        }
+        // coeffs(u·8 + v) = Σ_y rowf(u·grid + y) · C[v][y]
+        val coeffs = new Array[Long](64)
+        var uv = 0
+        while (uv < 64) {
+          var s = 0L; var y = 0
+          while (y < grid) {
+            s += rowf((uv / 8) * grid + y) * basis((uv % 8) * grid + y)
+            y += 1
+          }
+          coeffs(uv) = s; uv += 1
+        }
+        val ac = java.util.Arrays.copyOfRange(coeffs, 1, 64)
+        java.util.Arrays.sort(ac)
+        val med = ac(31)
+        (0 until 4).iterator.map { k =>
+          var v = 0L; var j = 0
+          while (j < 16) {
+            val b = k * 16 + j
+            if (b <= 62 && coeffs(b + 1) > med) v |= 1L << j
+            j += 1
+          }
+          org.apache.spark.sql.Row(id, k, v)
+        }
+      }
+    }
+    spark.createDataFrame(out, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("media_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("band",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("val",
+        org.apache.spark.sql.types.LongType, nullable = false))))
   }
 
   /** Near-duplicate pairs from banded hashes: band-equality equi-join
