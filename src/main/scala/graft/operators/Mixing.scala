@@ -69,4 +69,81 @@ object Mixing {
       .select(col(idCol), col(domainCol), col("n_tokens"),
         col("cum_tokens"), col("budget"))
   }
+
+  /** One micro-batch of the STREAMING mixture: mix `batch` under what
+    * REMAINS of `budgets` after all committed epochs before `batchId`,
+    * and write the selection as `epoch=batchId` (Overwrite — an
+    * at-least-once replay of a batch recomputes the identical prior
+    * state, because its own epoch is excluded from the consumed scan,
+    * and overwrites itself). Exposed for the replay spec; production
+    * entry is [[streamingTokenBudget]]. */
+  def mixBatch(batch: DataFrame, batchId: Long, path: String,
+      domainCol: String, tokensCol: Column, budgets: Map[String, Long],
+      idCol: String = "doc_id", salt: String = "mixbudget:"): Unit = {
+    val spark = batch.sparkSession
+    val consumed: Map[String, Long] =
+      try {
+        spark.read.parquet(s"$path/selected")
+          .filter(col("epoch") < batchId)
+          .groupBy(domainCol).agg(sum("n_tokens").as("t"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      } catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("PATH_NOT_FOUND") ||
+              e.getMessage.contains("Path does not exist") =>
+          Map.empty
+      }
+    val remaining = budgets.map { case (d, b) =>
+      d -> math.max(0L, b - consumed.getOrElse(d, 0L))
+    }
+    tokenBudget(batch, domainCol, tokensCol, remaining, idCol, salt)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/selected/epoch=$batchId")
+  }
+
+  /** STREAMING token-budget mixture — the budget DRAINS across
+    * micro-batches: batch b is mixed under `budgets` minus the tokens
+    * already selected by committed epochs, so the stream-long selection
+    * per domain lands in [budget, budget + max_doc) exactly like the
+    * batch form, and once a domain's budget is spent later batches
+    * select nothing from it. Selection is prefix-greedy in ARRIVAL
+    * order across batches and seeded-hash order within a batch —
+    * epoch-per-batchId layout, replay-idempotent by
+    * state-at-batch-entry (the store policy-loop contract;
+    * `checkpoint` is REQUIRED for the idempotence to hold across
+    * restarts). Read the running selection back with [[selected]];
+    * [[describe]] reports per-domain drain. */
+  def streamingTokenBudget(stream: DataFrame, path: String,
+      checkpoint: String, domainCol: String, tokensCol: Column,
+      budgets: Map[String, Long], idCol: String = "doc_id",
+      salt: String = "mixbudget:")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mixBatch(batch, batchId, path, domainCol, tokensCol, budgets,
+          idCol, salt)
+      }
+      .start()
+
+  /** Every row selected so far across epochs (epoch column included). */
+  def selected(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(s"$path/selected")
+
+  /** Per-domain drain state of a streaming mix: (domain, budget,
+    * consumed, remaining, exhausted). A domain is `exhausted` once its
+    * next document cannot start inside the budget (consumed >= budget —
+    * the batch form's selection rule with zero remaining). */
+  def describe(spark: org.apache.spark.sql.SparkSession, path: String,
+      budgets: Map[String, Long], domainCol: String = "source"): DataFrame = {
+    import spark.implicits._
+    val consumed = selected(spark, path)
+      .groupBy(domainCol).agg(sum("n_tokens").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    budgets.toSeq.sortBy(_._1).map { case (d, b) =>
+      val c = consumed.getOrElse(d, 0L)
+      (d, b, c, math.max(0L, b - c), c >= b)
+    }.toDF("domain", "budget", "consumed", "remaining", "exhausted")
+  }
 }

@@ -82,6 +82,58 @@ class MixingSpec extends AnyFunSuite {
     }
   }
 
+  test("streamingTokenBudget: the budget drains across micro-batches — " +
+      "stream-long selection equals the per-batch greedy reference, " +
+      "exhausted domains stop selecting, and a batch replay is a no-op") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val path = java.nio.file.Files.createTempDirectory("mixstream").toString
+    val budgets = Map("dom0" -> 260L, "dom1" -> 40L)
+    def rows(lo: Int, hi: Int) =
+      (lo until hi).map(i => (i.toLong, s"dom${i % 3}", 10L + i % 7))
+    val source = MemoryStream[(Long, String, Long)]
+    val q = Mixing.streamingTokenBudget(
+      source.toDF().toDF("doc_id", "domain", "n_tokens"),
+      path, s"$path-ckpt", "domain", col("n_tokens"), budgets)
+    source.addData(rows(0, 40): _*); q.processAllAvailable()
+    source.addData(rows(40, 80): _*); q.processAllAvailable()
+    source.addData(rows(80, 120): _*); q.processAllAvailable()
+    q.stop()
+
+    // reference: apply the BATCH operator batch-by-batch, draining
+    var remaining = budgets
+    val want = Seq((0, 40), (40, 80), (80, 120)).flatMap { case (lo, hi) =>
+      val sel = Mixing.tokenBudget(rows(lo, hi).toDF("doc_id", "domain",
+          "n_tokens"), "domain", col("n_tokens"), remaining)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      remaining = remaining.map { case (d, b) =>
+        d -> math.max(0L, b - sel.filter(_._2 == d).map(_._3).sum)
+      }
+      sel
+    }.toSet
+    def got() = Mixing.selected(spark, path)
+      .select("doc_id", "domain", "n_tokens")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got() == want)
+
+    // drain state: dom1's 40-token budget exhausts inside batch 1
+    val d = Mixing.describe(spark, path, budgets, "domain")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(d("dom1")._4, "dom1 must be exhausted")
+    assert(d("dom1")._2 >= 40L && d("dom1")._3 == 0L)
+    // exhausted domain selects nothing in later epochs
+    assert(Mixing.selected(spark, path)
+      .filter(col("domain") === "dom1" && col("epoch") > 0).count() == 0L)
+
+    // replay idempotence: re-running the LAST batch's mixBatch with the
+    // same batchId recomputes identical state and overwrites itself
+    val before = got()
+    Mixing.mixBatch(rows(80, 120).toDF("doc_id", "domain", "n_tokens"),
+      batchId = 2L, path, "domain", col("n_tokens"), budgets)
+    assert(got() == before)
+  }
+
   test("withGroupedOrdinal: dense 0-based per group, equals the " +
       "window row_number()-1, invariant to partitioning") {
     val df = corpus(150).withColumn("k",
