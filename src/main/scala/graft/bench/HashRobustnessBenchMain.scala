@@ -101,15 +101,17 @@ object HashRobustnessBenchMain {
     val pooledS = Multimodal.decodeImagePooledRaw(media, grid = side).persist()
     pooled8.count(); pooledS.count()
 
-    Seq(
+    // at side = 8 the third family would be a duplicate dct8 pass
+    val families = Seq(
       "ahash" -> ImageDup.aHashBands(pooled8),
-      "dct8" -> ImageDup.dctHashBands(pooled8),
-      s"dct$side" -> ImageDup.dctHashBands(pooledS, grid = side)).foreach {
+      "dct8" -> ImageDup.dctHashBands(pooled8)) ++
+      (if (side > 8)
+        Seq(s"dct$side" -> ImageDup.dctHashBands(pooledS, grid = side))
+      else Nil)
+    families.foreach {
       case (fam, bands) =>
         val t0 = System.nanoTime()
-        val wide = bands.groupBy("media_id")
-          .agg(expr("transform(array_sort(collect_list(struct(band, val)))," +
-            " x -> x.val)").as("vs"))
+        val wide = ImageDup.wideHashes(bands)
         val pairs = wide.as("o").join(wide.as("t"),
             col("t.media_id") === col("o.media_id") + n)
           .select(expr(

@@ -125,9 +125,7 @@ object ImageDupScaleMain {
     // twin recall via hash identity: every PNG re-encode must carry its
     // BMP original's full hash (lossless codecs) — and therefore sit in
     // its exact group / connected component
-    val wide = bands.groupBy("media_id")
-      .agg(expr("transform(array_sort(collect_list(struct(band, val))), " +
-        "x -> x.val)").as("vs"))
+    val wide = ImageDup.wideHashes(bands)
     val twinMatch = wide.as("o").join(wide.as("t"),
         col("t.media_id") === col("o.media_id") + n &&
           col("t.vs") === col("o.vs"))

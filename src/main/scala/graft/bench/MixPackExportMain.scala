@@ -68,13 +68,20 @@ object MixPackExportMain {
         count(lit(1)).as("docs"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
         r.getLong(3))).sortBy(_._1)
+    // corpus supply per domain: the selection's true lower bound is
+    // min(budget, supply) — a budget above supply keeps the domain
+    // whole, which is correct, not an overshoot failure
+    val supply = docs.groupBy("source")
+      .agg(sum(size(split(trim(col("text")), "\\s+")).cast("long")).as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val selWords = byDom.map(_._2).sum
     println(f"[mixpack] mix wall=$mixS%.1fs selected=${mix.count()} docs " +
       f"$selWords words (${selWords.toDouble / totalWords}%.3f of corpus)")
     byDom.foreach { case (d, toks, mx, nd) =>
       val b = budgets(d)
-      require(toks >= math.min(b, Long.MaxValue) && toks < b + mx,
-        s"$d selected $toks tokens outside [budget=$b, budget+maxdoc=${b + mx})")
+      require(toks >= math.min(b, supply(d)) && toks < b + mx,
+        s"$d selected $toks tokens outside [min(budget,supply)=" +
+          s"${math.min(b, supply(d))}, budget+maxdoc=${b + mx})")
       println(s"[mixpack]   $d: $nd docs, $toks tokens (budget $b)")
     }
 

@@ -187,13 +187,20 @@ object ImageDup {
     * 32 bytes of hash on the 40M-row join sides buys dropping ~90% of
     * the pair mass before it ever crosses the wire.
     * Output: (id1, id2, hamming) with id1 < id2, hamming <= maxHamming. */
+  /** One row per image with its full hash as a band-ordered array
+    * `vs` — the shared wide form of a band table (the pair confirm,
+    * the edge collapse, and the bench twin checks all derive from it;
+    * one definition so the band layout cannot silently diverge). */
+  private[graft] def wideHashes(bands: DataFrame): DataFrame =
+    bands.groupBy("media_id")
+      .agg(expr("transform(array_sort(collect_list(struct(band, val))), " +
+        "x -> x.val)").as("vs"))
+
   def nearDupPairs(bands: DataFrame, maxHamming: Int = 10,
       probeBits: Int = 0): DataFrame = {
     require(probeBits >= 0 && probeBits <= 1, "probeBits is 0 or 1")
     // (media_id, vs, band, val): one row per band, full hash alongside
-    val exploded = bands.groupBy("media_id")
-      .agg(expr("transform(array_sort(collect_list(struct(band, val))), " +
-        "x -> x.val)").as("vs"))
+    val exploded = wideHashes(bands)
       .select(col("media_id"), col("vs"),
         posexplode(col("vs")).as(Seq("band", "val")))
     val probe =
@@ -234,9 +241,7 @@ object ImageDup {
     * hamming 0. */
   def nearDupEdges(bands: DataFrame, maxHamming: Int = 10,
       probeBits: Int = 0): DataFrame = {
-    val wide = bands.groupBy("media_id")
-      .agg(expr("transform(array_sort(collect_list(struct(band, val))), " +
-        "x -> x.val)").as("vs"))
+    val wide = wideHashes(bands)
     val rep = wide.groupBy("vs").agg(min("media_id").as("rep_id"))
     val withRep = wide.join(rep, Seq("vs"))
     val exactEdges = withRep.filter(col("media_id") =!= col("rep_id"))

@@ -51,10 +51,19 @@ object Mixing {
       salt: String = "mixbudget:"): DataFrame = {
     require(budgets.nonEmpty, "token-budget mix needs at least one domain")
     require(budgets.values.forall(_ >= 0), "budgets must be non-negative")
+    // negative token counts corrupt the greedy prefix silently (the
+    // running sum DECREASES, re-admitting documents after exhaustion)
+    // — e.g. size(split(null)) = -1 under Spark's legacy sizeOfNull.
+    // Same stance as the kernel's duplicate-key guard: throw, don't
+    // produce a wrong mix.
+    val tok = tokensCol.cast("long")
     val keyed = df
       .filter(col(domainCol).isin(budgets.keys.toSeq: _*))
       .select(col(idCol), col(domainCol),
-        tokensCol.cast("long").as("n_tokens"),
+        when(tok < 0, raise_error(concat(
+            lit("tokenBudget: negative token count for id "),
+            col(idCol).cast("string"))))
+          .otherwise(tok).as("n_tokens"),
         graft.Qutil.md5Long60(concat(lit(salt), col(idCol))).as("mix_key"))
     val cum = GroupedPrefixSum.runningSum(keyed, "cum_tokens", "n_tokens",
       Seq(domainCol), Seq(col("mix_key"), col(idCol)),
@@ -72,20 +81,26 @@ object Mixing {
 
   /** One micro-batch of the STREAMING mixture: mix `batch` under what
     * REMAINS of `budgets` after all committed epochs before `batchId`,
-    * and write the selection as `epoch=batchId` (Overwrite — an
+    * write the selection as `selected/epoch=batchId`, then a per-domain
+    * token-sum summary as `drain/epoch=batchId` (both Overwrite — an
     * at-least-once replay of a batch recomputes the identical prior
-    * state, because its own epoch is excluded from the consumed scan,
-    * and overwrites itself). Exposed for the replay spec; production
-    * entry is [[streamingTokenBudget]]. */
+    * state, because its own epochs are excluded from the consumed scan,
+    * and overwrites itself; a crash between the two writes self-heals
+    * on replay). The consumed scan reads ONLY the drain summaries —
+    * O(epochs × domains) rows, never the selected data — so the
+    * per-batch policy cost stays flat as the stream grows. The summary
+    * is derived by re-reading the epoch just written, so it is exact
+    * against the shipped rows by construction. Exposed for the replay
+    * spec; production entry is [[streamingTokenBudget]]. */
   def mixBatch(batch: DataFrame, batchId: Long, path: String,
       domainCol: String, tokensCol: Column, budgets: Map[String, Long],
       idCol: String = "doc_id", salt: String = "mixbudget:"): Unit = {
     val spark = batch.sparkSession
     val consumed: Map[String, Long] =
       try {
-        spark.read.parquet(s"$path/selected")
+        spark.read.parquet(s"$path/drain")
           .filter(col("epoch") < batchId)
-          .groupBy(domainCol).agg(sum("n_tokens").as("t"))
+          .groupBy(domainCol).agg(sum("consumed_tokens").as("t"))
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       } catch {
         case e: org.apache.spark.sql.AnalysisException
@@ -99,6 +114,14 @@ object Mixing {
     tokenBudget(batch, domainCol, tokensCol, remaining, idCol, salt)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$path/selected/epoch=$batchId")
+    spark.read.parquet(s"$path/selected/epoch=$batchId")
+      .groupBy(domainCol)
+      .agg(sum("n_tokens").as("consumed_tokens"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_docs"))
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/drain/epoch=$batchId")
   }
 
   /** STREAMING token-budget mixture — the budget DRAINS across
@@ -126,7 +149,9 @@ object Mixing {
       }
       .start()
 
-  /** Every row selected so far across epochs (epoch column included). */
+  /** Every row selected so far across epochs (epoch column included).
+    * Requires at least one committed epoch; use [[describe]] for a
+    * monitoring call that is safe before the first commit. */
   def selected(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame =
     spark.read.parquet(s"$path/selected")
@@ -134,13 +159,25 @@ object Mixing {
   /** Per-domain drain state of a streaming mix: (domain, budget,
     * consumed, remaining, exhausted). A domain is `exhausted` once its
     * next document cannot start inside the budget (consumed >= budget —
-    * the batch form's selection rule with zero remaining). */
+    * the batch form's selection rule with zero remaining). Reads the
+    * per-epoch drain summaries, not the selected data. */
   def describe(spark: org.apache.spark.sql.SparkSession, path: String,
       budgets: Map[String, Long], domainCol: String = "source"): DataFrame = {
     import spark.implicits._
-    val consumed = selected(spark, path)
-      .groupBy(domainCol).agg(sum("n_tokens").as("t"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // before the first epoch commits there is nothing drained yet —
+    // report full budgets rather than throw (the monitoring call runs
+    // concurrently with the stream)
+    val consumed: Map[String, Long] =
+      try {
+        spark.read.parquet(s"$path/drain")
+          .groupBy(domainCol).agg(sum("consumed_tokens").as("t"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      } catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("PATH_NOT_FOUND") ||
+              e.getMessage.contains("Path does not exist") =>
+          Map.empty
+      }
     budgets.toSeq.sortBy(_._1).map { case (d, b) =>
       val c = consumed.getOrElse(d, 0L)
       (d, b, c, math.max(0L, b - c), c >= b)

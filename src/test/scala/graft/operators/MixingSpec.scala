@@ -80,6 +80,15 @@ class MixingSpec extends AnyFunSuite {
       Mixing.tokenBudget(dup, "domain", col("n_tokens"),
         Map("dom0" -> -1L))
     }
+    // negative token counts (e.g. size(split(null)) = -1 under legacy
+    // sizeOfNull) would re-admit documents after exhaustion — throw
+    val neg = Seq((1L, "dom0", 5L), (2L, "dom0", -1L))
+      .toDF("doc_id", "domain", "n_tokens")
+    val e2 = intercept[Exception] {
+      Mixing.tokenBudget(neg, "domain", col("n_tokens"),
+        Map("dom0" -> 10L)).collect()
+    }
+    assert(e2.getMessage.contains("negative token count"))
   }
 
   test("streamingTokenBudget: the budget drains across micro-batches — " +
@@ -125,6 +134,16 @@ class MixingSpec extends AnyFunSuite {
     // exhausted domain selects nothing in later epochs
     assert(Mixing.selected(spark, path)
       .filter(col("domain") === "dom1" && col("epoch") > 0).count() == 0L)
+
+    // the drain summaries (what the policy reads — O(epochs x domains))
+    // agree exactly with the selected data they summarize
+    val fromDrain = spark.read.parquet(s"$path/drain")
+      .groupBy("domain").agg(sum("consumed_tokens").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fromData = Mixing.selected(spark, path)
+      .groupBy("domain").agg(sum("n_tokens").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fromDrain == fromData)
 
     // replay idempotence: re-running the LAST batch's mixBatch with the
     // same batchId recomputes identical state and overwrites itself
