@@ -28,15 +28,22 @@ import graft.sources.VectorSources
   * An optional 4th arg points at an existing run's corpus directory
   * (the `.../media` parent printed below) so a rerun skips the
   * generation phase — generation at 10M x 32x32 writes 31 GB of
-  * payloads and is the longest unbilled phase.
+  * payloads and is the longest unbilled phase. The 5th arg picks the
+  * hash family: `ahash` (default — 8x8 pooled mean threshold) or
+  * `dct` (pHash: grid = side pooling, lowest 8x8 DCT block).
   */
 object ImageDupScaleMain {
   def main(args: Array[String]): Unit = {
     val n = if (args.length > 0) args(0).toLong else 1000000L
     val plantEvery = if (args.length > 1) args(1).toInt else 100
     val side = if (args.length > 2) args(2).toInt else 8
-    val reuse = if (args.length > 3) Some(args(3)) else None
+    // "-" (or empty) as the 4th arg means "generate fresh" — the
+    // positional placeholder when only the 5th (family) arg is wanted
+    val reuse = if (args.length > 3 && args(3).nonEmpty && args(3) != "-")
+      Some(args(3)) else None
+    val family = if (args.length > 4) args(4) else "ahash"
     require(side >= 8 && side % 8 == 0, "side must be a multiple of 8")
+    require(family == "ahash" || family == "dct", "family is ahash or dct")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -95,11 +102,15 @@ object ImageDupScaleMain {
     // decode + pool + hash: the per-image kernel cost (includes the
     // same scan — decode share = hash wall - io wall)
     val t0 = System.nanoTime()
-    val bands = ImageDup.aHashBands(
-      Multimodal.decodeImagePooledRaw(base, grid = 8)).persist()
+    val bands = (family match {
+      case "dct" => ImageDup.dctHashBands(
+        Multimodal.decodeImagePooledRaw(base, grid = side), grid = side)
+      case _ => ImageDup.aHashBands(
+        Multimodal.decodeImagePooledRaw(base, grid = 8))
+    }).persist()
     val bandRows = bands.count()
     val hashS = (System.nanoTime() - t0) / 1e9
-    println(f"[imagedup-scale] decode+hash wall=$hashS%.1fs " +
+    println(f"[imagedup-scale] decode+hash[$family] wall=$hashS%.1fs " +
       f"(${total / hashS}%.0f images/s, $bandRows band rows, " +
       f"decode_share=${(hashS - ioS) / hashS * 100}%.0f%%)")
 
