@@ -214,13 +214,20 @@ object TextQueries {
 
   /** Near-dup cluster assignment: connected components over the
     * MinHash-LSH candidate pairs (adaptive union-find / pointer-jumping —
-    * see graft.operators.Dedup). Shared by `dedup_clusters` and
-    * `dedup_keep_best`. */
-  private def nearDupClusters(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
-    graft.operators.Dedup.connectedComponents(d.select("doc_id"),
-      lshCandidatePairs(d))
-  }
+    * see graft.operators.Dedup). Shared by `dedup_clusters`,
+    * `dedup_keep_best`, `dedup_aware_split` and the corpus pipeline —
+    * memoized per (session, dir) like the other built models, so the
+    * battery pays the LSH → CC pipeline ONCE per session instead of
+    * once per entry (the assignment is deterministic; each entry's
+    * hash is a pure function of it). */
+  private def nearDupClusters(s: SparkSession, dir: String): DataFrame =
+    TextMemo.get(s, s"neardupclusters/$dir") {
+      val d = docs(s, dir)
+      val cc = graft.operators.Dedup.connectedComponents(d.select("doc_id"),
+        lshCandidatePairs(d)).persist()
+      cc.count()
+      cc
+    }
 
   /** MinHash band-bucket candidate pairs (8 bands × 2 rows): the bounded
     * candidate generator shared by `minhash_lsh_pairs` and

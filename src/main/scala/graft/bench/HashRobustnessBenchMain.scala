@@ -98,16 +98,20 @@ object HashRobustnessBenchMain {
       s"$planted blur twins")
 
     val pooled8 = Multimodal.decodeImagePooledRaw(media, grid = 8).persist()
-    val pooledS = Multimodal.decodeImagePooledRaw(media, grid = side).persist()
-    pooled8.count(); pooledS.count()
+    pooled8.count()
+    // at side = 8 the third family would be a duplicate dct8 pass —
+    // skip the second (full-resolution) decode pass entirely then
+    val pooledS = if (side > 8)
+      Some {
+        val p = Multimodal.decodeImagePooledRaw(media, grid = side).persist()
+        p.count(); p
+      }
+    else None
 
-    // at side = 8 the third family would be a duplicate dct8 pass
     val families = Seq(
       "ahash" -> ImageDup.aHashBands(pooled8),
       "dct8" -> ImageDup.dctHashBands(pooled8)) ++
-      (if (side > 8)
-        Seq(s"dct$side" -> ImageDup.dctHashBands(pooledS, grid = side))
-      else Nil)
+      pooledS.map(p => s"dct$side" -> ImageDup.dctHashBands(p, grid = side))
     families.foreach {
       case (fam, bands) =>
         val t0 = System.nanoTime()
@@ -139,7 +143,7 @@ object HashRobustnessBenchMain {
         pairs.unpersist()
         ()
     }
-    pooledS.unpersist()
+    pooledS.foreach(_.unpersist())
     pooled8.unpersist()
     media.unpersist()
     spark.stop()

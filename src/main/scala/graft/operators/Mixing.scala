@@ -53,15 +53,18 @@ object Mixing {
     require(budgets.values.forall(_ >= 0), "budgets must be non-negative")
     // negative token counts corrupt the greedy prefix silently (the
     // running sum DECREASES, re-admitting documents after exhaustion)
-    // — e.g. size(split(null)) = -1 under Spark's legacy sizeOfNull.
-    // Same stance as the kernel's duplicate-key guard: throw, don't
-    // produce a wrong mix.
+    // — e.g. size(split(null)) = -1 under Spark's legacy sizeOfNull —
+    // and NULL counts would slip past a bare `tok < 0` (null comparison
+    // is null, falling through to otherwise) only to NPE deep inside
+    // the prefix-sum kernel. Same stance as the kernel's duplicate-key
+    // guard: throw here with the real diagnostic, don't produce a
+    // wrong mix or an opaque failure.
     val tok = tokensCol.cast("long")
     val keyed = df
       .filter(col(domainCol).isin(budgets.keys.toSeq: _*))
       .select(col(idCol), col(domainCol),
-        when(tok < 0, raise_error(concat(
-            lit("tokenBudget: negative token count for id "),
+        when(tok.isNull || tok < 0, raise_error(concat(
+            lit("tokenBudget: null or negative token count for id "),
             col(idCol).cast("string"))))
           .otherwise(tok).as("n_tokens"),
         graft.Qutil.md5Long60(concat(lit(salt), col(idCol))).as("mix_key"))
@@ -77,6 +80,27 @@ object Mixing {
       .filter(col("cum_tokens") - col("n_tokens") < col("budget"))
       .select(col(idCol), col(domainCol), col("n_tokens"),
         col("cum_tokens"), col("budget"))
+  }
+
+  /** Per-domain tokens drained by committed epochs, read from the
+    * drain summaries under `path` (optionally only epochs strictly
+    * before `beforeEpoch` — the replay-idempotence cut). Existence is
+    * checked through the Hadoop FileSystem API rather than by matching
+    * AnalysisException message text, which varies across Spark error
+    * classes: a missing drain directory (no epoch committed yet) is a
+    * normal state, everything else propagates. */
+  private def drainedTokens(spark: org.apache.spark.sql.SparkSession,
+      path: String, domainCol: String,
+      beforeEpoch: Option[Long]): Map[String, Long] = {
+    val drain = new org.apache.hadoop.fs.Path(s"$path/drain")
+    val fs = drain.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(drain)) Map.empty
+    else {
+      val all = spark.read.parquet(drain.toString)
+      beforeEpoch.fold(all)(b => all.filter(col("epoch") < b))
+        .groupBy(domainCol).agg(sum("consumed_tokens").as("t"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
   }
 
   /** One micro-batch of the STREAMING mixture: mix `batch` under what
@@ -97,17 +121,7 @@ object Mixing {
       idCol: String = "doc_id", salt: String = "mixbudget:"): Unit = {
     val spark = batch.sparkSession
     val consumed: Map[String, Long] =
-      try {
-        spark.read.parquet(s"$path/drain")
-          .filter(col("epoch") < batchId)
-          .groupBy(domainCol).agg(sum("consumed_tokens").as("t"))
-          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      } catch {
-        case e: org.apache.spark.sql.AnalysisException
-            if e.getMessage.contains("PATH_NOT_FOUND") ||
-              e.getMessage.contains("Path does not exist") =>
-          Map.empty
-      }
+      drainedTokens(spark, path, domainCol, Some(batchId))
     val remaining = budgets.map { case (d, b) =>
       d -> math.max(0L, b - consumed.getOrElse(d, 0L))
     }
@@ -168,16 +182,7 @@ object Mixing {
     // report full budgets rather than throw (the monitoring call runs
     // concurrently with the stream)
     val consumed: Map[String, Long] =
-      try {
-        spark.read.parquet(s"$path/drain")
-          .groupBy(domainCol).agg(sum("consumed_tokens").as("t"))
-          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      } catch {
-        case e: org.apache.spark.sql.AnalysisException
-            if e.getMessage.contains("PATH_NOT_FOUND") ||
-              e.getMessage.contains("Path does not exist") =>
-          Map.empty
-      }
+      drainedTokens(spark, path, domainCol, None)
     budgets.toSeq.sortBy(_._1).map { case (d, b) =>
       val c = consumed.getOrElse(d, 0L)
       (d, b, c, math.max(0L, b - c), c >= b)

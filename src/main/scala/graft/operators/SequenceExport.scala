@@ -65,6 +65,9 @@ object SequenceExport {
       "order_id", Seq("split"),
       Seq(col("shuffle_key"), col("seq_id")),
       uniqueKeyCols = Seq("split", "seq_id"))
+      // the order key is internal — exported shards must not carry an
+      // extra 8 bytes/row that trainers never consume
+      .drop("shuffle_key")
 
   /** The shipped sequence frame (all shards, shard column included). */
   def read(spark: SparkSession, path: String): DataFrame =
