@@ -142,7 +142,7 @@ object Bench {
       "bpe_token_stats", "sample_weighted",
       "knn_pca_cosine", "ppl_filter", "prune_prototypes",
       "media_image_features", "media_audio_features",
-      "bridge_knn", "pack_from_tokens", "media_dedup_split")
+      "bridge_knn", "pack_from_tokens", "media_dedup_split", "sgns_knn")
     // failed queries surface on stdout (negated time), but capped: the
     // headline set plus at most 12 extra failures keeps the worst case
     // (every query failing) inside the tail window

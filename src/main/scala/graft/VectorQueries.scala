@@ -36,6 +36,19 @@ object VectorQueries {
     }
   }
 
+  /** The memoized engine-trained SGNS model over the documents table —
+    * shared by `sgns_knn` and `sgns_train_loss`, so the battery pays
+    * the training loop once per session. Fit on a bounded 2.5k-doc
+    * slice (the standard fit-on-sample/serve-everywhere split — the
+    * bridge then embeds EVERY document with it), which keeps the
+    * battery row's train cost flat across scale factors. */
+  private def sgnsModel(s: SparkSession, dir: String): graft.operators.Sgns.Model =
+    ModelMemo.get(s, s"sgns/d32w2n4e5/$dir")(
+      graft.operators.Sgns.train(
+        s.read.parquet(s"$dir/documents.parquet")
+          .filter(col("text").isNotNull && col("doc_id") < 2500),
+        dim = 32, window = 2, negatives = 4, epochs = 5, minCount = 2))
+
   private def hnswModel(s: SparkSession, dir: String): graft.hnsw.HnswModel =
     ModelMemo.get(s, s"hnsw/m16efc200p4/$dir")(
       HnswIndexer.fit(emb(s, dir),
@@ -963,6 +976,49 @@ object VectorQueries {
         .select(col("doc_id").as("query_id"),
           col("embedding").as("query_vec"))
       KnnJoin.exactKnnJoin(embedded, bprobes, k = 5, metric = "cosine",
+        baseId = "doc_id", scoreDigits = 6)
+    }),
+
+    // LEARNED embeddings end to end (VERDICT r12 #1): the engine TRAINS
+    // its own SGNS word2vec on the corpus (synchronous fixed-point
+    // gradient descent — bit-deterministic under any partitioning),
+    // serves it through the SAME ModelRunner bridge as the stub above,
+    // and feeds the already-oracled exact kNN. Rows-only by nature
+    // (iterative training isn't SQL-expressible); the gates live in
+    // SgnsSpec: layout determinism, loss monotonicity, planted-synonym
+    // recovery beating the hash stub, and MLlib Word2Vec parity.
+    "sgns_knn" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("text").isNotNull)
+      val embedded = graft.operators.EmbeddingBridge.embed(
+        d, new graft.operators.Sgns.Runner(sgnsModel(s, dir)), batchSize = 64)
+      val sprobes = embedded.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("query_id"),
+          col("embedding").as("query_vec"))
+      KnnJoin.exactKnnJoin(embedded, sprobes, k = 5, metric = "cosine",
+        baseId = "doc_id", scoreDigits = 6)
+    }),
+
+    // the trainer's observability row: per-epoch mean SGNS loss of the
+    // memoized model — a healthy run decreases monotonically (the spec
+    // pins it; this row makes the curve a driver-visible artifact)
+    "sgns_train_loss" -> ((s, dir) =>
+      graft.operators.Sgns.lossCurve(s, sgnsModel(s, dir))),
+
+    // MLlib Word2Vec doc vectors → exact kNN: the cross-implementation
+    // twin of sgns_knn (MLlib's mean-of-words transform over the same
+    // tokenization), the "use MLlib where it fits" integration row
+    "mllib_word2vec_knn" -> ((s, dir) => {
+      val dv = ModelMemo.get(s, s"mlw2v/$dir") {
+        val d = graft.operators.MlLsh.word2VecDocVecs(
+          s.read.parquet(s"$dir/documents.parquet")
+            .filter(col("text").isNotNull)).persist()
+        d.count(); d
+      }
+      val wprobes = dv.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("query_id"),
+          col("embedding").as("query_vec"))
+      KnnJoin.exactKnnJoin(dv, wprobes, k = 5, metric = "cosine",
         baseId = "doc_id", scoreDigits = 6)
     }),
 

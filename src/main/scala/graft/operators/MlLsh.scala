@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, MinHashLSH}
+import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, MinHashLSH, Word2Vec}
 import org.apache.spark.ml.linalg.{Vectors => MlVectors}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
@@ -54,6 +54,32 @@ object MlLsh {
       .select(col("datasetA.doc_id").as("id1"), col("datasetB.doc_id").as("id2"),
         graft.Qutil.rnd(col("jaccard_dist"), 6).as("jaccard_dist"))
       .filter(col("id1") < col("id2"))
+  }
+
+  /** MLlib `Word2Vec` document vectors — the cross-IMPLEMENTATION
+    * parity twin of [[Sgns]] (same tokenization, same mean-of-words doc
+    * representation via `Word2VecModel.transform`). Seeded but
+    * `numPartitions`-sensitive inside MLlib (its Hogwild-style layout),
+    * so the input is coalesced to one partition for a stable demo;
+    * [[Sgns.train]] is the layout-independent scale path. Returns
+    * (doc_id, embedding array<float>). */
+  def word2VecDocVecs(docs: DataFrame, dim: Int = 32, window: Int = 2,
+      minCount: Int = 1, maxIter: Int = 3, seed: Long = 42L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      .coalesce(1)
+    val model = new Word2Vec()
+      .setVectorSize(dim).setWindowSize(window).setMinCount(minCount)
+      .setMaxIter(maxIter).setSeed(seed).setNumPartitions(1)
+      .setInputCol("toks").setOutputCol("docvec")
+      .fit(toks)
+    model.transform(toks)
+      .select(col("doc_id"), col("docvec"))
+      .as[(Long, org.apache.spark.ml.linalg.Vector)]
+      .map { case (id, v) => (id, v.toArray.map(_.toFloat)) }
+      .toDF("doc_id", "embedding")
   }
 
   /** Euclidean ANN via BucketedRandomProjectionLSH similarity join. */

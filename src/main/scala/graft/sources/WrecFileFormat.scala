@@ -1,0 +1,252 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.hadoop.mapreduce.Job
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.execution.datasources.{FileFormat, OutputWriterFactory, PartitionedFile}
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** WARC-style record-framed crawl source — the raw front door a 100 TB
+  * corpus actually arrives through (reference analog: the record-framed
+  * binary decoders at /root/reference/src/bench/dataset.ts:65-151; the
+  * framing semantics are WARC's, reduced to a length-prefixed binary
+  * form so splits need no textual header parsing).
+  *
+  * Record layout (all ints little-endian):
+  * {{{
+  *   magic "GWR1" (4B) | headerLen int32 | payloadLen int64
+  *   | header bytes (UTF-8 "url\tfetch_ts\tcontent_type")
+  *   | payload bytes
+  * }}}
+  *
+  * Unlike fvecs, records are VARIABLE length, so byte splits cannot
+  * jump to a record boundary arithmetically. Instead each split SYNCS
+  * the way Hadoop's splittable formats do: scan forward from the split
+  * start for the magic, validate the frame (sane lengths, frame fits
+  * the file), and own every record whose magic offset lies inside
+  * [start, start+length) — a record may EXTEND past the split end (the
+  * reader reads on), and a record STARTING past it belongs to the next
+  * split. After a valid record the next frame must start immediately;
+  * if it doesn't (corrupt middle, torn write), the reader re-syncs
+  * forward on the magic rather than fail — and a TRUNCATED TAIL (frame
+  * promises more bytes than the file has) is skipped, not fatal: crawl
+  * dumps end mid-record all the time (the codec stance).
+  *
+  * `rec_id` is reproducible across layouts: `fileIndex << 40 | offset`
+  * with files path-ordered at plan time (offset < 2^40 = 1 TB/file).
+  * Column pruning is honored — a metadata-only scan never materializes
+  * payload bytes (it still streams past them; a payload-length frame
+  * index would fix that and is not yet needed).
+  */
+class WrecFileFormat extends FileFormat with DataSourceRegister with Serializable {
+
+  override def shortName(): String = "wrec"
+  override def toString: String = "Wrec"
+
+  override def inferSchema(sparkSession: SparkSession,
+      options: Map[String, String], files: Seq[FileStatus]): Option[StructType] =
+    if (files.isEmpty) None else Some(Wrec.schema)
+
+  override def isSplitable(sparkSession: SparkSession,
+      options: Map[String, String], path: Path): Boolean = true
+
+  override def prepareWrite(sparkSession: SparkSession, job: Job,
+      options: Map[String, String], dataSchema: StructType): OutputWriterFactory =
+    throw new UnsupportedOperationException(
+      "use graft.sources.Wrec.write(df, path)")
+
+  override protected def buildReader(sparkSession: SparkSession,
+      dataSchema: StructType, partitionSchema: StructType,
+      requiredSchema: StructType, filters: Seq[Filter],
+      options: Map[String, String],
+      hadoopConf: Configuration): PartitionedFile => Iterator[InternalRow] = {
+    val serConf = new SerConf(hadoopConf)
+    val fields = requiredSchema.fieldNames
+    val fileIndex: Map[String, Long] = Wrec.fileIndexes(sparkSession, options)
+
+    (file: PartitionedFile) => {
+      val path = file.toPath
+      val fs = path.getFileSystem(serConf.conf)
+      val fileLen = fs.getFileStatus(path).getLen
+      val in = fs.open(path)
+      val fIx = fileIndex.getOrElse(path.toUri.getPath, 0L)
+      val splitEnd = file.start + file.length
+
+      // buffered forward reader over [start, fileLen)
+      val bufSize = 1 << 16
+      val buf = new Array[Byte](bufSize)
+      var bufStart = -1L
+      var bufLen = 0
+      def byteAt(off: Long): Int = {
+        if (off >= fileLen) return -1
+        if (off < bufStart || off >= bufStart + bufLen) {
+          bufStart = off
+          bufLen = math.min(bufSize.toLong, fileLen - off).toInt
+          in.readFully(off, buf, 0, bufLen)
+        }
+        buf((off - bufStart).toInt) & 0xff
+      }
+      def bytesAt(off: Long, n: Int): Array[Byte] = {
+        val a = new Array[Byte](n)
+        // serve small reads from the buffer, large ones directly
+        if (n <= bufSize && off >= bufStart && off + n <= bufStart + bufLen)
+          System.arraycopy(buf, (off - bufStart).toInt, a, 0, n)
+        else in.readFully(off, a, 0, n)
+        a
+      }
+
+      /** First offset >= from where a VALID frame starts, or -1.
+        * Validity: magic + sane lengths + frame head fits the file
+        * (payload truncation is checked at read time → skip). */
+      def sync(from: Long): Long = {
+        var off = from
+        while (off + Wrec.HeadLen <= fileLen) {
+          if (byteAt(off) == 'G' && byteAt(off + 1) == 'W' &&
+              byteAt(off + 2) == 'R' && byteAt(off + 3) == '1') {
+            val head = ByteBuffer.wrap(bytesAt(off, Wrec.HeadLen))
+              .order(ByteOrder.LITTLE_ENDIAN)
+            val hLen = head.getInt(4)
+            val pLen = head.getLong(8)
+            if (hLen >= 0 && hLen <= Wrec.MaxHeaderLen && pLen >= 0 &&
+                off + Wrec.HeadLen + hLen <= fileLen)
+              return off
+          }
+          off += 1
+        }
+        -1L
+      }
+
+      new Iterator[InternalRow] {
+        private var cur = sync(file.start)
+        private var nextRow: InternalRow = _
+        private def advance(): Unit = {
+          nextRow = null
+          while (nextRow == null && cur >= 0 && cur < splitEnd) {
+            val head = ByteBuffer.wrap(bytesAt(cur, Wrec.HeadLen))
+              .order(ByteOrder.LITTLE_ENDIAN)
+            val hLen = head.getInt(4)
+            val pLen = head.getLong(8)
+            val total = Wrec.HeadLen.toLong + hLen + pLen
+            if (cur + total > fileLen) {
+              // truncated tail: the frame promises more than the file
+              // has — skip it (and anything the sync finds after it)
+              cur = sync(cur + 1)
+            } else {
+              val hdr = new String(bytesAt(cur + Wrec.HeadLen, hLen),
+                StandardCharsets.UTF_8)
+              val parts = hdr.split("\t", -1)
+              if (parts.length != 3) {
+                cur = sync(cur + 1) // malformed header: re-sync
+              } else {
+                val row = new Array[Any](fields.length)
+                var slot = 0
+                fields.foreach { f =>
+                  row(slot) = f match {
+                    case "rec_id" => (fIx << 40) | cur
+                    case "url" => UTF8String.fromString(parts(0))
+                    case "fetch_ts" =>
+                      try parts(1).toLong catch { case _: Exception => 0L }
+                    case "content_type" => UTF8String.fromString(parts(2))
+                    case "content" =>
+                      bytesAt(cur + Wrec.HeadLen + hLen, pLen.toInt)
+                  }
+                  slot += 1
+                }
+                nextRow = new GenericInternalRow(row)
+                val after = cur + total
+                // the next frame should start immediately; a mismatch
+                // is mid-file corruption — re-sync, don't fail
+                cur = if (after + Wrec.HeadLen > fileLen) -1L
+                  else if (byteAt(after) == 'G' && byteAt(after + 1) == 'W' &&
+                    byteAt(after + 2) == 'R' && byteAt(after + 3) == '1') after
+                  else sync(after)
+              }
+            }
+          }
+          if (nextRow == null) in.close()
+        }
+        advance()
+        def hasNext: Boolean = nextRow != null
+        def next(): InternalRow = {
+          val r = nextRow; advance(); r
+        }
+      }
+    }
+  }
+}
+
+object Wrec {
+  private[sources] val HeadLen = 16
+  private[sources] val MaxHeaderLen = 1 << 20
+
+  val schema: StructType = StructType(Seq(
+    StructField("rec_id", LongType, nullable = false),
+    StructField("url", StringType, nullable = false),
+    StructField("fetch_ts", LongType, nullable = false),
+    StructField("content_type", StringType, nullable = false),
+    StructField("content", BinaryType, nullable = false)))
+
+  /** Read a wrec file/directory/glob with layout-stable rec_ids. */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.format(classOf[WrecFileFormat].getName)
+      .option("graft.wrec.path", path).load(path)
+
+  /** Path-ordered file index for the rec_id high bits. */
+  private[sources] def fileIndexes(spark: SparkSession,
+      options: Map[String, String]): Map[String, Long] =
+    options.get("graft.wrec.path") match {
+      case None => Map.empty
+      case Some(glob) =>
+        val hconf = spark.sessionState.newHadoopConf()
+        val p = new Path(glob)
+        val fs = p.getFileSystem(hconf)
+        val matched = Option(fs.globStatus(p)).getOrElse(Array.empty)
+        matched
+          .flatMap(s => if (s.isDirectory) fs.listStatus(s.getPath) else Array(s))
+          .filter(_.isFile).map(_.getPath.toUri.getPath).sorted
+          .zipWithIndex.map { case (pth, i) => pth -> i.toLong }.toMap
+    }
+
+  /** Write (url, fetch_ts, content_type, content) as wrec files under
+    * `path` (one file per partition) — the test/bench writer twin of
+    * the reader; real crawl dumps arrive pre-framed. */
+  def write(df: DataFrame, path: String): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hconf = new SerConf(spark.sessionState.newHadoopConf())
+    df.select(org.apache.spark.sql.functions.col("url").cast("string"),
+        org.apache.spark.sql.functions.col("fetch_ts").cast("long"),
+        org.apache.spark.sql.functions.col("content_type").cast("string"),
+        org.apache.spark.sql.functions.col("content").cast("binary"))
+      .as[(String, Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val p = new Path(path, f"part-$pid%05d.wrec")
+        val fs = p.getFileSystem(hconf.conf)
+        val out = fs.create(p, true)
+        var n = 0L
+        it.foreach { case (url, ts, ct, payload) =>
+          val hdr = s"$url\t$ts\t$ct".getBytes(StandardCharsets.UTF_8)
+          val head = ByteBuffer.allocate(HeadLen).order(ByteOrder.LITTLE_ENDIAN)
+          head.put("GWR1".getBytes(StandardCharsets.US_ASCII))
+          head.putInt(hdr.length)
+          head.putLong(payload.length.toLong)
+          out.write(head.array())
+          out.write(hdr)
+          out.write(payload)
+          n += 1
+        }
+        out.close()
+        Iterator.single(n)
+      }
+      .reduce(_ + _): Unit
+  }
+}

@@ -1,0 +1,122 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class WrecSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def fixture(n: Int): org.apache.spark.sql.DataFrame =
+    spark.range(0, n).select(
+      concat(lit("https://example.test/doc/"), col("id")).as("url"),
+      (lit(1700000000L) + col("id")).as("fetch_ts"),
+      lit("text/html").as("content_type"),
+      // variable-length payloads, some containing the magic bytes —
+      // a mid-payload "GWR1" must not confuse the frame chain
+      encode(concat(lit("<html>GWR1 body "),
+        repeat(concat(col("id").cast("string"), lit(" ")),
+          (pmod(col("id"), lit(40)) + 1).cast("int")),
+        lit("</html>")), "UTF-8").as("content"))
+
+  private def readAll(dir: String) =
+    Wrec.read(spark, dir)
+      .select(col("url"), col("fetch_ts"), col("content_type"),
+        decode(col("content"), "UTF-8").as("body"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getString(3)))
+      .toSet
+
+  test("write → read round-trips every record across multiple files, " +
+      "with layout-stable global rec_ids") {
+    val dir = Files.createTempDirectory("wrec").toString
+    val df = fixture(500)
+    Wrec.write(df.repartition(3), dir)
+    val want = df.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getString(2), new String(r.getAs[Array[Byte]](3), "UTF-8"))).toSet
+    assert(readAll(dir) == want)
+
+    // rec_ids unique and stable across re-reads
+    val ids1 = Wrec.read(spark, dir).select("rec_id").collect().map(_.getLong(0))
+    assert(ids1.distinct.length == 500)
+    val ids2 = Wrec.read(spark, dir).select("rec_id").collect().map(_.getLong(0))
+    assert(ids1.sorted.toSeq == ids2.sorted.toSeq)
+  }
+
+  test("byte splits sync on the frame magic: tiny split sizes read " +
+      "exactly the same records as one big split") {
+    val dir = Files.createTempDirectory("wrecsplit").toString
+    Wrec.write(fixture(300).repartition(1), dir)
+    val whole = readAll(dir)
+    val old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "2048")
+      spark.conf.set("spark.sql.files.openCostInBytes", "0")
+      val split = Wrec.read(spark, dir)
+      assert(split.rdd.getNumPartitions > 4,
+        s"expected many splits, got ${split.rdd.getNumPartitions}")
+      assert(readAll(dir) == whole)
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+  }
+
+  test("truncated tail is skipped, not fatal; mid-file corruption " +
+      "re-syncs and loses only the torn record") {
+    val dir = Files.createTempDirectory("wrectrunc").toString
+    Wrec.write(fixture(100).repartition(1), dir)
+    val file = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".wrec")).head.toPath
+    val bytes = Files.readAllBytes(file)
+
+    // truncate mid-record: drop the last 30 bytes
+    val tdir = Files.createTempDirectory("wrect1").toString
+    Files.write(Paths.get(tdir, "a.wrec"),
+      java.util.Arrays.copyOfRange(bytes, 0, bytes.length - 30))
+    val got = readAll(tdir)
+    assert(got.size == 99, s"expected 99 after tail truncation, ${got.size}")
+
+    // tear ONE frame in the middle (zap its magic): the reader re-syncs
+    // past payload bytes that merely LOOK like magic (the fixture plants
+    // "GWR1" inside payloads) and loses exactly the torn record
+    val offsets = {
+      val b = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val acc = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var off = 0
+      while (off + 16 <= bytes.length) {
+        acc += off
+        off += 16 + b.getInt(off + 4) + b.getLong(off + 8).toInt
+      }
+      acc.toSeq
+    }
+    val victim = offsets.minBy(o => math.abs(o - bytes.length / 2))
+    val cdir = Files.createTempDirectory("wrect2").toString
+    val corrupt = bytes.clone()
+    java.util.Arrays.fill(corrupt, victim, victim + 4, 0x5a.toByte)
+    Files.write(Paths.get(cdir, "a.wrec"), corrupt)
+    val got2 = readAll(cdir)
+    assert(got2.size == 99,
+      s"expected exactly the torn record lost, got ${got2.size}")
+    // and every surviving record is intact (a member of the original set)
+    val want = readAll({ val d = Files.createTempDirectory("wrecref").toString
+      Files.write(Paths.get(d, "a.wrec"), bytes); d })
+    assert(got2.subsetOf(want))
+  }
+
+  test("column pruning: a metadata-only scan returns the same header " +
+      "fields without the content column in the plan") {
+    val dir = Files.createTempDirectory("wrecprune").toString
+    Wrec.write(fixture(50).repartition(1), dir)
+    val meta = Wrec.read(spark, dir).select("url", "fetch_ts")
+    assert(!meta.queryExecution.executedPlan.toString.contains("content"))
+    assert(meta.count() == 50)
+  }
+}
