@@ -146,9 +146,9 @@ object Bench {
     // failed queries surface on stdout (negated time), but capped: the
     // headline set plus at most 12 extra failures keeps the worst case
     // (every query failing) inside the tail window
-    // 4 (was 12) since the media_*/bridge/pack headline entries and the
-    // sentinel telemetry ate ~230 chars of the worst-case budget
-    val extraFail = failing.map(_._1).filterNot(headline).take(4).toSet
+    // 3 (was 12→4) since the media_*/bridge/pack/sgns headline entries
+    // and the sentinel telemetry ate ~240 chars of the worst-case budget
+    val extraFail = failing.map(_._1).filterNot(headline).take(3).toSet
     val sub = results.filter { case (k, _, e) =>
       headline(k) || (e.isDefined && extraFail(k)) }
     val stdoutLine =

@@ -641,6 +641,38 @@ object TextQueries {
             .as("span_sum"))
     }),
 
+    // LOSS-MASKED packing (VERDICT r12 #6): every token carries its
+    // source document's train-on-me bit (the SFT shape — here a
+    // deterministic md5 role draw per doc). The oracle pins BOTH the
+    // token-level mask sum (from the loss_mask array) and the span-level
+    // re-derivation (doc_spans × per-doc mask) — mask boundaries must
+    // coincide with provenance spans, so the two sums agree or the hash
+    // breaks. The padded conversation form (packConversationsPadded) is
+    // spec-gated in BpePackMaskSpec (turn fixture, truncation).
+    "pack_masked" -> ((s, dir) => {
+      val split_ = when(
+        md5Long(concat(lit("split:"), col("doc_id"))) % 10 < 8, "train")
+        .otherwise("heldout")
+      val mask_ = (md5Long(concat(lit("role:"), col("doc_id"))) % 3 === 0)
+        .cast("int")
+      val toked = docs(s, dir)
+        .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+        .select(col("doc_id"), split_.as("sp"), mask_.as("m"),
+          split(trim(col("text")), "\\s+").as("toks"))
+      graft.operators.Bpe
+        .packTokensMasked(toked, seqLen = 256, col("sp"), col("toks"),
+          col("m"))
+        .select(col("split"), col("seq_id"), col("n_tokens"),
+          expr("aggregate(token_ids, 0L, (a, x) -> a + x)").as("id_sum"),
+          expr("aggregate(loss_mask, 0L, (a, x) -> a + x)").as("mask_sum"),
+          element_at(col("loss_mask"), 1).as("first_mask"),
+          element_at(col("loss_mask"), -1).as("last_mask"),
+          expr("aggregate(doc_spans, 0L, (a, x) -> a + x.len * " +
+            "(CASE WHEN cast(conv(substring(md5(concat('role:', " +
+            "cast(x.doc_id as string))), 1, 15), 16, 10) as bigint) % 3 = 0 " +
+            "THEN 1 ELSE 0 END))").as("span_mask_sum"))
+    }),
+
     // T5-style span-corruption masks (denoising-objective preprocessing):
     // one 3-token masked span per 20-token block (= 15% noise density,
     // mean span 3 — the T5 defaults), span starts drawn deterministically
@@ -1403,6 +1435,45 @@ object TextQueries {
         |  FROM spd GROUP BY 1, 2)
         |SELECT split, seq_id, n_tokens, first_id, last_id, id_sum,
         |  n_spans, first_doc, last_doc, span_sum
+        |FROM seq JOIN spa USING (split, seq_id)""".stripMargin,
+    "pack_masked" ->
+      """WITH d AS (SELECT doc_id,
+        |  CASE WHEN ('0x' || substr(md5('split:' || doc_id), 1, 15))::BIGINT
+        |    % 10 < 8 THEN 'train' ELSE 'heldout' END AS split,
+        |  CASE WHEN ('0x' || substr(md5('role:' || doc_id), 1, 15))::BIGINT
+        |    % 3 = 0 THEN 1 ELSE 0 END AS m,
+        |  string_split_regex(trim(text), '\s+') AS toks
+        | FROM documents WHERE text IS NOT NULL AND len(trim(text)) > 0),
+        | n AS (SELECT doc_id, split, m, toks,
+        |   CAST(len(toks) AS BIGINT) AS n_toks FROM d),
+        | offs AS (SELECT *, CAST(sum(n_toks) OVER (PARTITION BY split
+        |   ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |   AS BIGINT) AS cum FROM n),
+        | vocab AS (SELECT token,
+        |   row_number() OVER (ORDER BY count(*) DESC, token ASC) - 1 AS id
+        |  FROM (SELECT unnest(toks) AS token FROM d) GROUP BY token),
+        | tok AS (SELECT split, m, cum - n_toks AS base,
+        |   unnest(toks) AS token,
+        |   unnest(range(1, len(toks) + 1)) AS pos FROM offs),
+        | t2 AS (SELECT split, m, base + pos - 1 AS off, id
+        |  FROM tok JOIN vocab USING (token)),
+        | seq AS (SELECT split, off // 256 AS seq_id,
+        |   count(*) AS n_tokens,
+        |   CAST(sum(id) AS BIGINT) AS id_sum,
+        |   CAST(sum(m) AS BIGINT) AS mask_sum,
+        |   min_by(m, off) AS first_mask, max_by(m, off) AS last_mask
+        |  FROM t2 GROUP BY 1, 2),
+        | sp AS (SELECT split, m,
+        |   unnest(range(base // 256, (cum - 1) // 256 + 1)) AS seq_id,
+        |   base, cum
+        |  FROM (SELECT split, m, cum - n_toks AS base, cum
+        |        FROM offs WHERE n_toks > 0)),
+        | spa AS (SELECT split, seq_id,
+        |   CAST(sum(m * (least(cum, (seq_id + 1) * 256)
+        |     - greatest(base, seq_id * 256))) AS BIGINT) AS span_mask_sum
+        |  FROM sp GROUP BY 1, 2)
+        |SELECT split, seq_id, n_tokens, id_sum, mask_sum,
+        |  first_mask, last_mask, span_mask_sum
         |FROM seq JOIN spa USING (split, seq_id)""".stripMargin,
     "seq_packing" ->
       """WITH b AS (SELECT doc_id,

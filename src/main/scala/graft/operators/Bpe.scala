@@ -242,6 +242,25 @@ object Bpe {
     packSyms(enc, seqLen, idCol, boundedVocab = false)
   }
 
+  /** [[packTokens]] with a LOSS MASK: `maskExpr` is the per-document
+    * 0/1 train-on-these-tokens flag (the SFT shape — mask user/system
+    * spans, train on assistant spans; or mask license-tainted docs in a
+    * mixed pack). The output gains `loss_mask: array<int>` aligned
+    * index-for-index with `token_ids`: every token carries its source
+    * document's flag, so mask boundaries coincide exactly with
+    * `doc_spans` boundaries by construction. Same shuffles as the
+    * unmasked pack (the mask rides the existing token rows). */
+  def packTokensMasked(docs: DataFrame, seqLen: Int, splitExpr: Column,
+      toksCol: Column, maskExpr: Column, idCol: String = "doc_id"): DataFrame = {
+    val enc = docs
+      .select(col(idCol).cast("long").as(idCol),
+        splitExpr.cast("string").as("split"), toksCol.as("syms"),
+        maskExpr.cast("int").as("doc_mask"))
+      .withColumn("n_toks", size(col("syms")).cast("long"))
+    packSyms(enc, seqLen, idCol, boundedVocab = false,
+      maskCol = Some("doc_mask"))
+  }
+
   /** The shared encode front: (idCol, split, syms, n_toks). `splitExpr`
     * evaluates over the CALLER's columns (it may reference fields the
     * encode projection drops), so it is materialized before the encode. */
@@ -274,7 +293,7 @@ object Bpe {
     * |merges| + alphabet); an unbounded dictionary must be left to
     * size-based planning + AQE or the hint becomes a 100×-scale OOM. */
   private def packSyms(enc: DataFrame, seqLen: Int, idCol: String,
-      boundedVocab: Boolean = true): DataFrame = {
+      boundedVocab: Boolean = true, maskCol: Option[String] = None): DataFrame = {
     require(seqLen >= 1)
     val offs = GroupedPrefixSum.runningSum(enc, "cum", "n_toks",
       Seq("split"), Seq(col(idCol)), uniqueKeyCols = Seq("split", idCol))
@@ -284,17 +303,29 @@ object Bpe {
     val vocab = vocabTable(offs)
     val dict0 = vocab.select("token", "id")
     val dict = if (boundedVocab) broadcast(dict0) else dict0
+    val tokCols = Seq(col("split"), (col("cum") - col("n_toks")).as("base")) ++
+      maskCol.map(col).toSeq :+
+      posexplode(col("syms")).as(Seq("pos", "token"))
     val tokRows = offs
-      .select(col("split"), (col("cum") - col("n_toks")).as("base"),
-        posexplode(col("syms")).as(Seq("pos", "token")))
+      .select(tokCols: _*)
       .withColumn("off", col("base") + col("pos"))
       .join(dict, Seq("token"))
-    val seqs = tokRows
-      // integral DIV, not floor(double /): exact past 2^53 tokens/split
+    // integral DIV, not floor(double /): exact past 2^53 tokens/split
+    val grouped = tokRows
       .groupBy(col("split"), expr(s"off DIV ${seqLen}L").as("seq_id"))
-      .agg(count(lit(1)).as("n_tokens"),
-        expr("transform(array_sort(collect_list(struct(off, id))), x -> x.id)")
-          .as("token_ids"))
+    val seqs = maskCol match {
+      case None =>
+        grouped.agg(count(lit(1)).as("n_tokens"),
+          expr("transform(array_sort(collect_list(struct(off, id))), x -> x.id)")
+            .as("token_ids"))
+      case Some(m) =>
+        grouped.agg(count(lit(1)).as("n_tokens"),
+            array_sort(collect_list(struct(col("off"), col("id"),
+              col(m).as("m")))).as("pairs"))
+          .withColumn("token_ids", expr("transform(pairs, x -> x.id)"))
+          .withColumn("loss_mask", expr("transform(pairs, x -> x.m)"))
+          .drop("pairs")
+    }
     // provenance spans from the DOC-level frame: doc [base, cum) meets
     // sequence s for s in [base DIV L, (cum-1) DIV L] — fan-out is one
     // row per (doc, sequence) intersection, ~n_docs + n_seqs rows total,
@@ -316,8 +347,10 @@ object Bpe {
       .agg(expr("transform(array_sort(collect_list(struct(start, span_doc, len))), " +
         "x -> struct(x.span_doc as doc_id, x.start as start, x.len as len))")
         .as("doc_spans"))
+    val outCols = Seq("split", "seq_id", "n_tokens", "token_ids") ++
+      maskCol.map(_ => "loss_mask").toSeq :+ "doc_spans"
     seqs.join(spans, Seq("split", "seq_id"))
-      .select("split", "seq_id", "n_tokens", "token_ids", "doc_spans")
+      .select(outCols.map(col): _*)
   }
 
   /** The NO-STRADDLE mode: one padded sequence per document (the
@@ -355,6 +388,107 @@ object Bpe {
       array(struct(col("span_doc").as("doc_id"),
         lit(0).as("start"), col("n_tokens").cast("int").as("len")))
         .as("doc_spans"))
+  }
+
+  /** ROLE-AWARE fine-tuning packing: one padded sequence per
+    * CONVERSATION. `turns` holds one row per turn (convCol, turnCol,
+    * roleCol, textCol); each conversation's turns are encoded and
+    * concatenated in `turnCol` order, truncated at `seqLen`, padded
+    * with `padId`, and every token carries a LOSS-MASK bit: 1 iff its
+    * turn's role equals `lossRole` (train on assistant tokens, attend
+    * to but don't train on user/system — the SFT objective).
+    *
+    * Output: (split, seq_id, convCol, n_tokens, token_ids, loss_mask,
+    * turn_spans) where `turn_spans: array<struct<turn_ix, role, start,
+    * len>>` tiles [0, n_tokens) in order — mask boundaries coincide
+    * with span boundaries by construction (spec-pinned), and the
+    * masked-token count equals the post-truncation length sum of
+    * `lossRole` turns.
+    *
+    * Scale shape: within-conversation offsets use a plain window
+    * partitioned by conversation (millions of SMALL groups — the
+    * opposite regime from the split-level [[GroupedPrefixSum]], which
+    * would put O(conversations) state on the driver); the dense
+    * per-split seq_id uses the prefix-sum kernel over one row per
+    * conversation. `splitExpr` must be constant within a conversation.
+    * Conversations with zero total tokens are dropped. */
+  def packConversationsPadded(turns: DataFrame, model: BpeModel,
+      seqLen: Int, splitExpr: Column, lossRole: String = "assistant",
+      padId: Long = -1L, convCol: String = "conv_id",
+      turnCol: String = "turn_ix", roleCol: String = "role",
+      textCol: String = "text"): DataFrame = {
+    require(seqLen >= 1)
+    val spark = turns.sparkSession
+    val bc = spark.sparkContext.broadcast(model)
+    import spark.implicits._
+    val enc = turns
+      .select(col(convCol).cast("long"), col(turnCol).cast("long"),
+        col(roleCol).cast("string"), splitExpr.cast("string"), col(textCol))
+      .as[(Long, Long, String, String, String)]
+      .mapPartitions { it =>
+        val m = bc.value
+        val memo = mutable.HashMap.empty[String, Array[String]]
+        it.map { case (cid, tix, role, sp, text) =>
+          val ws = Option(text).getOrElse("").trim.split("\\s+")
+            .filter(_.nonEmpty)
+          (cid, tix, role, sp,
+            ws.flatMap(w => memo.getOrElseUpdate(w, encodeWord(w, m))))
+        }
+      }
+      .toDF(convCol, turnCol, roleCol, "split", "syms")
+      .withColumn("n_toks", size(col("syms")).cast("long"))
+    val wTurn = org.apache.spark.sql.expressions.Window
+      .partitionBy("split", convCol).orderBy(turnCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    // every downstream lineage (conv ordinal, vocab, tokens, spans)
+    // derives from the post-window frame, so they all reuse the one
+    // (split, conv) window shuffle — no re-encode, no persist needed
+    val turnOffs = enc.withColumn("cum", sum("n_toks").over(wTurn))
+      .withColumn("base", col("cum") - col("n_toks"))
+      .filter(col("base") < seqLen) // turns entirely beyond the window drop
+    val convSeq = GroupedPrefixSum.runningSum(
+        turnOffs.select("split", convCol).distinct()
+          .withColumn("one", lit(1L)),
+        "ccum", "one", Seq("split"), Seq(col(convCol)),
+        uniqueKeyCols = Seq("split", convCol))
+      .select(col("split"), col(convCol), (col("ccum") - 1).as("seq_id"))
+    val vocab = vocabTable(turnOffs)
+    val tokRows = turnOffs.join(convSeq, Seq("split", convCol))
+      .select(col("split"), col("seq_id"), col(roleCol), col("base"),
+        posexplode(col("syms")).as(Seq("pos", "token")))
+      .withColumn("off", col("base") + col("pos"))
+      .filter(col("off") < seqLen) // truncate before the shuffle
+      .join(broadcast(vocab.select("token", "id")), Seq("token"))
+    val seqs = tokRows.groupBy("split", "seq_id")
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        array_sort(collect_list(struct(col("off"), col("id"),
+          when(col(roleCol) === lossRole, 1).otherwise(0).as("m"))))
+          .as("pairs"))
+      .withColumn("ids", expr("transform(pairs, x -> x.id)"))
+      .withColumn("mask", expr("transform(pairs, x -> x.m)"))
+      .drop("pairs")
+    val spans = turnOffs.join(convSeq, Seq("split", convCol))
+      .select(col("split"), col("seq_id"), col(convCol),
+        col(turnCol), col(roleCol),
+        col("base").cast("int").as("start"),
+        (least(col("cum"), lit(seqLen.toLong)) - col("base"))
+          .cast("int").as("len"))
+      .filter(col("len") > 0)
+      .groupBy("split", "seq_id")
+      .agg(first(col(convCol)).as(convCol),
+        expr(s"transform(array_sort(collect_list(struct(start, " +
+          s"$turnCol, $roleCol, len))), x -> struct(x.$turnCol as turn_ix, " +
+          s"x.$roleCol as role, x.start as start, x.len as len))")
+          .as("turn_spans"))
+    seqs.join(spans, Seq("split", "seq_id"))
+      .select(col("split"), col("seq_id"), col(convCol),
+        col("n_tokens"),
+        concat(col("ids"), array_repeat(lit(padId),
+          (lit(seqLen) - size(col("ids"))).cast("int"))).as("token_ids"),
+        concat(col("mask"), array_repeat(lit(0),
+          (lit(seqLen) - size(col("mask"))).cast("int"))).as("loss_mask"),
+        col("turn_spans"))
   }
 
   /** Write the dictionary as the single `vocab.json` artifact tokenizer

@@ -82,7 +82,8 @@ object SequenceExport {
     val got = digests(read(spark, path))
       .withColumnsRenamed(Map(
         "n_sequences" -> "got_sequences", "n_tokens_sum" -> "got_tokens",
-        "id_sum" -> "got_ids", "span_sum" -> "got_spans"))
+        "id_sum" -> "got_ids", "span_sum" -> "got_spans",
+        "mask_sum" -> "got_mask"))
     val want = spark.read.parquet(s"$path/audit")
     want.join(got, Seq("split", "shard"), "full_outer")
       .filter(
@@ -90,7 +91,8 @@ object SequenceExport {
         col("n_sequences") =!= col("got_sequences") ||
         col("n_tokens_sum") =!= col("got_tokens") ||
         col("id_sum") =!= col("got_ids") ||
-        col("span_sum") =!= col("got_spans"))
+        col("span_sum") =!= col("got_spans") ||
+        col("mask_sum") =!= col("got_mask"))
   }
 
   private def digests(sharded: DataFrame): DataFrame =
@@ -99,5 +101,10 @@ object SequenceExport {
       sum("n_tokens").as("n_tokens_sum"),
       sum(expr("aggregate(token_ids, 0L, (a, x) -> a + x)")).as("id_sum"),
       sum(expr("aggregate(doc_spans, 0L, (a, x) -> a + x.doc_id * x.len)"))
-        .as("span_sum"))
+        .as("span_sum"),
+      // masked packs conserve the trainable-token count per shard too;
+      // unmasked packs pin it at 0 so the audit schema stays uniform
+      (if (sharded.columns.contains("loss_mask"))
+        sum(expr("aggregate(loss_mask, 0L, (a, x) -> a + x)"))
+      else lit(0L)).as("mask_sum"))
 }

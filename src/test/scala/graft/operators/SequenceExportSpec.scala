@@ -49,7 +49,7 @@ class SequenceExportSpec extends AnyFunSuite {
     val tampered = audit.zipWithIndex.map { case (r, i) =>
       if (i == 0)
         org.apache.spark.sql.Row(r.get(0), r.get(1), r.getLong(2),
-          r.getLong(3) + 1, r.getLong(4), r.getLong(5))
+          r.getLong(3) + 1, r.getLong(4), r.getLong(5), r.getLong(6))
       else r
     }
     spark.createDataFrame(
