@@ -261,6 +261,22 @@ object Bpe {
       maskCol = Some("doc_mask"))
   }
 
+  /** [[packSequences]] under a FROZEN dictionary — the streaming /
+    * multi-epoch form: `dict` (token, id) comes from the tokenizer's
+    * shipped artifacts ([[vocabTable]] over the training corpus,
+    * [[saveVocab]]/[[loadVocab]] round-trip), NOT from the batch at
+    * hand, so every epoch of a stream packs with the SAME ids and the
+    * shipped sequences are trainer-comparable across epochs. Symbols
+    * outside the dictionary map to `unkId` (the reserved UNK id every
+    * real tokenizer carries; it must not collide with dictionary ids —
+    * dense from 0 — or the pad id). Token conservation still holds
+    * exactly: unknown tokens are packed, not dropped. */
+  def packSequencesFrozen(docs: DataFrame, model: BpeModel, seqLen: Int,
+      splitExpr: Column, dict: DataFrame, unkId: Long = -2L,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    packSyms(encodeForPack(docs, model, splitExpr, idCol, textCol),
+      seqLen, idCol, dict = Some((dict, unkId)))
+
   /** The shared encode front: (idCol, split, syms, n_toks). `splitExpr`
     * evaluates over the CALLER's columns (it may reference fields the
     * encode projection drops), so it is materialized before the encode. */
@@ -293,23 +309,35 @@ object Bpe {
     * |merges| + alphabet); an unbounded dictionary must be left to
     * size-based planning + AQE or the hint becomes a 100×-scale OOM. */
   private def packSyms(enc: DataFrame, seqLen: Int, idCol: String,
-      boundedVocab: Boolean = true, maskCol: Option[String] = None): DataFrame = {
+      boundedVocab: Boolean = true, maskCol: Option[String] = None,
+      dict: Option[(DataFrame, Long)] = None): DataFrame = {
     require(seqLen >= 1)
     val offs = GroupedPrefixSum.runningSum(enc, "cum", "n_toks",
       Seq("split"), Seq(col(idCol)), uniqueKeyCols = Seq("split", idCol))
-    // vocab from the POST-SORT frame, not `enc`: same rows, but the
-    // lineage shares the prefix sum's shuffle output, so the encode
-    // mapPartitions is never re-executed for the dictionary build
-    val vocab = vocabTable(offs)
-    val dict0 = vocab.select("token", "id")
-    val dict = if (boundedVocab) broadcast(dict0) else dict0
     val tokCols = Seq(col("split"), (col("cum") - col("n_toks")).as("base")) ++
       maskCol.map(col).toSeq :+
       posexplode(col("syms")).as(Seq("pos", "token"))
-    val tokRows = offs
+    val exploded = offs
       .select(tokCols: _*)
       .withColumn("off", col("base") + col("pos"))
-      .join(dict, Seq("token"))
+    val tokRows = dict match {
+      case Some((d, unkId)) =>
+        // FROZEN dictionary (tokenizer artifact — bounded, broadcast);
+        // out-of-dictionary symbols become the reserved UNK id, never
+        // dropped (token conservation is the pack's core invariant)
+        exploded
+          .join(broadcast(d.select(col("token"),
+            col("id").cast("long").as("id"))), Seq("token"), "left_outer")
+          .withColumn("id", coalesce(col("id"), lit(unkId)))
+      case None =>
+        // vocab from the POST-SORT frame, not `enc`: same rows, but the
+        // lineage shares the prefix sum's shuffle output, so the encode
+        // mapPartitions is never re-executed for the dictionary build
+        val vocab = vocabTable(offs)
+        val dict0 = vocab.select("token", "id")
+        exploded.join(if (boundedVocab) broadcast(dict0) else dict0,
+          Seq("token"))
+    }
     // integral DIV, not floor(double /): exact past 2^53 tokens/split
     val grouped = tokRows
       .groupBy(col("split"), expr(s"off DIV ${seqLen}L").as("seq_id"))
