@@ -64,6 +64,15 @@ object Bench {
       java.nio.file.Files.createDirectories(dir)
       java.nio.file.Files.write(dir.resolve("bench_latest.json"),
         (fullLine + "\n").getBytes("UTF-8"))
+      // a TAGGED copy survives later runs: the driver's (possibly
+      // contended) per-round run overwrites bench_latest.json, which
+      // clobbered the committed idle anchors of r11/r12 — a tag like
+      // "r13_idle" pins an anchor to its own filename (VERDICT r12 #7)
+      sys.env.get("SPARK_GRAFT_BENCH_TAG").foreach { tag =>
+        java.nio.file.Files.write(
+          dir.resolve(s"bench_${tag.replaceAll("[^A-Za-z0-9_.-]", "_")}.json"),
+          (fullLine + "\n").getBytes("UTF-8"))
+      }
     } catch { case e: Exception => System.err.println(s"bench file write failed: $e") }
     println(stdoutLine)
     spark.stop()

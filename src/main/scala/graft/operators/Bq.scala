@@ -98,7 +98,12 @@ object Bq {
     val rawScore = similarity.cosine_sim(col("bvec"), col("qvec"))
     val scoreCol =
       if (scoreDigits >= 0) graft.Qutil.rnd(rawScore, scoreDigits) else rawScore
-    val scored = topCands
+    // candidates are bounded by (probe-batch queries × rerank) — two
+    // longs per row — so they BROADCAST and base never shuffles. Left
+    // to AQE, the SMJ→BHJ conversion still pays the full base shuffle
+    // WRITE before converting: at the 100M point that is a 26 GB spill
+    // per serve wave (measured, round 13 — it filled the disk).
+    val scored = broadcast(topCands)
       .join(base.select(col(idCol).cast("long").as("cand_id"),
         col(vecCol).cast("array<float>").as("bvec")), Seq("cand_id"))
       .join(broadcast(queries.select(col(queryId).cast("long").as("query_id"),

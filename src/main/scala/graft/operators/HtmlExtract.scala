@@ -113,4 +113,88 @@ object HtmlExtract {
               when(col("is_content"), struct(col("block_ix"), col("text"))))),
             x => x.getField("text")),
           "\n").as("text"))
+
+  // ---- the typed kernel twin ---------------------------------------
+  // The Column pipeline above is the ORACLE form (DuckDB-expressible,
+  // hash-gated). At crawl scale its cost is ~9 regex passes per block
+  // through Catalyst's per-expression string churn; the kernel below
+  // runs the IDENTICAL java.util.regex machinery once per document in
+  // a mapPartitions with compiled patterns — the DCT-kernel precedent
+  // (BASELINE r12: oracle stays relational, O(work) math goes typed).
+  // Spec-pinned bit-identical to extract() on real corpus text.
+
+  private lazy val pScript =
+    java.util.regex.Pattern.compile("(?is)<script[^>]*>.*?</script>")
+  private lazy val pStyle =
+    java.util.regex.Pattern.compile("(?is)<style[^>]*>.*?</style>")
+  private lazy val pComment =
+    java.util.regex.Pattern.compile("(?s)<!--.*?-->")
+  private lazy val pBlockSep = java.util.regex.Pattern.compile(BlockSep)
+  private lazy val pTag = java.util.regex.Pattern.compile("<[^>]*>")
+  private lazy val pAnchor =
+    java.util.regex.Pattern.compile("(?is)<a[^>]*>(.*?)</a>")
+  private lazy val pWs = java.util.regex.Pattern.compile("\\s+")
+
+  private def cleanFragment(s: String): String = {
+    var t = pTag.matcher(s).replaceAll(" ")
+    // same entity set and order as visibleText; literal (non-regex)
+    // patterns there, so String.replace is the identical operation
+    t = t.replace("&nbsp;", " ").replace("&amp;", "&")
+      .replace("&lt;", "<").replace("&gt;", ">")
+      .replace("&quot;", "\"").replace("&#39;", "'")
+    pWs.matcher(t).replaceAll(" ").trim
+  }
+
+  /** [[extract]]'s output computed by the typed kernel — one compiled
+    * regex pass per stage per document instead of a Catalyst expression
+    * chain per block. Identical semantics (same JDK regex engine, same
+    * pipeline order); use for the hot crawl path, keep [[extract]] for
+    * oracle-gated queries. */
+  def extractKernel(df: DataFrame, htmlCol: Column,
+      idCol: String = "doc_id", minChars: Int = 25,
+      maxLinkDensity: Double = 0.35): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), htmlCol.cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, html0) =>
+          val html = if (html0 == null) "" else html0
+          var h = pScript.matcher(html).replaceAll(" ")
+          h = pStyle.matcher(h).replaceAll(" ")
+          h = pComment.matcher(h).replaceAll(" ")
+          val segs = pBlockSep.split(h, -1)
+          var nBlocks = 0L
+          var nContent = 0L
+          var contentChars = 0L
+          val sb = new StringBuilder
+          var i = 0
+          while (i < segs.length) {
+            val block = segs(i)
+            val txt = cleanFragment(block)
+            if (txt.nonEmpty) {
+              nBlocks += 1
+              val m = pAnchor.matcher(block)
+              val ab = new StringBuilder
+              var first = true
+              while (m.find()) {
+                if (!first) ab.append(' ')
+                ab.append(m.group(1)); first = false
+              }
+              val ltxt = cleanFragment(ab.result())
+              val density = ltxt.length.toDouble / math.max(txt.length, 1)
+              if (txt.length >= minChars && density <= maxLinkDensity) {
+                nContent += 1
+                contentChars += txt.length
+                if (sb.nonEmpty) sb.append('\n')
+                sb.append(txt)
+              }
+            }
+            i += 1
+          }
+          (id, nBlocks, nContent, contentChars, sb.result())
+        }
+      }
+      .toDF(idCol, "n_blocks", "n_content", "content_chars", "text")
+  }
 }

@@ -297,6 +297,7 @@ object IvfRabitq {
       }
     }
     val useU4 = u4
+    val numCells = model.rotCents.length
     val pruned = model.encoded.filter(col("cell").isin(wanted: _*))
     val scored = pruned.as[(Int, Long, Array[Long], Double)]
       .mapPartitions { rows =>
@@ -305,45 +306,62 @@ object IvfRabitq {
           if (useU4) bcPlanes.value else null
         val heaps = Array.fill(qs.length)(
           mutable.PriorityQueue.empty[(Double, Long)](worstFirst))
+        // INVERTED cell → (query, cellIdx) map: a code row is scored
+        // only against the queries that actually probe its cell. The
+        // previous all-queries membership loop made a serving wave
+        // O(probed rows × nQueries) — at the 100M point (1000 queries,
+        // most of 1024 cells probed by someone) that was ~60× redundant
+        // work per row. Per-query row ORDER is unchanged (same rows,
+        // same j sequence), so heap decisions — and results — are
+        // bit-identical.
+        val cellQs: Array[Array[Long]] = {
+          val b = Array.fill(numCells)(
+            mutable.ArrayBuffer.empty[Long])
+          var q = 0
+          while (q < qs.length) {
+            val qcells = qs(q)._3
+            var c = 0
+            while (c < qcells.length) {
+              b(qcells(c)) += (q.toLong << 32) | c.toLong
+              c += 1
+            }
+            q += 1
+          }
+          b.map(_.toArray)
+        }
         val chunk = 1024
         val cellBuf = new Array[Int](chunk)
         val idBuf = new Array[Long](chunk)
         val bitBuf = new Array[Array[Long]](chunk)
         val gBuf = new Array[Double](chunk)
         def flush(nRows: Int): Unit = {
-          var q = 0
-          while (q < qs.length) {
-            val (_, perCell, qcells, r) = qs(q)
-            val h = heaps(q)
-            var j = 0
-            while (j < nRows) {
-              val cell = cellBuf(j)
-              var cellIdx = -1
-              var c = 0
-              while (cellIdx < 0 && c < qcells.length) {
-                if (qcells(c) == cell) cellIdx = c
-                c += 1
-              }
-              if (cellIdx >= 0) {
-                val (res, nq) = perCell(cellIdx)
-                val est =
-                  if (nq == 0.0) 0.0
-                  else if (useU4)
-                    planes(q)(cellIdx).signDot(bitBuf(j)) * gBuf(j) / nq
-                  else signDotD(bitBuf(j), res) * gBuf(j) / nq
-                val ts = math.floor(est * 1e6 + 0.5) / 1e6
-                val id = idBuf(j)
-                if (h.size < r) h.enqueue((ts, id))
-                else {
-                  val top = h.head
-                  if (ts > top._1 || (ts == top._1 && id < top._2)) {
-                    h.dequeue(); h.enqueue((ts, id))
-                  }
+          var j = 0
+          while (j < nRows) {
+            val hits = cellQs(cellBuf(j))
+            val id = idBuf(j)
+            var hi = 0
+            while (hi < hits.length) {
+              val q = (hits(hi) >>> 32).toInt
+              val cellIdx = (hits(hi) & 0xffffffffL).toInt
+              val (_, perCell, _, r) = qs(q)
+              val h = heaps(q)
+              val (res, nq) = perCell(cellIdx)
+              val est =
+                if (nq == 0.0) 0.0
+                else if (useU4)
+                  planes(q)(cellIdx).signDot(bitBuf(j)) * gBuf(j) / nq
+                else signDotD(bitBuf(j), res) * gBuf(j) / nq
+              val ts = math.floor(est * 1e6 + 0.5) / 1e6
+              if (h.size < r) h.enqueue((ts, id))
+              else {
+                val top = h.head
+                if (ts > top._1 || (ts == top._1 && id < top._2)) {
+                  h.dequeue(); h.enqueue((ts, id))
                 }
               }
-              j += 1
+              hi += 1
             }
-            q += 1
+            j += 1
           }
         }
         var nBuf = 0

@@ -74,7 +74,9 @@ object KnnJoin {
       .select("query_id", "cand_id")
     val rRaw = similarity.cosine_sim(col("bvec"), col("qvec"))
     val rCol = if (scoreDigits >= 0) graft.Qutil.rnd(rRaw, scoreDigits) else rRaw
-    val rer = cands
+    // broadcast the bounded candidate side — base must not shuffle for
+    // a rerank (the 100M disk-fill lesson; see Bq.cosineRerank)
+    val rer = broadcast(cands)
       .join(base.select(col(idCol).cast("long").as("cand_id"),
         col(vecCol).cast("array<float>").as("bvec")), Seq("cand_id"))
       .join(broadcast(queries.select(col(queryId).cast("long").as("query_id"),

@@ -320,7 +320,9 @@ object Pq {
     val rawScore = similarity.euclidean_sim(col("bvec"), col("qvec"))
     val scoreCol =
       if (scoreDigits >= 0) graft.Qutil.rnd(rawScore, scoreDigits) else rawScore
-    val scored = cands
+    // broadcast the bounded candidate side — base must not shuffle for
+    // a rerank (the 100M disk-fill lesson; see Bq.cosineRerank)
+    val scored = broadcast(cands)
       .join(base.select(col(idCol).cast("long").as("cand_id"),
         col(vecCol).cast("array<float>").as("bvec")), Seq("cand_id"))
       .join(broadcast(queries.select(col(queryId).cast("long").as("query_id"),

@@ -247,6 +247,8 @@ object Wrec {
         out.close()
         Iterator.single(n)
       }
-      .reduce(_ + _): Unit
+      // rdd fold, not Dataset.reduce: an empty input (zero partitions)
+      // must write nothing, not throw
+      .rdd.fold(0L)(_ + _): Unit
   }
 }

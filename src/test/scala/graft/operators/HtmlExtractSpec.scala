@@ -81,6 +81,30 @@ class HtmlExtractSpec extends AnyFunSuite {
     assert(ex(3).getAs[Long]("n_content") == 0L)
   }
 
+  test("the typed kernel is bit-identical to the Column pipeline on " +
+      "chrome-wrapped corpus text and on the malformed fixtures") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").filter(col("doc_id") < 120)
+    val wrapped = docs.select(col("doc_id"),
+      concat(lit("<html><head><script>var x=1<2;</script></head><body>" +
+          "<nav><a href='/'>home</a> <a href='/a'>about</a></nav><p>"),
+        col("text"),
+        lit(" &amp; more</p><h1>h</h1><footer><a href='/p'>privacy " +
+          "policy</a> <a href='/t'>terms</a> (c)</footer></body></html>"))
+        .as("html"))
+      .unionByName(Seq(
+        (90001L, "<p>an unclosed paragraph of sufficient length to count here"),
+        (90002L, "stray < bracket survives as text in a long enough sentence x"),
+        (90003L, null.asInstanceOf[String]),
+        (90004L, "<nav><a href='/'>x</a></nav>")
+      ).toDF("doc_id", "html"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "n_blocks", "n_content", "content_chars", "text")
+      .collect().map(_.toSeq).toSet
+    assert(rows(HtmlExtract.extractKernel(wrapped, col("html"))) ==
+      rows(HtmlExtract.extract(wrapped, col("html"))))
+  }
+
   test("extraction feeds the text battery: extracted prose round-trips " +
       "through the corpus cleaning convention") {
     // wrap real corpus text in chrome; extraction must return exactly
