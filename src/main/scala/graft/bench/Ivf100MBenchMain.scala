@@ -144,7 +144,34 @@ object Ivf100MBenchMain {
             f"recall@10=$rec%.3f wall=$w%.0fs")
         }
 
-      case other => sys.error(s"unknown mode '$other' (build | serve | recall)")
+      case "compact" =>
+        // fold-only compaction — rewrites codes into the cell-sorted
+        // layout (writeCodes) without refitting the quantizer
+        val (_, w) = timed(IncrementalBqIndex.compact(spark, path))
+        println(f"IVF100M compact wall=$w%.0fs")
+
+      case "sortcodes" =>
+        // codes-only in-place rewrite into the cell-sorted layout (a
+        // delete-free store needs no vectors rewrite; full compact's
+        // 26 GB vectors copy would not fit the box's remaining disk)
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val codes = spark.read.parquet(s"$path/codes")
+          .select("cell", "id", "bits", "g")
+        val (_, w) = timed {
+          codes.repartitionByRange(64, col("cell"))
+            .sortWithinPartitions("cell")
+            .write.mode("overwrite")
+            .option("parquet.block.size", (8 * 1024 * 1024).toString)
+            .parquet(s"$path/codes_sorted/epoch=bootstrap")
+          fs.delete(new org.apache.hadoop.fs.Path(s"$path/codes"), true)
+          fs.rename(new org.apache.hadoop.fs.Path(s"$path/codes_sorted"),
+            new org.apache.hadoop.fs.Path(s"$path/codes"))
+        }
+        println(f"IVF100M sortcodes wall=$w%.0fs")
+
+      case other =>
+        sys.error(s"unknown mode '$other' (build | serve | recall | compact)")
     }
     spark.stop()
   }

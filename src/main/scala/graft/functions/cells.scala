@@ -155,4 +155,37 @@ object cells {
     GraftColumnBridge.column(NearestCellsExpr(
       GraftColumnBridge.expression(vec.cast("array<float>")),
       scorer(centroids, metric, tieCellDesc), n))
+
+  /** Probed-cell scan filter: `c.isin(wanted)` (hash-set row
+    * evaluation), CONJOINED with an OR of adjacent-coalesced [lo, hi]
+    * ranges when there are few enough of them to help — parquet pushes
+    * every range to row-group min/max stats, where an IN past the
+    * pushdown threshold (10 values) degrades to one envelope spanning
+    * all wanted cells. On cell-sorted code files this is the
+    * difference between reading a small probe's row groups and reading
+    * the whole code table; past `maxRanges` the OR costs more per row
+    * than pruning saves (measured at the 100M point: a 150-term OR
+    * made a 10-query wave 5× SLOWER), so big waves keep the plain IN
+    * (they touch most row groups regardless). Semantics identical to
+    * isin either way. */
+  def cellPruneFilter(c: Column, wanted: Seq[Int],
+      maxRanges: Int = 32): Column = {
+    require(wanted.nonEmpty, "empty probed-cell set")
+    val sorted = wanted.distinct.sorted
+    val ranges = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var lo = sorted.head
+    var hi = sorted.head
+    sorted.tail.foreach { v =>
+      if (v == hi + 1) hi = v
+      else { ranges += ((lo, hi)); lo = v; hi = v }
+    }
+    ranges += ((lo, hi))
+    val in = c.isin(sorted: _*)
+    if (ranges.length > maxRanges) in
+    else in && ranges.map { case (l, h) =>
+      if (l == h) c === org.apache.spark.sql.functions.lit(l)
+      else c >= org.apache.spark.sql.functions.lit(l) &&
+        c <= org.apache.spark.sql.functions.lit(h)
+    }.reduce(_ || _)
+  }
 }

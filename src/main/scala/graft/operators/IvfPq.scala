@@ -214,7 +214,8 @@ object IvfPq {
     val r = rerank
     // partition pruning: only scan rows of probed cells; `codeAt` abstracts
     // the storage layout (array<smallint> vs packed nibbles)
-    val pruned = model.encoded.filter(col("cell").isin(wantedCells.toSeq: _*))
+    val pruned = model.encoded.filter(
+      graft.functions.cells.cellPruneFilter(col("cell"), wantedCells.toSeq))
     def scanRows[C](rows: Iterator[(Int, Long, C)],
         codeAt: (C, Int) => Int): Iterator[(Long, Long, Double)] = {
       val cbs = bcCb.value

@@ -298,7 +298,8 @@ object IvfRabitq {
     }
     val useU4 = u4
     val numCells = model.rotCents.length
-    val pruned = model.encoded.filter(col("cell").isin(wanted: _*))
+    val pruned = model.encoded.filter(
+      graft.functions.cells.cellPruneFilter(col("cell"), wanted))
     val scored = pruned.as[(Int, Long, Array[Long], Double)]
       .mapPartitions { rows =>
         val qs = bcQ.value

@@ -45,6 +45,19 @@ object IncrementalBqIndex {
   private def exists(spark: SparkSession, path: String): Boolean =
     fs(spark, path).exists(new org.apache.hadoop.fs.Path(path))
 
+  /** Write code rows CLUSTERED BY CELL: range-partitioned + sorted on
+    * `cell`, with small (8 MB) parquet row groups, so a cell-routed
+    * serve prunes to the probed cells' row groups via min/max stats
+    * instead of scanning every code (measured at the 100M point: the
+    * full-codes scan dominated SMALL serving waves). Same schema, same
+    * rows — layout only; every reader is unchanged. */
+  private def writeCodes(encoded: DataFrame, to: String): Unit =
+    encoded.repartitionByRange(64, col("cell"))
+      .sortWithinPartitions("cell")
+      .write.mode(SaveMode.Overwrite)
+      .option("parquet.block.size", (8 * 1024 * 1024).toString)
+      .parquet(to)
+
   /** Fit the quantizer + codes on the initial corpus and write the full
     * layout. `numCells` scales with the expected corpus (the P-sizing
     * rule); `residual = true` is the clustered-corpus configuration.
@@ -95,8 +108,7 @@ object IncrementalBqIndex {
     Seq((residual, fitN, family, seed))
       .toDF("residual", "fit_n", "family", "rot_seed")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(dir(path, "meta"))
-    encoded.write.mode(SaveMode.Overwrite)
-      .parquet(dir(path, "codes/epoch=bootstrap"))
+    writeCodes(encoded, dir(path, "codes/epoch=bootstrap"))
     base.select(col(idCol).cast("long").as("vec_id"),
         col(vecCol).cast("array<float>").as("embedding"))
       .write.mode(SaveMode.Overwrite)
@@ -202,8 +214,7 @@ object IncrementalBqIndex {
     src.select(col("id").as("vec_id"), col("vec").as("embedding"))
       .write.mode(SaveMode.Overwrite)
       .parquet(dir(path, s"vectors/epoch=$tag"))
-    encoded.write.mode(SaveMode.Overwrite)
-      .parquet(dir(path, s"codes/epoch=$tag"))
+    writeCodes(encoded, dir(path, s"codes/epoch=$tag"))
     encoded.unpersist()
     ()
   }
@@ -496,9 +507,8 @@ object IncrementalBqIndex {
         initCentroids = warm, family = prm.family)
     } else {
       // same quantizer: rewrite codes/vectors minus deletes, keep params
-      liveCodes(spark, path)
-        .write.mode(SaveMode.Overwrite)
-        .parquet(dir(tmp, "codes/epoch=compacted"))
+      writeCodes(liveCodes(spark, path),
+        dir(tmp, "codes/epoch=compacted"))
       live.write.mode(SaveMode.Overwrite)
         .parquet(dir(tmp, "vectors/epoch=compacted"))
       spark.read.parquet(dir(path, "centroids"))
