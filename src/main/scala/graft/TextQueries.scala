@@ -1348,8 +1348,9 @@ object TextQueries {
         |  trim(regexp_replace(regexp_replace(
         |   regexp_replace(regexp_replace(regexp_replace(regexp_replace(
         |    regexp_replace(regexp_replace(block, '<[^>]*>', ' ', 'g'),
-        |    '&nbsp;', ' ', 'g'), '&amp;', '&', 'g'), '&lt;', '<', 'g'),
+        |    '&nbsp;', ' ', 'g'), '&lt;', '<', 'g'),
         |    '&gt;', '>', 'g'), '&quot;', '"', 'g'), '&#39;', '''', 'g'),
+        |   '&amp;', '&', 'g'),
         |   '\s+', ' ', 'g')) AS txt,
         |  trim(regexp_replace(regexp_replace(
         |   regexp_replace(regexp_replace(regexp_replace(regexp_replace(
@@ -1357,8 +1358,9 @@ object TextQueries {
         |     coalesce(array_to_string(regexp_extract_all(block,
         |       '(?is)<a[^>]*>(.*?)</a>', 1), ' '), ''),
         |    '<[^>]*>', ' ', 'g'),
-        |    '&nbsp;', ' ', 'g'), '&amp;', '&', 'g'), '&lt;', '<', 'g'),
+        |    '&nbsp;', ' ', 'g'), '&lt;', '<', 'g'),
         |    '&gt;', '>', 'g'), '&quot;', '"', 'g'), '&#39;', '''', 'g'),
+        |   '&amp;', '&', 'g'),
         |   '\s+', ' ', 'g')) AS ltxt
         |  FROM rawblocks),
         | m AS (SELECT doc_id, ix, length(txt) AS n_chars, txt,

@@ -170,7 +170,10 @@ object cells {
     * isin either way. */
   def cellPruneFilter(c: Column, wanted: Seq[Int],
       maxRanges: Int = 32): Column = {
-    require(wanted.nonEmpty, "empty probed-cell set")
+    // an empty probe wave matched nothing under isin() and must keep
+    // doing so — serving loops pass empty query batches
+    if (wanted.isEmpty)
+      return org.apache.spark.sql.functions.lit(false)
     val sorted = wanted.distinct.sorted
     val ranges = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
     var lo = sorted.head

@@ -469,10 +469,26 @@ object Bpe {
       .partitionBy("split", convCol).orderBy(turnCol)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
+    // duplicate (split, conv, turn_ix) keys would make the running
+    // window — and with it truncation, token order and the mask —
+    // partition-layout-dependent: throw, like the packSyms path's
+    // prefix-sum uniqueness guard (same partitioning as wTurn, so the
+    // check rides the same shuffle)
+    val wDup = org.apache.spark.sql.expressions.Window
+      .partitionBy("split", convCol, turnCol)
+    val guarded = enc
+      .withColumn("n_dup", count(lit(1)).over(wDup))
+      .withColumn("n_toks",
+        when(col("n_dup") > 1, raise_error(concat(
+          lit("packConversationsPadded: duplicate turn key ("),
+          col(convCol).cast("string"), lit(", "),
+          col(turnCol).cast("string"), lit(")"))))
+          .otherwise(col("n_toks")))
+      .drop("n_dup")
     // every downstream lineage (conv ordinal, vocab, tokens, spans)
     // derives from the post-window frame, so they all reuse the one
     // (split, conv) window shuffle — no re-encode, no persist needed
-    val turnOffs = enc.withColumn("cum", sum("n_toks").over(wTurn))
+    val turnOffs = guarded.withColumn("cum", sum("n_toks").over(wTurn))
       .withColumn("base", col("cum") - col("n_toks"))
       .filter(col("base") < seqLen) // turns entirely beyond the window drop
     val convSeq = GroupedPrefixSum.runningSum(

@@ -55,12 +55,14 @@ object HtmlExtract {
 
   /** Visible text of an HTML fragment: strip tags (→ space, so words
     * split by markup never fuse), decode the six ubiquitous entities
-    * (after tag-strip, so `&lt;b&gt;` can never become markup),
-    * collapse whitespace, trim. */
+    * (after tag-strip, so `&lt;b&gt;` can never become markup; `&amp;`
+    * decodes LAST, the standard unescape order — amp-first would
+    * double-decode escaped entities like `&amp;lt;`), collapse
+    * whitespace, trim. */
   def visibleText(fragment: Column): Column = {
     val noTags = regexp_replace(fragment, "<[^>]*>", " ")
-    val decoded = Seq("&nbsp;" -> " ", "&amp;" -> "&", "&lt;" -> "<",
-        "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'")
+    val decoded = Seq("&nbsp;" -> " ", "&lt;" -> "<",
+        "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
       .foldLeft(noTags) { case (c, (e, r)) => regexp_replace(c, e, r) }
     trim(regexp_replace(decoded, "\\s+", " "))
   }
@@ -137,13 +139,19 @@ object HtmlExtract {
 
   private def cleanFragment(s: String): String = {
     var t = pTag.matcher(s).replaceAll(" ")
-    // same entity set and order as visibleText; literal (non-regex)
-    // patterns there, so String.replace is the identical operation
-    t = t.replace("&nbsp;", " ").replace("&amp;", "&")
+    // same entity set and order as visibleText (&amp; LAST); literal
+    // (non-regex) patterns there, so String.replace is identical
+    t = t.replace("&nbsp;", " ")
       .replace("&lt;", "<").replace("&gt;", ">")
       .replace("&quot;", "\"").replace("&#39;", "'")
+      .replace("&amp;", "&")
     pWs.matcher(t).replaceAll(" ").trim
   }
+
+  /** Code-point count — Spark's `length()` (UTF8String.numChars) and
+    * DuckDB's length() both count code points, so the kernel must too
+    * or non-BMP text (emoji) diverges from the oracle form. */
+  private def cpLen(s: String): Int = s.codePointCount(0, s.length)
 
   /** [[extract]]'s output computed by the typed kernel — one compiled
     * regex pass per stage per document instead of a Catalyst expression
@@ -182,10 +190,11 @@ object HtmlExtract {
                 ab.append(m.group(1)); first = false
               }
               val ltxt = cleanFragment(ab.result())
-              val density = ltxt.length.toDouble / math.max(txt.length, 1)
-              if (txt.length >= minChars && density <= maxLinkDensity) {
+              val nCp = cpLen(txt)
+              val density = cpLen(ltxt).toDouble / math.max(nCp, 1)
+              if (nCp >= minChars && density <= maxLinkDensity) {
                 nContent += 1
-                contentChars += txt.length
+                contentChars += nCp
                 if (sb.nonEmpty) sb.append('\n')
                 sb.append(txt)
               }

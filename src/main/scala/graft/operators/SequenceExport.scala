@@ -84,7 +84,12 @@ object SequenceExport {
         "n_sequences" -> "got_sequences", "n_tokens_sum" -> "got_tokens",
         "id_sum" -> "got_ids", "span_sum" -> "got_spans",
         "mask_sum" -> "got_mask"))
-    val want = spark.read.parquet(s"$path/audit")
+    val wantRaw = spark.read.parquet(s"$path/audit")
+    // audits written before the mask column existed verify as unmasked
+    // (their shards carry no loss_mask, so the recomputed side is 0 too)
+    val want =
+      if (wantRaw.columns.contains("mask_sum")) wantRaw
+      else wantRaw.withColumn("mask_sum", lit(0L))
     want.join(got, Seq("split", "shard"), "full_outer")
       .filter(
         col("n_sequences").isNull || col("got_sequences").isNull ||

@@ -132,8 +132,9 @@ object Sgns {
     val sc = spark.sparkContext
     import spark.implicits._
 
+    // null text is data (the codec stance): it contributes no tokens
     val toks = docs.select(col(idCol).cast("long").as("id"),
-      split(trim(col(textCol)), "\\s+").as("toks"))
+      split(trim(coalesce(col(textCol), lit(""))), "\\s+").as("toks"))
 
     // vocabulary: dense ids by falling count (ties lexicographic) —
     // vocab-sized sort + collect, the one intentionally driver-resident
@@ -324,7 +325,7 @@ object Sgns {
       texts.map { t =>
         val acc = new Array[Double](model.dim)
         var n = 0
-        t.trim.split("\\s+").foreach { w =>
+        Option(t).getOrElse("").trim.split("\\s+").foreach { w =>
           model.index.get(w).foreach { i =>
             val v = model.vecs(i)
             var j = 0

@@ -110,19 +110,36 @@ class WrecFileFormat extends FileFormat with DataSourceRegister with Serializabl
         var off = from
         while (off + Wrec.HeadLen <= fileLen) {
           if (byteAt(off) == 'G' && byteAt(off + 1) == 'W' &&
-              byteAt(off + 2) == 'R' && byteAt(off + 3) == '1') {
-            val head = ByteBuffer.wrap(bytesAt(off, Wrec.HeadLen))
-              .order(ByteOrder.LITTLE_ENDIAN)
-            val hLen = head.getInt(4)
-            val pLen = head.getLong(8)
-            if (hLen >= 0 && hLen <= Wrec.MaxHeaderLen && pLen >= 0 &&
-                off + Wrec.HeadLen + hLen <= fileLen)
-              return off
-          }
+              byteAt(off + 2) == 'R' && byteAt(off + 3) == '1' &&
+              frameSane(off))
+            return off
           off += 1
         }
         -1L
       }
+
+      /** Length sanity of the frame at `off` (magic already matched):
+        * non-negative header within bound, payload within the int
+        * materialization limit (a > 2 GB pLen would truncate in
+        * `.toInt` — negative-size crash or silently wrong bytes), frame
+        * head inside the file. Shared by sync() and the CHAINED-frame
+        * step, which previously trusted lens after a magic match. */
+      def frameSane(off: Long): Boolean = {
+        val head = ByteBuffer.wrap(bytesAt(off, Wrec.HeadLen))
+          .order(ByteOrder.LITTLE_ENDIAN)
+        val hLen = head.getInt(4)
+        val pLen = head.getLong(8)
+        hLen >= 0 && hLen <= Wrec.MaxHeaderLen &&
+          pLen >= 0 && pLen <= Wrec.MaxPayloadLen &&
+          off + Wrec.HeadLen + hLen <= fileLen
+      }
+
+      // a limit/take stops consuming mid-split — close the stream on
+      // task completion regardless (the EmbeddingBridge teardown shape)
+      var closed = false
+      def closeOnce(): Unit = if (!closed) { closed = true; in.close() }
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
 
       new Iterator[InternalRow] {
         private var cur = sync(file.start)
@@ -163,15 +180,18 @@ class WrecFileFormat extends FileFormat with DataSourceRegister with Serializabl
                 nextRow = new GenericInternalRow(row)
                 val after = cur + total
                 // the next frame should start immediately; a mismatch
-                // is mid-file corruption — re-sync, don't fail
+                // is mid-file corruption — re-sync, don't fail (and the
+                // chained frame's lengths must pass the same sanity
+                // check sync() applies, or a torn header crashes later)
                 cur = if (after + Wrec.HeadLen > fileLen) -1L
                   else if (byteAt(after) == 'G' && byteAt(after + 1) == 'W' &&
-                    byteAt(after + 2) == 'R' && byteAt(after + 3) == '1') after
+                    byteAt(after + 2) == 'R' && byteAt(after + 3) == '1' &&
+                    frameSane(after)) after
                   else sync(after)
               }
             }
           }
-          if (nextRow == null) in.close()
+          if (nextRow == null) closeOnce()
         }
         advance()
         def hasNext: Boolean = nextRow != null
@@ -186,6 +206,8 @@ class WrecFileFormat extends FileFormat with DataSourceRegister with Serializabl
 object Wrec {
   private[sources] val HeadLen = 16
   private[sources] val MaxHeaderLen = 1 << 20
+  /** Payloads materialize as one JVM byte array: int-indexed. */
+  private[sources] val MaxPayloadLen = Int.MaxValue.toLong - 64L
 
   val schema: StructType = StructType(Seq(
     StructField("rec_id", LongType, nullable = false),
@@ -234,6 +256,11 @@ object Wrec {
         val out = fs.create(p, true)
         var n = 0L
         it.foreach { case (url, ts, ct, payload) =>
+          // the header is tab-framed: a tab inside url/content_type
+          // would make the reader's 3-field parse silently DROP the
+          // record on read — fail the write loudly instead
+          require(!url.contains('\t') && !ct.contains('\t'),
+            s"wrec header fields must be tab-free (url=$url)")
           val hdr = s"$url\t$ts\t$ct".getBytes(StandardCharsets.UTF_8)
           val head = ByteBuffer.allocate(HeadLen).order(ByteOrder.LITTLE_ENDIAN)
           head.put("GWR1".getBytes(StandardCharsets.US_ASCII))

@@ -61,10 +61,16 @@ object TrainerExportStream {
       val docs = batch.join(sel.select(idCol), Seq(idCol), "left_semi")
       val packed = Bpe.packSequencesFrozen(docs, model, seqLen,
         splitExpr(docs), dict, unkId, idCol, textCol)
-      // SequenceExport.write ships sequences/ first, audit/ last — the
-      // audit doubles as this epoch's commit marker
-      SequenceExport.write(packed, s"$path/epochs/epoch=$batchId",
-        rowsPerShard)
+      // the PACK can be empty even when the selection is not (e.g.
+      // every selected doc tokenizes to zero tokens): writing it would
+      // ship a schema-less partitioned sequences/ dir UNDER a valid
+      // audit commit marker, permanently breaking every stream read
+      if (!packed.isEmpty) {
+        // SequenceExport.write ships sequences/ first, audit/ last —
+        // the audit doubles as this epoch's commit marker
+        SequenceExport.write(packed, s"$path/epochs/epoch=$batchId",
+          rowsPerShard)
+      }
     }
   }
 
