@@ -252,10 +252,19 @@ object Bpe {
     * unmasked pack (the mask rides the existing token rows). */
   def packTokensMasked(docs: DataFrame, seqLen: Int, splitExpr: Column,
       toksCol: Column, maskExpr: Column, idCol: String = "doc_id"): DataFrame = {
+    // guard the mask domain like Mixing.tokenBudget guards tokens: a
+    // NULL or out-of-domain mask would flow through the pack into null
+    // loss_mask entries and a null audit mask_sum — ship the diagnostic
+    // here, not a silently poisoned pack
+    val m = maskExpr.cast("int")
     val enc = docs
       .select(col(idCol).cast("long").as(idCol),
         splitExpr.cast("string").as("split"), toksCol.as("syms"),
-        maskExpr.cast("int").as("doc_mask"))
+        when(m.isNull || (m =!= 0 && m =!= 1), raise_error(concat(
+            lit("packTokensMasked: mask must be 0/1, got "),
+            coalesce(m.cast("string"), lit("NULL")), lit(" for id "),
+            col(idCol).cast("string"))))
+          .otherwise(m).as("doc_mask"))
       .withColumn("n_toks", size(col("syms")).cast("long"))
     packSyms(enc, seqLen, idCol, boundedVocab = false,
       maskCol = Some("doc_mask"))

@@ -137,6 +137,17 @@ object HtmlExtract {
     java.util.regex.Pattern.compile("(?is)<a[^>]*>(.*?)</a>")
   private lazy val pWs = java.util.regex.Pattern.compile("\\s+")
 
+  /** Space-only trim, matching Spark/DuckDB `trim()` which strip ' '
+    * alone — Java's String.trim strips every char <= U+0020, so control
+    * bytes (U+0000-U+0008, U+000E-U+001F) that survive the \s+ collapse
+    * would diverge between kernel and Column form at a block's edge. */
+  private def trimSpaces(s: String): String = {
+    var b = 0; var e = s.length
+    while (b < e && s.charAt(b) == ' ') b += 1
+    while (e > b && s.charAt(e - 1) == ' ') e -= 1
+    if (b == 0 && e == s.length) s else s.substring(b, e)
+  }
+
   private def cleanFragment(s: String): String = {
     var t = pTag.matcher(s).replaceAll(" ")
     // same entity set and order as visibleText (&amp; LAST); literal
@@ -145,7 +156,7 @@ object HtmlExtract {
       .replace("&lt;", "<").replace("&gt;", ">")
       .replace("&quot;", "\"").replace("&#39;", "'")
       .replace("&amp;", "&")
-    pWs.matcher(t).replaceAll(" ").trim
+    trimSpaces(pWs.matcher(t).replaceAll(" "))
   }
 
   /** Code-point count — Spark's `length()` (UTF8String.numChars) and

@@ -77,7 +77,22 @@ class WrecFileFormat extends FileFormat with DataSourceRegister with Serializabl
       val fs = path.getFileSystem(serConf.conf)
       val fileLen = fs.getFileStatus(path).getLen
       val in = fs.open(path)
-      val fIx = fileIndex.getOrElse(path.toUri.getPath, 0L)
+      // rec_id file index: planned map when the `graft.wrec.path` option
+      // supplied one (dense, path-ordered); a partial map that misses a
+      // scanned file is a config error — fail loudly, a silent 0 would
+      // collide rec_ids across files at equal offsets. A direct
+      // format("wrec").load(...) without the option gets a stable 23-bit
+      // path hash instead (keeps rec_id positive; collision odds are
+      // n²/2^24 over n files — use Wrec.read for dense indexes).
+      val fIx = fileIndex.get(path.toUri.getPath) match {
+        case Some(i) => i
+        case None if fileIndex.nonEmpty =>
+          throw new IllegalStateException(
+            s"wrec: scanned file ${path.toUri.getPath} is absent from the " +
+              "graft.wrec.path file index — pass a path/glob covering " +
+              "every scanned file (Wrec.read does this)")
+        case None => Wrec.pathHashIndex(path.toUri.getPath)
+      }
       val splitEnd = file.start + file.length
 
       // buffered forward reader over [start, fileLen)
@@ -105,17 +120,38 @@ class WrecFileFormat extends FileFormat with DataSourceRegister with Serializabl
 
       /** First offset >= from where a VALID frame starts, or -1.
         * Validity: magic + sane lengths + frame head fits the file
-        * (payload truncation is checked at read time → skip). */
+        * (payload truncation is checked at read time → skip) + the
+        * CHAIN look-ahead: the frame must end at/past EOF or be
+        * followed immediately by another sane frame head. Magic+length
+        * sanity alone is ~2^-45-per-byte weak over 100 TB of arbitrary
+        * payload bytes near split boundaries; chaining squares the
+        * false-accept odds. Cost: a record whose SUCCESSOR is corrupt
+        * is skipped when sync (not the sequential chain step) is what
+        * finds it — the same bounded-loss class as a torn frame. */
       def sync(from: Long): Long = {
         var off = from
         while (off + Wrec.HeadLen <= fileLen) {
           if (byteAt(off) == 'G' && byteAt(off + 1) == 'W' &&
               byteAt(off + 2) == 'R' && byteAt(off + 3) == '1' &&
-              frameSane(off))
+              frameSane(off) && chainsOk(off))
             return off
           off += 1
         }
         -1L
+      }
+
+      /** Chain look-ahead for the frame at `off` (lengths already sane):
+        * accept if it ends at/past EOF (clean tail, or a truncated tail
+        * the reader's truncation path will skip), if fewer than HeadLen
+        * bytes follow (a torn next head — unverifiable), or if the
+        * bytes at its end are another sane frame head. */
+      def chainsOk(off: Long): Boolean = {
+        val head = ByteBuffer.wrap(bytesAt(off, Wrec.HeadLen))
+          .order(ByteOrder.LITTLE_ENDIAN)
+        val end = off + Wrec.HeadLen + head.getInt(4) + head.getLong(8)
+        if (end + Wrec.HeadLen > fileLen) true
+        else byteAt(end) == 'G' && byteAt(end + 1) == 'W' &&
+          byteAt(end + 2) == 'R' && byteAt(end + 3) == '1' && frameSane(end)
       }
 
       /** Length sanity of the frame at `off` (magic already matched):
@@ -167,7 +203,14 @@ class WrecFileFormat extends FileFormat with DataSourceRegister with Serializabl
                 var slot = 0
                 fields.foreach { f =>
                   row(slot) = f match {
-                    case "rec_id" => (fIx << 40) | cur
+                    case "rec_id" =>
+                      // offset shares the low 40 bits with the file
+                      // index's high bits — a >1 TB file would silently
+                      // corrupt both halves
+                      require(cur < (1L << 40),
+                        s"wrec: record offset $cur >= 2^40 in $path — " +
+                          "file too large for packed rec_ids")
+                      (fIx << 40) | cur
                     case "url" => UTF8String.fromString(parts(0))
                     case "fetch_ts" =>
                       try parts(1).toLong catch { case _: Exception => 0L }
@@ -216,12 +259,19 @@ object Wrec {
     StructField("content_type", StringType, nullable = false),
     StructField("content", BinaryType, nullable = false)))
 
-  /** Read a wrec file/directory/glob with layout-stable rec_ids. */
+  /** Read a wrec file/directory/glob with layout-stable rec_ids.
+    * `recursiveFileLookup` matches [[fileIndexes]]'s recursive walk, so
+    * nested crawl layouts (`dump/shard/part-*.wrec`) resolve with the
+    * same file set on both sides. */
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.format(classOf[WrecFileFormat].getName)
+      .option("recursiveFileLookup", "true")
       .option("graft.wrec.path", path).load(path)
 
-  /** Path-ordered file index for the rec_id high bits. */
+  /** Path-ordered file index for the rec_id high bits. Directories are
+    * walked RECURSIVELY (Spark's file index descends into nested dirs,
+    * so a one-level listing would leave nested files out of the map and
+    * fail the reader's loud-absence check). */
   private[sources] def fileIndexes(spark: SparkSession,
       options: Map[String, String]): Map[String, Long] =
     options.get("graft.wrec.path") match {
@@ -231,11 +281,30 @@ object Wrec {
         val p = new Path(glob)
         val fs = p.getFileSystem(hconf)
         val matched = Option(fs.globStatus(p)).getOrElse(Array.empty)
-        matched
-          .flatMap(s => if (s.isDirectory) fs.listStatus(s.getPath) else Array(s))
-          .filter(_.isFile).map(_.getPath.toUri.getPath).sorted
+        def walk(s: FileStatus): Seq[FileStatus] =
+          if (s.isDirectory) fs.listStatus(s.getPath).toSeq.flatMap(walk)
+          else Seq(s)
+        matched.toSeq.flatMap(walk)
+          .filter(_.isFile).map(_.getPath.toUri.getPath)
+          .filterNot(pth => pth.split('/').last.startsWith("_") ||
+            pth.split('/').last.startsWith("."))
+          .sorted
           .zipWithIndex.map { case (pth, i) => pth -> i.toLong }.toMap
     }
+
+  /** Stable 23-bit index for direct loads that bypass [[read]] (no
+    * planned file map): FNV-1a over the path, masked to keep
+    * `hash << 40` positive. */
+  private[sources] def pathHashIndex(path: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < path.length) {
+      h ^= path.charAt(i).toLong
+      h *= 0x100000001b3L
+      i += 1
+    }
+    (h ^ (h >>> 23)) & 0x7fffffL
+  }
 
   /** Write (url, fetch_ts, content_type, content) as wrec files under
     * `path` (one file per partition) — the test/bench writer twin of

@@ -94,7 +94,10 @@ object TrainerExportStream {
       }
       .start()
 
-  /** Epoch directories with a commit marker (audit present), sorted. */
+  /** Epoch directories with a commit marker (audit present), sorted
+    * NUMERICALLY on the epoch id — a lexicographic path sort would put
+    * epoch=10 before epoch=2, and a sequential consumer relying on the
+    * documented order would replay epochs out of order. */
   private def committedEpochs(spark: SparkSession, path: String): Seq[String] = {
     val root = new Path(s"$path/epochs")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -102,7 +105,9 @@ object TrainerExportStream {
     else fs.listStatus(root).filter(_.isDirectory)
       .map(_.getPath)
       .filter(p => fs.exists(new Path(p, "audit")))
-      .map(_.toString).sorted.toSeq
+      .map(_.toString)
+      .sortBy(p => p.substring(p.lastIndexOf("epoch=") + 6).toLong)
+      .toSeq
   }
 
   /** Every shipped sequence across committed epochs (epoch column

@@ -157,4 +157,25 @@ class BpePackMaskSpec extends AnyFunSuite {
       .write.mode("overwrite").parquet(s"$dir/audit")
     assert(SequenceExport.verify(spark, dir).count() == 1)
   }
+
+  test("packTokensMasked: a NULL or out-of-domain mask throws with the " +
+      "offending id, instead of shipping null loss_mask entries") {
+    val bad = Seq((1L, Some(1), "aa bb"), (2L, None, "cc dd"))
+      .toDF("doc_id", "m", "text")
+      .withColumn("toks", split(col("text"), " "))
+    val e = intercept[Exception] {
+      Bpe.packTokensMasked(bad, seqLen = 4, lit("train"),
+        col("toks"), col("m")).collect()
+    }
+    assert(e.getMessage.contains("mask must be 0/1"))
+
+    val oob = Seq((1L, 1, "aa bb"), (2L, 7, "cc dd"))
+      .toDF("doc_id", "m", "text")
+      .withColumn("toks", split(col("text"), " "))
+    val e2 = intercept[Exception] {
+      Bpe.packTokensMasked(oob, seqLen = 4, lit("train"),
+        col("toks"), col("m")).collect()
+    }
+    assert(e2.getMessage.contains("mask must be 0/1"))
+  }
 }

@@ -96,7 +96,14 @@ class HtmlExtractSpec extends AnyFunSuite {
         (90001L, "<p>an unclosed paragraph of sufficient length to count here"),
         (90002L, "stray < bracket survives as text in a long enough sentence x"),
         (90003L, null.asInstanceOf[String]),
-        (90004L, "<nav><a href='/'>x</a></nav>")
+        (90004L, "<nav><a href='/'>x</a></nav>"),
+        // control chars that are NOT \s (so they survive the whitespace
+        // collapse) sitting at block edges: Spark's trim strips only
+        // ' ', and the kernel must match (not Java String.trim, which
+        // strips everything <= U+0020)
+        (90005L, "<p>\u0001a control-char-edged block long enough to " +
+          "count as content here\u0002</p><p> \u0003 another one with " +
+          "inner \u0004 bytes and sufficient length to pass \u0005 </p>")
       ).toDF("doc_id", "html"))
     def rows(df: org.apache.spark.sql.DataFrame) = df
       .select("doc_id", "n_blocks", "n_content", "content_chars", "text")

@@ -111,6 +111,32 @@ class WrecSpec extends AnyFunSuite {
     assert(got2.subsetOf(want))
   }
 
+  test("a direct format(\"wrec\").load without the path option derives " +
+      "path-hash file indexes: rec_ids stay unique across files") {
+    val dir = Files.createTempDirectory("wrecdirect").toString
+    Wrec.write(fixture(200).repartition(4), dir)
+    val df = spark.read.format(classOf[WrecFileFormat].getName).load(dir)
+    val ids = df.select("rec_id").collect().map(_.getLong(0))
+    assert(ids.length == 200)
+    assert(ids.distinct.length == 200,
+      "equal offsets across files must not collide without the index map")
+    assert(ids.forall(_ >= 0L), "path-hash index must keep rec_id positive")
+    // and the indexed read sees the same records
+    assert(df.select("url").collect().map(_.getString(0)).toSet ==
+      Wrec.read(spark, dir).select("url").collect().map(_.getString(0)).toSet)
+  }
+
+  test("nested directories: the planned file index recurses, so every " +
+      "scanned file is covered (no loud-absence failure)") {
+    val root = Files.createTempDirectory("wrecnest").toString
+    Wrec.write(fixture(60).repartition(2), s"$root/a/deep")
+    Wrec.write(fixture(100).filter(col("url").endsWith("9")), s"$root/b")
+    val got = Wrec.read(spark, s"$root/*").select("rec_id").collect()
+      .map(_.getLong(0))
+    assert(got.length == got.distinct.length, "rec_ids must be unique")
+    assert(got.length == 70, s"expected 60 + 10 records, got ${got.length}")
+  }
+
   test("column pruning: a metadata-only scan returns the same header " +
       "fields without the content column in the plan") {
     val dir = Files.createTempDirectory("wrecprune").toString
