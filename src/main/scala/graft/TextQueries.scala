@@ -1175,28 +1175,67 @@ object TextQueries {
     // Wrec (the record-framed crawl source) is spec-gated on round
     // trip/splits/truncation; its payload plumbing is byte-exact by the
     // WrecSpec round-trip, so the oracle here gates the extraction.
-    "html_extract" -> ((s, dir) => {
-      val wrapped = docs(s, dir).select(col("doc_id"), concat(
-        lit("<html><head><title>doc "), col("doc_id").cast("string"),
-        lit("</title><style>body{margin:0}</style>" +
-          "<script>var x = 1 < 2;</script></head><body>" +
-          "<!-- chrome --><nav><a href=\"/\">home</a> " +
-          "<a href=\"/about\">about us</a> <a href=\"/tags\">all tags</a>" +
-          "</nav><h1>document "),
-        col("doc_id").cast("string"), lit("</h1><p>"),
-        expr("substr(text, 1, cast(floor(length(text)/2.0) as int))"),
-        lit("</p><p>"),
-        expr("substr(text, cast(floor(length(text)/2.0) as int) + 1, " +
-          "length(text))"),
-        lit(" see &amp; read &lt;more&gt;</p>" +
-          "<footer><a href=\"/privacy\">privacy policy</a> " +
-          "<a href=\"/terms\">terms of use</a> (c) site</footer>" +
-          "</body></html>")).as("html"))
-      graft.operators.HtmlExtract.extract(wrapped, col("html"))
-        .select(col("doc_id"), col("n_blocks"), col("n_content"),
-          col("content_chars"), md5(col("text")).as("text_md5"))
+    "html_extract" -> ((s, dir) =>
+      extractReport(chromeWrapped(docs(s, dir)))),
+
+    // the SAME extraction served through the WARC/1.0 front door: the
+    // chrome-wrapped corpus is framed as spec-form WARC response records
+    // (one store per (session, dir), memoized), read back through the
+    // splittable WarcFileFormat, and extracted — so this row gates the
+    // whole chain crawl-dump → header/payload decode → boilerplate cut
+    // against DuckDB. The oracle is html_extract's (keyed by the doc_id
+    // carried in WARC-Target-URI): byte-exact WARC round-trip is
+    // WarcSpec's gate, the extraction hash is this one's.
+    "warc_extract" -> ((s, dir) => {
+      val path = TextMemo.get(s, s"warcdump/$dir") {
+        val p = "/tmp/graft_warc_" +
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(dir.getBytes("UTF-8")).take(4)
+            .map("%02x".format(_)).mkString
+        val fs = new org.apache.hadoop.fs.Path(p)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(p), true)
+        graft.sources.Warc.write(
+          chromeWrapped(docs(s, dir)).select(
+            concat(lit("https://graft.test/doc/"),
+              col("doc_id").cast("string")).as("url"),
+            (lit(1700000000L) + col("doc_id")).as("fetch_ts"),
+            lit("text/html").as("content_type"),
+            encode(col("html"), "UTF-8").as("content")).repartition(8), p)
+        p
+      }
+      val pages = graft.sources.Warc.read(s, path)
+        .select(regexp_extract(col("url"), "/doc/(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          decode(col("content"), "UTF-8").as("html"))
+      extractReport(pages)
     })
   )
+
+  /** The deterministic crawl-chrome wrap shared by `html_extract` and
+    * `warc_extract` (and their ONE static oracle template). */
+  private def chromeWrapped(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), concat(
+      lit("<html><head><title>doc "), col("doc_id").cast("string"),
+      lit("</title><style>body{margin:0}</style>" +
+        "<script>var x = 1 < 2;</script></head><body>" +
+        "<!-- chrome --><nav><a href=\"/\">home</a> " +
+        "<a href=\"/about\">about us</a> <a href=\"/tags\">all tags</a>" +
+        "</nav><h1>document "),
+      col("doc_id").cast("string"), lit("</h1><p>"),
+      expr("substr(text, 1, cast(floor(length(text)/2.0) as int))"),
+      lit("</p><p>"),
+      expr("substr(text, cast(floor(length(text)/2.0) as int) + 1, " +
+        "length(text))"),
+      lit(" see &amp; read &lt;more&gt;</p>" +
+        "<footer><a href=\"/privacy\">privacy policy</a> " +
+        "<a href=\"/terms\">terms of use</a> (c) site</footer>" +
+        "</body></html>")).as("html"))
+
+  private def extractReport(pages: DataFrame): DataFrame =
+    graft.operators.HtmlExtract.extract(pages, col("html"))
+      .select(col("doc_id"), col("n_blocks"), col("n_content"),
+        col("content_chars"), md5(col("text")).as("text_md5"))
 
   /** MinHash band-bucket candidate pairs, ending in CTE `lsh_pairs` —
     * shared by `minhash_lsh_pairs` and the edit-distance-confirmed
@@ -1313,67 +1352,73 @@ object TextQueries {
         |FROM cp_sp WINDOW wpk AS (PARTITION BY split ORDER BY doc_id
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
 
+  private val htmlExtractSql: String =
+    """WITH base AS (SELECT doc_id,
+    |  '<html><head><title>doc ' || doc_id::VARCHAR ||
+    |  '</title><style>body{margin:0}</style>' ||
+    |  '<script>var x = 1 < 2;</script></head><body>' ||
+    |  '<!-- chrome --><nav><a href="/">home</a> ' ||
+    |  '<a href="/about">about us</a> <a href="/tags">all tags</a>' ||
+    |  '</nav><h1>document ' || doc_id::VARCHAR || '</h1><p>' ||
+    |  substr(text, 1, CAST(floor(length(text)/2.0) AS INT)) ||
+    |  '</p><p>' ||
+    |  substr(text, CAST(floor(length(text)/2.0) AS INT) + 1, length(text)) ||
+    |  ' see &amp; read &lt;more&gt;</p>' ||
+    |  '<footer><a href="/privacy">privacy policy</a> ' ||
+    |  '<a href="/terms">terms of use</a> (c) site</footer>' ||
+    |  '</body></html>' AS html FROM documents),
+    | cleaned AS (SELECT doc_id,
+    |  regexp_replace(regexp_replace(regexp_replace(html,
+    |    '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+    |    '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+    |    '(?s)<!--.*?-->', ' ', 'g') AS h FROM base),
+    | rawblocks AS (SELECT doc_id,
+    |  unnest(regexp_split_to_array(h,
+    |    '(?i)</?(?:p|div|h[1-6]|li|ul|ol|table|thead|tbody|tr|td|th|section|article|header|footer|nav|blockquote|pre|br)[^>]*>')) AS block,
+    |  generate_subscripts(regexp_split_to_array(h,
+    |    '(?i)</?(?:p|div|h[1-6]|li|ul|ol|table|thead|tbody|tr|td|th|section|article|header|footer|nav|blockquote|pre|br)[^>]*>'), 1) AS ix
+    |  FROM cleaned),
+    | scored AS (SELECT doc_id, ix,
+    |  trim(regexp_replace(regexp_replace(
+    |   regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+    |    regexp_replace(regexp_replace(block, '<[^>]*>', ' ', 'g'),
+    |    '&nbsp;', ' ', 'g'), '&lt;', '<', 'g'),
+    |    '&gt;', '>', 'g'), '&quot;', '"', 'g'), '&#39;', '''', 'g'),
+    |   '&amp;', '&', 'g'),
+    |   '\s+', ' ', 'g')) AS txt,
+    |  trim(regexp_replace(regexp_replace(
+    |   regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+    |    regexp_replace(regexp_replace(
+    |     coalesce(array_to_string(regexp_extract_all(block,
+    |       '(?is)<a[^>]*>(.*?)</a>', 1), ' '), ''),
+    |    '<[^>]*>', ' ', 'g'),
+    |    '&nbsp;', ' ', 'g'), '&lt;', '<', 'g'),
+    |    '&gt;', '>', 'g'), '&quot;', '"', 'g'), '&#39;', '''', 'g'),
+    |   '&amp;', '&', 'g'),
+    |   '\s+', ' ', 'g')) AS ltxt
+    |  FROM rawblocks),
+    | m AS (SELECT doc_id, ix, length(txt) AS n_chars, txt,
+    |  length(txt) >= 25 AND
+    |   length(ltxt)*1.0 / greatest(length(txt), 1) <= 0.35 AS is_content
+    |  FROM scored)
+    |SELECT doc_id,
+    | CAST(sum(CASE WHEN n_chars > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_blocks,
+    | CAST(sum(CASE WHEN is_content THEN 1 ELSE 0 END) AS BIGINT) AS n_content,
+    | CAST(sum(CASE WHEN is_content THEN n_chars ELSE 0 END) AS BIGINT) AS content_chars,
+    | md5(coalesce(string_agg(CASE WHEN is_content THEN txt END,
+    |   chr(10) ORDER BY ix), '')) AS text_md5
+    |FROM m GROUP BY doc_id""".stripMargin
+
   private val staticOracle: Map[String, String] = Map(
     // the FULL HtmlExtract pipeline in DuckDB: same chrome template,
     // same pre-clean → block split → per-block clean/metrics → content
     // rule → ordered reassembly (string_agg skips non-content NULLs;
     // coalesce '' matches Spark's empty array_join)
-    "html_extract" ->
-      """WITH base AS (SELECT doc_id,
-        |  '<html><head><title>doc ' || doc_id::VARCHAR ||
-        |  '</title><style>body{margin:0}</style>' ||
-        |  '<script>var x = 1 < 2;</script></head><body>' ||
-        |  '<!-- chrome --><nav><a href="/">home</a> ' ||
-        |  '<a href="/about">about us</a> <a href="/tags">all tags</a>' ||
-        |  '</nav><h1>document ' || doc_id::VARCHAR || '</h1><p>' ||
-        |  substr(text, 1, CAST(floor(length(text)/2.0) AS INT)) ||
-        |  '</p><p>' ||
-        |  substr(text, CAST(floor(length(text)/2.0) AS INT) + 1, length(text)) ||
-        |  ' see &amp; read &lt;more&gt;</p>' ||
-        |  '<footer><a href="/privacy">privacy policy</a> ' ||
-        |  '<a href="/terms">terms of use</a> (c) site</footer>' ||
-        |  '</body></html>' AS html FROM documents),
-        | cleaned AS (SELECT doc_id,
-        |  regexp_replace(regexp_replace(regexp_replace(html,
-        |    '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
-        |    '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
-        |    '(?s)<!--.*?-->', ' ', 'g') AS h FROM base),
-        | rawblocks AS (SELECT doc_id,
-        |  unnest(regexp_split_to_array(h,
-        |    '(?i)</?(?:p|div|h[1-6]|li|ul|ol|table|thead|tbody|tr|td|th|section|article|header|footer|nav|blockquote|pre|br)[^>]*>')) AS block,
-        |  generate_subscripts(regexp_split_to_array(h,
-        |    '(?i)</?(?:p|div|h[1-6]|li|ul|ol|table|thead|tbody|tr|td|th|section|article|header|footer|nav|blockquote|pre|br)[^>]*>'), 1) AS ix
-        |  FROM cleaned),
-        | scored AS (SELECT doc_id, ix,
-        |  trim(regexp_replace(regexp_replace(
-        |   regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-        |    regexp_replace(regexp_replace(block, '<[^>]*>', ' ', 'g'),
-        |    '&nbsp;', ' ', 'g'), '&lt;', '<', 'g'),
-        |    '&gt;', '>', 'g'), '&quot;', '"', 'g'), '&#39;', '''', 'g'),
-        |   '&amp;', '&', 'g'),
-        |   '\s+', ' ', 'g')) AS txt,
-        |  trim(regexp_replace(regexp_replace(
-        |   regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-        |    regexp_replace(regexp_replace(
-        |     coalesce(array_to_string(regexp_extract_all(block,
-        |       '(?is)<a[^>]*>(.*?)</a>', 1), ' '), ''),
-        |    '<[^>]*>', ' ', 'g'),
-        |    '&nbsp;', ' ', 'g'), '&lt;', '<', 'g'),
-        |    '&gt;', '>', 'g'), '&quot;', '"', 'g'), '&#39;', '''', 'g'),
-        |   '&amp;', '&', 'g'),
-        |   '\s+', ' ', 'g')) AS ltxt
-        |  FROM rawblocks),
-        | m AS (SELECT doc_id, ix, length(txt) AS n_chars, txt,
-        |  length(txt) >= 25 AND
-        |   length(ltxt)*1.0 / greatest(length(txt), 1) <= 0.35 AS is_content
-        |  FROM scored)
-        |SELECT doc_id,
-        | CAST(sum(CASE WHEN n_chars > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_blocks,
-        | CAST(sum(CASE WHEN is_content THEN 1 ELSE 0 END) AS BIGINT) AS n_content,
-        | CAST(sum(CASE WHEN is_content THEN n_chars ELSE 0 END) AS BIGINT) AS content_chars,
-        | md5(coalesce(string_agg(CASE WHEN is_content THEN txt END,
-        |   chr(10) ORDER BY ix), '')) AS text_md5
-        |FROM m GROUP BY doc_id""".stripMargin,
+    "html_extract" -> htmlExtractSql,
+    // same oracle by construction: warc_extract serves the identical
+    // chrome-wrapped corpus through the WARC store (byte-exact round
+    // trip is WarcSpec's gate; doc_id rides WARC-Target-URI)
+    "warc_extract" -> htmlExtractSql,
     "dup_ngram_spans" -> graft.operators.NgramDup.duckdbSql(w = 8, minCount = 2),
     "dedup_trim" -> graft.operators.NgramDup.trimDuckdbSql(w = 8, minCount = 2),
     "dataset_mix" ->

@@ -295,8 +295,11 @@ object IvfBq {
       .join(rq, Seq("query_id"))
       .filter(col("crank") <= col("rq"))
       .select("query_id", "cand_id")
-    Bq.cosineRerank(topCands, base, queries, k, queryId, queryVec, idCol,
-      vecCol, scoreDigits)
+    // a cell-clustered rerank store prunes to the probed cells' row
+    // groups (the 100M small-wave serve was rerank-scan-bound)
+    Bq.cosineRerank(topCands,
+      graft.functions.cells.pruneRerankBase(base, wanted),
+      queries, k, queryId, queryVec, idCol, vecCol, scoreDigits)
   }
 
   /** Large-probe-set variant: caps the per-batch collect/broadcast at

@@ -314,9 +314,14 @@ object IvfPq {
     val rawScore = similarity.euclidean_sim(col("bvec"), col("qvec"))
     val scoreExpr =
       if (scoreDigits >= 0) graft.Qutil.rnd(rawScore, scoreDigits) else rawScore
-    val scored = topCands
-      .join(base.select(col(idCol).cast("long").as("cand_id"),
-        col(vecCol).cast("array<float>").as("bvec")), Seq("cand_id"))
+    // broadcast the bounded candidate side — base must not shuffle for
+    // a rerank (the 100M disk-fill lesson; see Bq.cosineRerank) — and a
+    // cell-clustered rerank store prunes to the probed cells' row groups
+    val scored = broadcast(topCands)
+      .join(graft.functions.cells
+        .pruneRerankBase(base, wantedCells.toSeq)
+        .select(col(idCol).cast("long").as("cand_id"),
+          col(vecCol).cast("array<float>").as("bvec")), Seq("cand_id"))
       .join(broadcast(queries.select(col(queryId).cast("long").as("query_id"),
         col(queryVec).cast("array<float>").as("qvec"))), Seq("query_id"))
       .select(col("query_id"), col("cand_id").as("neighbor_id"),

@@ -313,6 +313,242 @@ object Sgns {
       java.util.Arrays.copyOfRange(inW, w * dim, (w + 1) * dim)), losses)
   }
 
+  /** Per-word sharded state of [[trainSharded]]: weights + Adagrad
+    * accumulators live in an RDD keyed by word id, NEVER broadcast and
+    * never driver-resident during training. */
+  private final case class WState(in: Array[Float], out: Array[Float],
+      accIn: Array[Double], accOut: Array[Double])
+
+  /** VOCAB-SHARDED SGNS — the documented deferral of [[train]]'s
+    * broadcast envelope (a 1M-word vocab at d=32 is a 256 MB weight
+    * broadcast and 512 MB of DENSE per-task gradient state; capped
+    * vocab was the honest bound until now). Same math, different
+    * residence:
+    *
+    *  - weights + Adagrad accumulators live SHARDED by word id in an
+    *    RDD (hash-partitioned, persisted across epochs) — nothing
+    *    weight-sized ever broadcasts or lands on the driver until the
+    *    final model collect;
+    *  - each epoch enumerates the SAME (center, target, label) examples
+    *    ([[train]]'s loops verbatim, same splitmix negative draws), then
+    *    aggregates them to distinct (c, t, label) → n BEFORE touching
+    *    weights — within an epoch the weights are fixed, so n identical
+    *    examples contribute exactly n × the single-example fixed-point
+    *    gradient (rint is per-example in the broadcast path, and n
+    *    copies of the same long sum to n·long) — this is what makes the
+    *    slim-row aggregation BIT-IDENTICAL, not approximately so;
+    *  - distinct pairs join the in-shard on c, then the out-shard on t
+    *    (the gradient needs both rows), per-pair gradients scale by n,
+    *    and the per-word reduce is [[train]]'s exact integer sum;
+    *  - the Adagrad step runs inside a co-partitioned join of the
+    *    gradient rows with the weight shard (narrow, no extra shuffle),
+    *    per word — update order across words never mattered.
+    *
+    * Cost shape per epoch: one slim (c, t, label) → n reduce over the
+    * example stream, two bounded joins carrying one d-float row per
+    * DISTINCT pair, one ≤|V|-row integer reduce, one narrow update
+    * join. Vocabulary size now bounds only the SHARDED state
+    * (V·d·24 B spread across the cluster), not any single task.
+    * Spec-pinned bit-identical to [[train]] at equal hyperparameters. */
+  def trainSharded(docs: DataFrame, dim: Int = 32, window: Int = 2,
+      negatives: Int = 4, epochs: Int = 8, lr: Double = 0.3,
+      minCount: Int = 1, maxVocab: Int = 1 << 20,
+      seed: Long = 42L, shards: Int = 64,
+      idCol: String = "doc_id", textCol: String = "text"): Model = {
+    require(dim >= 1 && window >= 1 && negatives >= 0 && epochs >= 1,
+      "dim/window/epochs must be >= 1, negatives >= 0")
+    val spark = docs.sparkSession
+    val sc = spark.sparkContext
+    import spark.implicits._
+
+    val toks = docs.select(col(idCol).cast("long").as("id"),
+      split(trim(coalesce(col(textCol), lit(""))), "\\s+").as("toks"))
+    val vocabRows = toks.select(explode(col("toks")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .orderBy(col("n").desc, col("w").asc)
+      .limit(maxVocab)
+      .collect()
+    val vocab = vocabRows.map(_.getString(0))
+    val vCounts = vocabRows.map(_.getLong(1))
+    val v = vocab.length
+    require(v >= 2, s"SGNS needs a vocabulary of >= 2 words, got $v")
+    val bIndex = sc.broadcast(vocab.zipWithIndex.toMap)
+
+    // the unigram^0.75 cumulative table still broadcasts — it is
+    // V doubles (8 MB at 1M words), not V×d weights
+    val pows = vCounts.map(c => math.pow(c.toDouble, 0.75))
+    val total = pows.sum
+    val cum = new Array[Double](v)
+    var acc0 = 0.0
+    var i = 0
+    while (i < v) { acc0 += pows(i) / total; cum(i) = acc0; i += 1 }
+    cum(v - 1) = 1.0
+    val bCum = sc.broadcast(cum)
+
+    val corpus = toks.as[(Long, Seq[String])]
+      .map { case (id, ts) =>
+        val idx = bIndex.value
+        (id, ts.iterator.flatMap(idx.get).toArray)
+      }
+      .persist()
+    corpus.count()
+
+    val part = new org.apache.spark.HashPartitioner(shards)
+    val dims = dim
+    val win = window
+    val negs = negatives
+    // sharded seeded init: in(w)(j) from the SAME flat-index hash as
+    // [[train]]'s driver loop, out = 0, accumulators 0
+    var weights: org.apache.spark.rdd.RDD[(Int, WState)] =
+      sc.parallelize(0 until v, math.min(shards, v))
+        .map { w =>
+          val in = new Array[Float](dims)
+          var j = 0
+          while (j < dims) {
+            in(j) = ((hashU01(seed, 0x1217L, (w * dims + j).toLong) - 0.5)
+              / dims).toFloat
+            j += 1
+          }
+          (w, WState(in, new Array[Float](dims),
+            new Array[Double](dims), new Array[Double](dims)))
+        }
+        .partitionBy(part).persist()
+    weights.count()
+
+    val losses = new Array[Double](epochs)
+    var e = 0
+    while (e < epochs) {
+      val epoch = e
+      // 1. example stream — [[train]]'s enumeration verbatim — reduced
+      //    to distinct (c, t, label) → n slim rows
+      val cnt = corpus.rdd.mapPartitions { it =>
+        val cumV = bCum.value
+        val nv = cumV.length
+        def sampleNeg(u: Double): Int = {
+          var lo = 0; var hi = nv - 1
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (cumV(mid) <= u) lo = mid + 1 else hi = mid
+          }
+          lo
+        }
+        it.flatMap { case (docId, ids) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[((Int, Int, Boolean), Long)]
+          var p = 0
+          while (p < ids.length) {
+            val c = ids(p)
+            var off = -win
+            while (off <= win) {
+              val q = p + off
+              if (off != 0 && q >= 0 && q < ids.length) {
+                val t = ids(q)
+                out += (((c, t, true), 1L))
+                var k = 0
+                while (k < negs) {
+                  val n = sampleNeg(hashU01(seed, 0x4e47L, epoch.toLong,
+                    docId, p.toLong, (off + win).toLong, k.toLong))
+                  if (n != t) out += (((c, n, false), 1L))
+                  k += 1
+                }
+              }
+              off += 1
+            }
+            p += 1
+          }
+          out
+        }
+      }.reduceByKey(_ + _)
+      // 2. fetch in[c], then out[t] (projections of the shard — the
+      //    joins carry one d-float row per distinct pair, never state)
+      val inProj = weights.mapValues(_.in)
+      val outProj = weights.mapValues(_.out)
+      val gradRows = cnt.map { case ((c, t, l), n) => (c, (t, l, n)) }
+        .join(inProj)
+        .map { case (c, ((t, l, n), inV)) => (t, (c, l, n, inV)) }
+        .join(outProj)
+        .mapPartitions { rows =>
+          rows.flatMap { case (t, ((c, l, n, inV), outV)) =>
+            var dot = 0.0; var j = 0
+            while (j < dims) { dot += inV(j) * outV(j); j += 1 }
+            val s = 1.0 / (1.0 + StrictMath.exp(-dot))
+            val label = if (l) 1.0 else 0.0
+            val g = s - label
+            val loss =
+              if (l) -StrictMath.log(math.max(s, 1e-12))
+              else -StrictMath.log(math.max(1.0 - s, 1e-12))
+            val gIn = new Array[Long](dims)
+            val gOut = new Array[Long](dims)
+            j = 0
+            while (j < dims) {
+              gIn(j) = n * math.rint(g * outV(j) * GradScale).toLong
+              gOut(j) = n * math.rint(g * inV(j) * GradScale).toLong
+              j += 1
+            }
+            Iterator(
+              (c, Grad(gIn, Array.emptyLongArray, n, 0L)),
+              (t, Grad(Array.emptyLongArray, gOut, 0L, n)),
+              (-1, Grad(Array.emptyLongArray, Array.emptyLongArray,
+                n * math.rint(loss * LossScale).toLong, n)))
+          }
+        }
+      // 3. the exact integer reduce, co-partitioned with the weights
+      val grads = gradRows.reduceByKey(part, mergeGrad _).persist()
+      val lossRow = grads.lookup(-1)
+      losses(epoch) = lossRow.headOption
+        .filter(_.outCnt > 0)
+        .map(gr => (gr.inCnt.toDouble / LossScale) / gr.outCnt)
+        .getOrElse(0.0)
+      // 4. Adagrad step inside the narrow co-partitioned join —
+      //    [[train]]'s per-word update verbatim, cloned (persisted old
+      //    state must not mutate)
+      val lrL = lr
+      val next = weights.leftOuterJoin(grads)
+        .mapValues { case (st, grOpt) =>
+          grOpt match {
+            case None => st
+            case Some(gr) =>
+              val in = st.in.clone(); val out = st.out.clone()
+              val aIn = st.accIn.clone(); val aOut = st.accOut.clone()
+              var j = 0
+              if (gr.inCnt > 0) {
+                while (j < dims) {
+                  val g = (gr.in(j).toDouble / GradScale) / gr.inCnt
+                  aIn(j) += g * g
+                  in(j) = (in(j) - lrL * g / (math.sqrt(aIn(j)) + 1e-8)).toFloat
+                  j += 1
+                }
+              }
+              if (gr.outCnt > 0) {
+                j = 0
+                while (j < dims) {
+                  val g = (gr.out(j).toDouble / GradScale) / gr.outCnt
+                  aOut(j) += g * g
+                  out(j) = (out(j) - lrL * g / (math.sqrt(aOut(j)) + 1e-8)).toFloat
+                  j += 1
+                }
+              }
+              WState(in, out, aIn, aOut)
+          }
+        }
+        .partitionBy(part).persist()
+      next.count()
+      weights.unpersist()
+      grads.unpersist()
+      weights = next
+      e += 1
+    }
+    corpus.unpersist()
+    bIndex.destroy(); bCum.destroy()
+
+    // the one weight-sized driver materialization: the finished model
+    val vecs = new Array[Array[Float]](v)
+    weights.mapValues(_.in).collect().foreach { case (w, in) => vecs(w) = in }
+    weights.unpersist()
+    Model(dim, vocab, vecs, losses)
+  }
+
   /** The trained model behind the bridge contract: a document embeds as
     * the MEAN of its in-vocabulary word vectors (the classic word2vec
     * doc representation, and exactly what MLlib `Word2VecModel

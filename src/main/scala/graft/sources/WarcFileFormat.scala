@@ -1,0 +1,344 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.hadoop.mapreduce.Job
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.execution.datasources.{FileFormat, OutputWriterFactory, PartitionedFile}
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** WARC/1.0 (ISO 28500) textual-header crawl source — the format real
+  * crawl dumps actually arrive in (reference analog: the record-framed
+  * decoders at /root/reference/src/bench/dataset.ts:65-151; [[Wrec]] is
+  * the binary twin that proved the split-sync machinery this reader
+  * reuses).
+  *
+  * Record grammar (all header text US-ASCII/UTF-8, lines CRLF-ended):
+  * {{{
+  *   WARC/1.0\r\n
+  *   WARC-Type: response\r\n
+  *   WARC-Target-URI: https://...\r\n
+  *   WARC-Date: 2026-01-01T00:00:00Z\r\n
+  *   Content-Type: text/html\r\n
+  *   Content-Length: <n>\r\n
+  *   \r\n
+  *   <n payload bytes> \r\n\r\n
+  * }}}
+  *
+  * Byte splits SYNC exactly like [[WrecFileFormat]]: scan forward for a
+  * version line, validate the frame (headers terminate within bound,
+  * Content-Length present and sane), and require the CHAIN look-ahead —
+  * the frame must end at/past EOF or be followed by another sane frame
+  * head — so a payload that embeds "WARC/1.0\r\n" (a WARC stored inside
+  * a WARC, a quoted example in a crawled page) cannot be accepted as a
+  * record off a split boundary. A record may extend past the split end
+  * (the reader reads on); one starting past it belongs to the next
+  * split. Truncated tails are skipped, mid-file corruption re-syncs —
+  * crawl dumps are data, not errors (the codec stance).
+  *
+  * Leniency on read, strictness on write: [[Warc.write]] emits the
+  * spec's exact two-CRLF trailer; the reader emits any record whose
+  * headers parse and whose payload is fully present (a payload ending
+  * at EOF without its trailer is a kept record, not a loss).
+  *
+  * `rec_id` is the [[Wrec]] scheme: `fileIndex << 40 | offset`, files
+  * path-ordered at plan time via the `graft.warc.path` option (loud
+  * failure on a partial map; stable path-hash fallback for direct
+  * loads). Column pruning is honored — a metadata-only scan parses
+  * headers and SKIPS payload bytes via positioned reads.
+  */
+class WarcFileFormat extends FileFormat with DataSourceRegister with Serializable {
+
+  override def shortName(): String = "warc"
+  override def toString: String = "Warc"
+
+  override def inferSchema(sparkSession: SparkSession,
+      options: Map[String, String], files: Seq[FileStatus]): Option[StructType] =
+    if (files.isEmpty) None else Some(Warc.schema)
+
+  override def isSplitable(sparkSession: SparkSession,
+      options: Map[String, String], path: Path): Boolean = true
+
+  override def prepareWrite(sparkSession: SparkSession, job: Job,
+      options: Map[String, String], dataSchema: StructType): OutputWriterFactory =
+    throw new UnsupportedOperationException(
+      "use graft.sources.Warc.write(df, path)")
+
+  override protected def buildReader(sparkSession: SparkSession,
+      dataSchema: StructType, partitionSchema: StructType,
+      requiredSchema: StructType, filters: Seq[Filter],
+      options: Map[String, String],
+      hadoopConf: Configuration): PartitionedFile => Iterator[InternalRow] = {
+    val serConf = new SerConf(hadoopConf)
+    val fields = requiredSchema.fieldNames
+    val fileIndex: Map[String, Long] =
+      Wrec.fileIndexesFor(sparkSession, options, "graft.warc.path")
+
+    (file: PartitionedFile) => {
+      val path = file.toPath
+      val fs = path.getFileSystem(serConf.conf)
+      val fileLen = fs.getFileStatus(path).getLen
+      val in = fs.open(path)
+      val fIx = fileIndex.get(path.toUri.getPath) match {
+        case Some(i) => i
+        case None if fileIndex.nonEmpty =>
+          throw new IllegalStateException(
+            s"warc: scanned file ${path.toUri.getPath} is absent from the " +
+              "graft.warc.path file index — pass a path/glob covering " +
+              "every scanned file (Warc.read does this)")
+        case None => Wrec.pathHashIndex(path.toUri.getPath)
+      }
+      val splitEnd = file.start + file.length
+
+      // buffered forward reader (the WrecFileFormat shape)
+      val bufSize = 1 << 16
+      val buf = new Array[Byte](bufSize)
+      var bufStart = -1L
+      var bufLen = 0
+      def byteAt(off: Long): Int = {
+        if (off >= fileLen) return -1
+        if (off < bufStart || off >= bufStart + bufLen) {
+          bufStart = off
+          bufLen = math.min(bufSize.toLong, fileLen - off).toInt
+          in.readFully(off, buf, 0, bufLen)
+        }
+        buf((off - bufStart).toInt) & 0xff
+      }
+      def bytesAt(off: Long, n: Int): Array[Byte] = {
+        val a = new Array[Byte](n)
+        if (n <= bufSize && off >= bufStart && off + n <= bufStart + bufLen)
+          System.arraycopy(buf, (off - bufStart).toInt, a, 0, n)
+        else in.readFully(off, a, 0, n)
+        a
+      }
+
+      /** "WARC/1.0\r\n" or "WARC/1.1\r\n" at `off`? */
+      def versionAt(off: Long): Boolean =
+        byteAt(off) == 'W' && byteAt(off + 1) == 'A' &&
+          byteAt(off + 2) == 'R' && byteAt(off + 3) == 'C' &&
+          byteAt(off + 4) == '/' && byteAt(off + 5) == '1' &&
+          byteAt(off + 6) == '.' &&
+          (byteAt(off + 7) == '0' || byteAt(off + 7) == '1') &&
+          byteAt(off + 8) == '\r' && byteAt(off + 9) == '\n'
+
+      /** First \r\n\r\n at/after `from`, bounded; -1 if none. */
+      def headerEnd(from: Long, bound: Long): Long = {
+        var off = from
+        val lim = math.min(bound, fileLen - 3)
+        while (off < lim) {
+          if (byteAt(off) == '\r' && byteAt(off + 1) == '\n' &&
+              byteAt(off + 2) == '\r' && byteAt(off + 3) == '\n')
+            return off
+          off += 1
+        }
+        -1L
+      }
+
+      /** Parsed frame at `off`: (headers text, payloadStart, payloadLen)
+        * or null when the frame head is not sane. Sanity = version line,
+        * header block terminates within MaxHeaderLen, Content-Length
+        * present within the payload materialization bound. */
+      def parseHead(off: Long): (String, Long, Long) = {
+        if (!versionAt(off)) return null
+        val he = headerEnd(off + 10, off + 10 + Warc.MaxHeaderLen)
+        if (he < 0) return null
+        val hdr = new String(bytesAt(off + 10, (he - off - 10).toInt),
+          StandardCharsets.UTF_8)
+        var pLen = -1L
+        hdr.split("\r\n").foreach { line =>
+          val c = line.indexOf(':')
+          if (c > 0 && line.substring(0, c).trim
+              .equalsIgnoreCase("Content-Length")) {
+            try pLen = line.substring(c + 1).trim.toLong
+            catch { case _: Exception => pLen = -1L }
+          }
+        }
+        if (pLen < 0 || pLen > Warc.MaxPayloadLen) null
+        else (hdr, he + 4, pLen)
+      }
+
+      /** Chain look-ahead (the [[WrecFileFormat]] rule): accept the
+        * frame at `off` iff its record end is at/past EOF, too close to
+        * EOF to verify, or followed by another sane frame head — after
+        * skipping the spec's two-CRLF trailer (leniency: 0-2 CRLF pairs,
+        * some writers drop the trailer at EOF). Returns the next frame
+        * offset candidate, or -2 when the chain is broken, or -1 at
+        * EOF. */
+      def chainNext(payloadEnd: Long): Long = {
+        var nxt = payloadEnd
+        var pairs = 0
+        while (pairs < 2 && nxt + 1 < fileLen &&
+            byteAt(nxt) == '\r' && byteAt(nxt + 1) == '\n') {
+          nxt += 2; pairs += 1
+        }
+        if (nxt + 10 > fileLen) -1L // EOF (or torn next head): done
+        else if (parseHead(nxt) != null) nxt
+        else -2L
+      }
+
+      /** First offset >= from where a valid CHAINED frame starts. */
+      def sync(from: Long): Long = {
+        var off = from
+        while (off + 10 <= fileLen) {
+          if (versionAt(off)) {
+            val head = parseHead(off)
+            if (head != null) {
+              val end = head._2 + head._3
+              // truncated tail (payload past EOF) is skippable later;
+              // otherwise require the chain
+              if (end > fileLen || chainNext(end) != -2L) return off
+            }
+          }
+          off += 1
+        }
+        -1L
+      }
+
+      def headerField(hdr: String, name: String): String = {
+        var out = ""
+        hdr.split("\r\n").foreach { line =>
+          val c = line.indexOf(':')
+          if (c > 0 && line.substring(0, c).trim.equalsIgnoreCase(name)
+              && out.isEmpty)
+            out = line.substring(c + 1).trim
+        }
+        out
+      }
+
+      var closed = false
+      def closeOnce(): Unit = if (!closed) { closed = true; in.close() }
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
+
+      new Iterator[InternalRow] {
+        private var cur = sync(file.start)
+        private var nextRow: InternalRow = _
+        private def advance(): Unit = {
+          nextRow = null
+          while (nextRow == null && cur >= 0 && cur < splitEnd) {
+            val head = parseHead(cur)
+            if (head == null) { cur = sync(cur + 1) }
+            else {
+              val (hdr, pStart, pLen) = head
+              if (pStart + pLen > fileLen) {
+                // truncated tail: the payload promises more than the
+                // file has — skip (crawl dumps end mid-record)
+                cur = sync(cur + 1)
+              } else {
+                val row = new Array[Any](fields.length)
+                var slot = 0
+                fields.foreach { f =>
+                  row(slot) = f match {
+                    case "rec_id" =>
+                      require(cur < (1L << 40),
+                        s"warc: record offset $cur >= 2^40 in $path — " +
+                          "file too large for packed rec_ids")
+                      (fIx << 40) | cur
+                    case "warc_type" =>
+                      UTF8String.fromString(headerField(hdr, "WARC-Type"))
+                    case "url" =>
+                      UTF8String.fromString(
+                        headerField(hdr, "WARC-Target-URI"))
+                    case "fetch_ts" =>
+                      try java.time.Instant
+                        .parse(headerField(hdr, "WARC-Date")).getEpochSecond
+                      catch { case _: Exception => 0L }
+                    case "content_type" =>
+                      UTF8String.fromString(headerField(hdr, "Content-Type"))
+                    case "content" => bytesAt(pStart, pLen.toInt)
+                  }
+                  slot += 1
+                }
+                nextRow = new GenericInternalRow(row)
+                cur = chainNext(pStart + pLen) match {
+                  case -2L => sync(pStart + pLen + 1) // corruption: re-sync
+                  case nxt => nxt
+                }
+              }
+            }
+          }
+          if (nextRow == null) closeOnce()
+        }
+        advance()
+        def hasNext: Boolean = nextRow != null
+        def next(): InternalRow = {
+          val r = nextRow; advance(); r
+        }
+      }
+    }
+  }
+}
+
+object Warc {
+  private[sources] val MaxHeaderLen = 1L << 20
+  private[sources] val MaxPayloadLen = Int.MaxValue.toLong - 64L
+
+  val schema: StructType = StructType(Seq(
+    StructField("rec_id", LongType, nullable = false),
+    StructField("warc_type", StringType, nullable = false),
+    StructField("url", StringType, nullable = false),
+    StructField("fetch_ts", LongType, nullable = false),
+    StructField("content_type", StringType, nullable = false),
+    StructField("content", BinaryType, nullable = false)))
+
+  /** Read a WARC file/directory/glob with layout-stable rec_ids
+    * (recursive lookup — crawl dumps nest `dump/segment/part.warc`). */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.format(classOf[WarcFileFormat].getName)
+      .option("recursiveFileLookup", "true")
+      .option("graft.warc.path", path).load(path)
+
+  /** Write (url, fetch_ts, content_type, content) as spec-form WARC/1.0
+    * response records under `path` (one file per partition) — the
+    * test/bench writer twin of the reader; real dumps arrive
+    * pre-framed. Deterministic: WARC-Record-ID derives from
+    * (url, fetch_ts), WARC-Date from fetch_ts. */
+  def write(df: DataFrame, path: String): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hconf = new SerConf(spark.sessionState.newHadoopConf())
+    df.select(org.apache.spark.sql.functions.col("url").cast("string"),
+        org.apache.spark.sql.functions.col("fetch_ts").cast("long"),
+        org.apache.spark.sql.functions.col("content_type").cast("string"),
+        org.apache.spark.sql.functions.col("content").cast("binary"))
+      .as[(String, Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val p = new Path(path, f"part-$pid%05d.warc")
+        val fs = p.getFileSystem(hconf.conf)
+        val out = fs.create(p, true)
+        var n = 0L
+        it.foreach { case (url, ts, ct, payload) =>
+          // header values are line-framed: an embedded CR/LF would
+          // truncate the field and shift every following header
+          require(!url.exists(c => c == '\r' || c == '\n') &&
+            !ct.exists(c => c == '\r' || c == '\n'),
+            s"warc header fields must be CRLF-free (url=$url)")
+          val date = java.time.Instant.ofEpochSecond(ts).toString
+          val rid = java.util.UUID.nameUUIDFromBytes(
+            s"$url|$ts".getBytes(StandardCharsets.UTF_8))
+          val hdr = ("WARC/1.0\r\n" +
+            "WARC-Type: response\r\n" +
+            s"WARC-Record-ID: <urn:uuid:$rid>\r\n" +
+            s"WARC-Date: $date\r\n" +
+            s"WARC-Target-URI: $url\r\n" +
+            s"Content-Type: $ct\r\n" +
+            s"Content-Length: ${payload.length}\r\n" +
+            "\r\n").getBytes(StandardCharsets.UTF_8)
+          out.write(hdr)
+          out.write(payload)
+          out.write("\r\n\r\n".getBytes(StandardCharsets.US_ASCII))
+          n += 1
+        }
+        out.close()
+        Iterator.single(n)
+      }
+      .rdd.fold(0L)(_ + _): Unit
+  }
+}

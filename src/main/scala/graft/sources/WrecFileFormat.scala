@@ -274,7 +274,13 @@ object Wrec {
     * fail the reader's loud-absence check). */
   private[sources] def fileIndexes(spark: SparkSession,
       options: Map[String, String]): Map[String, Long] =
-    options.get("graft.wrec.path") match {
+    fileIndexesFor(spark, options, "graft.wrec.path")
+
+  /** [[fileIndexes]] parameterized on the option key — shared with the
+    * WARC twin ([[Warc]]). */
+  private[sources] def fileIndexesFor(spark: SparkSession,
+      options: Map[String, String], key: String): Map[String, Long] =
+    options.get(key) match {
       case None => Map.empty
       case Some(glob) =>
         val hconf = spark.sessionState.newHadoopConf()

@@ -21,8 +21,11 @@ import graft.operators.{Bq, IvfBq, IvfFlat, IvfRabitq, Opq, RabitQ}
   *     IDEMPOTENT: re-running an epoch (a Structured Streaming
   *     micro-batch retry replays its batchId) OVERWRITES the same
   *     directory instead of appending duplicate rows.
-  *   - `vectors/epoch=<tag>/` — (vec_id, embedding) originals for the
-  *     exact rerank, appended in step
+  *   - `vectors/epoch=<tag>/` — (cell, vec_id, embedding) originals for
+  *     the exact rerank, appended in step and CELL-CLUSTERED like the
+  *     codes so serve waves prune the rerank scan to probed cells
+  *     (meta `vec_cell` records the layout; pre-round-14 stores keep
+  *     the plain (vec_id, embedding) form and serve unpruned)
   *   - `deletes/` — (vec_id) delete vector; serving anti-joins it
   *
   * Unlike the pinned-shard [[IncrementalIvfIndex]] (executor-resident
@@ -53,6 +56,23 @@ object IncrementalBqIndex {
     * rows — layout only; every reader is unchanged. */
   private def writeCodes(encoded: DataFrame, to: String): Unit =
     encoded.repartitionByRange(64, col("cell"))
+      .sortWithinPartitions("cell")
+      .write.mode(SaveMode.Overwrite)
+      .option("parquet.block.size", (8 * 1024 * 1024).toString)
+      .parquet(to)
+
+  /** The rerank VECTORS store, cell-clustered the same way ([[writeCodes]]
+    * layout over `(cell, vec_id, embedding)` rows): the rerank join's
+    * scan of the originals prunes to the probed cells' row groups via
+    * `cells.pruneRerankBase`, instead of scanning the full float32 table
+    * per serve wave — at 100M the unpruned 26 GB scan WAS the warm
+    * single-query latency (4.8 s, BASELINE r13); at 1B it would be
+    * 260 GB per wave. The cell column is written from the SAME
+    * assignment as the code rows, so pruning can never drop a candidate
+    * (pruned ≡ unpruned, spec-pinned). */
+  private def writeVectors(vecs: DataFrame, to: String): Unit =
+    vecs.select(col("cell").cast("int"), col("vec_id"), col("embedding"))
+      .repartitionByRange(64, col("cell"))
       .sortWithinPartitions("cell")
       .write.mode(SaveMode.Overwrite)
       .option("parquet.block.size", (8 * 1024 * 1024).toString)
@@ -105,21 +125,26 @@ object IncrementalBqIndex {
         thresholds.zipWithIndex.map { case (t, i) => (i, t) })
       .toDF("i", "thr").coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(dir(path, "thresholds"))
-    Seq((residual, fitN, family, seed))
-      .toDF("residual", "fit_n", "family", "rot_seed")
+    Seq((residual, fitN, family, seed, true))
+      .toDF("residual", "fit_n", "family", "rot_seed", "vec_cell")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(dir(path, "meta"))
     writeCodes(encoded, dir(path, "codes/epoch=bootstrap"))
-    base.select(col(idCol).cast("long").as("vec_id"),
-        col(vecCol).cast("array<float>").as("embedding"))
-      .write.mode(SaveMode.Overwrite)
-      .parquet(dir(path, "vectors/epoch=bootstrap"))
+    // vectors take their cell from the CODE rows (the one assignment —
+    // balanced fits can spill a row past its argmax cell, so a fresh
+    // re-assign could disagree and the prune would drop candidates)
+    writeVectors(
+      base.select(col(idCol).cast("long").as("vec_id"),
+          col(vecCol).cast("array<float>").as("embedding"))
+        .join(encoded.select(col("cell"), col("id").as("vec_id")),
+          Seq("vec_id")),
+      dir(path, "vectors/epoch=bootstrap"))
     encoded.unpersist()
     ()
   }
 
   private case class Params(cents: Array[(Int, Array[Float])],
       residual: Boolean, thr: Array[Double], fitN: Long,
-      family: String, rotSeed: Long)
+      family: String, rotSeed: Long, vecCell: Boolean)
 
   private def loadParams(spark: SparkSession, path: String): Params = {
     import spark.implicits._
@@ -128,16 +153,23 @@ object IncrementalBqIndex {
     val cents = spark.read.parquet(dir(path, "centroids"))
       .as[(Int, Array[Float])].collect().sortBy(_._1)
     val meta = spark.read.parquet(dir(path, "meta"))
-    // pre-round-10 layouts carry no family column: they are BQ indexes
+    // pre-round-10 layouts carry no family column: they are BQ indexes.
+    // pre-round-14 layouts carry no vec_cell: their vectors store has no
+    // cell column, so the rerank prune stays off (appends keep writing
+    // the legacy layout — one store, one layout).
     val (residual, fitN, family, rotSeed) =
       if (meta.columns.contains("family"))
-        meta.as[(Boolean, Long, String, Long)].first()
+        meta.select("residual", "fit_n", "family", "rot_seed")
+          .as[(Boolean, Long, String, Long)].first()
       else {
-        val (r, n) = meta.as[(Boolean, Long)].first(); (r, n, "bq", 42L)
+        val (r, n) = meta.select("residual", "fit_n")
+          .as[(Boolean, Long)].first(); (r, n, "bq", 42L)
       }
+    val vecCell = meta.columns.contains("vec_cell") &&
+      meta.select("vec_cell").as[Boolean].first()
     val thr = spark.read.parquet(dir(path, "thresholds"))
       .as[(Int, Double)].collect().filter(_._1 >= 0).sortBy(_._1).map(_._2)
-    Params(cents, residual, thr, fitN, family, rotSeed)
+    Params(cents, residual, thr, fitN, family, rotSeed, vecCell)
   }
 
   /** Append a batch as one index EPOCH: assign with the frozen
@@ -211,9 +243,17 @@ object IncrementalBqIndex {
     // missing (which the rerank join would drop SILENTLY — quiet recall
     // loss nothing detects). compact() anchors its live set on committed
     // codes for the same reason.
-    src.select(col("id").as("vec_id"), col("vec").as("embedding"))
-      .write.mode(SaveMode.Overwrite)
-      .parquet(dir(path, s"vectors/epoch=$tag"))
+    if (p.vecCell)
+      // cell from the SAME assigned rows the codes are packed from
+      writeVectors(assigned.toDF("cell", "vec_id", "embedding"),
+        dir(path, s"vectors/epoch=$tag"))
+    else
+      // legacy (pre-cell) store: keep its layout — one store, one layout,
+      // or a mixed vectors union would null the cell column for old
+      // epochs and the prune would silently drop their candidates
+      src.select(col("id").as("vec_id"), col("vec").as("embedding"))
+        .write.mode(SaveMode.Overwrite)
+        .parquet(dir(path, s"vectors/epoch=$tag"))
     writeCodes(encoded, dir(path, s"codes/epoch=$tag"))
     encoded.unpersist()
     ()
@@ -298,6 +338,19 @@ object IncrementalBqIndex {
       spark.read.parquet(dir(path, "vectors"))
         .select("vec_id", "embedding"), "vec_id")
 
+  /** The rerank base the serve paths pass to the IVF operators: on a
+    * cell-clustered store ([[writeVectors]] layout) the `cell` column
+    * rides along, so `cells.pruneRerankBase` inside the operator prunes
+    * the rerank scan to the probed cells' row groups; legacy stores get
+    * the plain (vec_id, embedding) table and the prune stays off. */
+  private def rerankBase(spark: SparkSession, path: String,
+      p: Params): DataFrame =
+    if (p.vecCell)
+      minusDeletes(spark, path,
+        spark.read.parquet(dir(path, "vectors"))
+          .select("cell", "vec_id", "embedding"), "vec_id")
+    else vectors(spark, path)
+
   /** Serve with the UNCHANGED batch operator over the epoch union —
     * stream-built, batch-served. Dispatches on the index's code family
     * (BQ Hamming scan vs RaBitQ estimator scan). For a rabitq index,
@@ -311,10 +364,10 @@ object IncrementalBqIndex {
     if (p.family == "rabitq") {
       val m = rabitqModel(spark, path, p, withCounts = false)
       if (u4)
-        IvfRabitq.knnJoinU4(m, vectors(spark, path), queries, k, nprobe,
+        IvfRabitq.knnJoinU4(m, rerankBase(spark, path, p), queries, k, nprobe,
           rerank, scoreDigits = scoreDigits)
       else
-        IvfRabitq.knnJoin(m, vectors(spark, path), queries, k, nprobe,
+        IvfRabitq.knnJoin(m, rerankBase(spark, path, p), queries, k, nprobe,
           rerank, scoreDigits = scoreDigits)
     } else {
       // no bit-sliced kernel exists for the bq family — a silent no-op
@@ -323,7 +376,7 @@ object IncrementalBqIndex {
       require(!u4, s"$path is a 'bq' index — u4 bit-sliced serving is a " +
         "rabitq-family kernel")
       IvfBq.knnJoin(model(spark, path, p, withCounts = false),
-        vectors(spark, path), queries, k,
+        rerankBase(spark, path, p), queries, k,
         nprobe, rerank, scoreDigits = scoreDigits)
     }
   }
@@ -393,11 +446,11 @@ object IncrementalBqIndex {
     if (p.family == "rabitq")
       IvfRabitq.knnJoinAdaptive(
         rabitqModel(spark, path, p, withCounts = true),
-        vectors(spark, path), queries,
+        rerankBase(spark, path, p), queries,
         k, nprobe, rerankFrac, rerankMin, scoreDigits = scoreDigits)
     else
       IvfBq.knnJoinAdaptive(model(spark, path, p, withCounts = true),
-        vectors(spark, path), queries,
+        rerankBase(spark, path, p), queries,
         k, nprobe, rerankFrac, rerankMin, scoreDigits = scoreDigits)
   }
 
@@ -413,11 +466,11 @@ object IncrementalBqIndex {
     if (p.family == "rabitq")
       IvfRabitq.knnJoinAdaptiveProbe(
         rabitqModel(spark, path, p, withCounts = true),
-        vectors(spark, path), queries, k, maxNprobe, minNprobe,
+        rerankBase(spark, path, p), queries, k, maxNprobe, minNprobe,
         minCandidates, rerankFrac, rerankMin, scoreDigits = scoreDigits)
     else
       IvfBq.knnJoinAdaptiveProbe(model(spark, path, p, withCounts = true),
-        vectors(spark, path), queries, k, maxNprobe, minNprobe,
+        rerankBase(spark, path, p), queries, k, maxNprobe, minNprobe,
         minCandidates, rerankFrac, rerankMin, scoreDigits = scoreDigits)
   }
 
@@ -507,10 +560,16 @@ object IncrementalBqIndex {
         initCentroids = warm, family = prm.family)
     } else {
       // same quantizer: rewrite codes/vectors minus deletes, keep params
-      writeCodes(liveCodes(spark, path),
-        dir(tmp, "codes/epoch=compacted"))
-      live.write.mode(SaveMode.Overwrite)
-        .parquet(dir(tmp, "vectors/epoch=compacted"))
+      val lc = liveCodes(spark, path)
+      writeCodes(lc, dir(tmp, "codes/epoch=compacted"))
+      // fold-compaction UPGRADES a legacy store to the cell-clustered
+      // vectors layout (cells from the live code rows — the one
+      // assignment); max() is a no-op fold for a sane store (one cell
+      // per id) and deterministic if an id was ever double-appended
+      writeVectors(
+        live.join(lc.groupBy(col("id").as("vec_id"))
+          .agg(max("cell").as("cell")), Seq("vec_id")),
+        dir(tmp, "vectors/epoch=compacted"))
       spark.read.parquet(dir(path, "centroids"))
         .write.mode(SaveMode.Overwrite).parquet(dir(tmp, "centroids"))
       spark.read.parquet(dir(path, "thresholds"))
@@ -519,8 +578,8 @@ object IncrementalBqIndex {
       // fold-only compaction keeps the SAME quantizer — fit_n must keep
       // the original fit-corpus size or growthSinceFit would hide the
       // very growth the compaction trigger watches
-      Seq((residual, fitN0, prm.family, prm.rotSeed))
-        .toDF("residual", "fit_n", "family", "rot_seed")
+      Seq((residual, fitN0, prm.family, prm.rotSeed, true))
+        .toDF("residual", "fit_n", "family", "rot_seed", "vec_cell")
         .coalesce(1).write.mode(SaveMode.Overwrite).parquet(dir(tmp, "meta"))
     }
     val f = fs(spark, path)

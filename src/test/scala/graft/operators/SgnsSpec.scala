@@ -155,4 +155,23 @@ class SgnsSpec extends AnyFunSuite {
     val Array(oov) = r.embedBatch(Array("zzz qqq"))
     assert(oov.toSeq == Seq.fill(8)(0f))
   }
+
+  test("vocab-sharded training is BIT-IDENTICAL to the broadcast path " +
+      "at equal hyperparameters, under any partitioning") {
+    val docs = plantedDocs
+    val broad = Sgns.train(docs, dim = 8, window = 2, negatives = 3,
+      epochs = 3, seed = 7L)
+    val shard = Sgns.trainSharded(docs.repartition(5), dim = 8, window = 2,
+      negatives = 3, epochs = 3, seed = 7L, shards = 3)
+    assert(shard.vocab.toSeq == broad.vocab.toSeq)
+    assert(shard.losses.toSeq == broad.losses.toSeq,
+      "per-epoch losses must match exactly")
+    // float-bit equality, word by word
+    assert(shard.vecs.map(_.toSeq).toSeq == broad.vecs.map(_.toSeq).toSeq,
+      "sharded weights must equal the broadcast weights bit for bit")
+    // and the sharded path is itself partition-invariant
+    val shard2 = Sgns.trainSharded(docs.repartition(2), dim = 8, window = 2,
+      negatives = 3, epochs = 3, seed = 7L, shards = 6)
+    assert(shard2.vecs.map(_.toSeq).toSeq == shard.vecs.map(_.toSeq).toSeq)
+  }
 }

@@ -422,4 +422,71 @@ class IncrementalBqIndexSpec extends AnyFunSuite {
     IncrementalBqIndex.drop(spark, path)
     IncrementalBqIndex.drop(spark, fresh)
   }
+
+  test("cell-clustered rerank store: pruned serving is identical to an " +
+      "unpruned rerank over the plain vectors table, at nprobe that " +
+      "genuinely excludes cells") {
+    val path = tmpPath()
+    IncrementalBqIndex.build(emb, path, numCells = 8)
+    // the store's vectors carry the cell column; the public reader stays
+    // (vec_id, embedding)
+    val raw = spark.read.parquet(s"$path/vectors")
+    assert(raw.columns.contains("cell"), "new layout must carry cell")
+    assert(IncrementalBqIndex.vectors(spark, path).columns.toSeq ==
+      Seq("vec_id", "embedding"))
+    // nprobe=1 prunes 7 of 8 cells out of the rerank scan; results must
+    // equal the same model served with the unpruned plain table
+    for (np <- Seq(1, 2)) {
+      val pruned = IncrementalBqIndex.knnJoin(spark, path, probes, k = 5,
+          nprobe = np, rerank = 20, scoreDigits = 6)
+        .select("query_id", "neighbor_id", "rank")
+        .collect().map(_.toSeq).toSet
+      val unpruned = IvfBq.knnJoin(IncrementalBqIndex.model(spark, path),
+          IncrementalBqIndex.vectors(spark, path), probes, k = 5,
+          nprobe = np, rerank = 20, scoreDigits = 6)
+        .select("query_id", "neighbor_id", "rank")
+        .collect().map(_.toSeq).toSet
+      assert(pruned == unpruned, s"nprobe=$np pruned != unpruned")
+    }
+    IncrementalBqIndex.drop(spark, path)
+  }
+
+  test("legacy (pre-cell) store: serves unpruned with identical results, " +
+      "and appends keep the legacy vectors layout") {
+    val path = tmpPath()
+    val a = emb.filter(col("vec_id") % 2 === 0)
+    val b = emb.filter(col("vec_id") % 2 === 1)
+    IncrementalBqIndex.build(a, path, numCells = 4)
+    val modern = serve(path)
+    // downgrade the store in place to the pre-round-14 layout: meta
+    // without vec_cell, vectors without the cell column
+    import spark.implicits._
+    val legacyVecs = spark.read.parquet(s"$path/vectors")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val f = new org.apache.hadoop.fs.Path(s"$path/vectors")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(s"$path/vectors"), true)
+    legacyVecs.toSeq.toDF("vec_id", "embedding")
+      .write.parquet(s"$path/vectors/epoch=bootstrap")
+    val meta = spark.read.parquet(s"$path/meta")
+      .select("residual", "fit_n", "family", "rot_seed").collect()
+      .map(r => (r.getBoolean(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    f.delete(new org.apache.hadoop.fs.Path(s"$path/meta"), true)
+    meta.toSeq.toDF("residual", "fit_n", "family", "rot_seed")
+      .coalesce(1).write.parquet(s"$path/meta")
+    // legacy store serves the same results (prune off)
+    assert(serve(path) == modern)
+    // an append keeps the legacy layout — no cell column anywhere, so a
+    // mixed union can never null-out cells and break the prune
+    IncrementalBqIndex.append(b, path, epochTag = Some("b1"))
+    assert(!spark.read.parquet(s"$path/vectors").columns.contains("cell"))
+    assert(serve(path) == twin(a, emb))
+    // fold compaction UPGRADES to the cell layout; serving unchanged
+    val before = serve(path)
+    IncrementalBqIndex.compact(spark, path, refit = false)
+    assert(spark.read.parquet(s"$path/vectors").columns.contains("cell"))
+    assert(serve(path) == before)
+    IncrementalBqIndex.drop(spark, path)
+  }
 }
