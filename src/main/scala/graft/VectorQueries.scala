@@ -43,11 +43,14 @@ object VectorQueries {
     * bridge then embeds EVERY document with it), which keeps the
     * battery row's train cost flat across scale factors. */
   private def sgnsModel(s: SparkSession, dir: String): graft.operators.Sgns.Model =
-    ModelMemo.get(s, s"sgns/d32w2n4e5/$dir")(
+    ModelMemo.get(s, s"sgns/d32w2n4e3/$dir")(
       graft.operators.Sgns.train(
         s.read.parquet(s"$dir/documents.parquet")
           .filter(col("text").isNotNull && col("doc_id") < 2500),
-        dim = 32, window = 2, negatives = 4, epochs = 5, minCount = 2))
+        // epochs = 3 for the BATTERY model (hygiene: the training loop
+        // is a top-four battery cost; SgnsSpec gates loss monotonicity
+        // and retrieval quality on its own trained models)
+        dim = 32, window = 2, negatives = 4, epochs = 3, minCount = 2))
 
   private def hnswModel(s: SparkSession, dir: String): graft.hnsw.HnswModel =
     ModelMemo.get(s, s"hnsw/m16efc200p4/$dir")(
@@ -1005,14 +1008,43 @@ object VectorQueries {
     "sgns_train_loss" -> ((s, dir) =>
       graft.operators.Sgns.lossCurve(s, sgnsModel(s, dir))),
 
+    // SUBWORD (BPE-unit) SGNS through the same bridge: the trained
+    // tokenizer composed with the trainer, so OOV/misspelled words
+    // embed from pieces instead of the zero vector. Rows-only by
+    // nature; the OOV/typo-retrieval gates live in SgnsSpec. Bounded
+    // embed set keeps the row's serve cost flat across scale factors.
+    "sgns_subword_knn" -> ((s, dir) => {
+      val (bpe, model) = ModelMemo.get(s, s"sgnssub/$dir") {
+        val slice = s.read.parquet(s"$dir/documents.parquet")
+          .filter(col("text").isNotNull && col("doc_id") < 2500)
+        val b = graft.operators.Bpe.train(slice, numMerges = 200)
+        (b, graft.operators.Sgns.trainSubword(slice, b, dim = 32,
+          window = 2, negatives = 4, epochs = 3, minCount = 2))
+      }
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("text").isNotNull && col("doc_id") < 5000)
+      val embedded = graft.operators.EmbeddingBridge.embed(
+        d, new graft.operators.Sgns.SubwordRunner(model, bpe),
+        batchSize = 64)
+      val sprobes = embedded.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("query_id"),
+          col("embedding").as("query_vec"))
+      KnnJoin.exactKnnJoin(embedded, sprobes, k = 5, metric = "cosine",
+        baseId = "doc_id", scoreDigits = 6)
+    }),
+
     // MLlib Word2Vec doc vectors → exact kNN: the cross-implementation
     // twin of sgns_knn (MLlib's mean-of-words transform over the same
     // tokenization), the "use MLlib where it fits" integration row
     "mllib_word2vec_knn" -> ((s, dir) => {
       val dv = ModelMemo.get(s, s"mlw2v/$dir") {
-        val d = graft.operators.MlLsh.word2VecDocVecs(
-          s.read.parquet(s"$dir/documents.parquet")
-            .filter(col("text").isNotNull)).persist()
+        // fit on the SAME bounded 2.5k-doc slice as sgnsModel (battery
+        // hygiene: the single-partition MLlib fit over the full corpus
+        // was one of the top-four battery costs), transform everywhere
+        val all = s.read.parquet(s"$dir/documents.parquet")
+          .filter(col("text").isNotNull)
+        val d = graft.operators.MlLsh.word2VecDocVecs(all,
+          fitDocs = Some(all.filter(col("doc_id") < 2500))).persist()
         d.count(); d
       }
       val wprobes = dv.filter(col("doc_id") < 10)

@@ -64,17 +64,22 @@ object MlLsh {
     * [[Sgns.train]] is the layout-independent scale path. Returns
     * (doc_id, embedding array<float>). */
   def word2VecDocVecs(docs: DataFrame, dim: Int = 32, window: Int = 2,
-      minCount: Int = 1, maxIter: Int = 3, seed: Long = 42L): DataFrame = {
+      minCount: Int = 1, maxIter: Int = 3, seed: Long = 42L,
+      fitDocs: Option[DataFrame] = None): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val toks = docs
+    def tok(d: DataFrame) = d
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
       .coalesce(1)
+    val toks = tok(docs)
+    // fit-on-sample / transform-everywhere (the sgnsModel battery
+    // split): the iterative fit runs over the bounded slice, the
+    // mean-of-words transform over the full corpus
     val model = new Word2Vec()
       .setVectorSize(dim).setWindowSize(window).setMinCount(minCount)
       .setMaxIter(maxIter).setSeed(seed).setNumPartitions(1)
       .setInputCol("toks").setOutputCol("docvec")
-      .fit(toks)
+      .fit(fitDocs.map(tok).getOrElse(toks))
     model.transform(toks)
       .select(col("doc_id"), col("docvec"))
       .as[(Long, org.apache.spark.ml.linalg.Vector)]

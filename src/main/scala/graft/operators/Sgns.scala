@@ -574,6 +574,64 @@ object Sgns {
       }
   }
 
+  /** SUBWORD SGNS — the trained tokenizer composed with the trainer
+    * (the fastText shape without n-gram hashing): train SGNS over the
+    * corpus' BPE SYMBOL stream ([[Bpe.encodeTokens]] under a trained
+    * [[Bpe.BpeModel]]), so the embedding vocabulary is BPE pieces, not
+    * whole words. A word — including one never seen in training, or a
+    * misspelling — always decomposes to pieces (worst case its
+    * characters + end-mark), so nothing embeds to the zero vector the
+    * way word-level OOV does ([[Runner]]'s documented hole). Same
+    * trainer, same determinism contract; only the token stream
+    * changes. */
+  def trainSubword(docs: DataFrame, bpe: Bpe.BpeModel, dim: Int = 32,
+      window: Int = 2, negatives: Int = 4, epochs: Int = 8,
+      lr: Double = 0.3, minCount: Int = 1, maxVocab: Int = 1 << 16,
+      seed: Long = 42L,
+      idCol: String = "doc_id", textCol: String = "text"): Model = {
+    val pieceDocs = Bpe.encodeTokens(docs, bpe, idCol, textCol)
+      .select(col(idCol), array_join(col("syms"), " ").as(textCol))
+    train(pieceDocs, dim, window, negatives, epochs, lr, minCount,
+      maxVocab, seed, idCol, textCol)
+  }
+
+  /** [[Runner]]'s subword twin: a document embeds as the mean of the
+    * PIECE vectors of all its words' BPE decompositions — a typo'd or
+    * unseen word contributes through the pieces it shares with its
+    * trained neighbors instead of vanishing. Pieces the model has never
+    * seen (possible when training capped the piece vocab) are skipped
+    * like word-level OOV; only an all-unseen-pieces text embeds to
+    * zero. */
+  final class SubwordRunner(model: Model, bpe: Bpe.BpeModel)
+      extends ModelRunner {
+    def dim: Int = model.dim
+    // per-executor word → pieces memo (Zipf makes the hit rate the
+    // dominant term, the Bpe.encodeTokens precedent); transient so the
+    // serialized runner ships only the models
+    @transient private lazy val memo =
+      new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
+    private def pieces(w: String): Array[String] =
+      memo.computeIfAbsent(w, Bpe.encodeWord(_, bpe))
+    def embedBatch(texts: Array[String]): Array[Array[Float]] =
+      texts.map { t =>
+        val acc = new Array[Double](model.dim)
+        var n = 0
+        Option(t).getOrElse("").trim.split("\\s+")
+          .filter(_.nonEmpty).foreach { w =>
+            pieces(w).foreach { piece =>
+              model.index.get(piece).foreach { i =>
+                val v = model.vecs(i)
+                var j = 0
+                while (j < model.dim) { acc(j) += v(j); j += 1 }
+                n += 1
+              }
+            }
+          }
+        if (n == 0) new Array[Float](model.dim)
+        else Array.tabulate(model.dim)(j => (acc(j) / n).toFloat)
+      }
+  }
+
   /** Per-epoch training curve as a DataFrame (epoch, mean_loss) —
     * the battery's observability row for the iterative trainer. */
   def lossCurve(spark: org.apache.spark.sql.SparkSession,

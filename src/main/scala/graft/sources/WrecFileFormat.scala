@@ -170,6 +170,43 @@ class WrecFileFormat extends FileFormat with DataSourceRegister with Serializabl
           off + Wrec.HeadLen + hLen <= fileLen
       }
 
+      // OPTIONAL frame-index sidecar (hidden ".<name>.gwx", written by
+      // Wrec.write; invisible to Spark's listing and to the rec_id file
+      // index): the writer's frame offsets, so split positioning is a
+      // binary search instead of a forward byte scan — a split landing
+      // inside a huge payload otherwise scans megabytes for the magic —
+      // and the sequential read follows offsets instead of validating
+      // chains. Every indexed offset is still magic+sanity checked
+      // before use: a stale or torn index degrades per record to the
+      // scan path's skip semantics, never to wrong bytes. Results are
+      // identical with and without the sidecar (spec-pinned).
+      val frameIdx: Array[Long] = Wrec.readFrameIndex(fs, path)
+      var idxPtr = 0
+      def idxAdvance(): Long = {
+        while (frameIdx != null && idxPtr < frameIdx.length) {
+          val off = frameIdx(idxPtr)
+          idxPtr += 1
+          if (off + Wrec.HeadLen <= fileLen &&
+              byteAt(off) == 'G' && byteAt(off + 1) == 'W' &&
+              byteAt(off + 2) == 'R' && byteAt(off + 3) == '1' &&
+              frameSane(off)) return off
+        }
+        -1L
+      }
+      def idxNextAt(from: Long): Long = {
+        var lo = 0; var hi = frameIdx.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (frameIdx(mid) < from) lo = mid + 1 else hi = mid
+        }
+        idxPtr = lo
+        idxAdvance()
+      }
+      /** Next valid frame at/after `from` — indexed when the sidecar is
+        * present, scanning otherwise. */
+      def nextFrame(from: Long): Long =
+        if (frameIdx != null) idxNextAt(from) else sync(from)
+
       // a limit/take stops consuming mid-split — close the stream on
       // task completion regardless (the EmbeddingBridge teardown shape)
       var closed = false
@@ -178,7 +215,7 @@ class WrecFileFormat extends FileFormat with DataSourceRegister with Serializabl
         .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
 
       new Iterator[InternalRow] {
-        private var cur = sync(file.start)
+        private var cur = nextFrame(file.start)
         private var nextRow: InternalRow = _
         private def advance(): Unit = {
           nextRow = null
@@ -191,13 +228,13 @@ class WrecFileFormat extends FileFormat with DataSourceRegister with Serializabl
             if (cur + total > fileLen) {
               // truncated tail: the frame promises more than the file
               // has — skip it (and anything the sync finds after it)
-              cur = sync(cur + 1)
+              cur = nextFrame(cur + 1)
             } else {
               val hdr = new String(bytesAt(cur + Wrec.HeadLen, hLen),
                 StandardCharsets.UTF_8)
               val parts = hdr.split("\t", -1)
               if (parts.length != 3) {
-                cur = sync(cur + 1) // malformed header: re-sync
+                cur = nextFrame(cur + 1) // malformed header: re-sync
               } else {
                 val row = new Array[Any](fields.length)
                 var slot = 0
@@ -226,7 +263,8 @@ class WrecFileFormat extends FileFormat with DataSourceRegister with Serializabl
                 // is mid-file corruption — re-sync, don't fail (and the
                 // chained frame's lengths must pass the same sanity
                 // check sync() applies, or a torn header crashes later)
-                cur = if (after + Wrec.HeadLen > fileLen) -1L
+                cur = if (frameIdx != null) idxNextAt(after)
+                  else if (after + Wrec.HeadLen > fileLen) -1L
                   else if (byteAt(after) == 'G' && byteAt(after + 1) == 'W' &&
                     byteAt(after + 2) == 'R' && byteAt(after + 3) == '1' &&
                     frameSane(after)) after
@@ -298,6 +336,35 @@ object Wrec {
           .zipWithIndex.map { case (pth, i) => pth -> i.toLong }.toMap
     }
 
+  /** Hidden sidecar path of a wrec data file ("." prefix keeps it out
+    * of Spark's listing and the rec_id file index). */
+  private[sources] def idxPathOf(data: Path): Path =
+    new Path(data.getParent, "." + data.getName + ".gwx")
+
+  /** Frame-index sidecar: "GWX1" + int64 count + count × int64 offsets
+    * (little-endian). Null when absent or malformed — the reader falls
+    * back to the scan path. */
+  private[sources] def readFrameIndex(
+      fs: org.apache.hadoop.fs.FileSystem, data: Path): Array[Long] = {
+    val p = idxPathOf(data)
+    try {
+      if (!fs.exists(p)) return null
+      val len = fs.getFileStatus(p).getLen
+      if (len < 12 || (len - 12) % 8 != 0) return null
+      val bytes = new Array[Byte](len.toInt)
+      val s = fs.open(p)
+      try s.readFully(0, bytes, 0, bytes.length) finally s.close()
+      val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      if (bb.getInt(0) != 0x31585747) return null // "GWX1" LE
+      val n = bb.getLong(4)
+      if (n < 0 || 12 + n * 8 != len) return null
+      val out = new Array[Long](n.toInt)
+      var i = 0
+      while (i < n) { out(i) = bb.getLong(12 + i * 8); i += 1 }
+      out
+    } catch { case _: Exception => null }
+  }
+
   /** Stable 23-bit index for direct loads that bypass [[read]] (no
     * planned file map): FNV-1a over the path, masked to keep
     * `hash << 40` positive. */
@@ -330,6 +397,8 @@ object Wrec {
         val fs = p.getFileSystem(hconf.conf)
         val out = fs.create(p, true)
         var n = 0L
+        var off = 0L
+        val offsets = scala.collection.mutable.ArrayBuffer.empty[Long]
         it.foreach { case (url, ts, ct, payload) =>
           // the header is tab-framed: a tab inside url/content_type
           // would make the reader's 3-field parse silently DROP the
@@ -344,9 +413,23 @@ object Wrec {
           out.write(head.array())
           out.write(hdr)
           out.write(payload)
+          offsets += off
+          off += HeadLen + hdr.length + payload.length
           n += 1
         }
         out.close()
+        // frame-index sidecar: split positioning by binary search and
+        // payload-skip iteration on read (hidden file — invisible to
+        // Spark's listing and the rec_id index; reader falls back to
+        // the scan path when it is absent)
+        val ib = ByteBuffer.allocate(12 + offsets.length * 8)
+          .order(ByteOrder.LITTLE_ENDIAN)
+        ib.put("GWX1".getBytes(StandardCharsets.US_ASCII))
+        ib.putLong(offsets.length.toLong)
+        offsets.foreach(ib.putLong)
+        val iOut = fs.create(idxPathOf(p), true)
+        iOut.write(ib.array())
+        iOut.close()
         Iterator.single(n)
       }
       // rdd fold, not Dataset.reduce: an empty input (zero partitions)

@@ -400,10 +400,11 @@ object IncrementalBqIndex {
     * query — negligible next to the probes. */
   def knnJoinFederated(spark: SparkSession, paths: Seq[String],
       queries: DataFrame, k: Int, nprobe: Int = 4, rerank: Int = 100,
-      scoreDigits: Int = -1): DataFrame = {
+      scoreDigits: Int = -1, u4: Boolean = false): DataFrame = {
     require(paths.nonEmpty, "federate at least one index")
     val perIndex = paths.map { p =>
-      knnJoin(spark, p, queries, k, nprobe, rerank, scoreDigits = -1)
+      knnJoin(spark, p, queries, k, nprobe, rerank, scoreDigits = -1,
+          u4 = u4)
         .select("query_id", "neighbor_id", "score")
     }.reduce(_ unionByName _)
     val merged = perIndex

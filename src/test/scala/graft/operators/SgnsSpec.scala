@@ -156,6 +156,50 @@ class SgnsSpec extends AnyFunSuite {
     assert(oov.toSeq == Seq.fill(8)(0f))
   }
 
+  test("subword SGNS: an OOV/misspelled word embeds non-zero from its " +
+      "BPE pieces and still lands on the right topic, where the " +
+      "word-level model gives the zero vector") {
+    val docs = plantedDocs
+    // FEW merges so topic words stay multi-piece (a fully-merged
+    // "alpha</w>" symbol would leave a typo with no shared pieces —
+    // the whole point of the subword form is the partial overlap)
+    val bpe = Bpe.train(docs, numMerges = 40, minPairCount = 1)
+    val word = Sgns.train(docs, dim = 16, window = 2, negatives = 3,
+      epochs = 6, seed = 11L)
+    val sub = Sgns.trainSubword(docs, bpe, dim = 16, window = 2,
+      negatives = 3, epochs = 6, seed = 11L)
+    val wr = new Sgns.Runner(word)
+    val sr = new Sgns.SubwordRunner(sub, bpe)
+
+    // the misspelled topic word alone: word-level has no entry -> zero;
+    // subword decomposes into pieces shared with the trained word
+    val typo = "alphaa"
+    assert(word.vector(typo).isEmpty)
+    val Array(wv) = wr.embedBatch(Array(typo))
+    assert(wv.forall(_ == 0f), "word-level OOV must embed to zero")
+    val Array(sv) = sr.embedBatch(Array(typo))
+    assert(sv.exists(_ != 0f), "subword OOV must embed from pieces")
+
+    // retrieval: the typo'd query must sit closer to topic A's docs
+    // than topic B's under the subword model (word-level cannot rank a
+    // zero vector at all)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var j = 0
+      while (j < a.length) { d += a(j) * b(j); na += a(j) * a(j)
+        nb += b(j) * b(j); j += 1 }
+      if (na == 0 || nb == 0) 0.0 else d / math.sqrt(na * nb)
+    }
+    val byTopic = docs.select("topic", "text").collect()
+      .groupBy(_.getString(0)).map { case (t, rows) =>
+        val embs = sr.embedBatch(rows.map(_.getString(1)))
+        t -> Array.tabulate(16)(j => embs.map(_(j)).sum / embs.length)
+      }
+    val simA = cos(sv, byTopic("A"))
+    val simB = cos(sv, byTopic("B"))
+    assert(simA > simB,
+      f"typo query must rank topic A over B (simA=$simA%.3f simB=$simB%.3f)")
+  }
+
   test("vocab-sharded training is BIT-IDENTICAL to the broadcast path " +
       "at equal hyperparameters, under any partitioning") {
     val docs = plantedDocs

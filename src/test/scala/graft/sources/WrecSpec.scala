@@ -111,6 +111,65 @@ class WrecSpec extends AnyFunSuite {
     assert(got2.subsetOf(want))
   }
 
+  test("frame-index sidecar: indexed and scan reads return identical " +
+      "rows (rec_ids included); a torn record under the index loses " +
+      "only itself; a corrupt sidecar falls back to scanning") {
+    val dir = Files.createTempDirectory("wrecidx").toString
+    Wrec.write(fixture(200).repartition(2), dir)
+    // drop Hadoop local-FS .crc twins: this test edits files in place,
+    // and a stale checksum would fail the read before the reader's own
+    // fallback logic ever runs
+    def dropCrc(d: String): Unit = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".crc")).foreach(_.delete())
+    dropCrc(dir)
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+    assert(files.exists(_.endsWith(".gwx")), "writer must emit sidecars")
+    def rows() = Wrec.read(spark, dir)
+      .select("rec_id", "url", "fetch_ts", "content_type")
+      .collect().map(_.toSeq).toSet
+    val indexed = rows()
+    // tiny splits under the index: binary-search positioning
+    val old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "2048")
+      assert(rows() == indexed)
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    // corrupt one sidecar -> reader falls back to the scan path
+    val gwx = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".gwx")).head
+    val gb = Files.readAllBytes(gwx.toPath)
+    Files.write(gwx.toPath, "JUNK".getBytes ++ gb.drop(4))
+    assert(rows() == indexed, "corrupt sidecar must fall back, not drop")
+    Files.write(gwx.toPath, gb)
+    // remove sidecars entirely -> scan path, identical rows
+    new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".gwx")).foreach(_.delete())
+    assert(rows() == indexed, "scan path must equal the indexed path")
+
+    // torn record WITH the index present: per-offset validation skips
+    // exactly the victim
+    val d2 = Files.createTempDirectory("wrecidx2").toString
+    Wrec.write(fixture(100).repartition(1), d2)
+    dropCrc(d2)
+    val wf = new java.io.File(d2).listFiles()
+      .filter(_.getName.endsWith(".wrec")).head
+    val bytes = Files.readAllBytes(wf.toPath)
+    val b = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val offs = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var off = 0
+    while (off + 16 <= bytes.length) {
+      offs += off
+      off += 16 + b.getInt(off + 4) + b.getLong(off + 8).toInt
+    }
+    val victim = offs.minBy(o => math.abs(o - bytes.length / 2))
+    val corrupt = bytes.clone()
+    java.util.Arrays.fill(corrupt, victim, victim + 4, 0x5a.toByte)
+    Files.write(wf.toPath, corrupt)
+    val got = Wrec.read(spark, d2).count()
+    assert(got == 99, s"expected exactly the torn record lost, got $got")
+  }
+
   test("a direct format(\"wrec\").load without the path option derives " +
       "path-hash file indexes: rec_ids stay unique across files") {
     val dir = Files.createTempDirectory("wrecdirect").toString
