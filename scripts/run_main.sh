@@ -21,5 +21,5 @@ exec java -Xmx100g \
   --add-opens=java.base/sun.security.action=ALL-UNNAMED \
   --add-opens=java.base/sun.util.calendar=ALL-UNNAMED \
   -Dio.netty.tryReflectionSetAccessible=true \
-  -cp "$REPO/target/scala-2.13/classes:/opt/spark/jars/*" \
+  -cp "${GRAFT_CLASSES:-$REPO/target/scala-2.13/classes}:/opt/spark/jars/*" \
   "$MAIN" "$@"

@@ -39,10 +39,10 @@ import org.apache.spark.sql.functions._
   * Word2Vec does the same broadcast-train-aggregate loop). Weights are
   * V×dim×8 bytes broadcast per epoch and V×dim×32 bytes of gradient
   * state per task, so `maxVocab` (default 2^16) bounds executor memory
-  * at ~130 MB/task at dim 32; a 1M-word vocab wants the vocab-sharded
-  * variant (shard the OUT matrix by word id and join gradients instead
-  * of broadcasting — same reduce, one extra shuffle), which this
-  * module deliberately leaves out until a corpus needs it.
+  * at ~130 MB/task at dim 32; past that, [[trainSharded]] keeps weights
+  * and optimizer state hash-sharded by word id (never broadcast, no
+  * dense per-task state) and is spec-pinned bit-identical to this path
+  * at equal hyperparameters.
   *
   * Fixed-point headroom: one example contributes |grad| ≤ ~2 per
   * component (≤ 2^25 scaled), so a single word overflows a long only

@@ -43,8 +43,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * `rec_id` is reproducible across layouts: `fileIndex << 40 | offset`
   * with files path-ordered at plan time (offset < 2^40 = 1 TB/file).
   * Column pruning is honored — a metadata-only scan never materializes
-  * payload bytes (it still streams past them; a payload-length frame
-  * index would fix that and is not yet needed).
+  * payload bytes, and when the hidden frame-index sidecar is present
+  * (the writer emits one per file) the reader follows indexed offsets —
+  * split positioning is a binary search, not a forward magic scan.
   */
 class WrecFileFormat extends FileFormat with DataSourceRegister with Serializable {
 

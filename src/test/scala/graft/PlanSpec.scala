@@ -343,4 +343,25 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"),
       s"rank<=k should plan bounded heaps, not a full per-query sort:\n$p")
   }
+
+  test("cell-clustered store serving: the rerank VECTORS scan carries " +
+      "pushed cell filters (row-group pruning), and candidates broadcast") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val path = java.nio.file.Files
+      .createTempDirectory("planprune").toString + "/idx"
+    graft.streaming.IncrementalBqIndex.build(emb, path, numCells = 8)
+    val probes = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 3)
+      .select(org.apache.spark.sql.functions.col("vec_id").as("query_id"),
+        org.apache.spark.sql.functions.col("embedding").as("query_vec"))
+    val p = graft.streaming.IncrementalBqIndex
+      .knnJoin(spark, path, probes, k = 5, nprobe = 1, rerank = 20)
+      .queryExecution.executedPlan.toString
+    val vecScan = p.linesIterator.find(l =>
+      l.contains("/vectors") && l.contains("PushedFilters")).getOrElse("")
+    assert(vecScan.contains("In(cell") || vecScan.contains("EqualTo(cell"),
+      s"rerank vectors scan must push the probed-cell filter:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"rerank candidates must broadcast (base never shuffles):\n$p")
+    graft.streaming.IncrementalBqIndex.drop(spark, path)
+  }
 }
