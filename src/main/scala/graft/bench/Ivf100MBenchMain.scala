@@ -90,6 +90,12 @@ object Ivf100MBenchMain {
           f"cold=$cold%.1fs (${nq / cold}%.1f qps) " +
           f"warm=$warm%.1fs (${nq / warm}%.1f qps)")
 
+        // optional: arg 8 = 0 skips the exact-scan recall anchor (the
+        // small-wave latency rows re-measure a store whose recall the
+        // 1000-query row already anchored — the 300 s full scan per
+        // wave size adds nothing)
+        if (args.length > 8 && args(8) == "0") { spark.stop(); return }
+
         // recall anchor: 20 probes vs the exact 100M scan
         val anchor = probes.filter(col("query_id") < 20).cache()
         anchor.count()

@@ -168,24 +168,6 @@ object cells {
     * made a 10-query wave 5× SLOWER), so big waves keep the plain IN
     * (they touch most row groups regardless). Semantics identical to
     * isin either way. */
-  /** Rerank-base prune: when the vectors store carries a `cell` column
-    * (the cell-clustered rerank layout — see
-    * `IncrementalBqIndex.writeVectors`), restrict the rerank scan to the
-    * probed cells' row groups with [[cellPruneFilter]]. Correct by
-    * construction: candidates only come from probed cells, and the
-    * store's cell column is written from the SAME assignment as the
-    * code rows, so the filter can never drop a candidate — pruned ≡
-    * unpruned (spec-pinned). A base without the column (the raw
-    * embeddings table, a pre-cell-layout store) passes through
-    * untouched. */
-  def pruneRerankBase(base: org.apache.spark.sql.DataFrame,
-      probed: Seq[Int]): org.apache.spark.sql.DataFrame =
-    if (base.columns.contains("cell"))
-      base.filter(cellPruneFilter(
-          org.apache.spark.sql.functions.col("cell"), probed))
-        .drop("cell")
-    else base
-
   def cellPruneFilter(c: Column, wanted: Seq[Int],
       maxRanges: Int = 32): Column = {
     // an empty probe wave matched nothing under isin() and must keep
@@ -209,4 +191,27 @@ object cells {
         c <= org.apache.spark.sql.functions.lit(h)
     }.reduce(_ || _)
   }
+
+  /** The rerank-base cell marker: an internal column name only the
+    * engine's own cell-clustered stores emit (see
+    * `IncrementalBqIndex.rerankBase`) — the prune below keys on it, so
+    * a CALLER's table that happens to carry a column named `cell` with
+    * unrelated meaning can never silently filter rerank candidates. */
+  val RerankCellCol = "__graft_cell"
+
+  /** Rerank-base prune: when the base carries the [[RerankCellCol]]
+    * marker (the cell-clustered rerank layout), restrict the rerank
+    * scan to the probed cells' row groups with [[cellPruneFilter]].
+    * Correct by construction: candidates only come from probed cells,
+    * and the store's cell column is written from the SAME assignment
+    * as the code rows, so the filter can never drop a candidate —
+    * pruned ≡ unpruned (spec-pinned). Any other base passes through
+    * untouched. */
+  def pruneRerankBase(base: org.apache.spark.sql.DataFrame,
+      probed: Seq[Int]): org.apache.spark.sql.DataFrame =
+    if (base.columns.contains(RerankCellCol))
+      base.filter(cellPruneFilter(
+          org.apache.spark.sql.functions.col(RerankCellCol), probed))
+        .drop(RerankCellCol)
+    else base
 }

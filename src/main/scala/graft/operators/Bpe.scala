@@ -116,7 +116,9 @@ object Bpe {
       .mapPartitions { it =>
         val m = bc.value
         val memo = mutable.HashMap.empty[String, Int]
-        it.map { case (id, text) =>
+        it.map { case (id, text0) =>
+          // null text is data: zero tokens, not an executor NPE
+          val text = if (text0 == null) "" else text0
           val ws = text.trim.split("\\s+").filter(_.nonEmpty)
           var toks = 0L
           ws.foreach { w =>
@@ -145,7 +147,9 @@ object Bpe {
       .mapPartitions { it =>
         val m = bc.value
         val memo = mutable.HashMap.empty[String, Array[String]]
-        it.map { case (id, text) =>
+        it.map { case (id, text0) =>
+          // null text is data: zero tokens, not an executor NPE
+          val text = if (text0 == null) "" else text0
           val ws = text.trim.split("\\s+").filter(_.nonEmpty)
           (id, ws.flatMap(w => memo.getOrElseUpdate(w, encodeWord(w, m))))
         }

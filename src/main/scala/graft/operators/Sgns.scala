@@ -539,13 +539,16 @@ object Sgns {
       weights = next
       e += 1
     }
-    corpus.unpersist()
-    bIndex.destroy(); bCum.destroy()
-
-    // the one weight-sized driver materialization: the finished model
+    // the one weight-sized driver materialization: the finished model.
+    // Collect BEFORE destroying the broadcasts/corpus: the weights RDD
+    // is persisted, but an evicted partition would recompute through
+    // lineage that closes over bIndex/bCum — destroying first turns a
+    // routine eviction at the end of a long run into a crash.
     val vecs = new Array[Array[Float]](v)
     weights.mapValues(_.in).collect().foreach { case (w, in) => vecs(w) = in }
     weights.unpersist()
+    corpus.unpersist()
+    bIndex.destroy(); bCum.destroy()
     Model(dim, vocab, vecs, losses)
   }
 
@@ -589,7 +592,11 @@ object Sgns {
       lr: Double = 0.3, minCount: Int = 1, maxVocab: Int = 1 << 16,
       seed: Long = 42L,
       idCol: String = "doc_id", textCol: String = "text"): Model = {
-    val pieceDocs = Bpe.encodeTokens(docs, bpe, idCol, textCol)
+    // null text is data (the [[train]] stance): zero tokens, not an NPE
+    // inside the encode
+    val safe = docs.select(col(idCol),
+      coalesce(col(textCol), lit("")).as(textCol))
+    val pieceDocs = Bpe.encodeTokens(safe, bpe, idCol, textCol)
       .select(col(idCol), array_join(col("syms"), " ").as(textCol))
     train(pieceDocs, dim, window, negatives, epochs, lr, minCount,
       maxVocab, seed, idCol, textCol)

@@ -166,14 +166,20 @@ class WarcFileFormat extends FileFormat with DataSourceRegister with Serializabl
       /** Chain look-ahead (the [[WrecFileFormat]] rule): accept the
         * frame at `off` iff its record end is at/past EOF, too close to
         * EOF to verify, or followed by another sane frame head — after
-        * skipping the spec's two-CRLF trailer (leniency: 0-2 CRLF pairs,
-        * some writers drop the trailer at EOF). Returns the next frame
-        * offset candidate, or -2 when the chain is broken, or -1 at
-        * EOF. */
+        * skipping the spec's two-CRLF trailer. Leniency: up to 16 CRLF
+        * pairs are skipped, because wild writers pad extra blank lines
+        * between records and a strict two-pair rule would silently
+        * reject EVERY record of such a file (crawl dumps are data, not
+        * errors). Near-EOF unverifiability is accepted — a torn next
+        * head must not lose the last complete record; the dual risk (a
+        * payload-embedded fake header whose fake end lands within one
+        * head of EOF on a split re-sync) is the same bounded tail
+        * exposure the wrec twin documents. Returns the next frame
+        * offset, -2 when the chain is broken, or -1 at EOF. */
       def chainNext(payloadEnd: Long): Long = {
         var nxt = payloadEnd
         var pairs = 0
-        while (pairs < 2 && nxt + 1 < fileLen &&
+        while (pairs < 16 && nxt + 1 < fileLen &&
             byteAt(nxt) == '\r' && byteAt(nxt + 1) == '\n') {
           nxt += 2; pairs += 1
         }

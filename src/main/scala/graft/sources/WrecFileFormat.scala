@@ -181,7 +181,7 @@ class WrecFileFormat extends FileFormat with DataSourceRegister with Serializabl
       // before use: a stale or torn index degrades per record to the
       // scan path's skip semantics, never to wrong bytes. Results are
       // identical with and without the sidecar (spec-pinned).
-      val frameIdx: Array[Long] = Wrec.readFrameIndex(fs, path)
+      val frameIdx: Array[Long] = Wrec.readFrameIndex(fs, path, fileLen)
       var idxPtr = 0
       def idxAdvance(): Long = {
         while (frameIdx != null && idxPtr < frameIdx.length) {
@@ -342,26 +342,32 @@ object Wrec {
   private[sources] def idxPathOf(data: Path): Path =
     new Path(data.getParent, "." + data.getName + ".gwx")
 
-  /** Frame-index sidecar: "GWX1" + int64 count + count × int64 offsets
-    * (little-endian). Null when absent or malformed — the reader falls
-    * back to the scan path. */
+  /** Frame-index sidecar: "GWX1" + int64 dataFileLen + int64 count +
+    * count × int64 offsets (little-endian). Null when absent, malformed
+    * or STALE — the recorded data-file length must match the file on
+    * disk, or a file rewritten/extended out-of-band under an old
+    * sidecar would silently serve only the old offsets (per-offset
+    * validation catches torn records, not MISSING index entries). The
+    * reader falls back to the scan path on null. */
   private[sources] def readFrameIndex(
-      fs: org.apache.hadoop.fs.FileSystem, data: Path): Array[Long] = {
+      fs: org.apache.hadoop.fs.FileSystem, data: Path,
+      dataLen: Long): Array[Long] = {
     val p = idxPathOf(data)
     try {
       if (!fs.exists(p)) return null
       val len = fs.getFileStatus(p).getLen
-      if (len < 12 || (len - 12) % 8 != 0) return null
+      if (len < 20 || (len - 20) % 8 != 0) return null
       val bytes = new Array[Byte](len.toInt)
       val s = fs.open(p)
       try s.readFully(0, bytes, 0, bytes.length) finally s.close()
       val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
       if (bb.getInt(0) != 0x31585747) return null // "GWX1" LE
-      val n = bb.getLong(4)
-      if (n < 0 || 12 + n * 8 != len) return null
+      if (bb.getLong(4) != dataLen) return null // stale: file changed
+      val n = bb.getLong(12)
+      if (n < 0 || 20 + n * 8 != len) return null
       val out = new Array[Long](n.toInt)
       var i = 0
-      while (i < n) { out(i) = bb.getLong(12 + i * 8); i += 1 }
+      while (i < n) { out(i) = bb.getLong(20 + i * 8); i += 1 }
       out
     } catch { case _: Exception => null }
   }
@@ -423,9 +429,10 @@ object Wrec {
         // payload-skip iteration on read (hidden file — invisible to
         // Spark's listing and the rec_id index; reader falls back to
         // the scan path when it is absent)
-        val ib = ByteBuffer.allocate(12 + offsets.length * 8)
+        val ib = ByteBuffer.allocate(20 + offsets.length * 8)
           .order(ByteOrder.LITTLE_ENDIAN)
         ib.put("GWX1".getBytes(StandardCharsets.US_ASCII))
+        ib.putLong(off) // total data bytes written: the staleness bind
         ib.putLong(offsets.length.toLong)
         offsets.foreach(ib.putLong)
         val iOut = fs.create(idxPathOf(p), true)

@@ -129,14 +129,22 @@ object IncrementalBqIndex {
       .toDF("residual", "fit_n", "family", "rot_seed", "vec_cell")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(dir(path, "meta"))
     writeCodes(encoded, dir(path, "codes/epoch=bootstrap"))
-    // vectors take their cell from the CODE rows (the one assignment —
-    // balanced fits can spill a row past its argmax cell, so a fresh
-    // re-assign could disagree and the prune would drop candidates)
+    // vectors get their cell from the SAME argmax assignment the fit
+    // used: build() always fits with balanceSlack = 0 (plain argmax
+    // against the final centroids), so the broadcast re-assign here
+    // reproduces the code rows' cells bit-exactly — without the
+    // base ⋈ codes shuffle join, whose map output next to the
+    // clustering exchange doubled peak shuffle disk and filled an
+    // 80 GB box at the 100M point (measured; the spec still gates
+    // pruned ≡ unpruned end to end). Callers composing their own
+    // balanced fit go through fromIvf + append, where the cell rides
+    // the assigned rows directly.
     writeVectors(
-      base.select(col(idCol).cast("long").as("vec_id"),
-          col(vecCol).cast("array<float>").as("embedding"))
-        .join(encoded.select(col("cell"), col("id").as("vec_id")),
-          Seq("vec_id")),
+      IvfFlat.assign(
+          base.select(col(idCol).cast("long").as("vec_id"),
+            col(vecCol).cast("array<float>").as("vec")),
+          centroids, "cosine")
+        .select(col("cell"), col("vec_id"), col("vec").as("embedding")),
       dir(path, "vectors/epoch=bootstrap"))
     encoded.unpersist()
     ()
@@ -348,7 +356,10 @@ object IncrementalBqIndex {
     if (p.vecCell)
       minusDeletes(spark, path,
         spark.read.parquet(dir(path, "vectors"))
-          .select("cell", "vec_id", "embedding"), "vec_id")
+          // the INTERNAL marker name — pruneRerankBase keys on it, so a
+          // caller's own `cell` column can never trigger the prune
+          .select(col("cell").as(graft.functions.cells.RerankCellCol),
+            col("vec_id"), col("embedding")), "vec_id")
     else vectors(spark, path)
 
   /** Serve with the UNCHANGED batch operator over the epoch union —

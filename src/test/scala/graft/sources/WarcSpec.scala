@@ -102,6 +102,7 @@ class WarcSpec extends AnyFunSuite {
     Warc.write(fixture(300).repartition(1), dir)
     val whole = readAll(dir)
     val old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    val oldCost = spark.conf.get("spark.sql.files.openCostInBytes")
     try {
       spark.conf.set("spark.sql.files.maxPartitionBytes", "2048")
       spark.conf.set("spark.sql.files.openCostInBytes", "0")
@@ -109,7 +110,10 @@ class WarcSpec extends AnyFunSuite {
       assert(split.rdd.getNumPartitions > 4,
         s"expected many splits, got ${split.rdd.getNumPartitions}")
       assert(readAll(dir) == whole)
-    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    } finally {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+      spark.conf.set("spark.sql.files.openCostInBytes", oldCost)
+    }
   }
 
   test("truncated tail is skipped, not fatal; a torn mid-file record " +

@@ -58,6 +58,7 @@ class WrecSpec extends AnyFunSuite {
     Wrec.write(fixture(300).repartition(1), dir)
     val whole = readAll(dir)
     val old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    val oldCost = spark.conf.get("spark.sql.files.openCostInBytes")
     try {
       spark.conf.set("spark.sql.files.maxPartitionBytes", "2048")
       spark.conf.set("spark.sql.files.openCostInBytes", "0")
@@ -65,7 +66,10 @@ class WrecSpec extends AnyFunSuite {
       assert(split.rdd.getNumPartitions > 4,
         s"expected many splits, got ${split.rdd.getNumPartitions}")
       assert(readAll(dir) == whole)
-    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    } finally {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+      spark.conf.set("spark.sql.files.openCostInBytes", oldCost)
+    }
   }
 
   test("truncated tail is skipped, not fatal; mid-file corruption " +
