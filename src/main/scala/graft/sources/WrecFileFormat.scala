@@ -96,8 +96,30 @@ class WrecFileFormat extends FileFormat with DataSourceRegister with Serializabl
       }
       val splitEnd = file.start + file.length
 
-      // buffered forward reader over [start, fileLen)
-      val bufSize = 1 << 16
+      // OPTIONAL frame-index sidecar (hidden ".<name>.gwx", written by
+      // Wrec.write; invisible to Spark's listing and to the rec_id file
+      // index): the writer's frame offsets, so split positioning is a
+      // binary search instead of a forward byte scan — a split landing
+      // inside a huge payload otherwise scans megabytes for the magic —
+      // and the sequential read follows offsets instead of validating
+      // chains. Every indexed offset is still magic+sanity checked
+      // before use: a stale or torn index degrades per record to the
+      // scan path's skip semantics, never to wrong bytes. Results are
+      // identical with and without the sidecar (spec-pinned).
+      val frameIdx: Array[Long] = Wrec.readFrameIndex(fs, path, fileLen)
+
+      // buffered forward reader over [start, fileLen). Metadata-only
+      // scans over an INDEXED file shrink the buffer to head-sized
+      // reads: the 64 KB refill at every frame head would drag most of
+      // each payload through the page cache anyway (measured: the
+      // sidecar was I/O-neutral on cold 100 KB-payload scans until
+      // this), while 1 KB covers head + a typical header and leaves
+      // payload bytes untouched on disk. With `content` projected the
+      // big buffer wins (those bytes are needed regardless); without
+      // the index the scan path's re-sync needs the big buffer too.
+      val bufSize =
+        if (frameIdx != null && !fields.contains("content")) 1 << 10
+        else 1 << 16
       val buf = new Array[Byte](bufSize)
       var bufStart = -1L
       var bufLen = 0
@@ -171,17 +193,6 @@ class WrecFileFormat extends FileFormat with DataSourceRegister with Serializabl
           off + Wrec.HeadLen + hLen <= fileLen
       }
 
-      // OPTIONAL frame-index sidecar (hidden ".<name>.gwx", written by
-      // Wrec.write; invisible to Spark's listing and to the rec_id file
-      // index): the writer's frame offsets, so split positioning is a
-      // binary search instead of a forward byte scan — a split landing
-      // inside a huge payload otherwise scans megabytes for the magic —
-      // and the sequential read follows offsets instead of validating
-      // chains. Every indexed offset is still magic+sanity checked
-      // before use: a stale or torn index degrades per record to the
-      // scan path's skip semantics, never to wrong bytes. Results are
-      // identical with and without the sidecar (spec-pinned).
-      val frameIdx: Array[Long] = Wrec.readFrameIndex(fs, path, fileLen)
       var idxPtr = 0
       def idxAdvance(): Long = {
         while (frameIdx != null && idxPtr < frameIdx.length) {
