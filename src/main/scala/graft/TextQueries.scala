@@ -1209,6 +1209,36 @@ object TextQueries {
             .cast("long").as("doc_id"),
           decode(col("content"), "UTF-8").as("html"))
       extractReport(pages)
+    }),
+
+    // the member-GZIPPED twin of warc_extract: the same corpus framed
+    // as one-gzip-member-per-record `.warc.gz` (the layout crawl
+    // archives actually ship), split-read on CRC-validated member
+    // boundaries, and extracted — same oracle as html_extract, so the
+    // hash gates decompress + decode + extract end to end.
+    "warc_gz_extract" -> ((s, dir) => {
+      val path = TextMemo.get(s, s"warcgzdump/$dir") {
+        val p = "/tmp/graft_warcgz_" +
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(dir.getBytes("UTF-8")).take(4)
+            .map("%02x".format(_)).mkString
+        val fs = new org.apache.hadoop.fs.Path(p)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(p), true)
+        graft.sources.Warc.writeGz(
+          chromeWrapped(docs(s, dir)).select(
+            concat(lit("https://graft.test/doc/"),
+              col("doc_id").cast("string")).as("url"),
+            (lit(1700000000L) + col("doc_id")).as("fetch_ts"),
+            lit("text/html").as("content_type"),
+            encode(col("html"), "UTF-8").as("content")).repartition(8), p)
+        p
+      }
+      val pages = graft.sources.Warc.read(s, path)
+        .select(regexp_extract(col("url"), "/doc/(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          decode(col("content"), "UTF-8").as("html"))
+      extractReport(pages)
     })
   )
 
@@ -1419,6 +1449,8 @@ object TextQueries {
     // chrome-wrapped corpus through the WARC store (byte-exact round
     // trip is WarcSpec's gate; doc_id rides WARC-Target-URI)
     "warc_extract" -> htmlExtractSql,
+    // identical by the same construction, through the gzip front door
+    "warc_gz_extract" -> htmlExtractSql,
     "dup_ngram_spans" -> graft.operators.NgramDup.duckdbSql(w = 8, minCount = 2),
     "dedup_trim" -> graft.operators.NgramDup.trimDuckdbSql(w = 8, minCount = 2),
     "dataset_mix" ->

@@ -108,6 +108,31 @@ object CrawlScaleMain {
     println(f"CRAWL extract-column wall=$exS2%.1fs " +
       f"(${n / exS2 / 1e3}%.1fk docs/s) ratio=${exS2 / exS}%.1fx")
 
+    // the GZIP front door: the same pages as one-member-per-record
+    // .warc.gz (the layout crawl archives actually ship), split-read on
+    // CRC-validated member boundaries → decode → extract. The aggregate
+    // must equal the wrec path's row — same documents, different codec.
+    val (_, gzWriteS) = timed(graft.sources.Warc.writeGz(pages, s"$tmp/warcgz"))
+    val gzBytes = fs.getContentSummary(
+      new org.apache.hadoop.fs.Path(s"$tmp/warcgz")).getLength
+    println(f"CRAWL gz-write n=$n bytes=${gzBytes / 1e9}%.2fGB " +
+      f"(${gzBytes.toDouble / bytes}%.2fx of wrec) wall=$gzWriteS%.1fs " +
+      f"(${gzBytes / gzWriteS / 1e6}%.0f MB/s)")
+    val (gzRow, gzS) = timed {
+      val recs = graft.sources.Warc.read(spark, s"$tmp/warcgz")
+        .select(col("rec_id").as("doc_id"),
+          decode(col("content"), "UTF-8").as("html"))
+      HtmlExtract.extractKernel(recs, col("html"))
+        .filter(col("content_chars") >= 20)
+        .agg(count(lit(1)), sum("content_chars"), sum("n_blocks"),
+          sum("n_content"))
+        .first()
+    }
+    require(gzRow == row, "gz front door diverged from the wrec path")
+    println(f"CRAWL gz-extract n=$n wall=$gzS%.1fs " +
+      f"(${n / gzS / 1e3}%.1fk docs/s, ${gzBytes / gzS / 1e6}%.0f MB/s " +
+      f"compressed in) ratio=${gzS / exS}%.1fx of wrec")
+
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
     spark.stop()
   }
