@@ -319,7 +319,7 @@ object IvfPq {
     // cell-clustered rerank store prunes to the probed cells' row groups
     val scored = broadcast(topCands)
       .join(graft.functions.cells
-        .pruneRerankBase(base, wantedCells.toSeq)
+        .pruneRerankBase(base, wantedCells.toSeq, model.centroids.length)
         .select(col(idCol).cast("long").as("cand_id"),
           col(vecCol).cast("array<float>").as("bvec")), Seq("cand_id"))
       .join(broadcast(queries.select(col(queryId).cast("long").as("query_id"),

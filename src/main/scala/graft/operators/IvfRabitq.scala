@@ -392,7 +392,8 @@ object IvfRabitq {
     // a cell-clustered rerank store prunes to the probed cells' row
     // groups (the 100M small-wave serve was rerank-scan-bound)
     Bq.cosineRerank(topCands,
-      graft.functions.cells.pruneRerankBase(base, wanted),
+      graft.functions.cells.pruneRerankBase(base, wanted,
+        model.centroids.length),
       queries, k, queryId, queryVec, idCol, vecCol, scoreDigits)
   }
 

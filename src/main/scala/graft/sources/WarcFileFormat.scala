@@ -500,6 +500,24 @@ object Warc {
       .option("recursiveFileLookup", "true")
       .option("graft.warc.path", path).load(path)
 
+  /** Streaming crawl ingest: Structured Streaming's file source drives
+    * the SAME splittable reader the batch path uses (plain and
+    * member-gzipped files alike), so streaming and batch scans cannot
+    * diverge; new dump files are picked up per trigger. rec_ids stay
+    * stable iff files arrive in lexicographically increasing path order
+    * (the part-file sink convention — the [[FvecsStream]] contract),
+    * because the per-batch re-listing assigns file indexes in sorted
+    * order. */
+  def readStream(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .format(classOf[WarcFileFormat].getName)
+      .schema(schema)
+      .option("recursiveFileLookup", "true")
+      .option("graft.warc.path", dir)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .load(dir)
+
   /** Write (url, fetch_ts, content_type, content) as spec-form WARC/1.0
     * response records under `path` (one file per partition) — the
     * test/bench writer twin of the reader; real dumps arrive

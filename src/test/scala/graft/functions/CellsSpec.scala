@@ -71,4 +71,31 @@ class CellsSpec extends AnyFunSuite {
     val zero = scorerTopN("cosine", 1, tieCellDesc = true)(0L)
     assert(zero == literalTopN("cosine", 1, tieCellDesc = true)(0L))
   }
+
+  test("pruneRerankBase: selective waves filter, near-full coverage " +
+      "skips the filter entirely, rows identical either way") {
+    val base = spark.range(0, 1000)
+      .select(col("id").as("vec_id"),
+        pmod(col("id"), lit(16)).cast("int").as(cells.RerankCellCol))
+    def planOf(df: DataFrame): String = df.queryExecution.optimizedPlan.toString
+    // selective: 4 of 16 cells => filter present, rows = probed cells only
+    val selective = cells.pruneRerankBase(base, Seq(0, 1, 2, 3), 16)
+    assert(planOf(selective).contains("Filter"))
+    assert(selective.count() == 252) // cells 0-7 hold 63 rows, 8-15 hold 62
+    assert(!selective.columns.contains(cells.RerankCellCol))
+    // full coverage: > half the cells => no filter, full base flows
+    val full = cells.pruneRerankBase(base, (0 until 12), 16)
+    assert(!planOf(full).contains("Filter"),
+      "near-full coverage must skip the per-row filter")
+    assert(full.count() == 1000)
+    // unknown total keeps the conservative pruning behavior
+    val unknown = cells.pruneRerankBase(base, (0 until 12))
+    assert(planOf(unknown).contains("Filter"))
+    assert(unknown.count() == 752)
+    // a caller table without the marker column passes through untouched
+    val alien = spark.range(5).select(col("id").as("vec_id"),
+      lit(3).as("cell"))
+    assert(cells.pruneRerankBase(alien, Seq(0), 16).columns
+      .contains("cell"))
+  }
 }
