@@ -23,7 +23,16 @@ object VectorQueries {
     * pays the fit twice. Keyed on (SparkContext identity, data dir, model
     * signature); bounded LRU so stale sessions can't accumulate. */
   private object ModelMemo {
-    private val maxEntries = 16
+    // 64, not 16: one battery run touches 17+ distinct model keys per
+    // data dir (bq, descstore×2, hnsw, ivf, ivfbq, ivfhnsw, ivfpq,
+    // ivfrabitq, mlw2v, opq, pca, pq, rabitq, sgns, sgnssub, sq) — a
+    // 16-entry LRU GUARANTEED eviction churn inside a single session:
+    // models retrained mid-battery (deterministic, so correct, but the
+    // r14opt baseline showed e.g. sgns_subword_knn swinging 3.1↔7.2 s
+    // run-to-run purely from eviction order). Entries are per
+    // (SparkContext, dir), so 64 covers two dirs' worth with slack;
+    // models are MB-sized (largest: SGNS 2^16×32 floats ≈ 8 MB).
+    private val maxEntries = 64
     private val lru = new java.util.LinkedHashMap[String, AnyRef](16, 0.75f, true) {
       override def removeEldestEntry(e: java.util.Map.Entry[String, AnyRef]): Boolean =
         size() > maxEntries
@@ -195,18 +204,26 @@ object VectorQueries {
     * components — shared by `media_dedup_keep` (the keep decision) and
     * `media_dedup_split` (the leakage-proof split routed through the
     * same clusters). */
-  private def mediaDupClusters(s: SparkSession, dir: String): DataFrame = {
-    val corpus = mediaBmpWithTwins(s, dir)
-    val edges = graft.operators.ImageDup.nearDupEdges(
-      graft.operators.ImageDup.aHashBands(
-        graft.operators.Multimodal.decodeImagePooledRaw(corpus, grid = 8)),
-      maxHamming = 10)
-    graft.operators.Dedup.connectedComponents(
-        corpus.select(col("media_id").as("doc_id")),
-        edges.select("id1", "id2"))
-      .select(col("doc_id").as("media_id"), col("cluster_id"),
-        col("is_canonical").as("kept"))
-  }
+  private def mediaDupClusters(s: SparkSession, dir: String): DataFrame =
+    // memoized like TextQueries.nearDupClusters (OPTIMIZATION r14): both
+    // media_dedup_keep and media_dedup_split consume this cluster frame,
+    // and the decode → bands → edges → iterative-CC pipeline ran once
+    // per entry. The frame is one row per media id — persist THAT.
+    ModelMemo.get(s, s"mediadupclusters/$dir") {
+      val corpus = mediaBmpWithTwins(s, dir)
+      val edges = graft.operators.ImageDup.nearDupEdges(
+        graft.operators.ImageDup.aHashBands(
+          graft.operators.Multimodal.decodeImagePooledRaw(corpus, grid = 8)),
+        maxHamming = 10)
+      val cc = graft.operators.Dedup.connectedComponents(
+          corpus.select(col("media_id").as("doc_id")),
+          edges.select("id1", "id2"))
+        .select(col("doc_id").as("media_id"), col("cluster_id"),
+          col("is_canonical").as("kept"))
+        .persist()
+      cc.count()
+      cc
+    }
 
   /** [[mediaWav]] plus metadata-spliced TWINS of the first 20 payloads
     * (id + 1000000): a LIST/INFO chunk inserted between fmt and data —
@@ -249,15 +266,24 @@ object VectorQueries {
 
   /** BM25 top-20 lexical leg fused with exact-cosine top-20 by RRF —
     * shared by the `rrf_fusion_bm25` entry and the `rank_quality` eval. */
-  private def rrfBm25Fused(s: SparkSession, dir: String): DataFrame = {
-    val nq = 10
-    val lexical = graft.TextQueries.bm25Ranked(s, dir, nq = nq, topk = 20)
-      .select(col("qid").as("query_id"), col("doc_id"), col("rnk").as("rank"))
-    val vector = KnnJoin.exactKnnJoin(emb(s, dir), probes(s, dir, nq),
-        k = 20, metric = "cosine", scoreDigits = 6)
-      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
-    graft.operators.Rrf.fuse(lexical, vector, k = 10)
-  }
+  private def rrfBm25Fused(s: SparkSession, dir: String): DataFrame =
+    // memoized: rrf_fusion_bm25 AND rank_quality both consume this fused
+    // head (nq×k rows — persist THAT, never the corpus); each previously
+    // recomputed the lexical leg + exact-kNN leg + fuse per call
+    // (OPTIMIZATION r14)
+    ModelMemo.get(s, s"rrfbm25fused/$dir") {
+      val nq = 10
+      val lexical = graft.TextQueries.bm25Ranked(s, dir, nq = nq, topk = 20)
+        .select(col("qid").as("query_id"), col("doc_id"),
+          col("rnk").as("rank"))
+      val vector = KnnJoin.exactKnnJoin(emb(s, dir), probes(s, dir, nq),
+          k = 20, metric = "cosine", scoreDigits = 6)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank"))
+      val fused = graft.operators.Rrf.fuse(lexical, vector, k = 10).persist()
+      fused.count()
+      fused
+    }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // B5 exact k-NN, cosine — queries are the first 100 base vectors

@@ -29,44 +29,59 @@ object ClusterEval {
   def eval(model: IvfFlat.Model, labels: DataFrame,
       idCol: String = "vec_id", labelCol: String = "label",
       digits: Int = 6): DataFrame = {
+    // OPTIMIZATION r14 (guide §2.4): the first cut materialized seven
+    // separate aggregates over `cont` (cellTot/labTot/tot/mi/hc/hl/pur)
+    // and cross-joined them — Catalyst duplicated the whole
+    // assigned-join-groupBy subtree into every branch (113 Exchanges,
+    // 28 BroadcastHashJoins, a 1415-line physical plan; the corpus was
+    // assigned and joined 7×). The contingency table is C×L rows (tiny
+    // by construction), so the marginals ride WINDOWS over it instead:
+    // one corpus pass, one (cell,label) aggregation, three window
+    // passes over the tiny table, one final global aggregate — 6
+    // Exchanges total, every term arithmetically identical (same
+    // per-row expressions, same double sums at the same 1e-6 grain).
+    // The whole-table window moves the C×L rows to one partition —
+    // bounded by construction (≤ cells × labels).
+    import org.apache.spark.sql.expressions.Window
     val assigned = model.assigned.select(col("id").as("vec_id"), col("cell"))
     val joined = assigned.join(
       labels.select(col(idCol).cast("long").as("vec_id"),
         col(labelCol).cast("long").as("label")), Seq("vec_id"))
     val cont = joined.groupBy("cell", "label").agg(count(lit(1)).as("c"))
-    val cellTot = cont.groupBy("cell").agg(sum("c").as("a"))
-    val labTot = cont.groupBy("label").agg(sum("c").as("b"))
-    val tot = cont.agg(sum("c").as("n"))
-
-    val joined2 = cont
-      .join(broadcast(cellTot), Seq("cell"))
-      .join(broadcast(labTot), Seq("label"))
-      .crossJoin(broadcast(tot))
+    val wc = Window.partitionBy("cell")
+    val wl = Window.partitionBy("label")
+    val enriched = cont
+      .withColumn("a", sum("c").over(wc))
+      .withColumn("mxc", max("c").over(wc))
+      .withColumn("rc", row_number().over(wc.orderBy(col("label"))))
+      .withColumn("b", sum("c").over(wl))
+      .withColumn("rl", row_number().over(wl.orderBy(col("cell"))))
+      .withColumn("n", sum("c").over(Window.partitionBy()))
     val miTerm = (col("c").cast("double") / col("n")) *
       log((col("c").cast("double") * col("n")) /
         (col("a").cast("double") * col("b")))
-    val mi = joined2.agg(sum(miTerm).as("mi"))
-
-    val hc = cellTot.crossJoin(broadcast(tot))
-      .agg(sum(-(col("a").cast("double") / col("n")) *
-        log(col("a").cast("double") / col("n"))).as("hc"))
-    val hl = labTot.crossJoin(broadcast(tot))
-      .agg(sum(-(col("b").cast("double") / col("n")) *
-        log(col("b").cast("double") / col("n"))).as("hl"))
-    val pur = cont.groupBy("cell").agg(max("c").as("mx"))
-      .agg(sum("mx").as("pure_n"))
-    val nCells = cellTot.agg(count(lit(1)).as("n_cells"))
-    val nLabs = labTot.agg(count(lit(1)).as("n_labels"))
-
-    tot.crossJoin(broadcast(nCells)).crossJoin(broadcast(nLabs))
-      .crossJoin(broadcast(pur)).crossJoin(broadcast(mi))
-      .crossJoin(broadcast(hc)).crossJoin(broadcast(hl))
-      .select(col("n").as("n_points"), col("n_cells"), col("n_labels"),
-        graft.Qutil.rnd(col("pure_n").cast("double") / col("n"), digits)
-          .as("purity"),
-        when(col("hc") > 0.0 && col("hl") > 0.0,
-          graft.Qutil.rnd(col("mi") / sqrt(col("hc") * col("hl")), digits))
-          .as("nmi"))
+    // per-cell / per-label terms counted once via the rank-1 row of each
+    // window (cont has exactly one row per (cell,label), so rc/rl are
+    // deterministic); counts coalesce to 0 on empty input exactly as the
+    // old count(*)-over-empty aggregates did
+    val agg = enriched.agg(
+      sum("c").as("n_points"),
+      coalesce(sum(when(col("rc") === 1, 1L)), lit(0L)).as("n_cells"),
+      coalesce(sum(when(col("rl") === 1, 1L)), lit(0L)).as("n_labels"),
+      sum(when(col("rc") === 1, col("mxc"))).as("pure_n"),
+      sum(miTerm).as("mi"),
+      sum(when(col("rc") === 1,
+        -(col("a").cast("double") / col("n")) *
+          log(col("a").cast("double") / col("n")))).as("hc"),
+      sum(when(col("rl") === 1,
+        -(col("b").cast("double") / col("n")) *
+          log(col("b").cast("double") / col("n")))).as("hl"))
+    agg.select(col("n_points"), col("n_cells"), col("n_labels"),
+      graft.Qutil.rnd(col("pure_n").cast("double") / col("n_points"), digits)
+        .as("purity"),
+      when(col("hc") > 0.0 && col("hl") > 0.0,
+        graft.Qutil.rnd(col("mi") / sqrt(col("hc") * col("hl")), digits))
+        .as("nmi"))
   }
 
   /** DuckDB twin from trained-centroid literals: the [[SemDedup]]

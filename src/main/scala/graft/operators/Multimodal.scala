@@ -26,6 +26,18 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  /** ImageIO defaults to a DISK-backed stream cache: every
+    * `ImageIO.read`/`write`/`create*Stream` call creates (and deletes) a
+    * temp FILE — measured as the dominant cost of decoding the battery's
+    * 8×8 payloads (multimodal_knn sat at 8-10 s/run at sf0.1; the codec
+    * work itself is microseconds). A memory-cached stream is the right
+    * setting for byte-array payloads at ANY size — the payload is
+    * already in memory. JVM-global, set once per classloader; called at
+    * the top of every kernel closure so executors flip it too
+    * (OPTIMIZATION r14, guide §1.2 "per-task work"). */
+  private[operators] def imageIoMemCache(): Unit =
+    if (javax.imageio.ImageIO.getUseCache) javax.imageio.ImageIO.setUseCache(false)
+
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("media_type", StringType, nullable = false),
@@ -116,6 +128,7 @@ object Multimodal {
       y += 1
     }
     val bos = new java.io.ByteArrayOutputStream()
+    imageIoMemCache()
     require(javax.imageio.ImageIO.write(img, format, bos),
       s"no JDK ImageIO writer for format '$format'")
     bos.toByteArray
@@ -208,6 +221,7 @@ object Multimodal {
     media.select(col("media_id").cast("long"), col("content"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
+        imageIoMemCache()
         it.flatMap { case (id, bytes) =>
           // NonFatal, not just IOException: JDK ImageIO readers throw
           // RuntimeExceptions (IndexOutOfBounds/IllegalArgument/
@@ -237,6 +251,7 @@ object Multimodal {
   def encodeGrayGifFrames(frames: Seq[Array[Int]], w: Int, h: Int): Array[Byte] = {
     require(frames.nonEmpty, "at least one frame")
     val bos = new java.io.ByteArrayOutputStream()
+    imageIoMemCache()
     val wr = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
     val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
     try {
@@ -302,6 +317,7 @@ object Multimodal {
     media.select(col("media_id").cast("long"), col("content"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
+        imageIoMemCache()
         it.flatMap { case (id, bytes) =>
           val iis = javax.imageio.ImageIO.createImageInputStream(
             new java.io.ByteArrayInputStream(bytes))
@@ -345,6 +361,7 @@ object Multimodal {
     media.select(col("media_id").cast("long"), col("content"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
+        imageIoMemCache()
         it.flatMap { case (id, bytes) =>
           val img = try javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(bytes))

@@ -139,14 +139,36 @@ object QualityLr {
   /** SCORE: (doc_id, features, logit, kept) — a pure projection; the
     * logit is the left-associative literal-weight dot product rounded
     * 1e-6 (no transcendental in the output — p > 0.5 ⇔ logit > 0). */
-  def score(docs: DataFrame, model: Model): DataFrame = {
-    val f = features(docs)
+  def score(docs: DataFrame, model: Model): DataFrame =
+    withScore(docs, model, col("text"))
+      .select(col("doc_id"), col("f_len"), col("f_punct"), col("f_stop"),
+        col("f_wlen"), col("logit"), col("kept"))
+
+  /** [[score]] as a COLUMN-APPEND over `docs` (same empty-text filter,
+    * same rounded-feature and logit arithmetic): callers that need the
+    * score NEXT TO their own columns append it here instead of joining
+    * [[score]]'s projection back by doc_id — that join duplicated the
+    * caller's whole upstream subtree into both join inputs
+    * (OPTIMIZATION r14: corpus_pipeline re-ran its trim stage twice and
+    * paid an extra doc_id exchange for the join; at 100 TB the join
+    * would shuffle the corpus once more for columns already in hand). */
+  def withScore(docs: DataFrame, model: Model, textCol: Column): DataFrame = {
+    val nTok = size(split(trim(textCol), "\\s+")).cast("double")
+    val nCh = length(textCol).cast("double")
+    val punct = length(regexp_replace(textCol, "[a-z0-9\\s]", ""))
+      .cast("double")
+    val stops = regexp_count(textCol,
+      lit("\\b(the|a|of|and|in|to|is)\\b")).cast("double")
     val Array(b, wl, wp, ws, ww) = model.weights
     val z = lit(b) + lit(wl) * col("f_len") + lit(wp) * col("f_punct") +
       lit(ws) * col("f_stop") + lit(ww) * col("f_wlen")
-    f.select(col("doc_id"), col("f_len"), col("f_punct"), col("f_stop"),
-      col("f_wlen"), graft.Qutil.rnd(z, 6).as("logit"),
-      (z > lit(0.0)).as("kept"))
+    docs.filter(textCol.isNotNull && length(textCol) > 0)
+      .withColumn("f_len", graft.Qutil.rnd(least(lit(1.0), nTok / 100.0), 6))
+      .withColumn("f_punct", graft.Qutil.rnd(punct / nCh, 6))
+      .withColumn("f_stop", graft.Qutil.rnd(stops / nTok, 6))
+      .withColumn("f_wlen", graft.Qutil.rnd(nCh / nTok, 6))
+      .withColumn("logit", graft.Qutil.rnd(z, 6))
+      .withColumn("kept", z > lit(0.0))
   }
 
   /** CTE chain of the score twin, composable into a larger WITH list:

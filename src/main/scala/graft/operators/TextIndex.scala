@@ -76,15 +76,25 @@ object TextIndex {
   }
 
   /** The posting rows (term, doc_id, tf, dl) as one LINEAR plan: the
-    * corpus is scanned and exploded exactly once, dl = sum(tf) per doc
-    * (the identical integer the transient path counts from the raw
-    * token stream) rides a doc-partitioned window — partitions bounded
-    * by document length, so no skew hazard — and nothing joins. */
+    * corpus is scanned and exploded exactly once, and nothing joins.
+    * dl (the doc's total token count — the identical integer the
+    * transient path counts from the raw token stream) is computed
+    * IN-ROW as size(tokens) before the explode and carried through the
+    * (doc_id, term) aggregation via max() — OPTIMIZATION r14 (guide
+    * §2.4): the first cut summed tf over a doc-partitioned window,
+    * which cost a second full exchange of the posting rows by doc_id;
+    * size-before-explode is the same integer (Σ tf per doc = token
+    * count) with ONE exchange (the groupBy) instead of two. The
+    * explode(array(...)) wrapper is the usual materialization barrier:
+    * tokenize once, not once per consumer. */
   private[graft] def postingsFor(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"),
-      explode(split(trim(col("text")), "\\s+")).as("term"))
-    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    tf.withColumn("dl", sum("tf").over(Window.partitionBy("doc_id")))
+    val toks = docs
+      .select(col("doc_id"),
+        explode(array(split(trim(col("text")), "\\s+"))).as("ts"))
+      .select(col("doc_id"), size(col("ts")).cast("long").as("dl"),
+        explode(col("ts")).as("term"))
+    toks.groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
       .select(col("term"), col("doc_id"), col("tf"), col("dl"))
   }
 

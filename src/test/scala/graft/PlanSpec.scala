@@ -92,10 +92,19 @@ class PlanSpec extends AnyFunSuite {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val p = graft.operators.TextIndex.postingsFor(docs)
       .queryExecution.executedPlan.toString
-    assert("Generate explode".r.findAllMatchIn(p).size == 1,
+    // exactly one regex tokenize of the corpus (the second Generate is
+    // the explode over the already-bound token array — the
+    // materialization barrier, not a re-split)
+    assert("split\\(trim\\(".r.findAllMatchIn(p).size == 1,
       s"the corpus must be tokenized exactly once per build:\n$p")
     assert(!p.contains("Join"),
-      s"build must not join (df is serve-time, dl is a doc window):\n$p")
+      s"build must not join (df is serve-time, dl rides in-row):\n$p")
+    // OPTIMIZATION r14: dl is size(tokens) carried through the groupBy —
+    // ONE exchange total; the old doc_id-window's second exchange is gone
+    assert(!p.contains("Window"),
+      s"dl must ride in-row, not a doc window:\n$p")
+    assert("Exchange".r.findAllMatchIn(p).size == 1,
+      s"build is one groupBy exchange, nothing else:\n$p")
   }
 
   test("ngram_jaccard_topk: shingle self-join reuses one exchange") {
