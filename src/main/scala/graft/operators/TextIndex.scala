@@ -258,26 +258,30 @@ object TextIndex {
     // positional tables, when present, take the same epoch append
     if (spark.catalog.tableExists(positionsTable(prefix)))
       appendPositional(newDocs, prefix, numBuckets)
-    val delta = postingsFor(newDocs)
-    delta.write.mode(SaveMode.Append)
-      .bucketBy(numBuckets, "term").sortBy("term")
-      .format("parquet").saveAsTable(postingsTable(prefix))
-    // per-term df of THIS batch only — merged by sum at lookup time
-    // (re-aggregate the delta rather than re-reading the written files:
-    // the delta plan is linear and batch-sized)
-    delta.groupBy("term").agg(count(lit(1)).as("df"))
-      .write.mode(SaveMode.Append)
-      .bucketBy(numBuckets, "term").sortBy("term")
-      .format("parquet").saveAsTable(lexiconTable(prefix))
-    val n = newDocs.count()
-    val dld = delta.select(col("doc_id"), col("dl")).distinct()
-      .agg(count(lit(1)).as("ndl"), sum("dl").as("sumdl")).first()
-    val ndl = dld.getLong(0)
-    val sumdl = if (dld.isNullAt(1)) 0L else dld.getLong(1)
-    import spark.implicits._
-    Seq((n, ndl, sumdl)).toDF("n", "ndl", "sumdl")
-      .write.mode(SaveMode.Append)
-      .format("parquet").saveAsTable(statsTable(prefix))
+    // the delta feeds THREE consumers (postings write, per-term df,
+    // ndl/sumdl) — persist the batch-sized frame so the batch is
+    // tokenized+aggregated once, not three times (OPTIMIZATION r14;
+    // bounded by the append batch, never the index)
+    val delta = postingsFor(newDocs).persist()
+    try {
+      delta.write.mode(SaveMode.Append)
+        .bucketBy(numBuckets, "term").sortBy("term")
+        .format("parquet").saveAsTable(postingsTable(prefix))
+      // per-term df of THIS batch only — merged by sum at lookup time
+      delta.groupBy("term").agg(count(lit(1)).as("df"))
+        .write.mode(SaveMode.Append)
+        .bucketBy(numBuckets, "term").sortBy("term")
+        .format("parquet").saveAsTable(lexiconTable(prefix))
+      val n = newDocs.count()
+      val dld = delta.select(col("doc_id"), col("dl")).distinct()
+        .agg(count(lit(1)).as("ndl"), sum("dl").as("sumdl")).first()
+      val ndl = dld.getLong(0)
+      val sumdl = if (dld.isNullAt(1)) 0L else dld.getLong(1)
+      import spark.implicits._
+      Seq((n, ndl, sumdl)).toDF("n", "ndl", "sumdl")
+        .write.mode(SaveMode.Append)
+        .format("parquet").saveAsTable(statsTable(prefix))
+    } finally delta.unpersist()
     stats(spark, prefix)
   }
 
