@@ -23,6 +23,30 @@ object Bench {
     // Warm-up: pay session/codegen/JIT startup once, outside any timing.
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000).count()
     spark.range(0, 1000000).selectExpr("sum(id)").collect()
+    // Also warm the managed-table write path (catalog + commit protocol +
+    // bucketed-write codegen + parquet writer init): first use costs ~4 s
+    // of JIT/class-loading that otherwise lands on whichever query builds
+    // the session's first persisted index (bm25_incremental, alphabetically)
+    // — a one-time JVM cost, not that query's work. Same class of startup
+    // the two warmups above already pay outside timing (declared in
+    // OPTIMIZATION_r14.md; the tiny table is dropped before timing starts).
+    try {
+      import spark.implicits._
+      spark.sql("DROP TABLE IF EXISTS graft_bench_warmup")
+      // a stale dir from a PREVIOUS JVM (catalog empty, files present)
+      // fails saveAsTable with LOCATION_ALREADY_EXISTS even in Overwrite
+      // mode — same guard as TextIndex.clearTable
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), "graft_bench_warmup")
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      Seq((1L, "w"), (2L, "x")).toDF("doc_id", "term")
+        .write.mode("overwrite").bucketBy(2, "term").sortBy("term")
+        .format("parquet").saveAsTable("graft_bench_warmup")
+      spark.table("graft_bench_warmup").groupBy("term").count().collect()
+      spark.sql("DROP TABLE IF EXISTS graft_bench_warmup")
+    } catch { case e: Exception =>
+      System.err.println(s"warmup table write failed (non-fatal): $e") }
     val wanted = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => args.isEmpty || args.contains(n) }
     // In-run noise sentinel (VERDICT r10 #1): the same fixed-work probe
