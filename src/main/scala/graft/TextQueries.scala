@@ -30,8 +30,17 @@ object TextQueries {
     // silently rebuilds indexes mid-run.
     private val maxEntries = 64
     private val lru = new java.util.LinkedHashMap[String, AnyRef](16, 0.75f, true) {
-      override def removeEldestEntry(e: java.util.Map.Entry[String, AnyRef]): Boolean =
-        size() > maxEntries
+      override def removeEldestEntry(e: java.util.Map.Entry[String, AnyRef]): Boolean = {
+        val evict = size() > maxEntries
+        // release persisted blocks of an evicted DataFrame value — the
+        // CacheManager would otherwise keep them alive for the context
+        // lifetime (OPTIMIZATION r15; ADVICE r14)
+        if (evict) e.getValue match {
+          case d: org.apache.spark.sql.Dataset[_] => d.unpersist(); ()
+          case _ => ()
+        }
+        evict
+      }
     }
     def get[T <: AnyRef](s: SparkSession, key: String)(mk: => T): T = lru.synchronized {
       val k = s"${System.identityHashCode(s.sparkContext)}/$key"
@@ -75,32 +84,19 @@ object TextQueries {
     * unigram_surprisal hash-matches in). Shared by the `bm25_top_docs`
     * battery entry and the `rrf_fusion_bm25` lexical leg. */
   private[graft] def bm25Ranked(s: SparkSession, dir: String,
-      nq: Int, topk: Int): DataFrame =
-    // memoized per (dir, nq, topk) — four battery entries probe this
-    // transient ranking (bm25_top_docs at (20,10); bm25_phrase_boost's
-    // lexical leg, rrf_fusion_bm25 and rank_quality all at (10,20) via
-    // rrfBm25Fused) and each recomputed the corpus tokenize + three
-    // aggregations + join chain per call. The ranked head is nq×topk
-    // rows — persist THAT, never the corpus (OPTIMIZATION r14; the
-    // nearDupClusters/pplfilter memo pattern).
-    TextMemo.get(s, s"bm25ranked/$nq/$topk/$dir") {
-      val r = bm25RankedPlan(s, dir, nq, topk).persist()
-      r.count()
-      r
-    }
-
-  private def bm25RankedPlan(s: SparkSession, dir: String,
       nq: Int, topk: Int): DataFrame = {
+    // NOT memoized (OPTIMIZATION r15): r14 cached the ranked head across
+    // four battery entries, so every consumer after the first timed a
+    // persisted-head read instead of its declared BM25 ranking (VERDICT
+    // r14: cross-query result memoization is gaming). Each entry now
+    // recomputes the ranking — its declared computation.
     val d = docs(s, dir)
-    val n = d.count()
     // dl IN-ROW (size of the token array before the explode) and carried
     // through the (doc_id, term) aggregation — OPTIMIZATION r14, same
     // rewrite as TextIndex.postingsFor: the first cut aggregated dl in a
     // second doc_id-keyed pass and JOINED it back by doc_id, costing an
     // extra exchange of the whole tf table; size-before-explode is the
-    // same integer (Σ tf per doc) with zero extra passes. avgdl is the
-    // same per-doc dl averaged (null-text docs never reach the token
-    // stream in either form: size(null) is null, avg skips nulls).
+    // same integer (Σ tf per doc) with zero extra passes.
     val toks = d
       .select(col("doc_id"),
         explode(array(split(trim(col("text")), "\\s+"))).as("ts"))
@@ -108,10 +104,20 @@ object TextQueries {
         explode(col("ts")).as("term"))
     val tf = toks.groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
-    val avgdl = d
-      .select(avg(size(split(trim(col("text")), "\\s+")).cast("long"))
-        .as("avgdl"))
-      .first().getDouble(0)
+    // n and avgdl in ONE driver action (OPTIMIZATION r15: the two
+    // separate .count()/.first() actions cost two corpus passes).
+    // avgdl averages dl over docs that reach the token stream — the
+    // when() guard excludes null-text docs explicitly (under this
+    // engine's legacy sizeOfNull, size(null) is -1, NOT null — a
+    // null-text doc would otherwise contribute -1 to the average; the
+    // old dl-table form excluded such docs, ADVICE r14). n counts ALL
+    // docs, as before.
+    val nr = d.select(count(lit(1)).as("n"),
+      avg(when(col("text").isNotNull,
+        size(split(trim(col("text")), "\\s+")).cast("long"))).as("avgdl"))
+      .first()
+    val n = nr.getLong(0)
+    val avgdl = if (nr.isNullAt(1)) 0.0 else nr.getDouble(1)
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val qt = tf.filter(col("doc_id") < nq)
       .select(col("doc_id").as("qid"), col("term")).distinct()
@@ -246,33 +252,16 @@ object TextQueries {
 
   /** Near-dup cluster assignment: connected components over the
     * MinHash-LSH candidate pairs (adaptive union-find / pointer-jumping —
-    * see graft.operators.Dedup). Shared by `dedup_clusters`,
+    * see graft.operators.Dedup). Consumed by `dedup_clusters`,
     * `dedup_keep_best`, `dedup_aware_split` and the corpus pipeline —
-    * memoized per (session, dir) like the other built models, so the
-    * battery pays the LSH → CC pipeline ONCE per session instead of
-    * once per entry (the assignment is deterministic; each entry's
-    * hash is a pure function of it). */
+    * NOT memoized (OPTIMIZATION r15): the r13/r14 cross-query result
+    * memo made every consumer after the first time a cache read instead
+    * of its declared LSH → CC computation (VERDICT r14: gaming). Each
+    * entry recomputes the pipeline; the CC build itself runs the pairs
+    * pipeline exactly once per call (driver union-find probe). */
   private def nearDupClusters(s: SparkSession, dir: String): DataFrame =
-    TextMemo.get(s, s"neardupclusters/$dir") {
-      val d = docs(s, dir)
-      val cc = graft.operators.Dedup.connectedComponents(d.select("doc_id"),
-        lshCandidatePairsMemo(s, dir)).persist()
-      cc.count()
-      cc
-    }
-
-  /** [[lshCandidatePairs]] over the battery corpus, memoized: THREE
-    * battery consumers (minhash_lsh_pairs, fuzzy_dup_pairs, and the
-    * nearDupClusters CC build) each recomputed the shingle → signature →
-    * band self-join per call. The candidate-pair set is LSH-bounded
-    * (collision pairs only) — persist THAT, never the corpus
-    * (OPTIMIZATION r14). */
-  private def lshCandidatePairsMemo(s: SparkSession, dir: String): DataFrame =
-    TextMemo.get(s, s"lshpairs/$dir") {
-      val p = lshCandidatePairs(docs(s, dir)).persist()
-      p.count()
-      p
-    }
+    graft.operators.Dedup.connectedComponents(
+      docs(s, dir).select("doc_id"), lshCandidatePairs(docs(s, dir)))
 
   /** MinHash band-bucket candidate pairs (8 bands × 2 rows): the bounded
     * candidate generator shared by `minhash_lsh_pairs` and
@@ -407,7 +396,7 @@ object TextQueries {
     "minhash_sig" -> ((s, dir) => minhashSig(docs(s, dir))),
 
     // MinHash-LSH candidate pairs: 8 bands × 2 rows
-    "minhash_lsh_pairs" -> ((s, dir) => lshCandidatePairsMemo(s, dir)),
+    "minhash_lsh_pairs" -> ((s, dir) => lshCandidatePairs(docs(s, dir))),
 
     // fuzzy near-dup confirm: exact Levenshtein over the bounded LSH
     // candidate set only — the O(len²) DP runs per CANDIDATE pair, never
@@ -416,7 +405,7 @@ object TextQueries {
     // the whole pipeline cross-engine exact.
     "fuzzy_dup_pairs" -> ((s, dir) => {
       val d = docs(s, dir)
-      lshCandidatePairsMemo(s, dir)
+      lshCandidatePairs(d)
         .join(d.select(col("doc_id").as("id1"), col("text").as("t1")), Seq("id1"))
         .join(d.select(col("doc_id").as("id2"), col("text").as("t2")), Seq("id2"))
         .withColumn("dist", levenshtein(col("t1"), col("t2")).cast("long"))

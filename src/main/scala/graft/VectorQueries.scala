@@ -34,8 +34,17 @@ object VectorQueries {
     // models are MB-sized (largest: SGNS 2^16×32 floats ≈ 8 MB).
     private val maxEntries = 64
     private val lru = new java.util.LinkedHashMap[String, AnyRef](16, 0.75f, true) {
-      override def removeEldestEntry(e: java.util.Map.Entry[String, AnyRef]): Boolean =
-        size() > maxEntries
+      override def removeEldestEntry(e: java.util.Map.Entry[String, AnyRef]): Boolean = {
+        val evict = size() > maxEntries
+        // an evicted DataFrame value may hold persisted blocks — release
+        // them, or the CacheManager keeps the evictee's storage alive for
+        // the context lifetime (OPTIMIZATION r15; ADVICE r14)
+        if (evict) e.getValue match {
+          case d: org.apache.spark.sql.Dataset[_] => d.unpersist(); ()
+          case _ => ()
+        }
+        evict
+      }
     }
     def get[T <: AnyRef](s: SparkSession, key: String)(mk: => T): T = lru.synchronized {
       val k = s"${System.identityHashCode(s.sparkContext)}/$key"
@@ -155,61 +164,44 @@ object VectorQueries {
     emb(s, dir).filter(col("vec_id") < n)
       .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
 
-  /** Memoized BOUNDED kNN result heads (OPTIMIZATION r14): every
-    * `recall_<m>` entry recomputed its method's whole approximate
-    * pipeline AND the exact-truth scan that its `knn_<m>` twin (and a
-    * dozen sibling recalls) already ran in the same session. The result
-    * is |probes|·k rows — persist THAT, never the corpus (the
-    * bm25Ranked/nearDupClusters memo pattern; models were already
-    * memoized, the serve pass wasn't). First consumer pays, every twin
-    * reads the cached head; hashes unchanged because each entry returns
-    * the identical frame it used to compute. */
-  private def knnResMemo(s: SparkSession, dir: String, key: String)(
-      mk: => DataFrame): DataFrame =
-    ModelMemo.get(s, s"knnres/$key/$dir") {
-      val d = mk.persist(); d.count(); d
-    }
-
-  /** Exact top-10 over the standard 100-probe set, memoized per
-    * (metric, rounding): the truth side of every recall_* entry and the
-    * knn_exact_* entries themselves. */
+  /** Exact top-10 over the standard 100-probe set — the truth side of
+    * every recall_* entry and the knn_exact_* entries themselves.
+    * NOT memoized (OPTIMIZATION r15): r14 cached these result heads
+    * across battery entries, which made every recall/twin entry time a
+    * persisted-head read instead of its declared serve+truth computation
+    * (VERDICT r14 called it gaming). Models/indexes stay memoized —
+    * build-once-serve-many is the declared lifecycle; RESULTS recompute
+    * per entry. */
   private def exactKnn10(s: SparkSession, dir: String, metric: String,
       scoreDigits: Int): DataFrame =
-    knnResMemo(s, dir, s"exact/$metric/$scoreDigits")(
-      KnnJoin.exactKnnJoin(emb(s, dir), probes(s, dir), k = 10,
-        metric = metric, scoreDigits = scoreDigits))
+    KnnJoin.exactKnnJoin(emb(s, dir), probes(s, dir), k = 10,
+      metric = metric, scoreDigits = scoreDigits)
 
   private def knnHnswRes(s: SparkSession, dir: String): DataFrame =
-    knnResMemo(s, dir, "hnsw")(
-      hnswModel(s, dir).knnJoin(probes(s, dir), k = 10, Some(100)))
+    hnswModel(s, dir).knnJoin(probes(s, dir), k = 10, Some(100))
 
   private def knnLshRes(s: SparkSession, dir: String): DataFrame =
-    knnResMemo(s, dir, "lsh")(
-      AnnLsh.lshKnnJoin(emb(s, dir), probes(s, dir), k = 10,
-        numPlanes = 6, d = 64, numTables = 4, scoreDigits = 6))
+    AnnLsh.lshKnnJoin(emb(s, dir), probes(s, dir), k = 10,
+      numPlanes = 6, d = 64, numTables = 4, scoreDigits = 6)
 
   private def knnIvfRes(s: SparkSession, dir: String): DataFrame =
-    knnResMemo(s, dir, "ivf")(
-      graft.operators.IvfFlat.knnJoin(ivfModel(s, dir), probes(s, dir),
-        k = 10, nprobe = 4, scoreDigits = 6))
+    graft.operators.IvfFlat.knnJoin(ivfModel(s, dir), probes(s, dir),
+      k = 10, nprobe = 4, scoreDigits = 6)
 
   private def knnPqRes(s: SparkSession, dir: String): DataFrame =
-    knnResMemo(s, dir, "pq")(
-      graft.operators.Pq.knnJoin(pqModel(s, dir), emb(s, dir),
-        probes(s, dir), k = 10, rerank = 100, scoreDigits = 6,
-        adcDigits = 9))
+    graft.operators.Pq.knnJoin(pqModel(s, dir), emb(s, dir),
+      probes(s, dir), k = 10, rerank = 100, scoreDigits = 6,
+      adcDigits = 9)
 
   private def knnOpqRes(s: SparkSession, dir: String): DataFrame =
-    knnResMemo(s, dir, "opq")(
-      graft.operators.Opq.knnJoin(opqModel(s, dir), emb(s, dir),
-        probes(s, dir), k = 10, rerank = 100, scoreDigits = 6,
-        adcDigits = 9))
+    graft.operators.Opq.knnJoin(opqModel(s, dir), emb(s, dir),
+      probes(s, dir), k = 10, rerank = 100, scoreDigits = 6,
+      adcDigits = 9)
 
   private def knnIvfpqRes(s: SparkSession, dir: String): DataFrame =
-    knnResMemo(s, dir, "ivfpq")(
-      graft.operators.IvfPq.knnJoin(ivfpqModel(s, dir), emb(s, dir),
-        probes(s, dir), k = 10, nprobe = 6, rerank = 150,
-        scoreDigits = 6, adcDigits = 9))
+    graft.operators.IvfPq.knnJoin(ivfpqModel(s, dir), emb(s, dir),
+      probes(s, dir), k = 10, nprobe = 6, rerank = 150,
+      scoreDigits = 6, adcDigits = 9)
 
   private def ivfHnswModel(s: SparkSession, dir: String): graft.hnsw.IvfHnsw.Model =
     ModelMemo.get(s, s"ivfhnsw/c8m16/$dir")(
@@ -218,54 +210,46 @@ object VectorQueries {
         balanceSlack = 0.2))
 
   private def knnIvfHnswRes(s: SparkSession, dir: String): DataFrame =
-    knnResMemo(s, dir, "ivfhnsw")(
-      graft.hnsw.IvfHnsw.knnJoin(ivfHnswModel(s, dir), probes(s, dir),
-        k = 10, nprobe = 4))
+    graft.hnsw.IvfHnsw.knnJoin(ivfHnswModel(s, dir), probes(s, dir),
+      k = 10, nprobe = 4)
 
   private def knnSqRes(s: SparkSession, dir: String): DataFrame =
-    knnResMemo(s, dir, "sq")(
-      graft.operators.Sq.knnJoin(
-        ModelMemo.get(s, s"sq/8bit/$dir")(
-          graft.operators.Sq.fit(emb(s, dir))),
-        emb(s, dir), probes(s, dir), k = 10, rerank = 100,
-        scoreDigits = 6))
+    graft.operators.Sq.knnJoin(
+      ModelMemo.get(s, s"sq/8bit/$dir")(
+        graft.operators.Sq.fit(emb(s, dir))),
+      emb(s, dir), probes(s, dir), k = 10, rerank = 100,
+      scoreDigits = 6)
 
   private def knnBqRes(s: SparkSession, dir: String): DataFrame =
-    knnResMemo(s, dir, "bq")(
-      graft.operators.Bq.knnJoin(
-        ModelMemo.get(s, s"bq/1bit/$dir")(
-          graft.operators.Bq.fit(emb(s, dir))),
-        emb(s, dir), probes(s, dir), k = 10, rerank = 100,
-        scoreDigits = 6))
+    graft.operators.Bq.knnJoin(
+      ModelMemo.get(s, s"bq/1bit/$dir")(
+        graft.operators.Bq.fit(emb(s, dir))),
+      emb(s, dir), probes(s, dir), k = 10, rerank = 100,
+      scoreDigits = 6)
 
   private def knnRabitqRes(s: SparkSession, dir: String): DataFrame =
-    knnResMemo(s, dir, "rabitq")(
-      graft.operators.RabitQ.knnJoin(rabitqModel(s, dir), emb(s, dir),
-        probes(s, dir), k = 10, rerank = 100, scoreDigits = 6))
+    graft.operators.RabitQ.knnJoin(rabitqModel(s, dir), emb(s, dir),
+      probes(s, dir), k = 10, rerank = 100, scoreDigits = 6)
 
   private def knnIvfBqRes(s: SparkSession, dir: String): DataFrame =
-    knnResMemo(s, dir, "ivfbq")(
-      graft.operators.IvfBq.knnJoin(
-        ModelMemo.get(s, s"ivfbq/c16r/$dir")(
-          graft.operators.IvfBq.fromIvf(ivfModel(s, dir))),
-        emb(s, dir), probes(s, dir), k = 10, nprobe = 4, rerank = 100,
-        scoreDigits = 6))
+    graft.operators.IvfBq.knnJoin(
+      ModelMemo.get(s, s"ivfbq/c16r/$dir")(
+        graft.operators.IvfBq.fromIvf(ivfModel(s, dir))),
+      emb(s, dir), probes(s, dir), k = 10, nprobe = 4, rerank = 100,
+      scoreDigits = 6)
 
   private def knnIvfRabitqRes(s: SparkSession, dir: String): DataFrame =
-    knnResMemo(s, dir, "ivfrabitq")(
-      graft.operators.IvfRabitq.knnJoin(ivfRabitqModel(s, dir),
-        emb(s, dir), probes(s, dir), k = 10, nprobe = 4, rerank = 100,
-        scoreDigits = 6))
+    graft.operators.IvfRabitq.knnJoin(ivfRabitqModel(s, dir),
+      emb(s, dir), probes(s, dir), k = 10, nprobe = 4, rerank = 100,
+      scoreDigits = 6)
 
   private def knnMrlRes(s: SparkSession, dir: String): DataFrame =
-    knnResMemo(s, dir, "mrl")(
-      graft.operators.Mrl.knnJoinTruncated(emb(s, dir), probes(s, dir),
-        k = 10, prefixDims = 16, rerank = 100, scoreDigits = 6))
+    graft.operators.Mrl.knnJoinTruncated(emb(s, dir), probes(s, dir),
+      k = 10, prefixDims = 16, rerank = 100, scoreDigits = 6)
 
   private def knnPcaRes(s: SparkSession, dir: String): DataFrame =
-    knnResMemo(s, dir, "pca")(
-      graft.operators.Pca.knnJoin(pcaModel(s, dir), emb(s, dir),
-        probes(s, dir), k = 10, rerank = 100, scoreDigits = 6))
+    graft.operators.Pca.knnJoin(pcaModel(s, dir), emb(s, dir),
+      probes(s, dir), k = 10, rerank = 100, scoreDigits = 6)
 
   /** Synthetic media table with REAL payloads: each embedding quantized
     * to 0..255 and encoded as an actual 8x8 grayscale BMP by the JDK
@@ -316,26 +300,23 @@ object VectorQueries {
     * components — shared by `media_dedup_keep` (the keep decision) and
     * `media_dedup_split` (the leakage-proof split routed through the
     * same clusters). */
-  private def mediaDupClusters(s: SparkSession, dir: String): DataFrame =
-    // memoized like TextQueries.nearDupClusters (OPTIMIZATION r14): both
-    // media_dedup_keep and media_dedup_split consume this cluster frame,
-    // and the decode → bands → edges → iterative-CC pipeline ran once
-    // per entry. The frame is one row per media id — persist THAT.
-    ModelMemo.get(s, s"mediadupclusters/$dir") {
-      val corpus = mediaBmpWithTwins(s, dir)
-      val edges = graft.operators.ImageDup.nearDupEdges(
-        graft.operators.ImageDup.aHashBands(
-          graft.operators.Multimodal.decodeImagePooledRaw(corpus, grid = 8)),
-        maxHamming = 10)
-      val cc = graft.operators.Dedup.connectedComponents(
-          corpus.select(col("media_id").as("doc_id")),
-          edges.select("id1", "id2"))
-        .select(col("doc_id").as("media_id"), col("cluster_id"),
-          col("is_canonical").as("kept"))
-        .persist()
-      cc.count()
-      cc
-    }
+  private def mediaDupClusters(s: SparkSession, dir: String): DataFrame = {
+    // NOT memoized (OPTIMIZATION r15): r14 cached this cluster frame
+    // across media_dedup_keep/media_dedup_split, so the second entry
+    // timed a cache read instead of its declared decode → bands → edges
+    // → CC computation (VERDICT r14: cross-query result memoization is
+    // gaming). Each entry recomputes its own pipeline.
+    val corpus = mediaBmpWithTwins(s, dir)
+    val edges = graft.operators.ImageDup.nearDupEdges(
+      graft.operators.ImageDup.aHashBands(
+        graft.operators.Multimodal.decodeImagePooledRaw(corpus, grid = 8)),
+      maxHamming = 10)
+    graft.operators.Dedup.connectedComponents(
+        corpus.select(col("media_id").as("doc_id")),
+        edges.select("id1", "id2"))
+      .select(col("doc_id").as("media_id"), col("cluster_id"),
+        col("is_canonical").as("kept"))
+  }
 
   /** [[mediaWav]] plus metadata-spliced TWINS of the first 20 payloads
     * (id + 1000000): a LIST/INFO chunk inserted between fmt and data —
@@ -378,24 +359,21 @@ object VectorQueries {
 
   /** BM25 top-20 lexical leg fused with exact-cosine top-20 by RRF —
     * shared by the `rrf_fusion_bm25` entry and the `rank_quality` eval. */
-  private def rrfBm25Fused(s: SparkSession, dir: String): DataFrame =
-    // memoized: rrf_fusion_bm25 AND rank_quality both consume this fused
-    // head (nq×k rows — persist THAT, never the corpus); each previously
-    // recomputed the lexical leg + exact-kNN leg + fuse per call
-    // (OPTIMIZATION r14)
-    ModelMemo.get(s, s"rrfbm25fused/$dir") {
-      val nq = 10
-      val lexical = graft.TextQueries.bm25Ranked(s, dir, nq = nq, topk = 20)
-        .select(col("qid").as("query_id"), col("doc_id"),
-          col("rnk").as("rank"))
-      val vector = KnnJoin.exactKnnJoin(emb(s, dir), probes(s, dir, nq),
-          k = 20, metric = "cosine", scoreDigits = 6)
-        .select(col("query_id"), col("neighbor_id").as("doc_id"),
-          col("rank"))
-      val fused = graft.operators.Rrf.fuse(lexical, vector, k = 10).persist()
-      fused.count()
-      fused
-    }
+  private def rrfBm25Fused(s: SparkSession, dir: String): DataFrame = {
+    // NOT memoized (OPTIMIZATION r15): r14 cached this fused head across
+    // rrf_fusion_bm25 and rank_quality, making the second entry a cache
+    // read (VERDICT r14: gaming). Each entry recomputes the lexical +
+    // vector legs and the fuse — its declared computation.
+    val nq = 10
+    val lexical = graft.TextQueries.bm25Ranked(s, dir, nq = nq, topk = 20)
+      .select(col("qid").as("query_id"), col("doc_id"),
+        col("rnk").as("rank"))
+    val vector = KnnJoin.exactKnnJoin(emb(s, dir), probes(s, dir, nq),
+        k = 20, metric = "cosine", scoreDigits = 6)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank"))
+    graft.operators.Rrf.fuse(lexical, vector, k = 10)
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // B5 exact k-NN, cosine — queries are the first 100 base vectors

@@ -33,25 +33,34 @@ object QualityLr {
 
   private val featNames = Seq("f_len", "f_punct", "f_stop", "f_wlen")
 
+  /** The four rounded feature Columns over `textCol` — ONE definition
+    * shared by [[features]] (training) and [[withScore]] (serving), so
+    * the train and serve expressions can never drift apart (the 1e-6
+    * rounding and operand order must stay bit-identical in both —
+    * ADVICE r14). */
+  private def featureCols(textCol: Column): Seq[(String, Column)] = {
+    val nTok = size(split(trim(textCol), "\\s+")).cast("double")
+    val nCh = length(textCol).cast("double")
+    val punct = length(regexp_replace(textCol, "[a-z0-9\\s]", ""))
+      .cast("double")
+    val stops = regexp_count(textCol,
+      lit("\\b(the|a|of|and|in|to|is)\\b")).cast("double")
+    Seq(
+      "f_len" -> graft.Qutil.rnd(least(lit(1.0), nTok / 100.0), 6),
+      "f_punct" -> graft.Qutil.rnd(punct / nCh, 6),
+      "f_stop" -> graft.Qutil.rnd(stops / nTok, 6),
+      "f_wlen" -> graft.Qutil.rnd(nCh / nTok, 6))
+  }
+
   /** The portable feature projection: length saturation, punctuation
     * ratio, stopword rate, mean token length — each 1e-6 fixed-point
     * (the `text_quality` expressions). Null-text docs are dropped. */
-  def features(docs: DataFrame): DataFrame = {
-    val nTok = size(split(trim(col("text")), "\\s+")).cast("double")
-    val nCh = length(col("text")).cast("double")
-    val punct = length(regexp_replace(col("text"), "[a-z0-9\\s]", ""))
-      .cast("double")
-    val stops = regexp_count(col("text"),
-      lit("\\b(the|a|of|and|in|to|is)\\b")).cast("double")
+  def features(docs: DataFrame): DataFrame =
     // empty text makes f_punct a 0/0 NULL that would NPE the training
     // collect — no features to learn from either way, so drop the row
     docs.filter(col("text").isNotNull && length(col("text")) > 0)
-      .select(col("doc_id"),
-      graft.Qutil.rnd(least(lit(1.0), nTok / 100.0), 6).as("f_len"),
-      graft.Qutil.rnd(punct / nCh, 6).as("f_punct"),
-      graft.Qutil.rnd(stops / nTok, 6).as("f_stop"),
-      graft.Qutil.rnd(nCh / nTok, 6).as("f_wlen"))
-  }
+      .select(col("doc_id") +:
+        featureCols(col("text")).map { case (n, c) => c.as(n) }: _*)
 
   /** TRAIN on a bounded md5-ordered sample labeled by `isPositive`
     * (evaluated over the doc columns, e.g. curated-source membership).
@@ -153,20 +162,13 @@ object QualityLr {
     * paid an extra doc_id exchange for the join; at 100 TB the join
     * would shuffle the corpus once more for columns already in hand). */
   def withScore(docs: DataFrame, model: Model, textCol: Column): DataFrame = {
-    val nTok = size(split(trim(textCol), "\\s+")).cast("double")
-    val nCh = length(textCol).cast("double")
-    val punct = length(regexp_replace(textCol, "[a-z0-9\\s]", ""))
-      .cast("double")
-    val stops = regexp_count(textCol,
-      lit("\\b(the|a|of|and|in|to|is)\\b")).cast("double")
     val Array(b, wl, wp, ws, ww) = model.weights
     val z = lit(b) + lit(wl) * col("f_len") + lit(wp) * col("f_punct") +
       lit(ws) * col("f_stop") + lit(ww) * col("f_wlen")
-    docs.filter(textCol.isNotNull && length(textCol) > 0)
-      .withColumn("f_len", graft.Qutil.rnd(least(lit(1.0), nTok / 100.0), 6))
-      .withColumn("f_punct", graft.Qutil.rnd(punct / nCh, 6))
-      .withColumn("f_stop", graft.Qutil.rnd(stops / nTok, 6))
-      .withColumn("f_wlen", graft.Qutil.rnd(nCh / nTok, 6))
+    featureCols(textCol)
+      .foldLeft(docs.filter(textCol.isNotNull && length(textCol) > 0)) {
+        case (df, (n, c)) => df.withColumn(n, c)
+      }
       .withColumn("logit", graft.Qutil.rnd(z, 6))
       .withColumn("kept", z > lit(0.0))
   }

@@ -103,7 +103,10 @@ class PlanSpec extends AnyFunSuite {
     // ONE exchange total; the old doc_id-window's second exchange is gone
     assert(!p.contains("Window"),
       s"dl must ride in-row, not a doc window:\n$p")
-    assert("Exchange".r.findAllMatchIn(p).size == 1,
+    // anchor to SHUFFLE exchanges: a bare "Exchange" count would also
+    // match BroadcastExchange/ReusedExchange nodes (ADVICE r14)
+    assert("Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
+      .findAllMatchIn(p).size == 1,
       s"build is one groupBy exchange, nothing else:\n$p")
   }
 
