@@ -23,32 +23,12 @@ object TextQueries {
   /** Per-session memo for built index artifacts (same pattern as
     * VectorQueries.ModelMemo): battery/verify invoke each query fn
     * repeatedly in one session; the inverted-index build runs once. */
-  private object TextMemo {
-    // 64 for the same reason as VectorQueries.ModelMemo: the battery
-    // touches 11+ distinct text artifacts per data dir and Verify/Bench
-    // share one session across dirs — a near-capacity LRU evicts and
-    // silently rebuilds indexes mid-run.
-    private val maxEntries = 64
-    private val lru = new java.util.LinkedHashMap[String, AnyRef](16, 0.75f, true) {
-      override def removeEldestEntry(e: java.util.Map.Entry[String, AnyRef]): Boolean = {
-        val evict = size() > maxEntries
-        // release persisted blocks of an evicted DataFrame value — the
-        // CacheManager would otherwise keep them alive for the context
-        // lifetime (OPTIMIZATION r15; ADVICE r14)
-        if (evict) e.getValue match {
-          case d: org.apache.spark.sql.Dataset[_] => d.unpersist(); ()
-          case _ => ()
-        }
-        evict
-      }
-    }
-    def get[T <: AnyRef](s: SparkSession, key: String)(mk: => T): T = lru.synchronized {
-      val k = s"${System.identityHashCode(s.sparkContext)}/$key"
-      val hit = lru.get(k)
-      if (hit != null) hit.asInstanceOf[T]
-      else { val v = mk; lru.put(k, v); v }
-    }
-  }
+  // 64 for the same reason as VectorQueries.ModelMemo: the battery
+  // touches 11+ distinct text artifacts per data dir and Verify/Bench
+  // share one session across dirs — a near-capacity LRU evicts and
+  // silently rebuilds indexes mid-run.
+  // Shared impl: [[graft.SessionLru]] (eviction unpersists DataFrames).
+  private val TextMemo = new SessionLru(64)
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
@@ -84,13 +64,18 @@ object TextQueries {
     * unigram_surprisal hash-matches in). Shared by the `bm25_top_docs`
     * battery entry and the `rrf_fusion_bm25` lexical leg. */
   private[graft] def bm25Ranked(s: SparkSession, dir: String,
-      nq: Int, topk: Int): DataFrame = {
+      nq: Int, topk: Int): DataFrame =
     // NOT memoized (OPTIMIZATION r15): r14 cached the ranked head across
     // four battery entries, so every consumer after the first timed a
     // persisted-head read instead of its declared BM25 ranking (VERDICT
     // r14: cross-query result memoization is gaming). Each entry now
     // recomputes the ranking — its declared computation.
-    val d = docs(s, dir)
+    bm25RankedOf(docs(s, dir), nq, topk)
+
+  /** [[bm25Ranked]] over an explicit docs frame — also the corpus-scale
+    * core-scaling probe's entry point (graft.bench.CoreScalingMain). */
+  private[graft] def bm25RankedOf(d: DataFrame, nq: Int, topk: Int)
+      : DataFrame = {
     // dl IN-ROW (size of the token array before the explode) and carried
     // through the (doc_id, term) aggregation — OPTIMIZATION r14, same
     // rewrite as TextIndex.postingsFor: the first cut aggregated dl in a

@@ -22,37 +22,17 @@ object VectorQueries {
     * is eager (sampling/Lloyd/graph build), so without a memo each pair
     * pays the fit twice. Keyed on (SparkContext identity, data dir, model
     * signature); bounded LRU so stale sessions can't accumulate. */
-  private object ModelMemo {
-    // 64, not 16: one battery run touches 17+ distinct model keys per
-    // data dir (bq, descstore×2, hnsw, ivf, ivfbq, ivfhnsw, ivfpq,
-    // ivfrabitq, mlw2v, opq, pca, pq, rabitq, sgns, sgnssub, sq) — a
-    // 16-entry LRU GUARANTEED eviction churn inside a single session:
-    // models retrained mid-battery (deterministic, so correct, but the
-    // r14opt baseline showed e.g. sgns_subword_knn swinging 3.1↔7.2 s
-    // run-to-run purely from eviction order). Entries are per
-    // (SparkContext, dir), so 64 covers two dirs' worth with slack;
-    // models are MB-sized (largest: SGNS 2^16×32 floats ≈ 8 MB).
-    private val maxEntries = 64
-    private val lru = new java.util.LinkedHashMap[String, AnyRef](16, 0.75f, true) {
-      override def removeEldestEntry(e: java.util.Map.Entry[String, AnyRef]): Boolean = {
-        val evict = size() > maxEntries
-        // an evicted DataFrame value may hold persisted blocks — release
-        // them, or the CacheManager keeps the evictee's storage alive for
-        // the context lifetime (OPTIMIZATION r15; ADVICE r14)
-        if (evict) e.getValue match {
-          case d: org.apache.spark.sql.Dataset[_] => d.unpersist(); ()
-          case _ => ()
-        }
-        evict
-      }
-    }
-    def get[T <: AnyRef](s: SparkSession, key: String)(mk: => T): T = lru.synchronized {
-      val k = s"${System.identityHashCode(s.sparkContext)}/$key"
-      val hit = lru.get(k)
-      if (hit != null) hit.asInstanceOf[T]
-      else { val v = mk; lru.put(k, v); v }
-    }
-  }
+  // 64, not 16: one battery run touches 17+ distinct model keys per
+  // data dir (bq, descstore×2, hnsw, ivf, ivfbq, ivfhnsw, ivfpq,
+  // ivfrabitq, mlw2v, opq, pca, pq, rabitq, sgns, sgnssub, sq) — a
+  // 16-entry LRU GUARANTEED eviction churn inside a single session:
+  // models retrained mid-battery (deterministic, so correct, but the
+  // r14opt baseline showed e.g. sgns_subword_knn swinging 3.1↔7.2 s
+  // run-to-run purely from eviction order). Entries are per
+  // (SparkContext, dir), so 64 covers two dirs' worth with slack;
+  // models are MB-sized (largest: SGNS 2^16×32 floats ≈ 8 MB).
+  // Shared impl: [[graft.SessionLru]] (eviction unpersists DataFrames).
+  private val ModelMemo = new SessionLru(64)
 
   /** The memoized engine-trained SGNS model over the documents table —
     * shared by `sgns_knn` and `sgns_train_loss`, so the battery pays

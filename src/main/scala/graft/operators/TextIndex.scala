@@ -183,10 +183,24 @@ object TextIndex {
     * to outgrow. */
   def describe(spark: SparkSession, prefix: String,
       epochFactor: Long = 8): DataFrame = {
-    val st = stats(spark, prefix)
     val t = spark.table(statsTable(prefix))
-    val epochs = if (t.columns.contains("sumdl")) t.count() else 1L
-    val (nDel, _, _) = deleteAdjust(spark, prefix)
+    // one aggregate reads stats AND the epoch count (the old
+    // stats()+count() pair ran two jobs over the same tiny table —
+    // OPTIMIZATION r15); delete adjustments apply exactly as in stats()
+    val (st, epochs, nDel) =
+      if (t.columns.contains("sumdl")) {
+        val r = t.agg(sum("n"), sum("ndl"), sum("sumdl"),
+          count(lit(1))).first()
+        val (nd, ndlDel, sumdlDel) = deleteAdjust(spark, prefix)
+        val sumdl = if (r.isNullAt(2)) 0L else r.getLong(2)
+        (Stats(r.getLong(0) - nd,
+          avgdlOf(r.getLong(1) - ndlDel, sumdl - sumdlDel)),
+          r.getLong(3), nd)
+      } else {
+        val r = t.first()
+        (Stats(r.getAs[Long]("n"), r.getAs[Double]("avgdl")), 1L,
+          deleteAdjust(spark, prefix)._1)
+      }
     val positional = spark.catalog.tableExists(positionsTable(prefix))
     val terms = spark.table(lexiconTable(prefix))
       .select("term").distinct().count()
@@ -447,10 +461,23 @@ object TextIndex {
       case None => p
     }
     val (terms, dfT) = lexicon match {
+      case Some(lex) if deletes.isEmpty && maxDfFrac >= 1.0 =>
+        // no stopword cut ⇒ no term can be skipped, so the df side needs
+        // no driver round-trip: the bucket-pruned lexicon lookup joins
+        // IN-PLAN (epoch rows merged by exact integer sum) instead of
+        // collecting df pairs to the driver first (OPTIMIZATION r15 —
+        // one blocking driver action less per serve). A query term
+        // absent from the lexicon is equally absent from the postings
+        // (the lexicon derives from them), so keeping it in the scan
+        // filter changes nothing.
+        (allTerms, broadcast(lex
+          .filter(col("term").isin(allTerms.toSeq: _*))
+          .groupBy("term").agg(sum("df").as("df"))))
       case Some(lex) if deletes.isEmpty =>
         // epoch rows merge by exact integer sum; the maxDfFrac cut
         // applies to the MERGED df so the skip-read decision matches a
-        // single-epoch rebuild
+        // single-epoch rebuild — the cut's whole point is skipping the
+        // posting read, so the surviving-term set must reach the driver
         val dfPairs = lex
           .filter(col("term").isin(allTerms.toSeq: _*))
           .groupBy("term").agg(sum("df").as("df"))

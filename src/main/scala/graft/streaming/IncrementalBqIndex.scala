@@ -55,7 +55,13 @@ object IncrementalBqIndex {
     * full-codes scan dominated SMALL serving waves). Same schema, same
     * rows — layout only; every reader is unchanged. */
   private def writeCodes(encoded: DataFrame, to: String): Unit =
-    encoded.repartitionByRange(64, col("cell"))
+    // no explicit partition count: with none pinned, AQE coalesces the
+    // range shuffle to the data's actual size (guide §2 — partitioning
+    // derived from input size, not a constant tuned for one scale), so
+    // a 200-row describe store writes 1 file and a 100M build spreads
+    // over spark.sql.shuffle.partitions. Was a hard 64, which paid a
+    // 64-task shuffle + 64 files per epoch regardless of batch size.
+    encoded.repartitionByRange(col("cell"))
       .sortWithinPartitions("cell")
       .write.mode(SaveMode.Overwrite)
       .option("parquet.block.size", (8 * 1024 * 1024).toString)
@@ -71,8 +77,9 @@ object IncrementalBqIndex {
     * assignment as the code rows, so pruning can never drop a candidate
     * (pruned ≡ unpruned, spec-pinned). */
   private def writeVectors(vecs: DataFrame, to: String): Unit =
+    // AQE-sized range shuffle, as in [[writeCodes]]
     vecs.select(col("cell").cast("int"), col("vec_id"), col("embedding"))
-      .repartitionByRange(64, col("cell"))
+      .repartitionByRange(col("cell"))
       .sortWithinPartitions("cell")
       .write.mode(SaveMode.Overwrite)
       .option("parquet.block.size", (8 * 1024 * 1024).toString)
